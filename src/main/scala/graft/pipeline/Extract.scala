@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import graft.layout._
+import graft.model._
+import graft.text._
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** The end-to-end per-document span-extraction operator.
+  *
+  * Reproduces the deterministic dataflow of the reference's document pipeline
+  * (`/root/reference/src/churro_ocr/document.py:133-206` orchestration;
+  * `_mineru25.py` layout/extract/postprocess;
+  * `prompts/ocr.py` + `providers/_ocr_processing.py` text cleanup) over the
+  * interleaved `docs(doc_id, spans)` table:
+  *
+  *  1. spans sorted by `offset` (total order — never partition order),
+  *  2. raw payload cleanup: stop-token trim → chat-scaffold strip → output-tag
+  *     unwrap (the reference's `clean_response` + default postprocessor),
+  *  3. layout-token payloads parsed into positioned blocks; XML payloads
+  *     flattened (HistoricalDocument); plain payloads become full-width
+  *     blocks with non-overlapping row-strip bboxes,
+  *  4. caption containment drop, table⊃image absorption (token map),
+  *  5. per-kind content fixes (OTSL→HTML, equation wrap, math fixes),
+  *     equation-block combining, abandon filters,
+  *  6. reading-order render with CJK-aware merge_prev fold → ordered
+  *     `(kind, text, media_ref, order)` spans.
+  *
+  * Everything is row-local: the operator is a narrow `mapPartitions` — no
+  * shuffle is introduced for extraction itself, which is the property that
+  * lets it scale linearly with executors at 10^12 documents.
+  */
+object Extract {
+
+  /** The prompts the reference strips when echoed back by a model
+    * (`_mineru25.py:967-972`; `prompts/ocr.py:14-40`).
+    */
+  val KnownPrompts: Seq[String] = Seq(
+    "You are an expert in diplomatic transcription of historical documents",
+    "Transcribe the full page in reading order as Markdown.")
+
+  def cleanResponse(text: String): String = {
+    val trimmed = ChatScaffold.trimStopStrings(text)
+    val unscaffolded = ChatScaffold.stripLeadingChatScaffold(trimmed, KnownPrompts)
+    TagStrip.stripOcrOutputTag(unscaffolded)
+  }
+
+  /** Build the block array for one document from its offset-ordered spans. */
+  def buildBlocks(doc: Doc): Vector[Block] = {
+    val sorted = doc.spans.sortBy(_.offset).toVector
+    val n = math.max(1, sorted.length)
+    val out = Vector.newBuilder[Block]
+    sorted.zipWithIndex.foreach { case (span, idx) =>
+      val cleaned = cleanResponse(span.text)
+      if (LayoutParse.looksLikeLayout(cleaned)) {
+        out ++= LayoutParse.parse(cleaned, span.media_ref)
+      } else if (span.kind == "xml") {
+        val flat = XmlFlatten.extractActualTextFromXml(cleaned)
+        out += Block("text", stripBBox(idx, n), content = someNonEmpty(flat),
+          mediaRef = span.media_ref)
+      } else if (Blocks.SupportedTypes.contains(span.kind)) {
+        out += Block(span.kind, stripBBox(idx, n), content = someNonEmpty(cleaned),
+          mediaRef = span.media_ref)
+      }
+      // unsupported kinds are dropped, like parse_layout_output's whitelist
+    }
+    out.result()
+  }
+
+  /** Non-overlapping full-width row strips: plain spans never trigger the
+    * containment joins (those only apply to layout-positioned blocks).
+    */
+  private def stripBBox(idx: Int, n: Int): Array[Double] =
+    Array(0.0, idx.toDouble / n, 1.0, (idx + 1).toDouble / n)
+
+  private def someNonEmpty(s: String): Option[String] =
+    if (s == null || s.isEmpty) None else Some(s)
+
+  def extractDoc(doc: Doc, cfg: ExtractConfig = ExtractConfig.Default): DocOut = {
+    val blocks = buildBlocks(doc)
+    val prepared = Render.prepareBlocks(doc.doc_id, blocks, cfg)
+    val processed = Render.postProcess(prepared, cfg)
+    val spans = Render.emitSpans(processed).zipWithIndex.map {
+      case ((kind, text, mediaRef), order) => OutSpan(kind, text, mediaRef, order)
+    }
+    DocOut(doc.doc_id, spans)
+  }
+
+  /** The Spark stage: a narrow map over `Dataset[Doc]`. */
+  def run(docs: Dataset[Doc], cfg: ExtractConfig = ExtractConfig.Default): Dataset[DocOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.mapPartitions(_.map(extractDoc(_, cfg)))
+  }
+
+  /** Markdown rendering of one document (the reference's `transcribe` sink). */
+  def renderMarkdown(doc: Doc, cfg: ExtractConfig = ExtractConfig.Default): String = {
+    val blocks = buildBlocks(doc)
+    Render.renderMarkdown(Render.postProcess(Render.prepareBlocks(doc.doc_id, blocks, cfg), cfg))
+  }
+}
