@@ -1,13 +1,201 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import graft.layout.ExtractConfig
+import graft.metrics.Eval
+import graft.ops.Queries
+import graft.pipeline.{DocsGen, Extract}
+import graft.streaming.StreamOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
+  /** Docs-table size per test tier (FIXTURES.md §1). */
+  def docsTier(dir: String): Long =
+    if (dir.contains("sf0.001")) 1000L
+    else if (dir.contains("sf0.01")) 5000L
+    else if (dir.contains("sf0.1")) 50000L
+    else 2000L
+
+  /** The flagship pipeline: synthesized interleaved docs → per-document span
+    * extraction → flat ordered span rows.
+    */
+  def pipelineExtract(spark: SparkSession, dir: String): DataFrame = {
+    val docs = DocsGen.docs(spark, docsTier(dir), seed = 42L, partitions = 64)
+    Extract.run(docs, ExtractConfig.Default)
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("s.order").as("order"), col("s.kind").as("kind"),
+        col("s.media_ref").as("media_ref"), col("s.text").as("text"))
+      .orderBy("doc_id", "order")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    pipelineExtract(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // scans / filters / projections (§2.1-2.2)
+    "q_scan_prune" -> (Queries.scanPrune(_, _)),
+    "q_ci_filter" -> (Queries.ciFilter(_, _)),
+    "q_offset_limit" -> (Queries.offsetLimit(_, _)),
+    // aggregations (§2.4)
+    "q_agg_pricing" -> (Queries.aggPricing(_, _)),
+    "q_grouping_sets" -> (Queries.groupingSets(_, _)),
+    "q_rounded_pct" -> (Queries.roundedPct(_, _)),
+    "q_distinct_users" -> (Queries.distinctUsers(_, _)),
+    // joins (§2.3)
+    "q_join_agg" -> (Queries.joinAgg(_, _)),
+    "q_semi_join" -> (Queries.semiJoin(_, _)),
+    "q_anti_join" -> (Queries.antiJoin(_, _)),
+    // windows / ordering (§2.5-2.6)
+    "q_window_rank" -> (Queries.windowRank(_, _)),
+    "q_window_running" -> (Queries.windowRunning(_, _)),
+    "q_topk" -> (Queries.topK(_, _)),
+    // set ops (§2.7)
+    "q_set_ops" -> (Queries.setOps(_, _)),
+    // time / semi-structured
+    "q_time_window" -> (Queries.timeWindow(_, _)),
+    "q_json_extract" -> (Queries.jsonExtract(_, _)),
+    "q_stream_window" -> (StreamOps.streamWindow(_, _)),
+    // deduplication
+    "q_dedup_exact" -> (Queries.dedupExact(_, _)),
+    "q_minhash_sig" -> (Queries.minhashSig(_, _)),
+    "q_minhash_pairs" -> (Queries.minhashPairs(_, _)),
+    "q_ngram_jaccard" -> (Queries.ngramJaccard(_, _)),
+    "q_simhash" -> (Queries.simhash(_, _)),
+    // similarity search
+    "q_embed_topk" -> (Queries.embedTopK(_, _)),
+    "q_embed_lsh" -> (Queries.embedLsh(_, _)),
+    // text analysis
+    "q_token_count" -> (Queries.tokenCount(_, _)),
+    "q_quality_score" -> (Queries.qualityScore(_, _)),
+    "q_langid_scores" -> (Queries.langidScores(_, _)),
+    "q_langid" -> (Queries.langId(_, _)),
+    "q_fingerprint" -> (Queries.fingerprint(_, _)),
+    "q_nls_eval" -> (Queries.nlsEval(_, _)),
+    // multimodal plumbing
+    "q_multimodal_sha" -> (Queries.multimodalSha(_, _)),
+    // the extraction pipeline + evaluation harness
+    "pipeline_extract" -> (pipelineExtract(_, _)),
+    "pipeline_eval" -> (Eval.pipelineEval(_, _)),
+    "pipeline_eval_grouped" -> (Eval.pipelineEvalGrouped(_, _))
+  )
+
+  private val dupsCte: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text, lang FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL SELECT doc_id + 200000, replace(text, 'the', 'teh'), lang FROM documents WHERE doc_id % 10 = 1
+      |)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_prune" ->
+      "SELECT doc_id, n_chars FROM documents WHERE n_chars > 200 ORDER BY doc_id",
+    "q_ci_filter" ->
+      "SELECT doc_id, lang, source FROM documents WHERE lower(trim(lang)) = 'de' ORDER BY doc_id",
+    "q_offset_limit" ->
+      "SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 50 OFFSET 100",
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(lang, '(all)') AS lang_g, coalesce(source, '(all)') AS source_g,
+        | CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars, COUNT(*) AS n
+        |FROM documents GROUP BY GROUPING SETS ((lang), (source), (lang, source))
+        |ORDER BY lang_g, source_g""".stripMargin,
+    "q_rounded_pct" ->
+      """SELECT lang, round(100.0 * SUM(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 1) AS pct_long,
+        | COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_distinct_users" ->
+      "SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type ORDER BY event_type",
+    "q_join_agg" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_semi_join" ->
+      "SELECT c_custkey, c_mktsegment FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    "q_anti_join" ->
+      "SELECT c_custkey, c_mktsegment FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    "q_window_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber ASC) = 1
+        |ORDER BY l_orderkey""".stripMargin,
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem WHERE l_suppkey < 10
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q_topk" ->
+      "SELECT doc_id, n_chars, lang FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10",
+    "q_set_ops" ->
+      """SELECT p_partkey FROM part WHERE p_size > 25
+        |EXCEPT SELECT p_partkey FROM part WHERE p_retailprice < 1200.0
+        |ORDER BY p_partkey""".stripMargin,
+    "q_time_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        | MIN(value) AS min_v, MAX(value) AS max_v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_json_extract" ->
+      "SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, COUNT(*) AS n FROM events GROUP BY k ORDER BY k",
+    "q_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        | MIN(value) AS min_v, MAX(value) AS max_v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_dedup_exact" -> (dupsCte +
+      """ SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM all_docs GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin),
+    "q_minhash_sig" -> (dupsCte +
+      """, words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM all_docs)
+        |SELECT doc_id, MIN(md5('s0:' || w)) AS sig0, MIN(md5('s1:' || w)) AS sig1,
+        |       MIN(md5('s2:' || w)) AS sig2, MIN(md5('s3:' || w)) AS sig3
+        |FROM words GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "q_minhash_pairs" -> (dupsCte +
+      """, words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM all_docs),
+        |sigs AS (SELECT doc_id, MIN(md5('s0:' || w)) AS sig0, MIN(md5('s1:' || w)) AS sig1,
+        |                MIN(md5('s2:' || w)) AS sig2, MIN(md5('s3:' || w)) AS sig3
+        |         FROM words GROUP BY doc_id),
+        |b AS (SELECT doc_id, md5(sig0 || sig1) AS b0, md5(sig2 || sig3) AS b1 FROM sigs)
+        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM b x JOIN b y
+        |ON (x.b0 = y.b0 OR x.b1 = y.b1) AND x.doc_id < y.doc_id ORDER BY a, b""".stripMargin),
+    "q_token_count" ->
+      "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, n_chars FROM documents ORDER BY doc_id",
+    "q_quality_score" ->
+      """SELECT doc_id, length(text) AS len,
+        | length(text) - length(replace(text, ' ', '')) AS n_space,
+        | length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', '')) AS the_bytes,
+        | CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / length(text) AS space_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_langid_scores" ->
+      """SELECT doc_id, lang,
+        | length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', '')) AS score_en,
+        | length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' der ', '')) AS score_de,
+        | length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' el ', '')) AS score_es
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_nls_eval" ->
+      """SELECT doc_id, lang, levenshtein(replace(text, 'the', 'teh'), text) AS lev,
+        | 1.0 - CAST(levenshtein(replace(text, 'the', 'teh'), text) AS DOUBLE)
+        |   / greatest(length(replace(text, 'the', 'teh')), length(text)) AS nls
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_sha" ->
+      "SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha FROM documents ORDER BY doc_id",
+    "q_embed_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 5)
+        |SELECT q_id, vec_id, round(cos, 4) AS cos4, CAST(rn AS INT) AS rn FROM (
+        | SELECT q_id, c.vec_id AS vec_id, list_cosine_similarity(qv, v) AS cos,
+        | row_number() OVER (PARTITION BY q_id ORDER BY list_cosine_similarity(qv, v) DESC, c.vec_id) AS rn
+        | FROM c, q) t WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+  )
 }

@@ -1,0 +1,121 @@
+package graft.metrics
+
+import graft.text.{Levenshtein, Normalization, Repetition, TagStrip, XmlFlatten}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Page-evaluation metrics row (the reference's `PageEvaluationMetrics`,
+  * `/root/reference/tooling/evaluation/types.py:22-77`, minus BLEU whose
+  * model resources are unavailable offline).
+  */
+final case class EvalRow(
+    example_id: String,
+    main_language: String,
+    document_type: String,
+    nls: Double,
+    repetition: Double,
+    is_empty: Double,
+    normalized_predicted_text: String,
+    normalized_gold_text: String)
+
+/** The evaluation harness (`evaluate_page.py:70-127` + `metrics.py:50-78`),
+  * Spark-native: the per-page metric function is a typed map (embarrassingly
+  * parallel, no shuffle); the three simultaneous group-bys become one
+  * GROUPING SETS aggregation (single shuffle, partial aggregation map-side).
+  */
+object Eval {
+
+  /** `_compute_text_metrics_core`: tag strip → XML flatten → normalize →
+    * NLS / repetition / is_empty.
+    */
+  def computeMetrics(exampleId: String, predictedRaw: String, goldRaw: String,
+                     language: String, documentType: String): EvalRow = {
+    val pred = Normalization.normalizeTextForEvaluation(
+      XmlFlatten.extractActualTextFromXml(TagStrip.stripOcrOutputTag(predictedRaw)))
+    val gold = Normalization.normalizeTextForEvaluation(
+      XmlFlatten.extractActualTextFromXml(TagStrip.stripOcrOutputTag(goldRaw)))
+    val isEmpty = if (pred.trim.isEmpty) 1.0 else 0.0
+    EvalRow(exampleId, language, documentType,
+      nls = Levenshtein.nls(pred, gold),
+      repetition = if (Repetition.hasLongRepetition(pred)) 1.0 else 0.0,
+      is_empty = isEmpty,
+      normalized_predicted_text = pred,
+      normalized_gold_text = gold)
+  }
+
+  /** Batch evaluation over (example_id, pred, gold, language, type) rows. */
+  def batchEvaluate(rows: Dataset[(String, String, String, String, String)]): Dataset[EvalRow] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.mapPartitions(_.map { case (id, pred, gold, lang, dtype) =>
+      computeMetrics(id, pred, gold, lang, dtype)
+    })
+  }
+
+  /** `calculate_language_and_type_metrics` — by language, by type, and both,
+    * as one GROUPING SETS pass; percentages ×100 rounded to 1 decimal
+    * (`metrics.py:37-78`).
+    */
+  def groupedMetrics(results: Dataset[EvalRow]): DataFrame = {
+    val spark = results.sparkSession
+    results.createOrReplaceTempView("eval_rows")
+    spark.sql(
+      """SELECT coalesce(main_language, '(all)') AS language_g,
+        |       coalesce(document_type, '(all)') AS type_g,
+        |       round(100.0 * SUM(nls) / COUNT(*), 1) AS nls_pct,
+        |       round(100.0 * SUM(repetition) / COUNT(*), 1) AS repetition_pct,
+        |       round(100.0 * SUM(is_empty) / COUNT(*), 1) AS is_empty_pct,
+        |       COUNT(*) AS n
+        |FROM eval_rows
+        |GROUP BY GROUPING SETS ((main_language), (document_type), (main_language, document_type))
+        |ORDER BY language_g, type_g""".stripMargin)
+  }
+
+  /** The pipeline_eval query: deterministic (gold, pred) pairs synthesized
+    * from the documents table (seeded corruption covering the repetition and
+    * empty branches), evaluated per row.
+    */
+  def pipelineEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+    val rows = docs.map { case (id, text, lang) =>
+      val gold = s"<output>\n$text\n</output>"
+      val pred = (id % 5) match {
+        case 0 => gold // exact
+        case 1 => gold.replace("the", "teh") // corrupted
+        case 2 => text + (" spam" * 40) // repetition tail
+        case 3 => "" // empty
+        case _ => s"**${text.toUpperCase}**" // markup + case
+      }
+      val dtype = if (id % 2 == 0) "print" else "handwriting"
+      (s"doc_$id", pred, gold, lang, dtype)
+    }
+    batchEvaluate(rows).toDF()
+      .select(col("example_id"), col("main_language"), col("document_type"),
+        round(col("nls"), 6).as("nls"), col("repetition"), col("is_empty"))
+      .orderBy("example_id")
+  }
+
+  /** Aggregated grouped metrics over the same synthesized evaluation set. */
+  def pipelineEvalGrouped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+    val rows = docs.map { case (id, text, lang) =>
+      val gold = s"<output>\n$text\n</output>"
+      val pred = (id % 5) match {
+        case 0 => gold
+        case 1 => gold.replace("the", "teh")
+        case 2 => text + (" spam" * 40)
+        case 3 => ""
+        case _ => s"**${text.toUpperCase}**"
+      }
+      val dtype = if (id % 2 == 0) "print" else "handwriting"
+      (s"doc_$id", pred, gold, lang, dtype)
+    }
+    groupedMetrics(batchEvaluate(rows))
+  }
+}
