@@ -1,24 +1,53 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Driver-run benchmark: times every catalog query at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line. The flagship extraction stage additionally reports
+  * docs/sec and spans/sec (the BASELINE.json headline metric); the N-vs-4N
+  * scaling protocol lives in [[graft.jobs.ScalingBench]].
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // Warm the session (JIT + codegen + parquet footer cache) on a cheap query.
+    try SparkEntry.queries("q_scan_prune")(spark, sfDir).count()
+    catch { case _: Throwable => }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Headline: end-to-end extraction throughput on the synthesized docs table.
+    val nDocs = SparkEntry.docsTier(sfDir)
+    val t0 = System.nanoTime()
+    val agg = SparkEntry.pipelineExtract(spark, sfDir)
+      .agg(count(lit(1)).as("rows"), countDistinct(col("doc_id")).as("docs"))
+      .collect()(0)
+    val extractSec = (System.nanoTime() - t0) / 1e9
+    val docsPerSec = nDocs / extractSec
+    val spansPerSec = agg.getLong(0) / extractSec
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$nDocs,"extract_sec":$extractSec%.3f,"docs_per_sec":$docsPerSec%.1f,"spans_per_sec":$spansPerSec%.1f}""")
     spark.stop()
   }
 }

@@ -75,9 +75,10 @@ object DocsGen {
       "<|box_start|>120 620 880 680<|box_end|><|ref_start|>image_caption<|ref_end|>a covered caption"
 
   private def equationLayoutPayload(rng: Rng): String =
+    // both equations cover >90% of the equation_block → combine branch fires
     "<|box_start|>100 100 900 400<|box_end|><|ref_start|>equation_block<|ref_end|>" +
-      s"<|box_start|>120 120 880 220<|box_end|><|ref_start|>equation<|ref_end|>x_{${rng.nextInt(9)}} = ${rng.nextInt(50)}" +
-      s"<|box_start|>120 240 880 340<|box_end|><|ref_start|>equation<|ref_end|>y = x \\times ${rng.nextInt(9)}"
+      s"<|box_start|>100 100 900 400<|box_end|><|ref_start|>equation<|ref_end|>x_{${rng.nextInt(9)}} = ${rng.nextInt(50)}" +
+      s"<|box_start|>105 105 895 395<|box_end|><|ref_start|>equation<|ref_end|>y = x \\times ${rng.nextInt(9)}"
 
   private def cjkPayload(rng: Rng): String =
     "<|box_start|>100 100 900 200<|box_end|><|ref_start|>text<|ref_end|>First part" +

@@ -1,0 +1,55 @@
+package graft.storage
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Snapshot-committed parquet table format.
+  *
+  * North_rule names Iceberg; no Iceberg runtime jar ships offline (SURVEY.md
+  * §7.0), so this is a minimal table format with Iceberg's *semantics* —
+  * immutable snapshot directories, atomic manifest commit via rename,
+  * time-travel read by snapshot id, and a latest pointer — behind a surface
+  * small enough that swapping in `iceberg-spark-runtime` is a one-class
+  * change (`commit` → `writeTo(...).createOrReplace`, `read` →
+  * `VERSION AS OF`).
+  *
+  * Layout:
+  * {{{
+  *   root/snapshot-<id>/...parquet     immutable data
+  *   root/snapshot-<id>.committed      commit marker (atomic rename)
+  *   root/LATEST                       latest snapshot id (atomic rename)
+  * }}}
+  */
+object Snapshots {
+
+  def snapshotDir(root: String, id: Long): String = s"$root/snapshot-$id"
+
+  /** Write `df` as snapshot `id` and atomically publish it. */
+  def commit(df: DataFrame, root: String, id: Long): Unit = {
+    val dir = snapshotDir(root, id)
+    df.write.mode("overwrite").parquet(dir)
+    val marker = Paths.get(s"$root/snapshot-$id.committed")
+    val tmp = Paths.get(s"$root/.snapshot-$id.committing")
+    Files.createDirectories(Paths.get(root))
+    Files.writeString(tmp, java.lang.Long.toString(id))
+    Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val latestTmp = Paths.get(s"$root/.LATEST.tmp")
+    Files.writeString(latestTmp, java.lang.Long.toString(id))
+    Files.move(latestTmp, Paths.get(s"$root/LATEST"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def isCommitted(root: String, id: Long): Boolean =
+    Files.exists(Paths.get(s"$root/snapshot-$id.committed"))
+
+  /** Time-travel read of a committed snapshot. */
+  def read(spark: SparkSession, root: String, id: Long): DataFrame = {
+    require(isCommitted(root, id), s"snapshot $id not committed under $root")
+    spark.read.parquet(snapshotDir(root, id))
+  }
+
+  def latest(root: String): Option[Long] = {
+    val p = Paths.get(s"$root/LATEST")
+    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+  }
+}

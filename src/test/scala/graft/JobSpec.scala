@@ -1,0 +1,101 @@
+package graft
+
+import graft.jobs.ExtractJob
+import graft.model.LineageRow
+import graft.storage.{Lineage, Snapshots}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Resumability + lineage + snapshot semantics (north_rule: resume from the
+  * last committed checkpoint without recomputation; FIXTURES.md §5).
+  */
+class JobSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_job").toString
+
+  test("kill-resume: rerun skips committed buckets and output is byte-identical") {
+    import spark.implicits._
+    val outA = tmpDir() // crash + resume
+    val outB = tmpDir() // single clean run
+    val base = ExtractJob.Args(nDocs = 400, buckets = 8, groupSize = 2,
+      clock = () => 1000L)
+
+    // clean run
+    val (bCleanBuckets, bCleanDocs) = ExtractJob.run(spark, base.copy(out = outB))
+    assert(bCleanBuckets == 8)
+    assert(bCleanDocs == 400)
+
+    // crashing run: fails after committing 2 of 4 groups
+    val crashed = intercept[RuntimeException] {
+      ExtractJob.run(spark, base.copy(out = outA, failAfterGroups = 2))
+    }
+    assert(crashed.getMessage.contains("injected failure"))
+    val committedAfterCrash = Lineage.committedPartitions(spark, outA)
+    assert(committedAfterCrash.size == 4, s"expected 2 groups x 2 buckets, got $committedAfterCrash")
+
+    // resume: processes ONLY the remaining buckets (no recomputation)
+    val (resumedBuckets, resumedDocs) = ExtractJob.run(spark, base.copy(out = outA, clock = () => 2000L))
+    assert(resumedBuckets == 4, "resume must skip committed buckets")
+    assert(resumedDocs < 400)
+    assert(Lineage.committedPartitions(spark, outA).size == 8)
+
+    // committed_at proves the first 4 buckets were not recomputed
+    val byClock = Lineage.read(spark, outA).collect().groupBy(_.committed_at)
+    assert(byClock(1000L).length == 4 && byClock(2000L).length == 4)
+
+    // final outputs identical between crash+resume and clean run
+    val a = spark.read.parquet(s"$outA/data").select("doc_id", "order", "kind", "media_ref", "text")
+      .orderBy("doc_id", "order").collect().toSeq
+    val b = spark.read.parquet(s"$outB/data").select("doc_id", "order", "kind", "media_ref", "text")
+      .orderBy("doc_id", "order").collect().toSeq
+    assert(a == b)
+
+    // lineage covers every doc exactly once; per-bucket hashes match
+    val lineA = Lineage.read(spark, outA).collect().sortBy(_.partition_id).toSeq
+    val lineB = Lineage.read(spark, outB).collect().sortBy(_.partition_id).toSeq
+    assert(lineA.map(_.doc_count).sum == 400)
+    assert(lineA.map(r => (r.partition_id, r.partition_hash, r.doc_count, r.span_count)) ==
+      lineB.map(r => (r.partition_id, r.partition_hash, r.doc_count, r.span_count)))
+
+    // a second rerun is a no-op
+    val (noop, noopDocs) = ExtractJob.run(spark, base.copy(out = outA))
+    assert(noop == 0 && noopDocs == 0)
+  }
+
+  test("snapshot commit / time-travel read / latest pointer") {
+    import spark.implicits._
+    val root = tmpDir()
+    val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val df2 = Seq((1L, "a2")).toDF("id", "v")
+    Snapshots.commit(df1, root, 1L)
+    Snapshots.commit(df2, root, 2L)
+    assert(Snapshots.latest(root).contains(2L))
+    assert(Snapshots.read(spark, root, 1L).count() == 2)
+    assert(Snapshots.read(spark, root, 2L).count() == 1)
+    assert(Snapshots.isCommitted(root, 1L))
+    assert(!Snapshots.isCommitted(root, 3L))
+    intercept[IllegalArgumentException](Snapshots.read(spark, root, 3L))
+  }
+
+  test("lineage append is atomic and readable per group") {
+    val root = tmpDir()
+    Lineage.append(spark, root, Seq(LineageRow(42L, 0, "h0", 10, 100, 0.0, 1L)))
+    Lineage.append(spark, root, Seq(LineageRow(42L, 1, "h1", 20, 200, 0.0, 2L)))
+    val rows = Lineage.read(spark, root).collect().sortBy(_.partition_id)
+    assert(rows.length == 2)
+    assert(rows.map(_.span_count).sum == 300)
+    assert(Lineage.committedPartitions(spark, root) == Set(0, 1))
+  }
+}
