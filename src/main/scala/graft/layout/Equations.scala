@@ -33,6 +33,7 @@ object Equations {
     * is digits/dashes/commas only.
     */
   def convertDisplayToInline(text: String): String = {
+    if (text.indexOf("\\[") < 0) return text // fast path: no display math
     val m = displayRe.matcher(text)
     val sb = new java.lang.StringBuilder
     var last = 0
@@ -84,6 +85,7 @@ object Equations {
     * inline math, unless the concatenation is itself a known mac.
     */
   def fixMacroSpacingInMarkdown(text: String): String = {
+    if (text.indexOf("\\(") < 0) return text // fast path: no inline math
     splitKeep(inlineSplitRe, text).map { part =>
       if (part.startsWith("\\(") && part.endsWith("\\)") && part.length >= 4) {
         var inner = part.substring(2, part.length - 2)
@@ -99,6 +101,7 @@ object Equations {
 
   /** `_try_move_underscores_outside` — `___` runs pulled out of inline math. */
   def moveUnderscoresOutside(text: String): String = {
+    if (text.indexOf("\\(") < 0) return text // fast path: no inline math
     val m = inlineRe.matcher(text)
     val sb = new java.lang.StringBuilder
     var last = 0

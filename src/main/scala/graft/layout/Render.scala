@@ -97,7 +97,7 @@ object Render {
     blocks1.indices.map { i =>
       var b = blocks1(i)
       if (absorbed.contains(i)) b = b.copy(absorbedByTable = true, content = None)
-      else if (skipTypes.contains(b.kind)) b = b.copy(content = None)
+      else if (b.content.isDefined && skipTypes.contains(b.kind)) b = b.copy(content = None)
       if (b.kind == "table") {
         val imgs = tableToImages.getOrElse(i, Vector.empty)
         if (imgs.nonEmpty) {
@@ -117,9 +117,11 @@ object Render {
   /** `post_process` (`_mineru25.py:1110-1154`). */
   def postProcess(blocks0: Vector[Block], cfg: ExtractConfig): Vector[Block] = {
     val fixed = blocks0.map { block =>
-      val content = PyStr.strip(block.content.getOrElse(""))
-      if (content.isEmpty) block.copy(content = None)
-      else block.kind match {
+      val orig = block.content.orNull
+      val content = if (orig == null) "" else PyStr.strip(orig)
+      if (content.isEmpty) {
+        if (block.content.isEmpty) block else block.copy(content = None)
+      } else block.kind match {
         case "table" =>
           var tableHtml = Otsl.toHtml(content)
           if (block.tokenMap.nonEmpty)
@@ -129,11 +131,17 @@ object Render {
         case "equation" =>
           block.copy(content = Some(Equations.wrapEquation(Equations.fixEquationDelimiters(content))))
         case "text" =>
-          var f = Equations.convertDisplayToInline(content)
-          f = Equations.fixMacroSpacingInMarkdown(f)
-          f = Equations.moveUnderscoresOutside(f)
-          block.copy(content = Some(f))
-        case _ => block.copy(content = Some(content))
+          // all three fixes require a backslash — one scan gates them
+          if (content.indexOf('\\') < 0) {
+            if (content eq orig) block else block.copy(content = Some(content))
+          } else {
+            var f = Equations.convertDisplayToInline(content)
+            f = Equations.fixMacroSpacingInMarkdown(f)
+            f = Equations.moveUnderscoresOutside(f)
+            if (f eq orig) block else block.copy(content = Some(f))
+          }
+        case _ =>
+          if (content eq orig) block else block.copy(content = Some(content))
       }
     }
 
@@ -146,7 +154,10 @@ object Render {
         !(block.kind == "image" && block.absorbedByTable) &&
         !(cfg.abandonList && block.kind == "list") &&
         !(cfg.abandonParatext && Blocks.ParatextTypes.contains(block.kind))
-    }.map(_.copy(tokenMap = Vector.empty, absorbedByTable = false))
+    }.map(b =>
+      if (b.tokenMap.nonEmpty || b.absorbedByTable)
+        b.copy(tokenMap = Vector.empty, absorbedByTable = false)
+      else b)
   }
 
   /** `json2md` (`_mineru25.py:916-933`) — reading-order fold with CJK-aware

@@ -39,17 +39,31 @@ object Extract {
     "Transcribe the full page in reading order as Markdown.")
 
   def cleanResponse(text: String): String = {
-    val trimmed = ChatScaffold.trimStopStrings(text)
+    // all stop tokens and layout markers start with "<|" — one scan gates both
+    val trimmed =
+      if (text.indexOf("<|") >= 0) ChatScaffold.trimStopStrings(text)
+      else graft.text.PyStr.strip(text)
     val unscaffolded = ChatScaffold.stripLeadingChatScaffold(trimmed, KnownPrompts)
     TagStrip.stripOcrOutputTag(unscaffolded)
   }
 
   /** Build the block array for one document from its offset-ordered spans. */
   def buildBlocks(doc: Doc): Vector[Block] = {
-    val sorted = doc.spans.sortBy(_.offset).toVector
+    // one array copy up front (the encoder may hand us a List — never index it),
+    // then an in-place sort only when the offsets are actually out of order
+    val sorted: Array[Span] = doc.spans.toArray
+    var si = 1
+    var isSorted = true
+    while (isSorted && si < sorted.length) {
+      isSorted = sorted(si - 1).offset <= sorted(si).offset; si += 1
+    }
+    if (!isSorted)
+      scala.util.Sorting.stableSort(sorted, (a: Span, b: Span) => a.offset < b.offset)
     val n = math.max(1, sorted.length)
     val out = Vector.newBuilder[Block]
-    sorted.zipWithIndex.foreach { case (span, idx) =>
+    var idx = 0
+    while (idx < sorted.length) {
+      val span = sorted(idx)
       val cleaned = cleanResponse(span.text)
       if (LayoutParse.looksLikeLayout(cleaned)) {
         out ++= LayoutParse.parse(cleaned, span.media_ref)
@@ -62,15 +76,19 @@ object Extract {
           mediaRef = span.media_ref)
       }
       // unsupported kinds are dropped, like parse_layout_output's whitelist
+      idx += 1
     }
     out.result()
   }
 
-  /** Non-overlapping full-width row strips: plain spans never trigger the
-    * containment joins (those only apply to layout-positioned blocks).
+  /** Plain (non-layout) spans never participate in the containment joins —
+    * a zero-area sentinel bbox guarantees that by construction (zero-area
+    * inner → cover ratio 0 with any outer; zero-area container intersects
+    * nothing), and is shared so no allocation per span. Only layout-parsed
+    * blocks carry real positions.
     */
-  private def stripBBox(idx: Int, n: Int): Array[Double] =
-    Array(0.0, idx.toDouble / n, 1.0, (idx + 1).toDouble / n)
+  private val PlainBBox: Array[Double] = Array(0.0, 0.0, 0.0, 0.0)
+  private def stripBBox(idx: Int, n: Int): Array[Double] = PlainBBox
 
   private def someNonEmpty(s: String): Option[String] =
     if (s == null || s.isEmpty) None else Some(s)
@@ -79,10 +97,15 @@ object Extract {
     val blocks = buildBlocks(doc)
     val prepared = Render.prepareBlocks(doc.doc_id, blocks, cfg)
     val processed = Render.postProcess(prepared, cfg)
-    val spans = Render.emitSpans(processed).zipWithIndex.map {
-      case ((kind, text, mediaRef), order) => OutSpan(kind, text, mediaRef, order)
+    val emitted = Render.emitSpans(processed)
+    val spans = new Array[OutSpan](emitted.length)
+    var i = 0
+    while (i < emitted.length) {
+      val (kind, text, mediaRef) = emitted(i)
+      spans(i) = OutSpan(kind, text, mediaRef, i)
+      i += 1
     }
-    DocOut(doc.doc_id, spans)
+    DocOut(doc.doc_id, scala.collection.immutable.ArraySeq.unsafeWrapArray(spans))
   }
 
   /** The Spark stage: a narrow map over `Dataset[Doc]`. */

@@ -15,7 +15,9 @@ object StreamOps {
   def streamWindow(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
-    val events = spark.readStream.schema(schema).parquet(path)
+    // the file stream source wants a directory; glob-filter to the one table
+    val events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
     val agg = events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"), max(col("value")).as("max_v"))

@@ -22,6 +22,18 @@ object ChatScaffold {
   private val outerFencedCodeBlockRe = Pattern.compile(
     "(?s)^(`{3,}|~{3,})([^\n]*)\n(.*)\n\\1$")
 
+  private def firstLineOf(s: String): String = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\n' || c == '\r' || c == '\u000B' || c == '\f' ||
+          c == '\u001C' || c == '\u001D' || c == '\u001E' ||
+          c == '\u0085' || c == ' ' || c == ' ') return s.substring(0, i)
+      i += 1
+    }
+    s
+  }
+
   /** `strip_leading_chat_scaffold` — ≤8 rounds of echoed-prompt prefix strip
     * (casefold compare), chat-role first-line drop, role-tag first-line drop.
     */
@@ -36,25 +48,26 @@ object ChatScaffold {
     while (round < 8 && continue) {
       round += 1
       val previous = cleaned
-      val lowered = PyStr.casefold(cleaned)
       var strippedPrompt = false
       val it = normalizedPrompts.iterator
       while (it.hasNext && !strippedPrompt) {
         val prompt = it.next()
-        if (lowered.startsWith(PyStr.casefold(prompt))) {
-          cleaned = PyStr.lstrip(cleaned.substring(math.min(prompt.length, cleaned.length)))
+        // case-insensitive prefix compare without materializing a casefolded copy
+        if (cleaned.length >= prompt.length &&
+            cleaned.regionMatches(true, 0, prompt, 0, prompt.length)) {
+          cleaned = PyStr.lstrip(cleaned.substring(prompt.length))
           strippedPrompt = true
         }
       }
       if (!strippedPrompt) {
-        val lines = PyStr.splitLines(cleaned)
-        if (lines.isEmpty) return ""
-        val firstLine = PyStr.strip(lines.head)
-        if (ChatRolePrefixes.contains(PyStr.casefold(firstLine)))
+        // fast first-line extraction; the (rare) drop path re-splits fully
+        val firstLine = PyStr.strip(firstLineOf(cleaned))
+        val isRole = ChatRolePrefixes.contains(PyStr.casefold(firstLine)) ||
+          roleTagRe.matcher(firstLine).matches()
+        if (isRole) {
+          val lines = PyStr.splitLines(cleaned)
           cleaned = PyStr.lstrip(lines.tail.mkString("\n"))
-        else if (roleTagRe.matcher(firstLine).matches())
-          cleaned = PyStr.lstrip(lines.tail.mkString("\n"))
-        else if (cleaned == previous)
+        } else if (cleaned == previous)
           continue = false
       }
     }

@@ -25,19 +25,19 @@ object PyStr {
     var j = s.length
     while (i < j && isSpace(s.charAt(i))) i += 1
     while (j > i && isSpace(s.charAt(j - 1))) j -= 1
-    s.substring(i, j)
+    if (i == 0 && j == s.length) s else s.substring(i, j)
   }
 
   def lstrip(s: String): String = {
     var i = 0
     while (i < s.length && isSpace(s.charAt(i))) i += 1
-    s.substring(i)
+    if (i == 0) s else s.substring(i)
   }
 
   def rstrip(s: String): String = {
     var j = s.length
     while (j > 0 && isSpace(s.charAt(j - 1))) j -= 1
-    s.substring(0, j)
+    if (j == s.length) s else s.substring(0, j)
   }
 
   /** `str.strip(chars)` — strip any of `chars` from both ends. */

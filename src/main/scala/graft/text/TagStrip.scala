@@ -25,6 +25,8 @@ object TagStrip {
     })
 
   def stripOcrOutputTag(text: String, outputTag: String = DefaultOutputTag): String = {
+    // fast path: both patterns require a '<tag' token — plain text skips regex
+    if (text.indexOf('<') < 0) return PyStr.strip(text)
     val (outer, stray) = patternsFor(outputTag)
     val m = outer.matcher(text)
     if (m.matches()) PyStr.strip(m.group(1))

@@ -17,6 +17,21 @@ import scala.collection.mutable.ArrayBuffer
   */
 object XmlFlatten {
 
+  // DocumentBuilderFactory.newInstance() performs a classloader service
+  // lookup (getResources over every classpath jar) on EVERY call — under 32
+  // executor threads that lock serializes the whole stage. One builder per
+  // thread, reset() between parses.
+  private val threadBuilder =
+    new ThreadLocal[javax.xml.parsers.DocumentBuilder] {
+      override def initialValue(): javax.xml.parsers.DocumentBuilder = {
+        val factory = DocumentBuilderFactory.newInstance()
+        factory.setNamespaceAware(true)
+        factory.setFeature(XMLConstants.FEATURE_SECURE_PROCESSING, true)
+        factory.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
+        factory.newDocumentBuilder()
+      }
+    }
+
   private def removeTag(xml: String, tagName: String): String = {
     if (!xml.contains("<" + tagName)) return xml
     val paired = Pattern.compile("<" + tagName + "\\b[^>]*>.*?</" + tagName + ">", Pattern.DOTALL)
@@ -73,11 +88,8 @@ object XmlFlatten {
 
     val root: Element =
       try {
-        val factory = DocumentBuilderFactory.newInstance()
-        factory.setNamespaceAware(true)
-        factory.setFeature(XMLConstants.FEATURE_SECURE_PROCESSING, true)
-        factory.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
-        val builder = factory.newDocumentBuilder()
+        val builder = threadBuilder.get()
+        builder.reset()
         builder.setErrorHandler(null)
         builder.parse(new InputSource(new StringReader(content))).getDocumentElement
       } catch {

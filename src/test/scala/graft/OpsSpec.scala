@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Catalog smoke + plan-shape checks on sf0.001.
+  *
+  * Plan assertions encode the scale contract: filters/projections reach the
+  * parquet scan, the dimension join broadcasts, aggregations are partial
+  * (map-side combine) before the exchange.
+  */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every catalog query executes and returns a well-formed frame") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      val n = df.count()
+      assert(n >= 0, s"$name failed")
+      assert(df.columns.nonEmpty, s"$name has no columns")
+    }
+  }
+
+  test("dedup finds the injected duplicate groups") {
+    val exact = SparkEntry.queries("q_dedup_exact")(spark, dir).collect()
+    assert(exact.nonEmpty, "exact dedup must find the unioned copies")
+    assert(exact.forall(_.getLong(2) == 2L))
+    val pairs = SparkEntry.queries("q_minhash_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exact copies (doc_id + 100000) share identical signatures → must pair
+    assert(pairs.exists { case (a, b) => b - a == 100000L },
+      s"minhash LSH should recover exact dup pairs, got ${pairs.take(5).toSeq}")
+  }
+
+  test("near-dup jaccard pairs score high for corrupted copies") {
+    val rows = SparkEntry.queries("q_ngram_jaccard")(spark, dir).collect()
+    rows.foreach(r => assert(r.getDouble(4) >= 0.7))
+  }
+
+  test("embed_topk returns k=3 ranked neighbors for each query vector") {
+    val rows = SparkEntry.queries("q_embed_topk")(spark, dir).collect()
+    assert(rows.length == 15)
+    assert(rows.map(_.getInt(3)).forall(rn => rn >= 1 && rn <= 3))
+  }
+
+  test("scan pruning reaches the parquet reader") {
+    val df = SparkEntry.queries("q_scan_prune")(spark, dir)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(n_chars,200)"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema") && !scan.contains("text"),
+      s"column pruning failed (text column read):\n$scan")
+  }
+
+  test("dimension join broadcasts the small side") {
+    val df = SparkEntry.queries("q_join_agg")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("aggregation is partial (map-side combine) before the shuffle") {
+    val df = SparkEntry.queries("q_agg_pricing")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    // partial + final pairs around one Exchange
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size >= 1, plan)
+  }
+
+  test("extraction is a narrow plan: no Exchange before the map stage") {
+    val docs = graft.pipeline.DocsGen.docs(spark, 100, partitions = 4)
+    val out = graft.pipeline.Extract.run(docs)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"extraction must not shuffle:\n$plan")
+  }
+}
