@@ -231,15 +231,21 @@ object Queries {
     * self-join within buckets only (the standard sub-quadratic dedup path).
     */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // an OR-of-equalities join degenerates to a nested-loop join; the LSH
+    // band semantics are per-band equi-joins UNIONed — each one hash-joins
+    // and scales (this is the whole point of banding)
     val sigs = minhashSig(spark, dir)
       .withColumn("b0", md5(concat(col("sig0"), col("sig1"))))
       .withColumn("b1", md5(concat(col("sig2"), col("sig3"))))
-    val left = sigs.select(col("doc_id").as("a"), col("b0"), col("b1"))
-    val right = sigs.select(col("doc_id").as("b"), col("b0").as("rb0"), col("b1").as("rb1"))
-    left.join(right, (col("b0") === col("rb0")) || (col("b1") === col("rb1")))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-      .orderBy("a", "b")
+      .persist()
+    val perBand = Seq("b0", "b1").map { band =>
+      val left = sigs.select(col("doc_id").as("a"), col(band))
+      val right = sigs.select(col("doc_id").as("b"), col(band).as("rb"))
+      left.join(right, col(band) === col("rb"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"))
+    }
+    perBand.reduce(_ unionAll _).distinct().orderBy("a", "b")
   }
 
   /** Word 3-gram Jaccard similarity for the LSH candidate pairs (exact
@@ -254,6 +260,7 @@ object Queries {
       .withColumn("grams", expr(
         "array_distinct(transform(sequence(0, greatest(size(words) - 3, 0)), i -> concat_ws(' ', slice(words, i + 1, 3))))"))
       .select(col("doc_id"), col("grams"))
+      .persist() // joined twice (both pair sides) — avoid recomputing the shingling
     pairs
       .join(shingles.withColumnRenamed("doc_id", "a").withColumnRenamed("grams", "ga"), "a")
       .join(shingles.withColumnRenamed("doc_id", "b").withColumnRenamed("grams", "gb"), "b")
