@@ -45,7 +45,8 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ChurroFunctions.churro_strip_output_tag(
         concat(lit("<output>v"), col("id"), lit("</output>"))).as("s"))
     val genPlan = gen.queryExecution.executedPlan.toString
-    assert(genPlan.contains("WholeStageCodegen"), s"expected codegen:\n$genPlan")
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage
+    assert(genPlan.contains("*(1) Project"), s"expected codegen'd Project:\n$genPlan")
     assert(gen.collect().map(_.getString(0)).toSeq == Seq("v0", "v1", "v2"))
 
     val df = Seq("<output>A b</output>", "xyxyxy", null).toDF("t")
