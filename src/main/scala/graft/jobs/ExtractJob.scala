@@ -58,12 +58,20 @@ object ExtractJob {
     var processedDocs = 0L
     var groupsDone = 0
 
-    todo.grouped(args.groupSize).foreach { group =>
+    // generate (≅ read the input snapshot) once; group loops filter from it.
+    // At scale this is a bucket-partition-pruned table read, not a cache.
+    val allDocs: Dataset[Doc] = DocsGen.docs(spark, args.nDocs, args.seed, partitions = 64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    try todo.grouped(args.groupSize).foreach { group =>
       if (args.failAfterGroups >= 0 && groupsDone >= args.failAfterGroups)
         throw new RuntimeException(s"injected failure after $groupsDone groups")
       val groupSet = group.toSet
-      val docs: Dataset[Doc] = DocsGen.docs(spark, args.nDocs, args.seed, partitions = 64)
-        .filter((d: Doc) => groupSet.contains(bucketOf(d.doc_id, args.buckets)))
+      val docs: Dataset[Doc] =
+        allDocs.filter((d: Doc) => groupSet.contains(bucketOf(d.doc_id, args.buckets)))
+      // NOTE: extraction runs once for the write and once for the lineage
+      // stats — caching the extracted rows was measured slower than
+      // recomputing them (span arrays are expensive to spill)
       val extracted: Dataset[DocOut] = Extract.run(docs, ExtractConfig.Default)
 
       // salt: spread each bucket's rows over tasks so one folio-heavy bucket
@@ -100,7 +108,7 @@ object ExtractJob {
       Lineage.append(spark, args.out, rows)
       processedDocs += rows.map(_.doc_count).sum
       groupsDone += 1
-    }
+    } finally allDocs.unpersist()
     (todo.size, processedDocs)
   }
 
