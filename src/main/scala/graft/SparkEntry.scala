@@ -74,6 +74,9 @@ object SparkEntry {
     "q_langid_scores" -> (Queries.langidScores(_, _)),
     "q_langid" -> (Queries.langId(_, _)),
     "q_fingerprint" -> (Queries.fingerprint(_, _)),
+    "q_rollup" -> (Queries.rollupStats(_, _)),
+    "q_set_intersect" -> (Queries.setIntersect(_, _)),
+    "q_approx_distinct" -> (Queries.approxDistinct(_, _)),
     "q_nls_eval" -> (Queries.nlsEval(_, _)),
     // multimodal plumbing
     "q_multimodal_sha" -> (Queries.multimodalSha(_, _)),
@@ -182,6 +185,74 @@ object SparkEntry {
         | length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' der ', '')) AS score_de,
         | length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' el ', '')) AS score_es
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_langid" ->
+      """SELECT doc_id, lang,
+        | CASE WHEN (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' der ', ''))) > (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', '')))
+        |        AND (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' der ', ''))) > (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' el ', ''))) THEN 'de'
+        |      WHEN (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' el ', ''))) > (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', '')))
+        |        AND (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' el ', ''))) >= (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' der ', ''))) THEN 'es'
+        |      ELSE 'en' END AS lang_pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(lang, '(all)') AS lang_g, coalesce(source, '(all)') AS source_g,
+        | COUNT(*) AS n, CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars
+        |FROM documents GROUP BY ROLLUP (lang, source) ORDER BY lang_g, source_g""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT p_partkey FROM part WHERE p_size > 20
+        |INTERSECT SELECT p_partkey FROM part WHERE p_retailprice < 1500.0
+        |ORDER BY p_partkey""".stripMargin,
+    "q_ngram_jaccard" -> (dupsCte +
+      """, words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM all_docs),
+        |sigs AS (SELECT doc_id, MIN(md5('s0:' || w)) AS sig0, MIN(md5('s1:' || w)) AS sig1,
+        |                MIN(md5('s2:' || w)) AS sig2, MIN(md5('s3:' || w)) AS sig3
+        |         FROM words GROUP BY doc_id),
+        |bb AS (SELECT doc_id, md5(sig0 || sig1) AS b0, md5(sig2 || sig3) AS b1 FROM sigs),
+        |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bb x JOIN bb y
+        |          ON (x.b0 = y.b0 OR x.b1 = y.b1) AND x.doc_id < y.doc_id),
+        |grams AS (SELECT doc_id, list_distinct(list_transform(
+        |            range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |            i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))) AS g
+        |          FROM all_docs)
+        |SELECT a, b, len(list_intersect(ga.g, gb.g)) AS inter,
+        |       len(list_distinct(list_concat(ga.g, gb.g))) AS uni,
+        |       CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) / len(list_distinct(list_concat(ga.g, gb.g))) AS jaccard
+        |FROM pairs JOIN grams ga ON ga.doc_id = a JOIN grams gb ON gb.doc_id = b
+        |WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) / len(list_distinct(list_concat(ga.g, gb.g))) >= 0.7
+        |ORDER BY a, b""".stripMargin),
+    "q_langid" ->
+      """SELECT doc_id, lang,
+        | CASE WHEN (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' der ', ''))) > (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', '')))
+        |        AND (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' der ', ''))) > (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' el ', ''))) THEN 'de'
+        |      WHEN (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' el ', ''))) > (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', '')))
+        |        AND (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' el ', ''))) >= (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' der ', ''))) THEN 'es'
+        |      ELSE 'en' END AS lang_pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(lang, '(all)') AS lang_g, coalesce(source, '(all)') AS source_g,
+        | COUNT(*) AS n, CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars
+        |FROM documents GROUP BY ROLLUP (lang, source) ORDER BY lang_g, source_g""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT p_partkey FROM part WHERE p_size > 20
+        |INTERSECT SELECT p_partkey FROM part WHERE p_retailprice < 1500.0
+        |ORDER BY p_partkey""".stripMargin,
+    "q_ngram_jaccard" -> (dupsCte +
+      """, words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM all_docs),
+        |sigs AS (SELECT doc_id, MIN(md5('s0:' || w)) AS sig0, MIN(md5('s1:' || w)) AS sig1,
+        |                MIN(md5('s2:' || w)) AS sig2, MIN(md5('s3:' || w)) AS sig3
+        |         FROM words GROUP BY doc_id),
+        |bb AS (SELECT doc_id, md5(sig0 || sig1) AS b0, md5(sig2 || sig3) AS b1 FROM sigs),
+        |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bb x JOIN bb y
+        |          ON (x.b0 = y.b0 OR x.b1 = y.b1) AND x.doc_id < y.doc_id),
+        |grams AS (SELECT doc_id, list_distinct(list_transform(
+        |            range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |            i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))) AS g
+        |          FROM all_docs)
+        |SELECT a, b, len(list_intersect(ga.g, gb.g)) AS inter,
+        |       len(list_distinct(list_concat(ga.g, gb.g))) AS uni,
+        |       CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) / len(list_distinct(list_concat(ga.g, gb.g))) AS jaccard
+        |FROM pairs JOIN grams ga ON ga.doc_id = a JOIN grams gb ON gb.doc_id = b
+        |WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) / len(list_distinct(list_concat(ga.g, gb.g))) >= 0.7
+        |ORDER BY a, b""".stripMargin),
     "q_nls_eval" ->
       """SELECT doc_id, lang, levenshtein(replace(text, 'the', 'teh'), text) AS lev,
         | 1.0 - CAST(levenshtein(replace(text, 'the', 'teh'), text) AS DOUBLE)

@@ -264,8 +264,8 @@ object Queries {
     pairs
       .join(shingles.withColumnRenamed("doc_id", "a").withColumnRenamed("grams", "ga"), "a")
       .join(shingles.withColumnRenamed("doc_id", "b").withColumnRenamed("grams", "gb"), "b")
-      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
-      .withColumn("uni", size(array_union(col("ga"), col("gb"))))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("uni", size(array_union(col("ga"), col("gb"))).cast("long"))
       .select(col("a"), col("b"), col("inter"), col("uni"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
       .filter(col("jaccard") >= 0.7)
@@ -375,6 +375,34 @@ object Queries {
           .otherwise("en"))
       .select(col("doc_id"), col("lang"), col("lang_pred"))
       .orderBy("doc_id")
+
+  /** ROLLUP aggregation (hierarchical grouping-sets form). */
+  def rollupStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("n_chars")).cast("double") / count(col("n_chars"))).as("avg_chars"))
+      .select(coalesce(col("lang"), lit("(all)")).as("lang_g"),
+        coalesce(col("source"), lit("(all)")).as("source_g"), col("n"), col("avg_chars"))
+      .orderBy("lang_g", "source_g")
+
+  /** INTERSECT set operation. */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part")
+    val big = part.filter(col("p_size") > 20).select(col("p_partkey"))
+    val cheap = part.filter(col("p_retailprice") < 1500.0).select(col("p_partkey"))
+    big.intersect(cheap).orderBy("p_partkey")
+  }
+
+  /** Approximate distinct counting (HLL sketch; engine-specific estimates —
+    * rows-only check, with the exact count alongside for sanity).
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
 
   /** Rolling-hash document fingerprint (polynomial 64-bit over codepoints;
     * Spark-side deterministic, rows-only check).
