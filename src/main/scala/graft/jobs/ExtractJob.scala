@@ -32,6 +32,7 @@ object ExtractJob {
       groupSize: Int = 16,
       cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       failAfterGroups: Int = -1, // test hook: simulate a crash
+      expected: Option[String] = None, // prior run's data dir → divergence metric
       clock: () => Long = () => System.currentTimeMillis())
 
   def session(cores: String): SparkSession =
@@ -93,6 +94,30 @@ object ExtractJob {
         .agg(count(lit(1)).as("docs"), sum(size(col("spans"))).as("spans"),
           expr("bit_xor(xxhash64(doc_id))").as("hash")) // order-insensitive, overflow-free
         .collect()
+
+      // CER-style divergence vs an expected table (north_rule lineage metric):
+      // full-outer span join per bucket; divergence = 1 - avg(nls), with
+      // missing/extra spans scored 0 similarity. 0.0 when byte-identical.
+      val divergenceByBucket: Map[Int, Double] = args.expected match {
+        case None => Map.empty
+        case Some(expectedDir) =>
+          val fresh = extracted
+            .select(col("doc_id"), explode(col("spans")).as("s"))
+            .select(col("doc_id"), col("s.order").as("order"), col("s.text").as("new_text"))
+          val exp = spark.read.parquet(expectedDir)
+            .filter(udf(bucketOf _).apply(col("doc_id"), lit(args.buckets)).isInCollection(group))
+            .select(col("doc_id"), col("order"), col("text").as("exp_text"))
+          fresh.join(exp, Seq("doc_id", "order"), "full_outer")
+            .withColumn("sim",
+              when(col("new_text").isNull || col("exp_text").isNull, lit(0.0))
+                .otherwise(graft.functions.ChurroFunctions.nls(col("new_text"), col("exp_text"))))
+            .withColumn("bucket", udf(bucketOf _).apply(col("doc_id"), lit(args.buckets)))
+            .groupBy(col("bucket"))
+            .agg((lit(1.0) - avg(col("sim"))).as("divergence"))
+            .collect()
+            .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      }
+
       val now = args.clock()
       val rows = group.map { b =>
         val r = stats.find(_.getInt(0) == b)
@@ -102,7 +127,7 @@ object ExtractJob {
           partition_hash = r.map(x => java.lang.Long.toHexString(x.getLong(3))).getOrElse("0"),
           doc_count = r.map(_.getLong(1)).getOrElse(0L),
           span_count = r.map(_.getLong(2)).getOrElse(0L),
-          divergence = 0.0,
+          divergence = divergenceByBucket.getOrElse(b, 0.0),
           committed_at = now)
       }
       Lineage.append(spark, args.out, rows)
@@ -122,6 +147,7 @@ object ExtractJob {
       case Array("--group-size", v) => args = args.copy(groupSize = v.toInt)
       case Array("--cores", v) => args = args.copy(cores = v)
       case Array("--fail-after", v) => args = args.copy(failAfterGroups = v.toInt)
+      case Array("--expected", v) => args = args.copy(expected = Some(v))
       case other => throw new IllegalArgumentException(other.mkString(" "))
     }
     val spark = session(args.cores)

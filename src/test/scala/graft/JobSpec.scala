@@ -74,6 +74,27 @@ class JobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(noop == 0 && noopDocs == 0)
   }
 
+  test("divergence metric: zero vs an identical run, positive vs a corrupted table") {
+    import org.apache.spark.sql.functions._
+    val outA = tmpDir()
+    val outB = tmpDir()
+    val base = ExtractJob.Args(nDocs = 200, buckets = 4, groupSize = 4, clock = () => 1L)
+    ExtractJob.run(spark, base.copy(out = outA))
+    // identical re-extraction vs A's data → divergence exactly 0 everywhere
+    ExtractJob.run(spark, base.copy(out = outB, expected = Some(s"$outA/data")))
+    val divB = Lineage.read(spark, outB).collect().map(_.divergence)
+    assert(divB.forall(_ == 0.0), divB.toSeq.toString)
+    // corrupt the expected text → divergence strictly positive
+    val outC = tmpDir()
+    val corrupted = tmpDir()
+    spark.read.parquet(s"$outA/data")
+      .withColumn("text", concat(col("text"), lit(" CORRUPTED DRIFT")))
+      .write.mode("overwrite").parquet(corrupted)
+    ExtractJob.run(spark, base.copy(out = outC, expected = Some(corrupted)))
+    val divC = Lineage.read(spark, outC).collect().map(_.divergence)
+    assert(divC.forall(_ > 0.0) && divC.forall(_ <= 1.0), divC.toSeq.toString)
+  }
+
   test("snapshot commit / time-travel read / latest pointer") {
     import spark.implicits._
     val root = tmpDir()
