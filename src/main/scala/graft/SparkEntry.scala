@@ -68,6 +68,7 @@ object SparkEntry {
     // similarity search
     "q_embed_topk" -> (Queries.embedTopK(_, _)),
     "q_embed_lsh" -> (Queries.embedLsh(_, _)),
+    "q_embed_lsh_topk" -> (Queries.embedLshTopK(_, _)),
     // text analysis
     "q_token_count" -> (Queries.tokenCount(_, _)),
     "q_quality_score" -> (Queries.qualityScore(_, _)),
@@ -92,6 +93,37 @@ object SparkEntry {
       |  UNION ALL SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0
       |  UNION ALL SELECT doc_id + 200000, replace(text, 'the', 'teh'), lang FROM documents WHERE doc_id % 10 = 1
       |)""".stripMargin
+
+  /** MinHash CTEs generated from the same (hashes, bands, rows, cap) constants
+    * as [[Queries.minhashSig]]/[[Queries.minhashPairs]] — the SQL and the
+    * DataFrame plan cannot drift apart.
+    */
+  private val minhashCtes: String = {
+    val sigCols = (0 until Queries.MinhashHashes)
+      .map(j => s"MIN((h1 + $j * h2) % ${Queries.MinhashMod}) AS sig$j").mkString(", ")
+    val bandCols = (0 until Queries.MinhashBands).map { b =>
+      val parts = (0 until Queries.MinhashBandRows)
+        .map(r => s"sig${b * Queries.MinhashBandRows + r}").mkString(" || '|' || ")
+      s"($parts) AS band$b"
+    }.mkString(", ")
+    val bandUnion = (0 until Queries.MinhashBands)
+      .map(b => s"SELECT doc_id, band$b AS bv FROM bands0").mkString(" UNION ALL ")
+    s""", grams AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+       |    i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' ')))) AS g
+       |  FROM all_docs),
+       |hb AS (SELECT doc_id, CAST('0x' || substring(md5(g), 1, 14) AS BIGINT) AS h1,
+       |              CAST('0x' || substring(md5(g), 15, 14) AS BIGINT) AS h2 FROM grams),
+       |sigs AS (SELECT doc_id, $sigCols FROM hb GROUP BY doc_id),
+       |bands0 AS (SELECT doc_id, $bandCols FROM sigs),
+       |bands AS (SELECT doc_id, bv FROM ($bandUnion)),
+       |capped AS (SELECT doc_id, bv FROM (
+       |    SELECT doc_id, bv, count(*) OVER (PARTITION BY bv) AS bsz FROM bands)
+       |  WHERE bsz <= ${Queries.MinhashBucketCap}),
+       |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM capped x JOIN capped y
+       |          ON x.bv = y.bv AND x.doc_id < y.doc_id)""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -158,19 +190,11 @@ object SparkEntry {
     "q_dedup_exact" -> (dupsCte +
       """ SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM all_docs GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin),
-    "q_minhash_sig" -> (dupsCte +
-      """, words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM all_docs)
-        |SELECT doc_id, MIN(md5('s0:' || w)) AS sig0, MIN(md5('s1:' || w)) AS sig1,
-        |       MIN(md5('s2:' || w)) AS sig2, MIN(md5('s3:' || w)) AS sig3
-        |FROM words GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-    "q_minhash_pairs" -> (dupsCte +
-      """, words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM all_docs),
-        |sigs AS (SELECT doc_id, MIN(md5('s0:' || w)) AS sig0, MIN(md5('s1:' || w)) AS sig1,
-        |                MIN(md5('s2:' || w)) AS sig2, MIN(md5('s3:' || w)) AS sig3
-        |         FROM words GROUP BY doc_id),
-        |b AS (SELECT doc_id, md5(sig0 || sig1) AS b0, md5(sig2 || sig3) AS b1 FROM sigs)
-        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM b x JOIN b y
-        |ON (x.b0 = y.b0 OR x.b1 = y.b1) AND x.doc_id < y.doc_id ORDER BY a, b""".stripMargin),
+    "q_minhash_sig" -> (dupsCte + minhashCtes +
+      s"""\nSELECT doc_id, ${(0 until Queries.MinhashHashes).map(j => s"sig$j").mkString(", ")}
+        |FROM sigs ORDER BY doc_id""".stripMargin),
+    "q_minhash_pairs" -> (dupsCte + minhashCtes +
+      "\nSELECT a, b FROM pairs ORDER BY a, b"),
     "q_token_count" ->
       "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, n_chars FROM documents ORDER BY doc_id",
     "q_quality_score" ->
@@ -201,56 +225,16 @@ object SparkEntry {
       """SELECT p_partkey FROM part WHERE p_size > 20
         |INTERSECT SELECT p_partkey FROM part WHERE p_retailprice < 1500.0
         |ORDER BY p_partkey""".stripMargin,
-    "q_ngram_jaccard" -> (dupsCte +
-      """, words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM all_docs),
-        |sigs AS (SELECT doc_id, MIN(md5('s0:' || w)) AS sig0, MIN(md5('s1:' || w)) AS sig1,
-        |                MIN(md5('s2:' || w)) AS sig2, MIN(md5('s3:' || w)) AS sig3
-        |         FROM words GROUP BY doc_id),
-        |bb AS (SELECT doc_id, md5(sig0 || sig1) AS b0, md5(sig2 || sig3) AS b1 FROM sigs),
-        |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bb x JOIN bb y
-        |          ON (x.b0 = y.b0 OR x.b1 = y.b1) AND x.doc_id < y.doc_id),
-        |grams AS (SELECT doc_id, list_distinct(list_transform(
-        |            range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
-        |            i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))) AS g
-        |          FROM all_docs)
-        |SELECT a, b, len(list_intersect(ga.g, gb.g)) AS inter,
-        |       len(list_distinct(list_concat(ga.g, gb.g))) AS uni,
+    "q_ngram_jaccard" -> (dupsCte + minhashCtes +
+      """,
+        |garr AS (SELECT doc_id, list_distinct(list_transform(
+        |           range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |           i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))) AS g
+        |         FROM all_docs)
+        |SELECT a, b, CAST(len(list_intersect(ga.g, gb.g)) AS BIGINT) AS inter,
+        |       CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS BIGINT) AS uni,
         |       CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) / len(list_distinct(list_concat(ga.g, gb.g))) AS jaccard
-        |FROM pairs JOIN grams ga ON ga.doc_id = a JOIN grams gb ON gb.doc_id = b
-        |WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) / len(list_distinct(list_concat(ga.g, gb.g))) >= 0.7
-        |ORDER BY a, b""".stripMargin),
-    "q_langid" ->
-      """SELECT doc_id, lang,
-        | CASE WHEN (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' der ', ''))) > (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', '')))
-        |        AND (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' der ', ''))) > (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' el ', ''))) THEN 'de'
-        |      WHEN (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' el ', ''))) > (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', '')))
-        |        AND (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' el ', ''))) >= (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' der ', ''))) THEN 'es'
-        |      ELSE 'en' END AS lang_pred
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "q_rollup" ->
-      """SELECT coalesce(lang, '(all)') AS lang_g, coalesce(source, '(all)') AS source_g,
-        | COUNT(*) AS n, CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars
-        |FROM documents GROUP BY ROLLUP (lang, source) ORDER BY lang_g, source_g""".stripMargin,
-    "q_set_intersect" ->
-      """SELECT p_partkey FROM part WHERE p_size > 20
-        |INTERSECT SELECT p_partkey FROM part WHERE p_retailprice < 1500.0
-        |ORDER BY p_partkey""".stripMargin,
-    "q_ngram_jaccard" -> (dupsCte +
-      """, words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM all_docs),
-        |sigs AS (SELECT doc_id, MIN(md5('s0:' || w)) AS sig0, MIN(md5('s1:' || w)) AS sig1,
-        |                MIN(md5('s2:' || w)) AS sig2, MIN(md5('s3:' || w)) AS sig3
-        |         FROM words GROUP BY doc_id),
-        |bb AS (SELECT doc_id, md5(sig0 || sig1) AS b0, md5(sig2 || sig3) AS b1 FROM sigs),
-        |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bb x JOIN bb y
-        |          ON (x.b0 = y.b0 OR x.b1 = y.b1) AND x.doc_id < y.doc_id),
-        |grams AS (SELECT doc_id, list_distinct(list_transform(
-        |            range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
-        |            i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))) AS g
-        |          FROM all_docs)
-        |SELECT a, b, len(list_intersect(ga.g, gb.g)) AS inter,
-        |       len(list_distinct(list_concat(ga.g, gb.g))) AS uni,
-        |       CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) / len(list_distinct(list_concat(ga.g, gb.g))) AS jaccard
-        |FROM pairs JOIN grams ga ON ga.doc_id = a JOIN grams gb ON gb.doc_id = b
+        |FROM pairs JOIN garr ga ON ga.doc_id = a JOIN garr gb ON gb.doc_id = b
         |WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) / len(list_distinct(list_concat(ga.g, gb.g))) >= 0.7
         |ORDER BY a, b""".stripMargin),
     "q_nls_eval" ->
@@ -267,6 +251,77 @@ object SparkEntry {
         |SELECT q_id, vec_id, round(cos, 4) AS cos4, CAST(rn AS INT) AS rn FROM (
         | SELECT q_id, c.vec_id AS vec_id, list_cosine_similarity(qv, v) AS cos,
         | row_number() OVER (PARTITION BY q_id ORDER BY list_cosine_similarity(qv, v) DESC, c.vec_id) AS rn
-        | FROM c, q) t WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+        | FROM c, q) t WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "q_simhash" -> simhashOracle,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        | CASE WHEN length(text) = 0 THEN 0
+        |      ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(range(1, length(text) + 1),
+        |               i -> CAST(unicode(substring(text, i, 1)) AS BIGINT))),
+        |             (h, c) -> (h * 31 + c) % 4294967296)
+        | END AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        | abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id)) <= 0.05 * COUNT(DISTINCT user_id) AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_embed_lsh" -> (embedBitsCtes +
+      """,
+        |bk AS (SELECT vec_id, bits,
+        |         list_reduce(list_prepend(0, list_slice(bits, 1, 8)), (acc, x) -> acc * 2 + x) AS bucket
+        |       FROM b)
+        |SELECT vec_id, bucket, count(*) OVER (PARTITION BY bucket) AS bucket_n,
+        |       array_to_string(bits, '') AS sig
+        |FROM bk ORDER BY vec_id""".stripMargin),
+    "q_embed_lsh_topk" -> (embedBitsCtes +
+      s""",
+        |q AS (SELECT vec_id AS q_id, bits AS qbits FROM b WHERE vec_id < 5),
+        |c AS (SELECT vec_id, bits FROM b WHERE vec_id >= 5),
+        |h AS (SELECT q_id, c.vec_id AS vec_id,
+        |        list_reduce(list_prepend(0, list_transform(range(0, ${Queries.EmbedLshPlanes}),
+        |          j -> CASE WHEN qbits[j + 1] = bits[j + 1] THEN 0 ELSE 1 END)),
+        |          (acc, x) -> acc + x) AS ham
+        |      FROM c, q),
+        |s AS (SELECT q_id, vec_id FROM (
+        |        SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY ham ASC, vec_id ASC) AS hrn FROM h)
+        |      WHERE hrn <= ${Queries.EmbedLshScanM}),
+        |qv AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5)
+        |SELECT q_id, vec_id, round(cos, 4) AS cos4, CAST(rn AS INT) AS rn FROM (
+        |  SELECT s.q_id AS q_id, s.vec_id AS vec_id, list_cosine_similarity(qv.qv, cv.v) AS cos,
+        |    row_number() OVER (PARTITION BY s.q_id ORDER BY list_cosine_similarity(qv.qv, cv.v) DESC, s.vec_id) AS rn
+        |  FROM s JOIN qv ON qv.q_id = s.q_id JOIN e cv ON cv.vec_id = s.vec_id) t
+        |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin)
   )
+
+  /** Sign-bit CTEs shared by the embedding-LSH oracles — generated from the
+    * same plane constants as [[Queries.signBitsExpr]].
+    */
+  private val embedBitsCtes: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |b AS (SELECT vec_id, list_transform(range(0, ${Queries.EmbedLshPlanes}), p ->
+       |        CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(0, 64), i -> v[i + 1] * (((2654435761 * (p * 64 + i + 1)) % 2147483647) % 1024 - 512))),
+       |          (acc, e2) -> acc + e2) > 0 THEN 1 ELSE 0 END) AS bits
+       |      FROM e)""".stripMargin
+
+  /** SimHash oracle generated from the same bit/digit layout as
+    * [[Queries.simhash]].
+    */
+  private val simhashOracle: String = {
+    val bitSums = (0 until 64).map { i =>
+      val d = i / 4; val p = 1 << (i % 4)
+      s"SUM(CASE WHEN ((strpos('0123456789abcdef', substring(h, ${d + 1}, 1)) - 1) // $p) % 2 = 1 THEN 1 ELSE -1 END) AS s$i"
+    }.mkString(", ")
+    val hexConcat = (0 until 16).map { d =>
+      val digit = (0 until 4)
+        .map(bp => s"(CASE WHEN s${4 * d + bp} > 0 THEN ${1 << bp} ELSE 0 END)").mkString(" + ")
+      s"lower(to_hex($digit))" // DuckDB to_hex is uppercase; Spark conv is lowered
+    }.mkString(" || ")
+    dupsCte +
+      s""", words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM all_docs),
+         |wh AS (SELECT doc_id, substring(md5(w), 1, 16) AS h FROM words),
+         |s AS (SELECT doc_id, $bitSums FROM wh GROUP BY doc_id)
+         |SELECT doc_id, $hexConcat AS simhash FROM s ORDER BY doc_id""".stripMargin
+  }
 }

@@ -37,8 +37,16 @@ for name in sorted(os.listdir(out)):
     if len(g) != len(e):
         results[name] = f'ROWCOUNT: got={len(g)} exp={len(e)}'
         continue
-    g = g.sort_values(by=list(g.columns), ignore_index=True)
-    e = e.sort_values(by=list(e.columns), ignore_index=True)
+    # array/list columns are unhashable for sort_values — sort on a stringified
+    # shadow of every column instead (values themselves still compared raw)
+    def sortable(df):
+        key_cols = {}
+        for c in df.columns:
+            key_cols['__k_' + c] = df[c].map(repr)
+        return df.assign(**key_cols).sort_values(
+            by=['__k_' + c for c in df.columns], ignore_index=True)[list(df.columns)]
+    g = sortable(g)
+    e = sortable(e)
     bad = None
     for c in g.columns:
         gv, ev = g[c].tolist(), e[c].tolist()
