@@ -252,6 +252,31 @@ object SparkEntry {
         | SELECT q_id, c.vec_id AS vec_id, list_cosine_similarity(qv, v) AS cos,
         | row_number() OVER (PARTITION BY q_id ORDER BY list_cosine_similarity(qv, v) DESC, c.vec_id) AS rn
         | FROM c, q) t WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    // Fixture-backed oracles. pipeline_eval.parquet is derived INDEPENDENTLY
+    // (tools/gen_eval_fixture.py executes the reference's own normalization /
+    // repetition / xml / tag-strip functions plus pure-Python Levenshtein and
+    // BLEU over the same synthesized pairs); pipeline_extract.parquet is the
+    // committed regression golden whose underlying operators are covered by
+    // the reference-derived goldens in src/test/resources/goldens (FIXTURES.md).
+    "pipeline_eval" ->
+      """SELECT example_id, main_language, document_type, nls, bleu, repetition, is_empty
+        |FROM read_parquet('/root/repo/src/test/resources/expected/pipeline_eval.parquet')
+        |ORDER BY example_id""".stripMargin,
+    "pipeline_eval_grouped" ->
+      """SELECT coalesce(main_language, '(all)') AS language_g,
+        |       coalesce(document_type, '(all)') AS type_g,
+        |       round(100.0 * SUM(CAST(round(nls * 1000000) AS BIGINT)) / (1000000.0 * COUNT(*)), 1) AS nls_pct,
+        |       round(100.0 * SUM(CAST(round(bleu * 1000000) AS BIGINT)) / (1000000.0 * COUNT(*)), 1) AS bleu_pct,
+        |       round(100.0 * SUM(repetition) / COUNT(*), 1) AS repetition_pct,
+        |       round(100.0 * SUM(is_empty) / COUNT(*), 1) AS is_empty_pct,
+        |       COUNT(*) AS n
+        |FROM read_parquet('/root/repo/src/test/resources/expected/pipeline_eval.parquet')
+        |GROUP BY GROUPING SETS ((main_language), (document_type), (main_language, document_type))
+        |ORDER BY language_g, type_g""".stripMargin,
+    "pipeline_extract" ->
+      """SELECT doc_id, "order", kind, media_ref, text
+        |FROM read_parquet('/root/repo/src/test/resources/expected/pipeline_extract.parquet')
+        |ORDER BY doc_id, "order"""".stripMargin,
     "q_simhash" -> simhashOracle,
     "q_fingerprint" ->
       """SELECT doc_id,

@@ -5,14 +5,15 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Page-evaluation metrics row (the reference's `PageEvaluationMetrics`,
-  * `/root/reference/tooling/evaluation/types.py:22-77`, minus BLEU whose
-  * model resources are unavailable offline).
+  * `/root/reference/tooling/evaluation/types.py:22-77`): NLS, BLEU,
+  * repetition flag, is_empty, plus the normalized texts.
   */
 final case class EvalRow(
     example_id: String,
     main_language: String,
     document_type: String,
     nls: Double,
+    bleu: Double,
     repetition: Double,
     is_empty: Double,
     normalized_predicted_text: String,
@@ -25,8 +26,16 @@ final case class EvalRow(
   */
 object Eval {
 
-  /** `_compute_text_metrics_core`: tag strip → XML flatten → normalize →
-    * NLS / repetition / is_empty.
+  /** Round-half-up to 4 decimals (Java BigDecimal semantics — replicated
+    * exactly by the Python fixture generator). Applied to BLEU because
+    * exp/log differ in the last ulp across runtimes; NLS is a ratio of exact
+    * integers and is kept full-precision (bit-identical everywhere).
+    */
+  def round4(v: Double): Double =
+    java.math.BigDecimal.valueOf(v).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** `_compute_text_metrics_core` (`evaluate_page.py:70-127`): tag strip →
+    * XML flatten → normalize → NLS / BLEU / repetition / is_empty.
     */
   def computeMetrics(exampleId: String, predictedRaw: String, goldRaw: String,
                      language: String, documentType: String): EvalRow = {
@@ -35,8 +44,11 @@ object Eval {
     val gold = Normalization.normalizeTextForEvaluation(
       XmlFlatten.extractActualTextFromXml(TagStrip.stripOcrOutputTag(goldRaw)))
     val isEmpty = if (pred.trim.isEmpty) 1.0 else 0.0
+    // the reference computes BLEU only for non-empty predictions (:108-118)
+    val bleu = if (isEmpty != 1.0) round4(Bleu.bleu(pred, gold)) else 0.0
     EvalRow(exampleId, language, documentType,
       nls = Levenshtein.nls(pred, gold),
+      bleu = bleu,
       repetition = if (Repetition.hasLongRepetition(pred)) 1.0 else 0.0,
       is_empty = isEmpty,
       normalized_predicted_text = pred,
@@ -54,7 +66,9 @@ object Eval {
 
   /** `calculate_language_and_type_metrics` — by language, by type, and both,
     * as one GROUPING SETS pass; percentages ×100 rounded to 1 decimal
-    * (`metrics.py:37-78`).
+    * (`metrics.py:37-78`). NLS/BLEU are summed in integer micro-units so the
+    * aggregate is independent of float summation order (cross-engine and
+    * cross-partitioning exact).
     */
   def groupedMetrics(results: Dataset[EvalRow]): DataFrame = {
     val spark = results.sparkSession
@@ -62,7 +76,8 @@ object Eval {
     spark.sql(
       """SELECT coalesce(main_language, '(all)') AS language_g,
         |       coalesce(document_type, '(all)') AS type_g,
-        |       round(100.0 * SUM(nls) / COUNT(*), 1) AS nls_pct,
+        |       round(100.0 * SUM(CAST(round(nls * 1000000) AS BIGINT)) / (1000000.0 * COUNT(*)), 1) AS nls_pct,
+        |       round(100.0 * SUM(CAST(round(bleu * 1000000) AS BIGINT)) / (1000000.0 * COUNT(*)), 1) AS bleu_pct,
         |       round(100.0 * SUM(repetition) / COUNT(*), 1) AS repetition_pct,
         |       round(100.0 * SUM(is_empty) / COUNT(*), 1) AS is_empty_pct,
         |       COUNT(*) AS n
@@ -71,51 +86,38 @@ object Eval {
         |ORDER BY language_g, type_g""".stripMargin)
   }
 
-  /** The pipeline_eval query: deterministic (gold, pred) pairs synthesized
-    * from the documents table (seeded corruption covering the repetition and
-    * empty branches), evaluated per row.
+  /** Deterministic (gold, pred) pairs synthesized from the documents table,
+    * covering exact/corrupted/repetition/empty/markup branches. Shared by
+    * pipeline_eval and the fixture generator (tools/gen_eval_fixture.py
+    * mirrors this synthesis byte-for-byte).
     */
-  def pipelineEval(spark: SparkSession, dir: String): DataFrame = {
+  def evalPairs(spark: SparkSession, dir: String): Dataset[(String, String, String, String, String)] = {
     import spark.implicits._
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"), col("lang"))
       .as[(Long, String, String)]
-    val rows = docs.map { case (id, text, lang) =>
-      val gold = s"<output>\n$text\n</output>"
-      val pred = (id % 5) match {
-        case 0 => gold // exact
-        case 1 => gold.replace("the", "teh") // corrupted
-        case 2 => text + (" spam" * 40) // repetition tail
-        case 3 => "" // empty
-        case _ => s"**${text.toUpperCase}**" // markup + case
+      .map { case (id, text, lang) =>
+        val gold = s"<output>\n$text\n</output>"
+        val pred = (id % 5) match {
+          case 0 => gold // exact
+          case 1 => gold.replace("the", "teh") // corrupted
+          case 2 => text + (" spam" * 40) // repetition tail
+          case 3 => "" // empty
+          case _ => s"**${text.toUpperCase}**" // markup + case
+        }
+        val dtype = if (id % 2 == 0) "print" else "handwriting"
+        (s"doc_$id", pred, gold, lang, dtype)
       }
-      val dtype = if (id % 2 == 0) "print" else "handwriting"
-      (s"doc_$id", pred, gold, lang, dtype)
-    }
-    batchEvaluate(rows).toDF()
-      .select(col("example_id"), col("main_language"), col("document_type"),
-        round(col("nls"), 6).as("nls"), col("repetition"), col("is_empty"))
-      .orderBy("example_id")
   }
 
+  /** The pipeline_eval query: per-example metric rows. */
+  def pipelineEval(spark: SparkSession, dir: String): DataFrame =
+    batchEvaluate(evalPairs(spark, dir)).toDF()
+      .select(col("example_id"), col("main_language"), col("document_type"),
+        col("nls"), col("bleu"), col("repetition"), col("is_empty"))
+      .orderBy("example_id")
+
   /** Aggregated grouped metrics over the same synthesized evaluation set. */
-  def pipelineEvalGrouped(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text"), col("lang"))
-      .as[(Long, String, String)]
-    val rows = docs.map { case (id, text, lang) =>
-      val gold = s"<output>\n$text\n</output>"
-      val pred = (id % 5) match {
-        case 0 => gold
-        case 1 => gold.replace("the", "teh")
-        case 2 => text + (" spam" * 40)
-        case 3 => ""
-        case _ => s"**${text.toUpperCase}**"
-      }
-      val dtype = if (id % 2 == 0) "print" else "handwriting"
-      (s"doc_$id", pred, gold, lang, dtype)
-    }
-    groupedMetrics(batchEvaluate(rows))
-  }
+  def pipelineEvalGrouped(spark: SparkSession, dir: String): DataFrame =
+    groupedMetrics(batchEvaluate(evalPairs(spark, dir)))
 }

@@ -37,7 +37,7 @@ object Sinks {
     val rows = results.collect().sortBy(_.example_id).map { r =>
       s"""  {"example_id": ${jstr(r.example_id)}, "main_language": ${jstr(r.main_language)}, """ +
         s""""document_type": ${jstr(r.document_type)}, "normalized_levenshtein_similarity": ${r.nls}, """ +
-        s""""repetition": ${r.repetition}, "is_empty": ${r.is_empty}, """ +
+        s""""bleu": ${r.bleu}, "repetition": ${r.repetition}, "is_empty": ${r.is_empty}, """ +
         s""""normalized_predicted_text": ${jstr(r.normalized_predicted_text)}, """ +
         s""""normalized_gold_text": ${jstr(r.normalized_gold_text)}}"""
     }
@@ -70,6 +70,7 @@ object Sinks {
          |  "type_metrics": ${section(types, g => r => r.document_type == g)},
          |  "aggregate_metrics": {
          |    "normalized_levenshtein_similarity": ${avg(_.nls, _ => true)},
+         |    "bleu": ${avg(_.bleu, _ => true)},
          |    "repetition": ${avg(_.repetition, _ => true)},
          |    "is_empty": ${avg(_.is_empty, _ => true)},
          |    "elapsed_time (s)": ${roundMetric(elapsedSec)}
