@@ -22,6 +22,8 @@ object ExprImpl {
     Repetition.hasLongRepetition(s.toString)
   def nls(a: UTF8String, b: UTF8String): Double =
     Levenshtein.nls(a.toString, b.toString)
+  def bucketOf(docId: UTF8String, buckets: Int): Int =
+    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(docId.toString, 42), buckets)
 }
 
 /** `churro_normalize(text)` — the reference's full evaluation normalizer
@@ -85,6 +87,20 @@ case class Nls(left: Expression, right: Expression) extends BinaryExpression {
     copy(left = l, right = r)
 }
 
+/** `bucket_of(doc_id, buckets)` — the job's stable document→bucket hash as a
+  * codegen'd native expression (replaces the round-1 Scala UDF that blocked
+  * whole-stage codegen and made downstream filters unprunable).
+  */
+case class BucketOf(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprImpl.bucketOf(a.asInstanceOf[UTF8String], b.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprImpl.bucketOf($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BucketOf =
+    copy(left = l, right = r)
+}
+
 /** Column surface + SQL registration. */
 object ChurroFunctions {
   private def e(c: Column) = ColumnBridge.expression(c)
@@ -94,6 +110,7 @@ object ChurroFunctions {
   def churro_xml_flatten(c: Column): Column = col(XmlFlattenExpr(e(c)))
   def has_long_repetition(c: Column): Column = col(HasLongRepetition(e(c)))
   def nls(a: Column, b: Column): Column = col(Nls(e(a), e(b)))
+  def bucket_of(a: Column, b: Column): Column = col(BucketOf(e(a), e(b)))
 
   /** Register the SQL surface on a session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -47,9 +47,32 @@ object ExtractJob {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 
-  /** Deterministic bucket of one document (stable across runs/partitionings). */
+  /** Deterministic bucket of one document (stable across runs/partitionings).
+    * The DataFrame-side twin is [[graft.functions.ChurroFunctions.bucket_of]]
+    * — a codegen'd native expression over the same MurmurHash3, so the write
+    * and lineage plans stay inside whole-stage codegen (no ScalaUDF node).
+    */
   def bucketOf(docId: String, buckets: Int): Int =
     math.floorMod(scala.util.hashing.MurmurHash3.stringHash(docId, 42), buckets)
+
+  private def bucketCol(buckets: Int) =
+    graft.functions.ChurroFunctions.bucket_of(col("doc_id"), lit(buckets))
+
+  /** Exploded, bucketed, salted span rows for one group's extraction — the
+    * write-side plan. Salting on the SPAN order (not the doc hash) splits a
+    * single 10k-span folio across 16 tasks; a per-doc salt would
+    * re-serialize it (round-1 defect). Whole plan stays in codegen: the
+    * bucket is a native expression, no ScalaUDF node (asserted in JobSpec).
+    */
+  def spanRows(extracted: Dataset[DocOut], buckets: Int): DataFrame =
+    extracted
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("s.order").as("order"), col("s.kind").as("kind"),
+        col("s.media_ref").as("media_ref"), col("s.text").as("text"))
+      .withColumn("bucket", bucketCol(buckets))
+      .withColumn("salt", pmod(col("order"), lit(16)))
+      .repartition(col("bucket"), col("salt"))
+      .drop("salt")
 
   /** One resumable run. Returns (processedBuckets, processedDocs). */
   def run(spark: SparkSession, args: Args): (Int, Long) = {
@@ -75,21 +98,12 @@ object ExtractJob {
       // recomputing them (span arrays are expensive to spill)
       val extracted: Dataset[DocOut] = Extract.run(docs, ExtractConfig.Default)
 
-      // salt: spread each bucket's rows over tasks so one folio-heavy bucket
-      // cannot serialize the write (16 salt slots per bucket, AQE re-coalesces)
-      val out = extracted
-        .select(col("doc_id"), explode(col("spans")).as("s"))
-        .select(col("doc_id"), col("s.order").as("order"), col("s.kind").as("kind"),
-          col("s.media_ref").as("media_ref"), col("s.text").as("text"))
-        .withColumn("bucket", udf(bucketOf _).apply(col("doc_id"), lit(args.buckets)))
-        .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(16)))
-        .repartition(col("bucket"), col("salt"))
-        .drop("salt")
+      val out = spanRows(extracted, args.buckets)
       out.write.mode(SaveMode.Append).partitionBy("bucket").parquet(s"${args.out}/data")
 
       // lineage rows: per-bucket doc/span counts + order-insensitive doc hash
       val stats = extracted
-        .withColumn("bucket", udf(bucketOf _).apply(col("doc_id"), lit(args.buckets)))
+        .withColumn("bucket", bucketCol(args.buckets))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("docs"), sum(size(col("spans"))).as("spans"),
           expr("bit_xor(xxhash64(doc_id))").as("hash")) // order-insensitive, overflow-free
@@ -104,14 +118,24 @@ object ExtractJob {
           val fresh = extracted
             .select(col("doc_id"), explode(col("spans")).as("s"))
             .select(col("doc_id"), col("s.order").as("order"), col("s.text").as("new_text"))
-          val exp = spark.read.parquet(expectedDir)
-            .filter(udf(bucketOf _).apply(col("doc_id"), lit(args.buckets)).isInCollection(group))
+          // the expected table is written partitionBy(bucket) with the same
+          // bucketing, so filtering on the partition column prunes the scan
+          // to this group's directories (round 1 re-scanned the whole table
+          // per group through an unprunable UDF predicate); if the dir has
+          // no bucket column, fall back to the native expression (codegen'd,
+          // still no ScalaUDF, just not prunable)
+          val expRaw = spark.read.parquet(expectedDir)
+          val expBucketed =
+            if (expRaw.columns.contains("bucket")) expRaw
+            else expRaw.withColumn("bucket", bucketCol(args.buckets))
+          val exp = expBucketed
+            .filter(col("bucket").isInCollection(group))
             .select(col("doc_id"), col("order"), col("text").as("exp_text"))
           fresh.join(exp, Seq("doc_id", "order"), "full_outer")
             .withColumn("sim",
               when(col("new_text").isNull || col("exp_text").isNull, lit(0.0))
                 .otherwise(graft.functions.ChurroFunctions.nls(col("new_text"), col("exp_text"))))
-            .withColumn("bucket", udf(bucketOf _).apply(col("doc_id"), lit(args.buckets)))
+            .withColumn("bucket", bucketCol(args.buckets))
             .groupBy(col("bucket"))
             .agg((lit(1.0) - avg(col("sim"))).as("divergence"))
             .collect()

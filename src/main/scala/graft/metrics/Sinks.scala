@@ -45,6 +45,23 @@ object Sinks {
       rows.mkString("[\n", ",\n", "\n]"))
   }
 
+  /** Scale path for `outputs.json`: a distributed JSON write — one file per
+    * partition, no driver materialization (the collect-based
+    * [[writeOutputs]] is reference-parity for goldens; at 10^12 docs it
+    * would OOM the driver). Rows carry example_id so a consumer can
+    * re-order; within-file order follows the sort.
+    */
+  def writeOutputsDistributed(results: Dataset[EvalRow], outDir: String): Unit =
+    results.sortWithinPartitions("example_id")
+      .write.mode("overwrite").json(s"$outDir/outputs_json")
+
+  /** Scale path for `all_metrics.json`: the grouped aggregate (a few dozen
+    * rows) written distributed — the only driver-side data is the plan.
+    */
+  def writeAllMetricsDistributed(results: Dataset[EvalRow], outDir: String): Unit =
+    Eval.groupedMetrics(results)
+      .write.mode("overwrite").json(s"$outDir/all_metrics_json")
+
   /** Write the nested aggregate document as `all_metrics.json`
     * (language / type / language_and_type / aggregate sections, percentages
     * rounded to one decimal like `to_rounded_percentage`).

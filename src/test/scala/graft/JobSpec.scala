@@ -95,6 +95,46 @@ class JobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(divC.forall(_ > 0.0) && divC.forall(_ <= 1.0), divC.toSeq.toString)
   }
 
+  test("write plan is codegen'd (no ScalaUDF), expected scan partition-pruned, folio salt splits tasks") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = tmpDir()
+    ExtractJob.run(spark, ExtractJob.Args(nDocs = 200, buckets = 4, groupSize = 4,
+      out = out, clock = () => 1L))
+
+    // divergence-path expected read: partition pruning on the bucket column —
+    // the executed scan must touch only the 2 selected bucket directories'
+    // files, not all 4 (inputFiles ignores pruning; the scan metric doesn't)
+    val exp = spark.read.parquet(s"$out/data").filter(col("bucket").isInCollection(Seq(1, 2)))
+    exp.collect()
+    val scan = exp.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val filesIn = (b: Int) => new java.io.File(s"$out/data/bucket=$b")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(scan.metrics("numFiles").value == filesIn(1) + filesIn(2),
+      s"scan read ${scan.metrics("numFiles").value} files; expected only bucket=1,2")
+
+    // write-side span plan: native bucket expression, no ScalaUDF node
+    val folio = graft.model.DocOut("doc_folio",
+      (0 until 5000).map(i => graft.model.OutSpan("text", s"t$i", "", i)))
+    val salted = ExtractJob.spanRows(Seq(folio).toDS(), 4)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEval"), plan)
+
+    // one 5k-span folio lands in >1 task after the order-based salt (AQE
+    // coalescing disabled for the assert: at test scale the whole shuffle is
+    // a few KB, so AQE would rightly merge it — the salt's job is to split
+    // when a folio is NOT tiny, which is what the partitioning must allow)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val folioParts = salted
+        .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+        .distinct().count()
+      assert(folioParts > 1, s"folio spans serialized into $folioParts task(s)")
+    } finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+  }
+
   test("snapshot commit / time-travel read / latest pointer") {
     import spark.implicits._
     val root = tmpDir()
