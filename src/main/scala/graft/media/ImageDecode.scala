@@ -1,0 +1,171 @@
+package graft.media
+
+import java.io.ByteArrayInputStream
+
+/** Real media decode for the binary-column path — the formerly-stubbed half
+  * of `load_image` (`/root/reference/src/churro_ocr/_internal/image.py:20-29`:
+  * open + `ImageOps.exif_transpose`), on a bare JVM:
+  *
+  *  - PNG/JPEG/BMP/GIF decode via `javax.imageio` into row-major RGB bytes
+  *    (differentially verified against PNGs and pixel digests produced by an
+  *    independent pure-Python encoder, tools/gen_media_fixture.py);
+  *  - EXIF orientation parse (JPEG APP1 → TIFF IFD0 tag 0x0112, both byte
+  *    orders) + the eight PIL `exif_transpose` pixel transforms.
+  */
+object ImageDecode {
+
+  final case class Decoded(width: Int, height: Int, rgb: Array[Byte])
+
+  /** Decode to 8-bit RGB, row-major [r,g,b]* (alpha dropped, like the
+    * reference's `ensure_rgb`).
+    */
+  def decode(bytes: Array[Byte]): Decoded = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val out = new Array[Byte](w * h * 3)
+    var i = 0
+    var j = 0
+    while (i < px.length) {
+      val p = px(i)
+      out(j) = ((p >> 16) & 0xFF).toByte
+      out(j + 1) = ((p >> 8) & 0xFF).toByte
+      out(j + 2) = (p & 0xFF).toByte
+      i += 1
+      j += 3
+    }
+    Decoded(w, h, out)
+  }
+
+  def sha256Hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+    d.map(b => f"${b & 0xFF}%02x").mkString
+  }
+
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length > 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8
+
+  /** EXIF orientation (1–8) from a JPEG's APP1 segment; 1 when absent or
+    * malformed (the reference's PIL behaves the same: no tag → no transpose).
+    */
+  def exifOrientation(jpeg: Array[Byte]): Int = {
+    if (!isJpeg(jpeg)) return 1
+    var pos = 2
+    while (pos + 4 <= jpeg.length) {
+      if ((jpeg(pos) & 0xFF) != 0xFF) return 1
+      val marker = jpeg(pos + 1) & 0xFF
+      if (marker == 0xDA || marker == 0xD9) return 1 // SOS / EOI: no APP1 seen
+      val len = ((jpeg(pos + 2) & 0xFF) << 8) | (jpeg(pos + 3) & 0xFF)
+      if (marker == 0xE1 && pos + 4 + len - 2 <= jpeg.length) {
+        val seg = java.util.Arrays.copyOfRange(jpeg, pos + 4, pos + 2 + len)
+        val o = orientationFromExifPayload(seg)
+        if (o != 0) return o
+      }
+      pos += 2 + len
+    }
+    1
+  }
+
+  /** Parse an `Exif\0\0` + TIFF payload for IFD0 tag 0x0112 (SHORT). */
+  def orientationFromExifPayload(seg: Array[Byte]): Int = {
+    if (seg.length < 14 || !(seg(0) == 'E' && seg(1) == 'x' && seg(2) == 'i' && seg(3) == 'f')) return 0
+    val t = 6 // TIFF header offset
+    val little = seg(t) == 'I' && seg(t + 1) == 'I'
+    val big = seg(t) == 'M' && seg(t + 1) == 'M'
+    if (!little && !big) return 0
+    def u16(off: Int): Int =
+      if (little) (seg(off) & 0xFF) | ((seg(off + 1) & 0xFF) << 8)
+      else ((seg(off) & 0xFF) << 8) | (seg(off + 1) & 0xFF)
+    def u32(off: Int): Long =
+      if (little) (u16(off) & 0xFFFFL) | ((u16(off + 2) & 0xFFFFL) << 16)
+      else ((u16(off) & 0xFFFFL) << 16) | (u16(off + 2) & 0xFFFFL)
+    if (u16(t + 2) != 0x2A) return 0
+    val ifd = t + u32(t + 4).toInt
+    if (ifd + 2 > seg.length) return 0
+    val n = u16(ifd)
+    var e = 0
+    while (e < n) {
+      val off = ifd + 2 + e * 12
+      if (off + 12 > seg.length) return 0
+      if (u16(off) == 0x0112) {
+        val v = u16(off + 8) // SHORT value lives in the first 2 value bytes
+        return if (v >= 1 && v <= 8) v else 0
+      }
+      e += 1
+    }
+    0
+  }
+
+  /** PIL `exif_transpose` pixel transforms (orientation 2–8; 1 = identity). */
+  def applyOrientation(d: Decoded, orientation: Int): Decoded = {
+    if (orientation <= 1 || orientation > 8) return d
+    val (w, h) = (d.width, d.height)
+    val swap = orientation >= 5
+    val (nw, nh) = if (swap) (h, w) else (w, h)
+    val out = new Array[Byte](d.rgb.length)
+    var y = 0
+    while (y < nh) {
+      var x = 0
+      while (x < nw) {
+        // source pixel for destination (x, y)
+        val (sx, sy) = orientation match {
+          case 2 => (w - 1 - x, y) // flip left-right
+          case 3 => (w - 1 - x, h - 1 - y) // rotate 180
+          case 4 => (x, h - 1 - y) // flip top-bottom
+          case 5 => (y, x) // transpose (main diagonal)
+          case 6 => (y, h - 1 - x) // PIL ROTATE_270 (90 deg clockwise)
+          case 7 => (w - 1 - y, h - 1 - x) // transverse (anti-diagonal)
+          case _ => (w - 1 - y, x) // 8: PIL ROTATE_90 (90 deg counterclockwise)
+        }
+        val si = (sy * w + sx) * 3
+        val di = (y * nw + x) * 3
+        out(di) = d.rgb(si)
+        out(di + 1) = d.rgb(si + 1)
+        out(di + 2) = d.rgb(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Decoded(nw, nh, out)
+  }
+
+  /** `load_image` parity: decode + EXIF orientation normalize. */
+  def loadImage(bytes: Array[Byte]): Decoded =
+    applyOrientation(decode(bytes), exifOrientation(bytes))
+
+  /** Build a minimal APP1 EXIF segment carrying only the orientation tag —
+    * used to splice EXIF into ImageIO-encoded JPEGs in tests (ImageIO cannot
+    * write EXIF itself).
+    */
+  def exifSegment(orientation: Int, littleEndian: Boolean): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(32)
+      .order(if (littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
+    b.put("Exif".getBytes); b.put(0.toByte); b.put(0.toByte)
+    b.put((if (littleEndian) "II" else "MM").getBytes)
+    b.putShort(0x2A.toShort)
+    b.putInt(8) // IFD0 right after header
+    b.putShort(1.toShort) // one entry
+    b.putShort(0x0112.toShort)
+    b.putShort(3.toShort) // SHORT
+    b.putInt(1)
+    b.putShort(orientation.toShort)
+    b.putShort(0.toShort)
+    b.putInt(0) // next-IFD pointer: none
+    b.array()
+  }
+
+  /** Splice an APP1 segment right after SOI in a JPEG byte stream. */
+  def spliceApp1(jpeg: Array[Byte], payload: Array[Byte]): Array[Byte] = {
+    require(isJpeg(jpeg))
+    val len = payload.length + 2
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(jpeg, 0, 2)
+    out.write(0xFF); out.write(0xE1)
+    out.write((len >> 8) & 0xFF); out.write(len & 0xFF)
+    out.write(payload)
+    out.write(jpeg, 2, jpeg.length - 2)
+    out.toByteArray
+  }
+}

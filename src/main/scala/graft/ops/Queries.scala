@@ -553,4 +553,37 @@ object Queries {
       .select(col("doc_id"), octet_length(col("payload")).cast("long").as("n_bytes"),
         sha2(col("payload"), 256).as("sha"))
       .orderBy("doc_id")
+
+  /** Real image decode over a binaryFile scan: `load_image` parity
+    * (`_internal/image.py:20-29` — ImageIO decode + EXIF orientation
+    * normalize) in a typed map, with the base64 data-URI transport encode
+    * (`image.py:56-66`) and digests as NATIVE expressions. Reads the
+    * repo-committed PNG fixtures; the oracle's expected pixel digests were
+    * produced by an independent pure-Python encoder before the PNGs ever
+    * existed (tools/gen_media_fixture.py), so a green row proves the JVM
+    * decode path bit-exact.
+    */
+  def imageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile")
+      .load("/root/repo/src/test/resources/media/*.png")
+      .withColumn("name", element_at(split(col("path"), "/"), -1))
+      // Spark's base64 emits RFC-2045 MIME chunking (\r\n every 76 chars);
+      // a data URI needs the unchunked RFC-4648 form the reference's
+      // b64encode produces — strip the line breaks natively
+      .withColumn("data_uri", concat(lit("data:image/png;base64,"),
+        regexp_replace(base64(col("content")), "\r\n", "")))
+      .select(col("name"), col("content"),
+        sha2(col("data_uri"), 256).as("uri_sha"),
+        octet_length(col("content")).cast("long").as("n_bytes"))
+    val decoded = files.select(col("name"), col("content")).as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (n, b) =>
+        val d = graft.media.ImageDecode.loadImage(b)
+        (n, d.width, d.height, graft.media.ImageDecode.sha256Hex(d.rgb))
+      }).toDF("name", "width", "height", "pixel_sha")
+    files.drop("content").join(decoded, "name")
+      .select(col("name"), col("width"), col("height"), col("pixel_sha"),
+        col("uri_sha"), col("n_bytes"))
+      .orderBy("name")
+  }
 }
