@@ -65,6 +65,32 @@ object PageDetect {
     if (pairs.length > 1 && pairs.head == pairs.last) pairs.dropRight(1) else pairs
   }
 
+  /** `_normalize_azure_page_polygon` (`_page_detection_helpers.py:628-638`):
+    * scale a page-space polygon into image space by the (image/page) size
+    * ratio; zero/absent page dims fall back to the image's own dims
+    * (scale 1.0). Empty/degenerate polygons stay empty.
+    */
+  def normalizeAzurePagePolygon(rawPolygon: Seq[Double],
+                                pageWidth: Double, pageHeight: Double,
+                                imageWidth: Int, imageHeight: Int): Vector[(Double, Double)] = {
+    val polygon = normalizePolygon(rawPolygon)
+    if (polygon.isEmpty) return Vector.empty
+    val pw = if (pageWidth != 0.0) pageWidth else imageWidth.toDouble
+    val ph = if (pageHeight != 0.0) pageHeight else imageHeight.toDouble
+    val scaleX = if (pw != 0.0) imageWidth / pw else 1.0
+    val scaleY = if (ph != 0.0) imageHeight / ph else 1.0
+    polygon.map { case (x, y) => (x * scaleX, y * scaleY) }
+  }
+
+  /** `_merge_instruction_prompts` (`_page_detection_helpers.py:618-625`):
+    * non-empty stripped parts joined with a blank line; none → error.
+    */
+  def mergeInstructionPrompts(parts: Seq[String]): String = {
+    val merged = parts.filter(_ != null).map(graft.text.PyStr.strip).filter(_.nonEmpty)
+    require(merged.nonEmpty, "Expected at least one non-empty instruction prompt.")
+    merged.mkString("\n\n")
+  }
+
   /** `_PageDetectionTransform` — inverse of the white-border pad + resize. */
   final case class DetectionTransform(
       originalSize: (Int, Int),

@@ -81,6 +81,9 @@ object ExtractJob {
     val todo = (0 until args.buckets).filterNot(committed.contains)
     var processedDocs = 0L
     var groupsDone = 0
+    // per-run progress surface (tail -f <out>/progress.jsonl mid-run)
+    new java.io.File(args.out).mkdirs()
+    val heartbeat = new graft.metrics.Heartbeat(spark, args.out).start()
 
     // generate (≅ read the input snapshot) once; group loops filter from it.
     // At scale this is a bucket-partition-pruned table read, not a cache.
@@ -96,7 +99,7 @@ object ExtractJob {
       // NOTE: extraction runs once for the write and once for the lineage
       // stats — caching the extracted rows was measured slower than
       // recomputing them (span arrays are expensive to spill)
-      val extracted: Dataset[DocOut] = Extract.run(docs, ExtractConfig.Default)
+      val extracted: Dataset[DocOut] = Extract.run(docs, ExtractConfig.Default, Some(heartbeat))
 
       val out = spanRows(extracted, args.buckets)
       out.write.mode(SaveMode.Append).partitionBy("bucket").parquet(s"${args.out}/data")
@@ -157,7 +160,8 @@ object ExtractJob {
       Lineage.append(spark, args.out, rows)
       processedDocs += rows.map(_.doc_count).sum
       groupsDone += 1
-    } finally allDocs.unpersist()
+      heartbeat.groupsDone.add(1L)
+    } finally { heartbeat.stop(); allDocs.unpersist() }
     (todo.size, processedDocs)
   }
 

@@ -135,6 +135,70 @@ object ImageDecode {
   def loadImage(bytes: Array[Byte]): Decoded =
     applyOrientation(decode(bytes), exifOrientation(bytes))
 
+  /** Exact pixel crop (left, top, right, bottom), clamped like PIL. */
+  def crop(d: Decoded, left: Int, top: Int, right: Int, bottom: Int): Decoded = {
+    val l = math.max(0, left); val t = math.max(0, top)
+    val r = math.min(d.width, right); val b = math.min(d.height, bottom)
+    val (w, h) = (math.max(0, r - l), math.max(0, b - t))
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(d.rgb, ((t + y) * d.width + l) * 3, out, y * w * 3, w * 3)
+      y += 1
+    }
+    Decoded(w, h, out)
+  }
+
+  /** Bicubic resize via Graphics2D. Real resampling with the same kernel
+    * family as PIL's BICUBIC but not bit-identical to it (different
+    * implementations; PIL itself is not available in this environment) —
+    * tile GEOMETRY is golden-exact, pixel values are real but
+    * implementation-defined, documented in COVERAGE.md.
+    */
+  def resizeBicubic(d: Decoded, tw: Int, th: Int): Decoded = {
+    if (tw == d.width && th == d.height) return d
+    val src = new java.awt.image.BufferedImage(d.width, d.height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    val px = new Array[Int](d.width * d.height)
+    while (i < px.length) {
+      px(i) = ((d.rgb(i * 3) & 0xFF) << 16) | ((d.rgb(i * 3 + 1) & 0xFF) << 8) | (d.rgb(i * 3 + 2) & 0xFF)
+      i += 1
+    }
+    src.setRGB(0, 0, d.width, d.height, px, 0, d.width)
+    val dst = new java.awt.image.BufferedImage(tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BICUBIC)
+    g.drawImage(src, 0, 0, tw, th, null)
+    g.dispose()
+    val opx = dst.getRGB(0, 0, tw, th, null, 0, tw)
+    val out = new Array[Byte](tw * th * 3)
+    i = 0
+    while (i < opx.length) {
+      out(i * 3) = ((opx(i) >> 16) & 0xFF).toByte
+      out(i * 3 + 1) = ((opx(i) >> 8) & 0xFF).toByte
+      out(i * 3 + 2) = (opx(i) & 0xFF).toByte
+      i += 1
+    }
+    Decoded(tw, th, out)
+  }
+
+  /** `_qianfan_dynamic_preprocess` + `_qianfan_load_pixel_values`
+    * (`hf.py:179-245`): resize to the tile grid, crop the 448-px tiles,
+    * optionally append the thumbnail, normalize each tile to a CHW float32
+    * tensor. The batch shape is (nImages, 3, 448, 448).
+    */
+  def qianfanPixelValues(d: Decoded): Seq[Array[Float]] = {
+    val plan = ImagePrep.qianfanTiles(d.width, d.height)
+    val resized = resizeBicubic(d, plan.targetW, plan.targetH)
+    val tiles = plan.boxes.map { case (l, t, r, b) => crop(resized, l, t, r, b) }
+    val all = if (plan.thumbnail)
+      tiles :+ resizeBicubic(d, ImagePrep.QianfanImageSize, ImagePrep.QianfanImageSize)
+    else tiles
+    all.map(t => ImagePrep.qianfanNormalizeChw(t.rgb, t.width, t.height))
+  }
+
   /** Build a minimal APP1 EXIF segment carrying only the orientation tag —
     * used to splice EXIF into ImageIO-encoded JPEGs in tests (ImageIO cannot
     * write EXIF itself).

@@ -108,11 +108,25 @@ object Extract {
     DocOut(doc.doc_id, scala.collection.immutable.ArraySeq.unsafeWrapArray(spans))
   }
 
-  /** The Spark stage: a narrow map over `Dataset[Doc]`. */
-  def run(docs: Dataset[Doc], cfg: ExtractConfig = ExtractConfig.Default): Dataset[DocOut] = {
+  /** The Spark stage: a narrow map over `Dataset[Doc]`. Optional progress
+    * counters (accumulators, bumped executor-side per document) feed the
+    * [[graft.metrics.Heartbeat]] surface without touching the plan shape.
+    */
+  def run(docs: Dataset[Doc], cfg: ExtractConfig = ExtractConfig.Default,
+          heartbeat: Option[graft.metrics.Heartbeat] = None): Dataset[DocOut] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.mapPartitions(_.map(extractDoc(_, cfg)))
+    heartbeat match {
+      case None => docs.mapPartitions(_.map(extractDoc(_, cfg)))
+      case Some(hb) =>
+        val (docsAcc, spansAcc) = (hb.docsDone, hb.spansDone)
+        docs.mapPartitions(_.map { d =>
+          val out = extractDoc(d, cfg)
+          docsAcc.add(1L)
+          spansAcc.add(out.spans.length.toLong)
+          out
+        })
+    }
   }
 
   /** Markdown rendering of one document (the reference's `transcribe` sink). */

@@ -179,4 +179,25 @@ class DetectSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("azure polygon -> image-space scale join (_page_detection_helpers.py:628-638)") {
+    // page 850x1100 -> image 1700x2200: scale 2x both axes
+    val poly = Seq(10.0, 20.0, 400.0, 20.0, 400.0, 500.0, 10.0, 500.0)
+    val got = PageDetect.normalizeAzurePagePolygon(poly, 850.0, 1100.0, 1700, 2200)
+    assert(got == Vector((20.0, 40.0), (800.0, 40.0), (800.0, 1000.0), (20.0, 1000.0)))
+    // zero page dims fall back to image dims (scale 1.0)
+    val same = PageDetect.normalizeAzurePagePolygon(poly, 0.0, 0.0, 1700, 2200)
+    assert(same == PageDetect.normalizePolygon(poly))
+    // degenerate polygon stays empty
+    assert(PageDetect.normalizeAzurePagePolygon(Seq(1.0, 2.0), 10, 10, 20, 20).isEmpty)
+    // mixed axes: page 100x200 -> image 300x100 (x3, x0.5)
+    val mixed = PageDetect.normalizeAzurePagePolygon(Seq(10.0, 40.0, 20.0, 80.0, 30.0, 100.0), 100.0, 200.0, 300, 100)
+    assert(mixed == Vector((30.0, 20.0), (60.0, 40.0), (90.0, 50.0)))
+  }
+
+  test("merge_instruction_prompts (_page_detection_helpers.py:618-625)") {
+    assert(PageDetect.mergeInstructionPrompts(Seq("  a  ", null, "", "b")) == "a\n\nb")
+    assert(PageDetect.mergeInstructionPrompts(Seq("only")) == "only")
+    intercept[IllegalArgumentException](PageDetect.mergeInstructionPrompts(Seq("", "  ", null)))
+  }
 }
