@@ -306,12 +306,12 @@ object SparkEntry {
         |FROM bk ORDER BY vec_id""".stripMargin),
     "q_embed_lsh_topk" -> (embedBitsCtes +
       s""",
-        |q AS (SELECT vec_id AS q_id, bits AS qbits FROM b WHERE vec_id < 5),
-        |c AS (SELECT vec_id, bits FROM b WHERE vec_id >= 5),
+        |pk AS (SELECT vec_id, ${(0 until Queries.EmbedLshPlanes / 32).map(k =>
+             s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(bits, ${k * 32 + 1}, ${k * 32 + 32})), (a, b) -> (a << 1) | b) AS s$k").mkString(", ")} FROM b),
+        |q AS (SELECT vec_id AS q_id, ${(0 until Queries.EmbedLshPlanes / 32).map(k => s"s$k AS q$k").mkString(", ")} FROM pk WHERE vec_id < 5),
+        |c AS (SELECT * FROM pk WHERE vec_id >= 5),
         |h AS (SELECT q_id, c.vec_id AS vec_id,
-        |        list_reduce(list_prepend(0, list_transform(range(0, ${Queries.EmbedLshPlanes}),
-        |          j -> CASE WHEN qbits[j + 1] = bits[j + 1] THEN 0 ELSE 1 END)),
-        |          (acc, x) -> acc + x) AS ham
+        |        ${(0 until Queries.EmbedLshPlanes / 32).map(k => s"bit_count(xor(s$k, q$k))").mkString(" + ")} AS ham
         |      FROM c, q),
         |s AS (SELECT q_id, vec_id FROM (
         |        SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY ham ASC, vec_id ASC) AS hrn FROM h)

@@ -404,19 +404,27 @@ object Queries {
 
   /** The complete ANN search: signature scan → per-query Hamming top-M
     * shortlist → exact-cosine re-rank → top-3. At scale the first stage
-    * scans only the 16-byte signatures (queries broadcast), and the re-rank
-    * joins back to the vector table for M rows per query — never a full
-    * float-vector cross product.
+    * scans only the PACKED signatures — the 128 sign bits live in four
+    * 32-bit words, so Hamming distance is four xor+popcount instructions
+    * per (candidate, query), the production binary-quantization layout —
+    * and the re-rank joins back to the vector table for M rows per query;
+    * the full float vectors never enter a cross product.
     */
   def embedLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
       .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+    val packWords: Seq[Column] = (0 until EmbedLshPlanes / 32).map(k =>
+      expr(s"aggregate(slice(bits, ${k * 32 + 1}, 32), 0L, (a, b) -> shiftleft(a, 1) | b)").as(s"s$k"))
     val sigs = emb.select(col("vec_id"), signBitsExpr.as("bits"))
-    val qs = sigs.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("bits").as("qbits"))
+      .select(col("vec_id") +: packWords: _*)
+    val qs = sigs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id") +:
+        (0 until EmbedLshPlanes / 32).map(k => col(s"s$k").as(s"q$k")): _*)
+    val hamExpr = (0 until EmbedLshPlanes / 32)
+      .map(k => expr(s"bit_count(s$k ^ q$k)"): Column).reduce(_ + _)
     val hw = Window.partitionBy(col("q_id")).orderBy(col("ham").asc, col("vec_id").asc)
     val shortlist = sigs.filter(col("vec_id") >= 5).crossJoin(broadcast(qs))
-      .withColumn("ham", expr(
-        "aggregate(zip_with(qbits, bits, (a, b) -> CASE WHEN a = b THEN 0 ELSE 1 END), 0, (acc, e) -> acc + e)"))
+      .withColumn("ham", hamExpr)
       .withColumn("hrn", row_number().over(hw))
       .filter(col("hrn") <= EmbedLshScanM)
       .select(col("q_id"), col("vec_id"))
