@@ -184,6 +184,162 @@ object ImageDecode {
     Decoded(tw, th, out)
   }
 
+  /** Encode RGB pixels as PNG bytes (the `page_%04d.png` sink,
+    * `cli.py:247-250`, now real).
+    */
+  def encodePng(d: Decoded): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(d.width, d.height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](d.width * d.height)
+    var i = 0
+    while (i < px.length) {
+      px(i) = ((d.rgb(i * 3) & 0xFF) << 16) | ((d.rgb(i * 3 + 1) & 0xFF) << 8) | (d.rgb(i * 3 + 2) & 0xFF)
+      i += 1
+    }
+    img.setRGB(0, 0, d.width, d.height, px, 0, d.width)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** `_rotate_image_by_angle` (`_mineru25.py:294-299`): PIL rotate(angle,
+    * expand=True) is COUNTERclockwise; non-{90,180,270} angles are identity.
+    * CCW90 ≡ EXIF orientation 8, 180 ≡ 3, CCW270 ≡ 6.
+    */
+  def rotateByAngle(d: Decoded, angle: Int): Decoded = angle match {
+    case 90 => applyOrientation(d, 8)
+    case 180 => applyOrientation(d, 3)
+    case 270 => applyOrientation(d, 6)
+    case _ => d
+  }
+
+  /** `_get_average_color` (`_mineru25.py:318-361`): integer mean of the 8
+    * clamped border samples (pad 2) around a box.
+    */
+  def averageColor(d: Decoded, box: (Int, Int, Int, Int)): (Int, Int, Int) = {
+    val (left, upper, right, lower) = box
+    val pad = 2
+    val midX = Math.floorDiv(left + right, 2)
+    val midY = Math.floorDiv(upper + lower, 2)
+    val points = Seq(
+      (left - pad, upper - pad), (midX, upper - pad), (right + pad, upper - pad),
+      (right + pad, midY), (right + pad, lower + pad), (midX, lower + pad),
+      (left - pad, lower + pad), (left - pad, midY))
+    var (r, g, b) = (0, 0, 0)
+    points.foreach { case (px0, py0) =>
+      val px = math.max(0, math.min(px0, d.width - 1))
+      val py = math.max(0, math.min(py0, d.height - 1))
+      val i = (py * d.width + px) * 3
+      r += d.rgb(i) & 0xFF; g += d.rgb(i + 1) & 0xFF; b += d.rgb(i + 2) & 0xFF
+    }
+    (r / points.length, g / points.length, b / points.length)
+  }
+
+  /** `_get_contrast_text_color` (`_mineru25.py:364-367`). */
+  def contrastTextColor(bg: (Int, Int, Int)): (Int, Int, Int) = {
+    val luminance = 0.299 * bg._1 + 0.587 * bg._2 + 0.114 * bg._3
+    if (luminance < 128) (255, 255, 255) else (0, 0, 0)
+  }
+
+  /** Fill a clamped rectangle with a solid color — the pixel half of
+    * `_mask_and_encode_table_image`'s cover step (`_mineru25.py:486-576`;
+    * the token-label TEXT rendering needs fonts and stays out of scope —
+    * the token map itself is real, see `layout.TableImageTokens`).
+    */
+  def fillRect(d: Decoded, box: (Int, Int, Int, Int), color: (Int, Int, Int)): Decoded = {
+    val out = d.rgb.clone()
+    val l = math.max(0, box._1); val t = math.max(0, box._2)
+    val r = math.min(d.width, box._3); val b = math.min(d.height, box._4)
+    var y = t
+    while (y < b) {
+      var x = l
+      while (x < r) {
+        val i = (y * d.width + x) * 3
+        out(i) = color._1.toByte; out(i + 1) = color._2.toByte; out(i + 2) = color._3.toByte
+        x += 1
+      }
+      y += 1
+    }
+    Decoded(d.width, d.height, out)
+  }
+
+  /** `_crop_bbox` (`page_detection.py:376-387`): trim-margin expansion with
+    * int() truncation, clamped to the image.
+    */
+  def cropBBox(d: Decoded, bbox: (Double, Double, Double, Double), trimMargin: Int): Decoded = {
+    val l = math.max((bbox._1 - trimMargin).toInt, 0)
+    val t = math.max((bbox._2 - trimMargin).toInt, 0)
+    val r = math.min((bbox._3 + trimMargin).toInt, d.width)
+    val b = math.min((bbox._4 + trimMargin).toInt, d.height)
+    crop(d, l, t, r, b)
+  }
+
+  /** `_crop_polygon` (`page_detection.py:390-409`): bbox crop, then pixels
+    * outside the polygon go white. The polygon fill is an even-odd scanline
+    * rasterizer with boundary inclusion (PIL's ImageDraw.polygon is the
+    * model; its exact edge AA rules are implementation-defined and PIL is
+    * unavailable here — interior/exterior semantics are property-tested,
+    * rectangle polygons are exact).
+    */
+  def cropPolygon(d: Decoded, polygon: Seq[(Double, Double)], trimMargin: Int): Decoded = {
+    val xs = polygon.map(_._1); val ys = polygon.map(_._2)
+    val bbox = (xs.min, ys.min, xs.max, ys.max)
+    val cropped = cropBBox(d, bbox, trimMargin)
+    val left = math.max((bbox._1 - trimMargin).toInt, 0)
+    val top = math.max((bbox._2 - trimMargin).toInt, 0)
+    val rel = polygon.map { case (x, y) => (x - left, y - top) }
+    val out = cropped.rgb.clone()
+    var y = 0
+    while (y < cropped.height) {
+      var x = 0
+      while (x < cropped.width) {
+        if (!pointInPolygon(x + 0.5, y + 0.5, rel) && !onPolygonBoundary(x, y, rel)) {
+          val i = (y * cropped.width + x) * 3
+          out(i) = -1; out(i + 1) = -1; out(i + 2) = -1 // 0xFF white
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Decoded(cropped.width, cropped.height, out)
+  }
+
+  private def pointInPolygon(px: Double, py: Double, poly: Seq[(Double, Double)]): Boolean = {
+    var inside = false
+    var j = poly.length - 1
+    var i = 0
+    while (i < poly.length) {
+      val (xi, yi) = poly(i); val (xj, yj) = poly(j)
+      if ((yi > py) != (yj > py) && px < (xj - xi) * (py - yi) / (yj - yi) + xi) inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  private def onPolygonBoundary(x: Int, y: Int, poly: Seq[(Double, Double)]): Boolean = {
+    var j = poly.length - 1
+    var i = 0
+    while (i < poly.length) {
+      val (xi, yi) = poly(i); val (xj, yj) = poly(j)
+      val minX = math.min(xi, xj); val maxX = math.max(xi, xj)
+      val minY = math.min(yi, yj); val maxY = math.max(yi, yj)
+      if (x >= minX - 0.5 && x <= maxX + 0.5 && y >= minY - 0.5 && y <= maxY + 0.5) {
+        val dx = xj - xi; val dy = yj - yi
+        val dist =
+          if (dx == 0 && dy == 0) math.hypot(x - xi, y - yi)
+          else {
+            val t = math.max(0.0, math.min(1.0, ((x - xi) * dx + (y - yi) * dy) / (dx * dx + dy * dy)))
+            math.hypot(x - (xi + t * dx), y - (yi + t * dy))
+          }
+        if (dist <= 0.5) return true
+      }
+      j = i
+      i += 1
+    }
+    false
+  }
+
   /** `_qianfan_dynamic_preprocess` + `_qianfan_load_pixel_values`
     * (`hf.py:179-245`): resize to the tile grid, crop the 448-px tiles,
     * optionally append the thumbnail, normalize each tile to a CHW float32

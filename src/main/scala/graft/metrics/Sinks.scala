@@ -62,6 +62,20 @@ object Sinks {
     Eval.groupedMetrics(results)
       .write.mode("overwrite").json(s"$outDir/all_metrics_json")
 
+  /** PNG page sink (`cli.py:243-250`: `page_%04d.png` per detected page,
+    * path echoed) — distributed: each partition encodes and writes its own
+    * pages; returns nothing driver-side (list the dir to enumerate).
+    */
+  def writePngPages(pages: Dataset[(Int, graft.media.ImageDecode.Decoded)], outDir: String): Unit = {
+    Files.createDirectories(Paths.get(outDir))
+    pages.foreachPartition { it: Iterator[(Int, graft.media.ImageDecode.Decoded)] =>
+      it.foreach { case (pageIndex, d) =>
+        val bytes = graft.media.ImageDecode.encodePng(d)
+        Files.write(Paths.get(f"$outDir/page_$pageIndex%04d.png"), bytes)
+      }
+    }
+  }
+
   /** Write the nested aggregate document as `all_metrics.json`
     * (language / type / language_and_type / aggregate sections, percentages
     * rounded to one decimal like `to_rounded_percentage`).

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming twin of the batch tumbling-window aggregation.
   *
@@ -32,5 +33,75 @@ object StreamOps {
       .select(col("window.start").as("hour"), col("event_type"), col("n"),
         col("min_v"), col("max_v"))
       .orderBy("hour", "event_type")
+  }
+
+  /** The SCALE shape of the streaming aggregation: append output mode with a
+    * watermark, so state for closed windows is dropped instead of growing
+    * without bound (the complete-mode memory sink above is the oracle twin,
+    * not the production shape). Emits only finalized windows.
+    */
+  def streamWindowAppend(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"),
+        col("min_v"), col("max_v"))
+
+  /** One closed user session: the custom-state shape the brief calls for
+    * (`flatMapGroupsWithState` + event-time timeout). Gap-based
+    * sessionization: events of one user belong to one session while they
+    * arrive within `gapMs`; the session row is emitted when the watermark
+    * passes the gap.
+    */
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                              session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  def sessionizeFn(gapMs: Long)(
+      userId: Long,
+      events: Iterator[SessionEvent],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator.single(SessionOut(userId, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.end), s.n, s.sum))
+    } else {
+      val sorted = events.toSeq.sortBy(_.ts.getTime)
+      var out = Vector.empty[SessionOut]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.end <= gapMs =>
+            cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
+          case Some(s) =>
+            out :+= SessionOut(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n, s.sum)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.end + gapMs)
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming gap sessionization over `(user_id, ts, value)` events. */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long,
+                 watermark: String = "1 hour"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        sessionizeFn(gapMs))
   }
 }

@@ -41,6 +41,21 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(metrics.contains("\"elapsed_time (s)\": 1.3"))
   }
 
+  test("PNG page sink writes page_%04d.png per page, round-trips pixel-exact") {
+    import spark.implicits._
+    import graft.media.ImageDecode
+    val dir = Files.createTempDirectory("graft_png_sink").toString
+    def pat(w: Int, h: Int, s: Int) = ImageDecode.Decoded(w, h,
+      Array.tabulate(w * h * 3)(i => ((i * 7 + s * 13) % 256).toByte))
+    val pages = Seq(0 -> pat(8, 6, 0), 1 -> pat(5, 5, 1), 2 -> pat(3, 9, 2))
+    Sinks.writePngPages(spark.createDataset(pages), dir)
+    pages.foreach { case (idx, d) =>
+      val bytes = Files.readAllBytes(java.nio.file.Paths.get(f"$dir/page_$idx%04d.png"))
+      val back = ImageDecode.loadImage(bytes)
+      assert(back.width == d.width && back.rgb.toSeq == d.rgb.toSeq, s"page $idx")
+    }
+  }
+
   test("distributed sinks write without driver materialization and round-trip") {
     val dir = Files.createTempDirectory("graft_sinks_dist").toString
     Sinks.writeOutputsDistributed(rows, dir)

@@ -1,0 +1,121 @@
+package graft
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{SessionEvent, SessionOut}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** The streaming SCALE shapes: append-mode windowed aggregation under a
+  * watermark (bounded state, only finalized windows emitted) and
+  * flatMapGroupsWithState gap sessionization with event-time timeout.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+
+  test("append-mode window agg emits only watermark-closed windows, drops state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val out = StreamOps.streamWindowAppend(events, watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("stream_append").outputMode("append").start()
+    try {
+      // hour-10 events, then an hour-13 event pushes the watermark to 12:30,
+      // closing hour 10 (and 11) but NOT hour 13
+      in.addData((ts("10:05"), "click", 1.0), (ts("10:40"), "click", 3.0), (ts("10:20"), "view", 2.0))
+      q.processAllAvailable()
+      in.addData((ts("13:00"), "click", 9.0))
+      q.processAllAvailable()
+      in.addData((ts("13:01"), "view", 5.0)) // no watermark advance past 13
+      q.processAllAvailable()
+      val rows = spark.table("stream_append")
+        .select(col("hour"), col("event_type"), col("n"), col("min_v"), col("max_v"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        .sortBy(r => (r._1.getTime, r._2))
+      assert(rows.toSeq == Seq(
+        (ts("10:00"), "click", 2L, 1.0, 3.0),
+        (ts("10:00"), "view", 1L, 2.0, 2.0)))
+      // hour-13 rows are still open (not emitted) — bounded-state behavior
+      assert(!rows.exists(_._1 == ts("13:00")))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization: gap split + event-time timeout emission") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val out = StreamOps.sessionize(in.toDS(), gapMs = 10 * 60 * 1000, watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("stream_sessions").outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session); user 2: one event
+      in.addData(
+        SessionEvent(1L, ts("10:00"), 1.0),
+        SessionEvent(1L, ts("10:05"), 2.0),
+        SessionEvent(2L, ts("10:02"), 7.0))
+      q.processAllAvailable()
+      // a much later event advances the watermark far past every timeout,
+      // closing the user-1 and user-2 sessions
+      in.addData(SessionEvent(3L, ts("12:00"), 0.5))
+      q.processAllAvailable()
+      in.addData(SessionEvent(3L, ts("14:00"), 0.25)) // closes 12:00 session too
+      q.processAllAvailable()
+      val rows = spark.table("stream_sessions").as[SessionOut].collect()
+        .sortBy(r => (r.user_id, r.session_start.getTime))
+      assert(rows.map(r => (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)).toSeq ==
+        Seq(
+          (1L, ts("10:00"), ts("10:05"), 2L, 3.0),
+          (2L, ts("10:02"), ts("10:02"), 1L, 7.0),
+          (3L, ts("12:00"), ts("12:00"), 1L, 0.5)))
+    } finally q.stop()
+  }
+
+  test("sessionizeFn splits same-batch events farther apart than the gap") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    // pure-function check through the batch path: two sessions in one group
+    import spark.implicits._
+    val events = Seq(
+      SessionEvent(9L, ts("09:00"), 1.0),
+      SessionEvent(9L, ts("09:04"), 1.0),
+      SessionEvent(9L, ts("11:00"), 5.0))
+    // batch flatMapGroupsWithState is exercised via the streaming API in the
+    // test above; here assert the split logic directly on the state function
+    val state = new TestState
+    val out = StreamOps.sessionizeFn(10 * 60 * 1000)(9L, events.iterator, state).toSeq
+    assert(out.map(o => (o.n_events, o.sum_value)) == Seq((2L, 2.0))) // first session closed by the gap
+    assert(state.updated.exists(s => s.n == 1 && s.sum == 5.0)) // second session left open in state
+  }
+
+  private class TestState extends org.apache.spark.sql.streaming.GroupState[StreamOps.SessionState] {
+    var updated: Option[StreamOps.SessionState] = None
+    var timeoutTs: Long = -1L
+    override def exists: Boolean = updated.isDefined
+    override def get: StreamOps.SessionState = updated.get
+    override def getOption: Option[StreamOps.SessionState] = updated
+    override def update(s: StreamOps.SessionState): Unit = updated = Some(s)
+    override def remove(): Unit = updated = None
+    override def hasTimedOut: Boolean = false
+    override def setTimeoutDuration(durationMs: Long): Unit = ()
+    override def setTimeoutDuration(duration: String): Unit = ()
+    override def setTimeoutTimestamp(timestampMs: Long): Unit = timeoutTs = timestampMs
+    override def setTimeoutTimestamp(timestampMs: Long, additionalDuration: String): Unit = ()
+    override def setTimeoutTimestamp(timestamp: java.sql.Date): Unit = ()
+    override def setTimeoutTimestamp(timestamp: java.sql.Date, additionalDuration: String): Unit = ()
+    override def getCurrentWatermarkMs(): Long = 0L
+    override def getCurrentProcessingTimeMs(): Long = 0L
+  }
+}
