@@ -31,7 +31,8 @@ object ExtractJob {
       buckets: Int = 64,
       groupSize: Int = 16,
       cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
-      failAfterGroups: Int = -1, // test hook: simulate a crash
+      failAfterGroups: Int = -1, // test hook: crash BEFORE a group's write
+      failAfterWrite: Int = -1, // test hook: crash AFTER a group's write, BEFORE its lineage commit
       expected: Option[String] = None, // prior run's data dir → divergence metric
       clock: () => Long = () => System.currentTimeMillis())
 
@@ -85,32 +86,46 @@ object ExtractJob {
     new java.io.File(args.out).mkdirs()
     val heartbeat = new graft.metrics.Heartbeat(spark, args.out).start()
 
-    // generate (≅ read the input snapshot) once; group loops filter from it.
-    // At scale this is a bucket-partition-pruned table read, not a cache.
-    val allDocs: Dataset[Doc] = DocsGen.docs(spark, args.nDocs, args.seed, partitions = 64)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
+    // Each group generates ONLY its own documents: the doc id (and so its
+    // bucket) is derivable from the index before the expensive span
+    // synthesis runs — the faithful model of a bucket-partition-pruned input
+    // scan. (Round 1 persisted the whole Dataset[Doc], which paid full
+    // encoder serialization up front and a full-cache deserialize per group.)
+    val buckets = args.buckets
     try todo.grouped(args.groupSize).foreach { group =>
       if (args.failAfterGroups >= 0 && groupsDone >= args.failAfterGroups)
         throw new RuntimeException(s"injected failure after $groupsDone groups")
       val groupSet = group.toSet
-      val docs: Dataset[Doc] =
-        allDocs.filter((d: Doc) => groupSet.contains(bucketOf(d.doc_id, args.buckets)))
-      // NOTE: extraction runs once for the write and once for the lineage
-      // stats — caching the extracted rows was measured slower than
-      // recomputing them (span arrays are expensive to spill)
+      val docs: Dataset[Doc] = DocsGen.docsWhere(spark, args.nDocs, args.seed, partitions = 64) {
+        docId => groupSet.contains(bucketOf(docId, buckets))
+      }
       val extracted: Dataset[DocOut] = Extract.run(docs, ExtractConfig.Default, Some(heartbeat))
 
-      val out = spanRows(extracted, args.buckets)
-      out.write.mode(SaveMode.Append).partitionBy("bucket").parquet(s"${args.out}/data")
+      // Idempotent group write: dynamic partition overwrite replaces exactly
+      // this group's bucket directories, so a crash BETWEEN the write and the
+      // lineage commit cannot duplicate rows on resume (Append mode would) —
+      // the retried group simply overwrites its own orphan files.
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-      // lineage rows: per-bucket doc/span counts + order-insensitive doc hash
-      val stats = extracted
-        .withColumn("bucket", bucketCol(args.buckets))
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("docs"), sum(size(col("spans"))).as("spans"),
-          expr("bit_xor(xxhash64(doc_id))").as("hash")) // order-insensitive, overflow-free
-        .collect()
+      // Lineage stats ride INSIDE the write job via Dataset.observe — no
+      // second extraction pass and no read-back job. Per bucket: span count,
+      // doc count (each doc contributes exactly its order-0 span) and the
+      // order-insensitive doc hash (bit_xor over order-0 spans only, so each
+      // doc is xored once; bit_xor ignores the CASE's nulls).
+      val obs = org.apache.spark.sql.Observation(s"graft_stats_$groupsDone")
+      val statCols: Seq[org.apache.spark.sql.Column] = group.toSeq.flatMap { b =>
+        Seq(
+          sum(when(col("bucket") === b, 1L).otherwise(0L)).as(s"spans_$b"),
+          sum(when(col("bucket") === b && col("order") === 0, 1L).otherwise(0L)).as(s"docs_$b"),
+          expr(s"bit_xor(CASE WHEN bucket = $b AND `order` = 0 THEN xxhash64(doc_id) END)").as(s"hash_$b"))
+      }
+      val out = spanRows(extracted, args.buckets)
+        .observe(obs, statCols.head, statCols.tail: _*)
+      out.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(s"${args.out}/data")
+      val observed: Map[String, Any] = obs.get
+
+      if (args.failAfterWrite >= 0 && groupsDone >= args.failAfterWrite)
+        throw new RuntimeException(s"injected failure after write of group $groupsDone")
 
       // CER-style divergence vs an expected table (north_rule lineage metric):
       // full-outer span join per bucket; divergence = 1 - avg(nls), with
@@ -118,9 +133,11 @@ object ExtractJob {
       val divergenceByBucket: Map[Int, Double] = args.expected match {
         case None => Map.empty
         case Some(expectedDir) =>
-          val fresh = extracted
-            .select(col("doc_id"), explode(col("spans")).as("s"))
-            .select(col("doc_id"), col("s.order").as("order"), col("s.text").as("new_text"))
+          // the just-written group partitions ARE the fresh extraction —
+          // a pruned read-back instead of a re-extraction pass
+          val fresh = spark.read.parquet(s"${args.out}/data")
+            .filter(col("bucket").isInCollection(group))
+            .select(col("doc_id"), col("order"), col("text").as("new_text"))
           // the expected table is written partitionBy(bucket) with the same
           // bucketing, so filtering on the partition column prunes the scan
           // to this group's directories (round 1 re-scanned the whole table
@@ -147,13 +164,13 @@ object ExtractJob {
 
       val now = args.clock()
       val rows = group.map { b =>
-        val r = stats.find(_.getInt(0) == b)
+        val hash = observed.get(s"hash_$b").collect { case l: java.lang.Long => l.longValue() }
         LineageRow(
           snapshot_id = args.seed,
           partition_id = b,
-          partition_hash = r.map(x => java.lang.Long.toHexString(x.getLong(3))).getOrElse("0"),
-          doc_count = r.map(_.getLong(1)).getOrElse(0L),
-          span_count = r.map(_.getLong(2)).getOrElse(0L),
+          partition_hash = hash.map(java.lang.Long.toHexString).getOrElse("0"),
+          doc_count = observed(s"docs_$b").asInstanceOf[Long],
+          span_count = observed(s"spans_$b").asInstanceOf[Long],
           divergence = divergenceByBucket.getOrElse(b, 0.0),
           committed_at = now)
       }
@@ -161,7 +178,7 @@ object ExtractJob {
       processedDocs += rows.map(_.doc_count).sum
       groupsDone += 1
       heartbeat.groupsDone.add(1L)
-    } finally { heartbeat.stop(); allDocs.unpersist() }
+    } finally heartbeat.stop()
     (todo.size, processedDocs)
   }
 
@@ -175,6 +192,7 @@ object ExtractJob {
       case Array("--group-size", v) => args = args.copy(groupSize = v.toInt)
       case Array("--cores", v) => args = args.copy(cores = v)
       case Array("--fail-after", v) => args = args.copy(failAfterGroups = v.toInt)
+      case Array("--fail-after-write", v) => args = args.copy(failAfterWrite = v.toInt)
       case Array("--expected", v) => args = args.copy(expected = Some(v))
       case other => throw new IllegalArgumentException(other.mkString(" "))
     }

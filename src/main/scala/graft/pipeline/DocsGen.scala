@@ -118,4 +118,21 @@ object DocsGen {
     val base = if (partitions > 0) spark.range(0L, nDocs, 1L, partitions) else spark.range(nDocs)
     base.as[Long].mapPartitions(_.map(genDoc(_, seed, skewEvery)))
   }
+
+  /** Pruned generation: only documents whose id passes `docIdFilter` are
+    * materialized — the doc id is derivable from the index alone, so the
+    * filter runs BEFORE the expensive span synthesis. This models a
+    * bucket-partition-pruned input scan (the production shape), and beats
+    * caching the whole table: a persisted Dataset[Doc] pays full encoder
+    * serialization once plus a full deserialize per group filter.
+    */
+  def docsWhere(spark: SparkSession, nDocs: Long, seed: Long = 42L, skewEvery: Long = 1000L,
+                partitions: Int = 0)(docIdFilter: String => Boolean): Dataset[Doc] = {
+    import spark.implicits._
+    val base = if (partitions > 0) spark.range(0L, nDocs, 1L, partitions) else spark.range(nDocs)
+    base.as[Long].mapPartitions(_.flatMap { i =>
+      val docId = f"doc_$i%08d"
+      if (docIdFilter(docId)) Iterator.single(genDoc(i, seed, skewEvery)) else Iterator.empty
+    })
+  }
 }

@@ -33,13 +33,13 @@ class HeartbeatSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = lines.map(field(_, "docs"))
     assert(docs.zip(docs.tail).forall { case (a, b) => a <= b }, "docs counter must be monotone")
     val last = lines.last
-    // extraction runs twice per group (write + lineage stats), so the
-    // accumulator counts 2x the 300 docs
-    assert(field(last, "docs") == 600, last)
+    // extraction runs exactly ONCE per group (lineage stats come from the
+    // written parquet, not a second extraction pass)
+    assert(field(last, "docs") == 300, last)
     assert(field(last, "groups") == 2, last)
     assert(field(last, "stages") > 0 && field(last, "tasks") > 0, last)
     val spans = field(last, "spans")
     val actualSpans = spark.read.parquet(s"$out/data").count()
-    assert(spans == 2 * actualSpans, s"spans=$spans actual=$actualSpans")
+    assert(spans == actualSpans, s"spans=$spans actual=$actualSpans")
   }
 }

@@ -74,6 +74,32 @@ class JobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(noop == 0 && noopDocs == 0)
   }
 
+  test("crash BETWEEN write and lineage commit: resume overwrites orphans, no duplicates") {
+    val outA = tmpDir()
+    val outB = tmpDir()
+    val base = ExtractJob.Args(nDocs = 400, buckets = 8, groupSize = 2, clock = () => 1L)
+    ExtractJob.run(spark, base.copy(out = outB)) // clean reference run
+
+    // crash after group 1's data write but before its lineage commit:
+    // group 1's bucket dirs now hold orphan files with no lineage row
+    val crashed = intercept[RuntimeException] {
+      ExtractJob.run(spark, base.copy(out = outA, failAfterWrite = 1))
+    }
+    assert(crashed.getMessage.contains("after write"))
+    assert(Lineage.committedPartitions(spark, outA).size == 2, "only group 0 committed")
+    val orphanRows = spark.read.parquet(s"$outA/data").count()
+    assert(orphanRows > 0, "orphan rows from the uncommitted group must exist")
+
+    // resume: the retried group OVERWRITES its own orphan partitions
+    ExtractJob.run(spark, base.copy(out = outA, clock = () => 2L))
+    val a = spark.read.parquet(s"$outA/data").select("doc_id", "order", "kind", "media_ref", "text")
+      .orderBy("doc_id", "order").collect().toSeq
+    val b = spark.read.parquet(s"$outB/data").select("doc_id", "order", "kind", "media_ref", "text")
+      .orderBy("doc_id", "order").collect().toSeq
+    assert(a == b, "crash-after-write + resume must be byte-identical to a clean run (no duplicates)")
+    assert(Lineage.read(spark, outA).collect().map(_.doc_count).sum == 400)
+  }
+
   test("divergence metric: zero vs an identical run, positive vs a corrupted table") {
     import org.apache.spark.sql.functions._
     val outA = tmpDir()
