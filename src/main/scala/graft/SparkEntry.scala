@@ -65,6 +65,8 @@ object SparkEntry {
     "q_minhash_pairs" -> (Queries.minhashPairs(_, _)),
     "q_ngram_jaccard" -> (Queries.ngramJaccard(_, _)),
     "q_simhash" -> (Queries.simhash(_, _)),
+    "q_simhash_pairs" -> (Queries.simhashPairs(_, _)),
+    "q_embed_neardup" -> (Queries.embedNearDup(_, _)),
     // similarity search
     "q_embed_topk" -> (Queries.embedTopK(_, _)),
     "q_embed_lsh" -> (Queries.embedLsh(_, _)),
@@ -283,6 +285,8 @@ object SparkEntry {
         |FROM read_parquet('/root/repo/src/test/resources/expected/pipeline_extract.parquet')
         |ORDER BY doc_id, "order"""".stripMargin,
     "q_simhash" -> simhashOracle,
+    "q_simhash_pairs" -> simhashPairsOracle,
+    "q_embed_neardup" -> embedNearDupOracle,
     "q_fingerprint" ->
       """SELECT doc_id,
         | CASE WHEN length(text) = 0 THEN 0
@@ -335,10 +339,8 @@ object SparkEntry {
        |          (acc, e2) -> acc + e2) > 0 THEN 1 ELSE 0 END) AS bits
        |      FROM e)""".stripMargin
 
-  /** SimHash oracle generated from the same bit/digit layout as
-    * [[Queries.simhash]].
-    */
-  private val simhashOracle: String = {
+  /** Shared simhash CTE chain ending in `sh(doc_id, simhash)`. */
+  private val simhashShCtes: String = {
     val bitSums = (0 until 64).map { i =>
       val d = i / 4; val p = 1 << (i % 4)
       s"SUM(CASE WHEN ((strpos('0123456789abcdef', substring(h, ${d + 1}, 1)) - 1) // $p) % 2 = 1 THEN 1 ELSE -1 END) AS s$i"
@@ -346,12 +348,76 @@ object SparkEntry {
     val hexConcat = (0 until 16).map { d =>
       val digit = (0 until 4)
         .map(bp => s"(CASE WHEN s${4 * d + bp} > 0 THEN ${1 << bp} ELSE 0 END)").mkString(" + ")
-      s"lower(to_hex($digit))" // DuckDB to_hex is uppercase; Spark conv is lowered
+      s"lower(to_hex($digit))"
     }.mkString(" || ")
-    dupsCte +
-      s""", words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM all_docs),
-         |wh AS (SELECT doc_id, substring(md5(w), 1, 16) AS h FROM words),
-         |s AS (SELECT doc_id, $bitSums FROM wh GROUP BY doc_id)
-         |SELECT doc_id, $hexConcat AS simhash FROM s ORDER BY doc_id""".stripMargin
+    s""", words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM all_docs),
+       |wh AS (SELECT doc_id, substring(md5(w), 1, 16) AS h FROM words),
+       |s AS (SELECT doc_id, $bitSums FROM wh GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $hexConcat AS simhash FROM s)""".stripMargin
   }
+
+  /** SimHash near-dup pairs: pigeonhole 8-bit bands + exact bit distance. */
+  private val simhashPairsOracle: String = {
+    val hexDigits = (0 until 16).map { d =>
+      s"bit_count(xor(strpos('0123456789abcdef', substring(sa, ${d + 1}, 1)) - 1, " +
+        s"strpos('0123456789abcdef', substring(sb, ${d + 1}, 1)) - 1))"
+    }.mkString(" + ")
+    val bandUnion = (0 until 8).map(k =>
+      s"SELECT doc_id, simhash, $k AS band_id, substring(simhash, ${k * Queries.SimhashBandBits + 1}, ${Queries.SimhashBandBits}) AS bv FROM sh")
+      .mkString(" UNION ALL ")
+    dupsCte + simhashShCtes +
+      s""",
+         |bands AS ($bandUnion),
+         |capped AS (SELECT doc_id, simhash, band_id, bv FROM (
+         |    SELECT doc_id, simhash, band_id, bv, count(*) OVER (PARTITION BY band_id, bv) AS bsz FROM bands)
+         |  WHERE bsz <= ${Queries.MinhashBucketCap}),
+         |pr AS (SELECT DISTINCT x.doc_id AS a, x.simhash AS sa, y.doc_id AS b, y.simhash AS sb
+         |       FROM capped x JOIN capped y
+         |       ON x.band_id = y.band_id AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT a, b, CAST($hexDigits AS BIGINT) AS hamming FROM pr
+         |WHERE $hexDigits <= ${Queries.SimhashMaxHamming}
+         |ORDER BY a, b""".stripMargin
+  }
+
+  /** Embedding near-dup oracle: same planted copies, banding, Hamming gate,
+    * exact cosine.
+    */
+  private val embedNearDupOracle: String = {
+    val bandUnion = (0 until Queries.EmbedLshPlanes / 8).map(k =>
+      s"SELECT vec_id, bits, $k AS band_id, " +
+        s"list_reduce(list_prepend(0, list_slice(bits, ${8 * k + 1}, ${8 * k + 8})), (acc, x) -> acc * 2 + x) AS bv FROM b")
+      .mkString(" UNION ALL ")
+    s"""WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |e AS (SELECT vec_id, v FROM e0
+       |      UNION ALL
+       |      SELECT vec_id + 10000 AS vid,
+       |             list_transform(range(0, 64), i -> v[i + 1] * 1.02 + ((i * 7 + vec_id) % 11 - 5) * 0.002) AS v
+       |      FROM e0 WHERE vec_id % 10 = 0),
+       |b AS (SELECT vec_id, list_transform(range(0, ${Queries.EmbedLshPlanes}), p ->
+       |        CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(0, 64), i -> v[i + 1] * (((2654435761 * (p * 64 + i + 1)) % 2147483647) % 1024 - 512))),
+       |          (acc, e2) -> acc + e2) > 0 THEN 1 ELSE 0 END) AS bits
+       |      FROM e),
+       |bands AS ($bandUnion),
+       |capped AS (SELECT vec_id, bits, band_id, bv FROM (
+       |    SELECT vec_id, bits, band_id, bv, count(*) OVER (PARTITION BY band_id, bv) AS bsz FROM bands)
+       |  WHERE bsz <= ${Queries.MinhashBucketCap}),
+       |pr AS (SELECT DISTINCT x.vec_id AS a, x.bits AS ba, y.vec_id AS b, y.bits AS bb
+       |       FROM capped x JOIN capped y
+       |       ON x.band_id = y.band_id AND x.bv = y.bv AND x.vec_id < y.vec_id),
+       |gated AS (SELECT a, b FROM pr
+       |  WHERE list_reduce(list_prepend(0, list_transform(range(0, ${Queries.EmbedLshPlanes}),
+       |          j -> CASE WHEN ba[j + 1] = bb[j + 1] THEN 0 ELSE 1 END)), (acc, x) -> acc + x)
+       |        <= ${Queries.EmbedNearDupMaxHamming})
+       |SELECT a, b, round(cos, 4) AS cos4 FROM (
+       |  SELECT a, b, list_cosine_similarity(va.v, vb.v) AS cos
+       |  FROM gated JOIN e va ON va.vec_id = a JOIN e vb ON vb.vec_id = b) t
+       |WHERE cos >= 0.99 ORDER BY a, b""".stripMargin
+  }
+
+  /** SimHash oracle generated from the same bit/digit layout as
+    * [[Queries.simhash]].
+    */
+  private val simhashOracle: String =
+    dupsCte + simhashShCtes + "\nSELECT doc_id, simhash FROM sh ORDER BY doc_id"
 }

@@ -334,6 +334,42 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** SimHash near-duplicate pairs at scale: pigeonhole banding — two hashes
+    * within Hamming distance d must share at least one of d+1 disjoint
+    * chunks, so candidates come from 8 per-band equi-joins over the 8-bit
+    * chunks of the 64-bit signature (guaranteed complete for d ≤ 7), with
+    * the same bucket cap as minhash; candidates are then verified by exact
+    * bit distance ≤ 4 (fixture separation: planted near-dups avg 2.4 bits,
+    * background min 6).
+    */
+  val SimhashBandBits = 2 // hex digits per band (8 bits)
+  val SimhashMaxHamming = 4
+
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhash(spark, dir) // (doc_id, 16-hex-char simhash)
+    val bandCols = (0 until 8).map(k => substring(col("simhash"), k * SimhashBandBits + 1, SimhashBandBits))
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array(bandCols: _*)).as(Seq("band_id", "bv")))
+    val capped = bands
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band_id"), col("bv"))))
+      .filter(col("bsz") <= MinhashBucketCap)
+      .select(col("doc_id"), col("simhash"), col("band_id"), col("bv"))
+    val pairs = capped.as("x").join(capped.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("x.simhash").as("sa"),
+        col("y.doc_id").as("b"), col("y.simhash").as("sb"))
+      .distinct()
+    val ham = (0 until 16).map { d =>
+      expr(s"bit_count((instr('0123456789abcdef', substring(sa, ${d + 1}, 1)) - 1) ^ " +
+        s"(instr('0123456789abcdef', substring(sb, ${d + 1}, 1)) - 1))"): Column
+    }.reduce(_ + _)
+    pairs.withColumn("hamming", ham.cast("long"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+      .orderBy("a", "b")
+  }
+
   // ---- similarity search -----------------------------------------------------
 
   /** Brute-force cosine top-k over the embedding column (baseline ANN).
@@ -441,6 +477,61 @@ object Queries {
       .filter(col("rn") <= 3)
       .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos4"), col("rn"))
       .orderBy("q_id", "rn")
+  }
+
+  /** Embeddings plus planted near-duplicate copies (vec_id+10000): a 2%
+    * scale plus a tiny integer-derived additive perturbation — cosine with
+    * the source ≈ 0.9999, exactly reproducible in both engines.
+    */
+  private def embWithDups(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .select(col("vec_id"), col("v"))
+    val near = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        expr("transform(sequence(0, 63), i -> element_at(v, i + 1) * 1.02D + ((i * 7 + vec_id) % 11 - 5) * 0.002D)").as("v"))
+    emb.unionAll(near)
+  }
+
+  /** Embedding-cosine near-duplicate detection at scale: sign-signature
+    * banding (16 per-band equi-joins over 8-bit chunks of the 128-bit
+    * signature, bucket-capped) → exact Hamming gate ≤ 16 → exact cosine
+    * verify ≥ 0.99. Never an all-pairs float comparison; planted
+    * near-identical copies differ by only a few signature bits.
+    */
+  val EmbedNearDupMaxHamming = 16
+
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val base = embWithDups(spark, dir)
+    val sigs = base.select(col("vec_id"), signBitsExpr.as("bits"))
+    val bandCols = (0 until EmbedLshPlanes / 8).map(k =>
+      expr(s"aggregate(slice(bits, ${8 * k + 1}, 8), 0, (acc, b) -> acc * 2 + b)"))
+    val bands = sigs.select(col("vec_id"), col("bits"),
+      posexplode(array(bandCols: _*)).as(Seq("band_id", "bv")))
+    val capped = bands
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band_id"), col("bv"))))
+      .filter(col("bsz") <= MinhashBucketCap)
+      .select(col("vec_id"), col("bits"), col("band_id"), col("bv"))
+    val pairs = capped.as("x").join(capped.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.bv") === col("y.bv") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("x.bits").as("ba"),
+        col("y.vec_id").as("b"), col("y.bits").as("bb"))
+      .distinct()
+      .withColumn("ham", expr(
+        "aggregate(zip_with(ba, bb, (p, q) -> CASE WHEN p = q THEN 0 ELSE 1 END), 0, (acc, e) -> acc + e)"))
+      .filter(col("ham") <= EmbedNearDupMaxHamming)
+      .select(col("a"), col("b"))
+    val va = base.select(col("vec_id").as("a"), col("v").as("qv"))
+    val vb = base.select(col("vec_id").as("b"), col("v"))
+    val dot = expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, e) -> acc + e)")
+    val nq = expr("sqrt(aggregate(transform(qv, x -> x * x), 0D, (acc, e) -> acc + e))")
+    val nv = expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, e) -> acc + e))")
+    pairs.join(va, "a").join(vb, "b")
+      .withColumn("cos", dot / (nq * nv))
+      .filter(col("cos") >= 0.99)
+      .select(col("a"), col("b"), round(col("cos"), 4).as("cos4"))
+      .orderBy("a", "b")
   }
 
   // ---- text analysis ---------------------------------------------------------
