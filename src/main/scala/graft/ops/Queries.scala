@@ -272,10 +272,14 @@ object Queries {
     }
     val bands = minhashSig(spark, dir)
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_id", "bv")))
+    // persist: the self-join would otherwise recompute the whole
+    // shingle+hash chain on BOTH sides (at scale the signature table is a
+    // materialized index, so this models the production shape too)
     val capped = bands
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band_id"), col("bv"))))
       .filter(col("bsz") <= MinhashBucketCap)
       .select(col("doc_id"), col("band_id"), col("bv"))
+      .persist()
     capped.as("x").join(capped.as("y"),
         col("x.band_id") === col("y.band_id") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -289,7 +293,9 @@ object Queries {
     * and the union comes from per-doc gram counts via |A|+|B|−|A∩B|.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val grams = shingled(spark, dir)
+    // persist: the gram table feeds the minhash chain, both sides of the
+    // intersection join and the per-doc counts — 4 consumers
+    val grams = shingled(spark, dir).persist()
     val gramRows = grams.select(col("doc_id"), explode(col("grams")).as("g"))
     val gramCounts = grams.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
     val pairs = minhashPairs(spark, dir)
@@ -354,6 +360,7 @@ object Queries {
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band_id"), col("bv"))))
       .filter(col("bsz") <= MinhashBucketCap)
       .select(col("doc_id"), col("simhash"), col("band_id"), col("bv"))
+      .persist() // self-join reads both sides
     val pairs = capped.as("x").join(capped.as("y"),
         col("x.band_id") === col("y.band_id") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -453,6 +460,7 @@ object Queries {
       expr(s"aggregate(slice(bits, ${k * 32 + 1}, 32), 0L, (a, b) -> shiftleft(a, 1) | b)").as(s"s$k"))
     val sigs = emb.select(col("vec_id"), signBitsExpr.as("bits"))
       .select(col("vec_id") +: packWords: _*)
+      .persist() // query side and candidate side both read the signatures
     val qs = sigs.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id") +:
         (0 until EmbedLshPlanes / 32).map(k => col(s"s$k").as(s"q$k")): _*)
@@ -512,6 +520,7 @@ object Queries {
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band_id"), col("bv"))))
       .filter(col("bsz") <= MinhashBucketCap)
       .select(col("vec_id"), col("bits"), col("band_id"), col("bv"))
+      .persist() // self-join reads both sides
     val pairs = capped.as("x").join(capped.as("y"),
         col("x.band_id") === col("y.band_id") && col("x.bv") === col("y.bv") &&
           col("x.vec_id") < col("y.vec_id"))
