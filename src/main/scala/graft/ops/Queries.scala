@@ -248,7 +248,7 @@ object Queries {
     * partial-aggregated minima. Map-side combine means no wide shuffle of the
     * text itself, and the signature is 64 BIGINTs, not hex strings.
     */
-  def minhashSig(spark: SparkSession, dir: String): DataFrame = {
+  private def minhashSigCore(spark: SparkSession, dir: String): DataFrame = {
     val grams = shingled(spark, dir)
       .select(col("doc_id"), explode(col("grams")).as("g"))
       .withColumn("hx", md5(col("g")))
@@ -258,8 +258,10 @@ object Queries {
       min((col("h1") + lit(j.toLong) * col("h2")) % lit(MinhashMod)).as(s"sig$j"))
     grams.groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
-      .orderBy("doc_id")
   }
+
+  def minhashSig(spark: SparkSession, dir: String): DataFrame =
+    minhashSigCore(spark, dir).orderBy("doc_id")
 
   /** MinHash+LSH candidate pairs: each band keys r consecutive signature
     * components into a bucket id; docs meet ONLY inside (band, bucket) — a
@@ -270,7 +272,7 @@ object Queries {
     val bandCols = (0 until MinhashBands).map { b =>
       concat_ws("|", (0 until MinhashBandRows).map(r => col(s"sig${b * MinhashBandRows + r}")): _*)
     }
-    val bands = minhashSig(spark, dir)
+    val bands = minhashSigCore(spark, dir) // unsorted: no mid-pipeline global sort
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_id", "bv")))
     // persist: the self-join would otherwise recompute the whole
     // shingle+hash chain on BOTH sides (at scale the signature table is a
@@ -320,7 +322,7 @@ object Queries {
     * round-1 xxhash64 variant was unverifiable (engine-specific hash).
     * Single groupBy with map-side partial aggregation; scales like any hash agg.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  private def simhashCore(spark: SparkSession, dir: String): DataFrame = {
     val words = docsWithDups(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("h", substring(md5(col("w")), 1, 16))
@@ -337,8 +339,10 @@ object Queries {
     agg.select((col("doc_id") +: digits): _*)
       .select(col("doc_id"),
         concat((0 until 16).map(d => lower(conv(col(s"d$d"), 10, 16))): _*).as("simhash"))
-      .orderBy("doc_id")
   }
+
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashCore(spark, dir).orderBy("doc_id")
 
   /** SimHash near-duplicate pairs at scale: pigeonhole banding — two hashes
     * within Hamming distance d must share at least one of d+1 disjoint
@@ -352,7 +356,7 @@ object Queries {
   val SimhashMaxHamming = 4
 
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhash(spark, dir) // (doc_id, 16-hex-char simhash)
+    val sh = simhashCore(spark, dir) // unsorted (doc_id, 16-hex-char simhash)
     val bandCols = (0 until 8).map(k => substring(col("simhash"), k * SimhashBandBits + 1, SimhashBandBits))
     val bands = sh.select(col("doc_id"), col("simhash"),
       posexplode(array(bandCols: _*)).as(Seq("band_id", "bv")))
@@ -414,21 +418,13 @@ object Queries {
   val EmbedLshPlanes = 128
   val EmbedLshScanM = 250
 
-  /** The plane matrix, materialized once driver-side (a literal in the plan,
-    * broadcast with the task binary) — the per-row work is only the 128
-    * zip_with folds, not 8192 modular-arithmetic evaluations.
-    */
-  private lazy val planeWeights: Seq[Seq[Double]] =
-    (0 until EmbedLshPlanes).map(p => (0 until 64).map(i =>
-      (2654435761L * (p * 64 + i + 1) % 2147483647L % 1024L - 512L).toDouble))
-
-  /** transform(v, planes) → array of 0/1 sign bits, identical across engines
-    * (left-fold double accumulation from 0.0 in a fixed order).
+  /** array of 0/1 sign bits — a native codegen'd Catalyst expression (one
+    * static call per row; the interpreted zip_with/aggregate form costs a
+    * 128×64 lambda fold). Accumulation is a left fold from 0.0 in index
+    * order, bit-identical to the SQL fold the DuckDB oracles evaluate.
     */
   private def signBitsExpr: Column =
-    transform(typedLit(planeWeights), pl =>
-      when(aggregate(zip_with(col("v"), pl, _ * _), lit(0.0), (acc, e) => acc + e) > 0, lit(1))
-        .otherwise(lit(0)))
+    graft.functions.ChurroFunctions.sign_bits(col("v"))
 
   /** Signature + bucket view of the embedding table (the dedup/index side of
     * the ANN path): per-vector 128-bit sign signature and its 8-bit bucket
