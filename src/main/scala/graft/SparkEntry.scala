@@ -73,6 +73,7 @@ object SparkEntry {
     "q_embed_lsh_topk" -> (Queries.embedLshTopK(_, _)),
     // text analysis
     "q_token_count" -> (Queries.tokenCount(_, _)),
+    "q_token_count_bpe" -> (Queries.tokenCountBpe(_, _)),
     "q_quality_score" -> (Queries.qualityScore(_, _)),
     "q_langid_scores" -> (Queries.langidScores(_, _)),
     "q_langid" -> (Queries.langId(_, _)),
@@ -200,6 +201,10 @@ object SparkEntry {
       "\nSELECT a, b FROM pairs ORDER BY a, b"),
     "q_token_count" ->
       "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, n_chars FROM documents ORDER BY doc_id",
+    "q_token_count_bpe" ->
+      s"""SELECT doc_id, len(regexp_extract_all(text, '${Queries.BpeTokenRegex}')) AS n_bpe_tokens,
+        | len(string_split(text, ' ')) AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_quality_score" ->
       """SELECT doc_id, length(text) AS len,
         | length(text) - length(replace(text, ' ', '')) AS n_space,

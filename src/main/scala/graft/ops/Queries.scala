@@ -548,6 +548,23 @@ object Queries {
         col("n_chars"))
       .orderBy("doc_id")
 
+  /** BPE-style regex token counting: the GPT-2 pre-tokenizer shape (letter
+    * runs / digit runs / punctuation runs, each with an optional leading
+    * space, plus space runs) restricted to an RE2-safe, escape-free
+    * alternation so Spark (Java regex, backslash-escaping SQL literals) and
+    * DuckDB (RE2, raw literals) evaluate the identical pattern — the
+    * contraction/lookahead clauses of the original are Java-only and
+    * dropped on both sides.
+    */
+  val BpeTokenRegex = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+  def tokenCountBpe(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '$BpeTokenRegex', 0)")).cast("long").as("n_bpe_tokens"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"))
+      .orderBy("doc_id")
+
   /** Quality scoring: exact integer char/space/stopword counts + ratios. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
