@@ -85,6 +85,7 @@ object SparkEntry {
     // multimodal plumbing
     "q_multimodal_sha" -> (Queries.multimodalSha(_, _)),
     "q_image_decode" -> (Queries.imageDecode(_, _)),
+    "q_image_features" -> (Queries.imageFeatures(_, _)),
     // the extraction pipeline + evaluation harness
     "pipeline_extract" -> (pipelineExtract(_, _)),
     "pipeline_eval" -> (Eval.pipelineEval(_, _)),
@@ -254,6 +255,10 @@ object SparkEntry {
       "SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha FROM documents ORDER BY doc_id",
     "q_image_decode" ->
       """SELECT name, width, height, pixel_sha, uri_sha, n_bytes
+        |FROM read_parquet('/root/repo/src/test/resources/expected/image_decode.parquet')
+        |ORDER BY name""".stripMargin,
+    "q_image_features" ->
+      """SELECT name, width, height, mean_r, mean_g, mean_b
         |FROM read_parquet('/root/repo/src/test/resources/expected/image_decode.parquet')
         |ORDER BY name""".stripMargin,
     "q_embed_topk" ->

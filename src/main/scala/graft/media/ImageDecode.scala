@@ -184,6 +184,21 @@ object ImageDecode {
     Decoded(tw, th, out)
   }
 
+  /** Exact integer per-channel pixel sums (feature extraction primitive —
+    * channel means follow as one double division, reproducible everywhere).
+    */
+  def channelSums(d: Decoded): (Long, Long, Long) = {
+    var (r, g, b) = (0L, 0L, 0L)
+    var i = 0
+    while (i < d.rgb.length) {
+      r += d.rgb(i) & 0xFF
+      g += d.rgb(i + 1) & 0xFF
+      b += d.rgb(i + 2) & 0xFF
+      i += 3
+    }
+    (r, g, b)
+  }
+
   /** Encode RGB pixels as PNG bytes (the `page_%04d.png` sink,
     * `cli.py:247-250`, now real).
     */

