@@ -35,10 +35,16 @@ object ScalingBench {
         .write.mode("overwrite").parquet(input)
     }
 
+    // "typed" = Dataset[Doc] encoder path; "native" = the custom
+    // ExtractSpansExec InternalRow path (no encoder round-trip)
+    val mode = if (argv.length > 3) argv(3) else "typed"
+
     def once(): (Double, Long, Long) = {
       val t0 = System.nanoTime()
-      val docs = spark.read.parquet(input).as[Doc]
-      val res = Extract.run(docs, ExtractConfig.Default)
+      val extracted =
+        if (mode == "native") graft.plans.ExtractSpans.run(spark.read.parquet(input))
+        else Extract.run(spark.read.parquet(input).as[Doc], ExtractConfig.Default).toDF()
+      val res = extracted
         .select(count(lit(1)).as("docs"), sum(size(col("spans"))).as("spans"))
         .collect()(0)
       val sec = (System.nanoTime() - t0) / 1e9
