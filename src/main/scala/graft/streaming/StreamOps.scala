@@ -93,6 +93,32 @@ object StreamOps {
     }
   }
 
+  /** Streaming-ingest form of the FLAGSHIP extraction: `readStream` over the
+    * docs table → the same narrow per-document extraction → checkpointed
+    * parquet sink. Extraction is stateless (row-local), so the streaming
+    * plan needs no watermark or state store — each micro-batch is exactly
+    * the batch job on its file slice, and the checkpoint gives the same
+    * at-least-once-commit/no-recompute resume property the batch job's
+    * lineage table provides.
+    */
+  def streamExtract(spark: SparkSession, inputDir: String, outDir: String,
+                    checkpointDir: String): Unit = {
+    import spark.implicits._
+    val schema = spark.read.parquet(inputDir).schema
+    val docs = spark.readStream.schema(schema).parquet(inputDir).as[graft.model.Doc]
+    val extracted = graft.pipeline.Extract.run(docs)
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("s.order").as("order"), col("s.kind").as("kind"),
+        col("s.media_ref").as("media_ref"), col("s.text").as("text"))
+    val q = extracted.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streaming gap sessionization over `(user_id, ts, value)` events. */
   def sessionize(events: Dataset[SessionEvent], gapMs: Long,
                  watermark: String = "1 hour"): Dataset[SessionOut] = {

@@ -84,6 +84,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming extraction twin: byte-identical to the batch job, resume skips processed files") {
+    import graft.pipeline.{DocsGen, Extract}
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_sin").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sckpt").toString
+    DocsGen.docs(spark, 200, seed = 42L).write.mode("overwrite").parquet(in)
+    StreamOps.streamExtract(spark, in, out, ckpt)
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "order", "kind", "media_ref", "text")
+      .orderBy("doc_id", "order").collect().toSeq
+    val batch = Extract.run(DocsGen.docs(spark, 200, seed = 42L)).toDF()
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("s.order"), col("s.kind"), col("s.media_ref"), col("s.text"))
+      .orderBy("doc_id", "order").collect().toSeq
+    assert(streamed == batch)
+    // resume against the same checkpoint: already-processed files are
+    // skipped, output unchanged (the streaming analogue of lineage resume)
+    StreamOps.streamExtract(spark, in, out, ckpt)
+    assert(spark.read.parquet(out).count() == batch.length)
+  }
+
   test("sessionizeFn splits same-batch events farther apart than the gap") {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     // pure-function check through the batch path: two sessions in one group
