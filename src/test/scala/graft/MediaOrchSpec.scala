@@ -103,4 +103,33 @@ class MediaOrchSpec extends AnyFunSuite {
     assert(Pages.cropBBox((5, 5, 25, 25), 30, 40, 30) == ((0, 0, 40, 30)))
     assert(Pages.cropBBox((10.9, 10.9, 20.2, 20.2), 1, 100, 100) == ((9, 9, 21, 21)))
   }
+
+  test("prompt log-once: double-checked gate, base64 previews truncated at 96 (prompt_logging.py:18-85)") {
+    import graft.pipeline.PromptLog
+    import graft.pipeline.PromptLog._
+    PromptLog.reset()
+    val longUri = "data:image/png;base64," + ("A" * 200)
+    val payload = PMap(Seq(
+      "messages" -> PList(Seq(PText("transcribe this"), PText(longUri))),
+      "image" -> PBytes(Array.fill[Byte](300)(7))))
+    var logs = List.empty[String]
+    // 8 racing threads, exactly one log per provider
+    val threads = (1 to 8).map(_ => new Thread(() => {
+      PromptLog.logPromptPayloadOnce(payload, "prov-a", m => logs.synchronized { logs ::= m })
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(logs.length == 1)
+    val msg = logs.head
+    assert(msg.startsWith("First OCR prompt payload for prov-a:"))
+    // data URI truncated to 96 chars + ellipsis
+    assert(msg.contains("data:image/png;base64," + ("A" * (96 - "data:image/png;base64,".length)) + "..."))
+    assert(!msg.contains("A" * 120))
+    // bytes replaced by a typed preview record
+    assert(msg.contains("\"type\": \"bytes\"") && msg.contains("\"byte_length\": \"300\""))
+    // a second provider logs independently; same provider never again
+    assert(PromptLog.logPromptPayloadOnce(payload, "prov-b", _ => ()))
+    assert(!PromptLog.logPromptPayloadOnce(payload, "prov-a", _ => ()))
+    // short non-data strings pass through untouched
+    assert(PromptLog.truncateText("short") == "short")
+  }
 }
