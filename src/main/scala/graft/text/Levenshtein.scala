@@ -12,8 +12,20 @@ object Levenshtein {
   /** Unit-cost edit distance; with `maxCost`, may return `maxCost + 1` when
     * the true distance exceeds the cutoff (rapidfuzz `score_cutoff` parity).
     */
-  def distance(a: String, b: String, maxCost: Int = Int.MaxValue): Int = {
-    if (a == b) return 0
+  def distance(a0: String, b0: String, maxCost: Int = Int.MaxValue): Int = {
+    if (a0 == b0) return 0
+    // rapidfuzz-style common affix removal: shared prefixes/suffixes never
+    // participate in an optimal edit script, so the DP runs only on the
+    // differing core (near-identical evaluation pairs go from O(nm) to
+    // O(diff^2))
+    var lo = 0
+    val minLen = math.min(a0.length, b0.length)
+    while (lo < minLen && a0.charAt(lo) == b0.charAt(lo)) lo += 1
+    var aHi = a0.length
+    var bHi = b0.length
+    while (aHi > lo && bHi > lo && a0.charAt(aHi - 1) == b0.charAt(bHi - 1)) { aHi -= 1; bHi -= 1 }
+    val a = a0.substring(lo, aHi)
+    val b = b0.substring(lo, bHi)
     val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
     val n = s.length
     val m = t.length

@@ -116,6 +116,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("levenshtein with affix trimming equals the textbook DP on random pairs") {
+    def naive(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val g = Gen.listOf(Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)
+    forAll(g, g) { (a, b) =>
+      assert(graft.text.Levenshtein.distance(a, b) == naive(a, b), s"a=$a b=$b")
+    }
+    // shared affixes (the optimized path) on structured pairs
+    forAll(g, g, g) { (pre, mid, suf) =>
+      val a = pre + mid + suf
+      val b = pre + mid.reverse + suf
+      assert(graft.text.Levenshtein.distance(a, b) == naive(a, b))
+    }
+  }
+
   test("merge_prev fold: CJK gets no separator, Latin gets one space") {
     import graft.layout.{Block, Render}
     forAll(Gen.alphaStr.suchThat(_.nonEmpty), Gen.oneOf("世界", "appendix", "界x")) { (base, cont) =>
