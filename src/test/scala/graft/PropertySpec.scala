@@ -129,7 +129,7 @@ class PropertySpec extends AnyFunSuite {
       assert(graft.text.Levenshtein.distance(a, b) == naive(a, b), s"a=$a b=$b")
     }
     // shared affixes (the optimized path) on structured pairs
-    forAll(g, g, g) { (pre, mid, suf) =>
+    forAll(Gen.zip(g, g, g)) { case (pre, mid, suf) =>
       val a = pre + mid + suf
       val b = pre + mid.reverse + suf
       assert(graft.text.Levenshtein.distance(a, b) == naive(a, b))
