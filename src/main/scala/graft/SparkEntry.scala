@@ -112,7 +112,7 @@ object SparkEntry {
       s"($parts) AS band$b"
     }.mkString(", ")
     val bandUnion = (0 until Queries.MinhashBands)
-      .map(b => s"SELECT doc_id, band$b AS bv FROM bands0").mkString(" UNION ALL ")
+      .map(b => s"SELECT doc_id, $b AS band_id, band$b AS bv FROM bands0").mkString(" UNION ALL ")
     s""", grams AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
        |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
@@ -122,12 +122,12 @@ object SparkEntry {
        |              CAST('0x' || substring(md5(g), 15, 14) AS BIGINT) AS h2 FROM grams),
        |sigs AS (SELECT doc_id, $sigCols FROM hb GROUP BY doc_id),
        |bands0 AS (SELECT doc_id, $bandCols FROM sigs),
-       |bands AS (SELECT doc_id, bv FROM ($bandUnion)),
-       |capped AS (SELECT doc_id, bv FROM (
-       |    SELECT doc_id, bv, count(*) OVER (PARTITION BY bv) AS bsz FROM bands)
+       |bands AS (SELECT doc_id, band_id, bv FROM ($bandUnion)),
+       |capped AS (SELECT doc_id, band_id, bv FROM (
+       |    SELECT doc_id, band_id, bv, count(*) OVER (PARTITION BY band_id, bv) AS bsz FROM bands)
        |  WHERE bsz <= ${Queries.MinhashBucketCap}),
        |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM capped x JOIN capped y
-       |          ON x.bv = y.bv AND x.doc_id < y.doc_id)""".stripMargin
+       |          ON x.band_id = y.band_id AND x.bv = y.bv AND x.doc_id < y.doc_id)""".stripMargin
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

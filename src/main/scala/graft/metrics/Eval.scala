@@ -103,7 +103,7 @@ object Eval {
           case 1 => gold.replace("the", "teh") // corrupted
           case 2 => text + (" spam" * 40) // repetition tail
           case 3 => "" // empty
-          case _ => s"**${text.toUpperCase}**" // markup + case
+          case _ => s"**${text.toUpperCase(java.util.Locale.ROOT)}**" // markup + case (ROOT: tr_TR dotted-I safety; fixture used ASCII upper())
         }
         val dtype = if (id % 2 == 0) "print" else "handwriting"
         (s"doc_$id", pred, gold, lang, dtype)

@@ -67,8 +67,10 @@ object Sinks {
     * pages; returns nothing driver-side (list the dir to enumerate).
     */
   def writePngPages(pages: Dataset[(Int, graft.media.ImageDecode.Decoded)], outDir: String): Unit = {
-    Files.createDirectories(Paths.get(outDir))
     pages.foreachPartition { it: Iterator[(Int, graft.media.ImageDecode.Decoded)] =>
+      // dir creation must happen executor-side (a driver-side mkdir only
+      // exists on the driver's filesystem); outDir must be shared storage
+      Files.createDirectories(Paths.get(outDir))
       it.foreach { case (pageIndex, d) =>
         val bytes = graft.media.ImageDecode.encodePng(d)
         Files.write(Paths.get(f"$outDir/page_$pageIndex%04d.png"), bytes)

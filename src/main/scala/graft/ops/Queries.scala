@@ -499,11 +499,16 @@ object Queries {
 
   /** Embedding-cosine near-duplicate detection at scale: sign-signature
     * banding (16 per-band equi-joins over 8-bit chunks of the 128-bit
-    * signature, bucket-capped) → exact Hamming gate ≤ 16 → exact cosine
+    * signature, bucket-capped) → exact Hamming gate ≤ 15 (the pigeonhole
+    * completeness bound for 16 bands) → exact cosine
     * verify ≥ 0.99. Never an all-pairs float comparison; planted
     * near-identical copies differ by only a few signature bits.
     */
-  val EmbedNearDupMaxHamming = 16
+  /** 16 disjoint 8-bit bands guarantee a shared band only for Hamming
+    * distance <= 15 (pigeonhole) — the gate must not claim more than the
+    * blocking can deliver.
+    */
+  val EmbedNearDupMaxHamming = 15
 
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val base = embWithDups(spark, dir)
@@ -684,10 +689,16 @@ object Queries {
     * existed (tools/gen_media_fixture.py), so a green row proves the JVM
     * decode path bit-exact.
     */
+  /** Media fixture dir — env-overridable for non-sandbox checkouts (the
+    * committed PNGs are the only no-external-data image source available).
+    */
+  private def mediaDir: String =
+    sys.env.getOrElse("GRAFT_MEDIA_DIR", "/root/repo/src/test/resources/media")
+
   def imageDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val files = spark.read.format("binaryFile")
-      .load("/root/repo/src/test/resources/media/*.png")
+      .load(s"$mediaDir/*.png")
       .withColumn("name", element_at(split(col("path"), "/"), -1))
       // Spark's base64 emits RFC-2045 MIME chunking (\r\n every 76 chars);
       // a data URI needs the unchunked RFC-4648 form the reference's
@@ -719,7 +730,7 @@ object Queries {
   def imageFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
-      .load("/root/repo/src/test/resources/media/*.png")
+      .load(s"$mediaDir/*.png")
       .withColumn("name", element_at(split(col("path"), "/"), -1))
       .select(col("name"), col("content")).as[(String, Array[Byte])]
       .mapPartitions { it =>

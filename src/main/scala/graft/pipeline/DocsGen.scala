@@ -84,9 +84,12 @@ object DocsGen {
     "<|box_start|>100 100 900 200<|box_end|><|ref_start|>text<|ref_end|>First part" +
       "<|box_start|>100 220 900 320<|box_end|><|ref_start|>text<|ref_end|><|txt_contd_tgt|>世界" + sentence(rng, 1)
 
+  /** The one id format — docsWhere's pre-synthesis filter depends on it. */
+  def docIdOf(docIndex: Long): String = f"doc_$docIndex%08d"
+
   def genDoc(docIndex: Long, seed: Long, skewEvery: Long = 1000L): Doc = {
     val rng = new Rng(seed ^ (docIndex * 0x2545F4914F6CDD1DL))
-    val docId = f"doc_$docIndex%08d"
+    val docId = docIdOf(docIndex)
     val isSkewed = skewEvery > 0 && docIndex % skewEvery == skewEvery - 1
     val nSpans =
       if (isSkewed) 5000 + rng.nextInt(5001)
@@ -131,8 +134,7 @@ object DocsGen {
     import spark.implicits._
     val base = if (partitions > 0) spark.range(0L, nDocs, 1L, partitions) else spark.range(nDocs)
     base.as[Long].mapPartitions(_.flatMap { i =>
-      val docId = f"doc_$i%08d"
-      if (docIdFilter(docId)) Iterator.single(genDoc(i, seed, skewEvery)) else Iterator.empty
+      if (docIdFilter(docIdOf(i))) Iterator.single(genDoc(i, seed, skewEvery)) else Iterator.empty
     })
   }
 }

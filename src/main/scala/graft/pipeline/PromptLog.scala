@@ -24,6 +24,7 @@ object PromptLog {
   /** Payload tree for sanitization (the reference's loose `object`). */
   sealed trait Payload
   final case class PText(value: String) extends Payload
+  final case class PInt(value: Long) extends Payload
   final case class PBytes(value: Array[Byte]) extends Payload
   final case class PMap(entries: Seq[(String, Payload)]) extends Payload
   final case class PList(items: Seq[Payload]) extends Payload
@@ -36,14 +37,27 @@ object PromptLog {
     case t: PText => t
     case PBytes(b) => PMap(Seq(
       "type" -> PText("bytes"),
-      "byte_length" -> PText(b.length.toString),
+      "byte_length" -> PInt(b.length.toLong), // integer like json.dumps
       "data_preview" -> PText(bytesPreview(b))))
+    case i: PInt => i
     case PMap(es) => PMap(es.map { case (k, v) => k -> sanitize(v) })
     case PList(is) => PList(is.map(sanitize))
   }
 
   def render(payload: Payload): String = payload match {
-    case PText(v) => "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case PText(v) =>
+      val sb = new java.lang.StringBuilder("\"")
+      v.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append("\"").toString
+    case PInt(v) => v.toString
     case PBytes(b) => render(sanitize(PBytes(b)))
     case PMap(es) => es.map { case (k, v) => s""""$k": ${render(v)}""" }.mkString("{", ", ", "}")
     case PList(is) => is.map(render).mkString("[", ", ", "]")

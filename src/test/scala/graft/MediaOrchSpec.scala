@@ -125,7 +125,7 @@ class MediaOrchSpec extends AnyFunSuite {
     assert(msg.contains("data:image/png;base64," + ("A" * (96 - "data:image/png;base64,".length)) + "..."))
     assert(!msg.contains("A" * 120))
     // bytes replaced by a typed preview record
-    assert(msg.contains("\"type\": \"bytes\"") && msg.contains("\"byte_length\": \"300\""))
+    assert(msg.contains("\"type\": \"bytes\"") && msg.contains("\"byte_length\": 300"))
     // a second provider logs independently; same provider never again
     assert(PromptLog.logPromptPayloadOnce(payload, "prov-b", _ => ()))
     assert(!PromptLog.logPromptPayloadOnce(payload, "prov-a", _ => ()))
