@@ -86,6 +86,7 @@ object SparkEntry {
     "q_multimodal_sha" -> (Queries.multimodalSha(_, _)),
     "q_image_decode" -> (Queries.imageDecode(_, _)),
     "q_image_features" -> (Queries.imageFeatures(_, _)),
+    "q_pdf_pages" -> (Queries.pdfPages(_, _)),
     // the extraction pipeline + evaluation harness
     "pipeline_extract" -> (pipelineExtract(_, _)),
     "pipeline_eval" -> (Eval.pipelineEval(_, _)),
@@ -261,6 +262,10 @@ object SparkEntry {
       """SELECT name, width, height, mean_r, mean_g, mean_b
         |FROM read_parquet('/root/repo/src/test/resources/expected/image_decode.parquet')
         |ORDER BY name""".stripMargin,
+    "q_pdf_pages" ->
+      """SELECT name, page_index, width, height, pixel_sha
+        |FROM read_parquet('/root/repo/src/test/resources/expected/pdf_pages.parquet')
+        |ORDER BY name, page_index""".stripMargin,
     "q_embed_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),

@@ -719,6 +719,28 @@ object Queries {
       .orderBy("name")
   }
 
+  /** Scanned-PDF page fan-out (`rasterize_pdf`, `_internal/pdf.py:20-54`):
+    * one binary PDF row explodes into its per-page embedded raster images
+    * (the scanned-document case — see [[graft.media.PdfPages]] for the
+    * supported subset), verified against pixel digests computed by the
+    * independent pure-Python PDF writer before embedding.
+    */
+  def pdfPages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .load(s"$mediaDir/*.pdf")
+      .withColumn("name", element_at(split(col("path"), "/"), -1))
+      .select(col("name"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (n, bytes) =>
+        graft.media.PdfPages.pages(bytes).map { p =>
+          (n, p.pageIndex, p.image.width, p.image.height,
+            graft.media.ImageDecode.sha256Hex(p.image.rgb))
+        }
+      }
+      .toDF("name", "page_index", "width", "height", "pixel_sha")
+      .orderBy("name", "page_index")
+  }
+
   /** Batched multimodal feature extraction — the Spark-native shape of the
     * brief's `mapInPandas` decode/feature step: a binaryFile scan feeds
     * `mapPartitions` where [[graft.pipeline.Batching.mapBatched]] groups
