@@ -12,56 +12,120 @@ import java.nio.charset.StandardCharsets
   *
   * Supported subset (documented contract, validated on fixtures built by an
   * independent pure-Python writer, tools/gen_pdf_fixture.py):
-  *  - classic cross-reference PDFs with uncompressed object headers,
+  *  - classic cross-reference PDFs: objects are located via the xref
+  *    table's exact byte offsets (never by scanning raw bytes, where
+  *    compressed payloads could contain phantom `obj`/`endobj` markers),
   *  - page order from the /Kids array of the root /Pages node,
-  *  - one /Subtype /Image XObject per page, referenced from the page's
-  *    /Resources /XObject dict,
+  *  - exactly ONE /Subtype /Image XObject per page (multi-strip scanned
+  *    pages would need content-stream placement — rejected loudly),
+  *  - /Length as a literal or an indirect integer reference,
   *  - /Filter /FlateDecode + /DeviceRGB/8-bit (raw RGB rows) or
   *    /DCTDecode (the stream IS a JPEG — handed to [[ImageDecode.decode]]).
+  * Anything outside the subset throws with a reason; nothing is silently
+  * dropped, zero-padded, or guessed.
   */
 object PdfPages {
 
   final case class PdfPage(pageIndex: Int, image: ImageDecode.Decoded)
 
-  private val ObjRe = """(?s)(\d+)\s+0\s+obj(.*?)endobj""".r
   private val KidsRe = """/Kids\s*\[([^\]]*)\]""".r
   private val RefRe = """(\d+)\s+0\s+R""".r
   private val XObjectRefRe = """/XObject\s*<<([^>]*)>>""".r
-  private val IntKeyRe = Map(
-    "Width" -> """/Width\s+(\d+)""".r,
-    "Height" -> """/Height\s+(\d+)""".r,
-    "Length" -> """/Length\s+(\d+)""".r)
+  private val LengthLitRe = """/Length\s+(\d+)(?!\s+0\s+R)""".r
+  private val LengthRefRe = """/Length\s+(\d+)\s+0\s+R""".r
+  private val IntRe = """\d+""".r
 
-  /** Latin-1 view of the bytes: 1:1 byte↔char, so regex offsets are byte
-    * offsets and binary stream payloads survive round-trips.
+  /** Latin-1 view: 1:1 byte↔char, so string offsets are byte offsets. */
+  private def latin1(bytes: Array[Byte], from: Int, until: Int): String =
+    new String(bytes, from, until - from, StandardCharsets.ISO_8859_1)
+
+  /** One parsed object: header/dict text + exact stream payload bounds. */
+  private final case class PdfObject(num: Int, dict: String,
+                                     streamStart: Int = -1, streamLenRaw: Option[Either[Int, Int]] = None) {
+    def hasStream: Boolean = streamStart >= 0
+  }
+
+  /** Byte offsets of the in-use objects from the classic xref table. */
+  private def xrefOffsets(bytes: Array[Byte]): Map[Int, Int] = {
+    val tail = latin1(bytes, math.max(0, bytes.length - 2048), bytes.length)
+    val sx = tail.lastIndexOf("startxref")
+    require(sx >= 0, "no startxref (classic-xref subset)")
+    val xrefAt = IntRe.findFirstIn(tail.substring(sx + "startxref".length)).map(_.toInt)
+      .getOrElse(throw new IllegalArgumentException("unparsable startxref"))
+    require(xrefAt >= 0 && xrefAt < bytes.length, "startxref offset out of range")
+    val section = latin1(bytes, xrefAt, math.min(bytes.length, xrefAt + 64 * 1024))
+    require(section.startsWith("xref"), "xref table not at startxref (xref streams unsupported)")
+    val lines = section.linesIterator.buffered
+    lines.next() // "xref"
+    val out = Map.newBuilder[Int, Int]
+    var done = false
+    while (!done && lines.hasNext) {
+      val header = lines.head.trim
+      if (header.startsWith("trailer") || header.isEmpty) done = true
+      else {
+        lines.next()
+        val parts = header.split("\\s+")
+        require(parts.length == 2, s"bad xref subsection header: $header")
+        val first = parts(0).toInt
+        val count = parts(1).toInt
+        var i = 0
+        while (i < count) {
+          require(lines.hasNext, "truncated xref table")
+          val e = lines.next().trim.split("\\s+")
+          require(e.length >= 3, s"bad xref entry: ${e.mkString(" ")}")
+          if (e(2) == "n" && first + i != 0) out += (first + i) -> e(0).toInt
+          i += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Parse the object that starts at `offset`: "N 0 obj" + dict, and when a
+    * stream follows, record its exact payload start (the /Length is applied
+    * later, after indirect resolution).
     */
-  private def latin1(bytes: Array[Byte]): String =
-    new String(bytes, StandardCharsets.ISO_8859_1)
+  private def parseObjectAt(bytes: Array[Byte], num: Int, offset: Int): PdfObject = {
+    val window = latin1(bytes, offset, math.min(bytes.length, offset + 8 * 1024))
+    val headEnd = window.indexOf("obj")
+    require(headEnd >= 0 && window.substring(0, headEnd).trim == s"$num 0",
+      s"object $num not at xref offset $offset")
+    val bodyStart = headEnd + "obj".length
+    val streamAt = window.indexOf("stream", bodyStart)
+    val endobjAt = window.indexOf("endobj", bodyStart)
+    if (streamAt >= 0 && (endobjAt < 0 || streamAt < endobjAt)) {
+      val dict = window.substring(bodyStart, streamAt)
+      var ps = streamAt + "stream".length
+      if (ps < window.length && window.charAt(ps) == '\r') ps += 1
+      if (ps < window.length && window.charAt(ps) == '\n') ps += 1
+      PdfObject(num, dict, streamStart = offset + ps, streamLenRaw = Some(lengthOf(dict, num)))
+    } else {
+      require(endobjAt >= 0, s"object $num: no endobj within the header window")
+      PdfObject(num, window.substring(bodyStart, endobjAt))
+    }
+  }
 
-  private final case class PdfObject(num: Int, body: String, bodyOffset: Int)
+  /** /Length: Right(literal) or Left(indirect object number). */
+  private def lengthOf(dict: String, num: Int): Either[Int, Int] =
+    LengthRefRe.findFirstMatchIn(dict).map(m => Left(m.group(1).toInt): Either[Int, Int])
+      .orElse(LengthLitRe.findFirstMatchIn(dict).map(m => Right(m.group(1).toInt)))
+      .getOrElse(throw new IllegalArgumentException(s"object $num: stream without /Length"))
 
-  private def objects(text: String): Map[Int, PdfObject] =
-    ObjRe.findAllMatchIn(text).map { m =>
-      m.group(1).toInt -> PdfObject(m.group(1).toInt, m.group(2), m.start(2))
-    }.toMap
+  private def resolveLength(obj: PdfObject, objs: Map[Int, PdfObject]): Int = obj.streamLenRaw.get match {
+    case Right(lit) => lit
+    case Left(ref) =>
+      val target = objs.getOrElse(ref,
+        throw new IllegalArgumentException(s"object ${obj.num}: /Length $ref 0 R unresolvable"))
+      IntRe.findFirstIn(target.dict.trim).map(_.toInt)
+        .getOrElse(throw new IllegalArgumentException(s"object ${obj.num}: /Length target $ref not an integer"))
+  }
 
-  private def intKey(body: String, key: String): Option[Int] =
-    IntKeyRe(key).findFirstMatchIn(body).map(_.group(1).toInt)
-
-  /** Stream payload of an object: bytes between `stream\n` and `endstream`,
-    * sized by /Length.
-    */
-  private def streamData(bytes: Array[Byte], obj: PdfObject): Array[Byte] = {
-    val body = obj.body
-    val len = intKey(body, "Length").getOrElse(
-      throw new IllegalArgumentException(s"object ${obj.num}: stream without /Length"))
-    val marker = body.indexOf("stream")
-    require(marker >= 0, s"object ${obj.num}: no stream")
-    var start = marker + "stream".length
-    if (start < body.length && body.charAt(start) == '\r') start += 1
-    if (start < body.length && body.charAt(start) == '\n') start += 1
-    val abs = obj.bodyOffset + start
-    java.util.Arrays.copyOfRange(bytes, abs, abs + len)
+  private def streamData(bytes: Array[Byte], obj: PdfObject, objs: Map[Int, PdfObject]): Array[Byte] = {
+    require(obj.hasStream, s"object ${obj.num}: no stream")
+    val len = resolveLength(obj, objs)
+    require(obj.streamStart + len <= bytes.length,
+      s"object ${obj.num}: /Length $len overruns the file (truncated PDF)")
+    java.util.Arrays.copyOfRange(bytes, obj.streamStart, obj.streamStart + len)
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {
@@ -71,22 +135,29 @@ object PdfPages {
     val buf = new Array[Byte](8192)
     while (!inf.finished()) {
       val n = inf.inflate(buf)
-      if (n == 0 && inf.needsInput()) throw new IllegalArgumentException("truncated Flate stream")
+      if (n == 0) {
+        // stalled: truncated input, preset-dictionary header, or corrupt
+        if (inf.needsInput() || inf.needsDictionary())
+          throw new IllegalArgumentException("unsupported or truncated Flate stream")
+      }
       out.write(buf, 0, n)
     }
     inf.end()
     out.toByteArray
   }
 
-  private def decodeImageObject(bytes: Array[Byte], obj: PdfObject): ImageDecode.Decoded = {
-    val body = obj.body
-    val data = streamData(bytes, obj)
-    if (body.contains("/DCTDecode")) {
+  private def decodeImageObject(bytes: Array[Byte], obj: PdfObject,
+                                objs: Map[Int, PdfObject]): ImageDecode.Decoded = {
+    val dict = obj.dict
+    val data = streamData(bytes, obj, objs)
+    if (dict.contains("/DCTDecode")) {
       ImageDecode.decode(data) // the stream is a JPEG
-    } else if (body.contains("/FlateDecode")) {
-      require(body.contains("/DeviceRGB"), s"object ${obj.num}: unsupported colorspace")
-      val w = intKey(body, "Width").get
-      val h = intKey(body, "Height").get
+    } else if (dict.contains("/FlateDecode")) {
+      require(dict.contains("/DeviceRGB"), s"object ${obj.num}: unsupported colorspace")
+      val w = """/Width\s+(\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalArgumentException(s"object ${obj.num}: no /Width"))
+      val h = """/Height\s+(\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalArgumentException(s"object ${obj.num}: no /Height"))
       val raw = inflate(data)
       require(raw.length == w * h * 3,
         s"object ${obj.num}: expected ${w * h * 3} RGB bytes, got ${raw.length}")
@@ -98,21 +169,27 @@ object PdfPages {
     * fan-out (`pdf.py:36-50`: one image per page, `page_index` sequential).
     */
   def pages(pdfBytes: Array[Byte]): Vector[PdfPage] = {
-    val text = latin1(pdfBytes)
-    require(text.startsWith("%PDF"), "not a PDF")
-    val objs = objects(text)
-    val pagesNode = objs.values.find(o => o.body.contains("/Type /Pages") || o.body.contains("/Type/Pages"))
+    require(pdfBytes.length > 8 && latin1(pdfBytes, 0, 5) == "%PDF-", "not a PDF")
+    val offsets = xrefOffsets(pdfBytes)
+    val objs: Map[Int, PdfObject] = offsets.map { case (num, off) =>
+      num -> parseObjectAt(pdfBytes, num, off)
+    }
+    val pagesNode = objs.values.find(o => o.dict.contains("/Type /Pages") || o.dict.contains("/Type/Pages"))
       .getOrElse(throw new IllegalArgumentException("no /Pages node"))
-    val kids = KidsRe.findFirstMatchIn(pagesNode.body)
+    val kids = KidsRe.findFirstMatchIn(pagesNode.dict)
       .map(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toVector)
       .getOrElse(Vector.empty)
+    require(kids.nonEmpty, "empty /Kids")
     kids.zipWithIndex.map { case (pageNum, idx) =>
       val page = objs.getOrElse(pageNum,
         throw new IllegalArgumentException(s"missing page object $pageNum"))
-      val imgRef = XObjectRefRe.findFirstMatchIn(page.body)
-        .flatMap(m => RefRe.findFirstMatchIn(m.group(1)).map(_.group(1).toInt))
-        .getOrElse(throw new IllegalArgumentException(s"page $pageNum: no image XObject"))
-      PdfPage(idx, decodeImageObject(pdfBytes, objs(imgRef)))
+      val imgRefs = XObjectRefRe.findFirstMatchIn(page.dict)
+        .map(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toVector)
+        .getOrElse(Vector.empty)
+      require(imgRefs.nonEmpty, s"page $pageNum: no image XObject")
+      require(imgRefs.length == 1,
+        s"page $pageNum: ${imgRefs.length} XObjects (multi-strip pages need content-stream placement — unsupported)")
+      PdfPage(idx, decodeImageObject(pdfBytes, objs(imgRefs.head), objs))
     }
   }
 }

@@ -41,8 +41,33 @@ class PdfPagesSpec extends AnyFunSuite {
     }
   }
 
-  test("DCTDecode pages: the stream is a JPEG handed to ImageIO") {
-    // build a one-page DCT PDF in-test: encode a JPEG via ImageIO, embed it
+  /** Minimal classic-xref PDF builder (offset-tracked). */
+  private class PdfBuilder {
+    private val body = new java.io.ByteArrayOutputStream()
+    private val offsets = scala.collection.mutable.SortedMap.empty[Int, Int]
+    body.write("%PDF-1.4\n".getBytes("ISO-8859-1"))
+    def obj(num: Int, dict: String, stream: Option[Array[Byte]] = None): Unit = {
+      offsets(num) = body.size()
+      body.write(s"$num 0 obj\n$dict\n".getBytes("ISO-8859-1"))
+      stream.foreach { data =>
+        body.write("stream\n".getBytes("ISO-8859-1"))
+        body.write(data)
+        body.write("\nendstream\n".getBytes("ISO-8859-1"))
+      }
+      body.write("endobj\n".getBytes("ISO-8859-1"))
+    }
+    def build(): Array[Byte] = {
+      val xrefAt = body.size()
+      val maxNum = offsets.keys.max
+      val sb = new StringBuilder(s"xref\n0 ${maxNum + 1}\n0000000000 65535 f \n")
+      (1 to maxNum).foreach(n => sb.append(f"${offsets.getOrElse(n, 0)}%010d 00000 n \n"))
+      sb.append(s"trailer\n<< /Size ${maxNum + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+      body.write(sb.toString.getBytes("ISO-8859-1"))
+      body.toByteArray
+    }
+  }
+
+  test("DCTDecode pages + indirect /Length: the stream is a JPEG handed to ImageIO") {
     val (w, h) = (20, 12)
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (x * 12) << 16 | (y * 20) << 8)
@@ -50,19 +75,17 @@ class PdfPagesSpec extends AnyFunSuite {
     javax.imageio.ImageIO.write(img, "jpg", bos)
     val jpeg = bos.toByteArray
     val expected = ImageDecode.decode(jpeg)
-    val body = new java.io.ByteArrayOutputStream()
-    def w8(s: String): Unit = body.write(s.getBytes("ISO-8859-1"))
-    w8("%PDF-1.4\n")
-    w8("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
-    w8("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
-    w8(s"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 $w $h] " +
-      "/Resources << /XObject << /Im0 4 0 R >> >> >>\nendobj\n")
-    w8(s"4 0 obj\n<< /Type /XObject /Subtype /Image /Width $w /Height $h " +
-      s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode /Length ${jpeg.length} >>\nstream\n")
-    body.write(jpeg)
-    w8("\nendstream\nendobj\n")
-    w8("trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n")
-    val got = PdfPages.pages(body.toByteArray)
+    val b = new PdfBuilder
+    b.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 $w $h] " +
+      "/Resources << /XObject << /Im0 4 0 R >> >> >>")
+    // /Length as an INDIRECT reference — common in real classic-xref writers
+    b.obj(4, s"<< /Type /XObject /Subtype /Image /Width $w /Height $h " +
+      s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode /Length 5 0 R >>",
+      stream = Some(jpeg))
+    b.obj(5, jpeg.length.toString)
+    val got = PdfPages.pages(b.build())
     assert(got.length == 1)
     assert(got.head.image.width == w && got.head.image.height == h)
     assert(got.head.image.rgb.toSeq == expected.rgb.toSeq)
@@ -72,5 +95,32 @@ class PdfPagesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](PdfPages.pages("not a pdf".getBytes))
     intercept[IllegalArgumentException](
       PdfPages.pages("%PDF-1.4\n1 0 obj\n<< >>\nendobj\n".getBytes))
+    // multi-strip page (two image XObjects): rejected, never half-returned
+    val raw = Array.fill[Byte](4 * 4 * 3)(9)
+    val flate = {
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val out = new Array[Byte](256); val n = d.deflate(out); d.end()
+      java.util.Arrays.copyOf(out, n)
+    }
+    val b = new PdfBuilder
+    b.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, "<< /Type /Page /Parent 2 0 R " +
+      "/Resources << /XObject << /Im0 4 0 R /Im1 4 0 R >> >> >>")
+    b.obj(4, "<< /Type /XObject /Subtype /Image /Width 4 /Height 4 " +
+      s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode /Length ${flate.length} >>",
+      stream = Some(flate))
+    val ex = intercept[IllegalArgumentException](PdfPages.pages(b.build()))
+    assert(ex.getMessage.contains("unsupported"))
+    // overstated /Length (truncated file): loud bounds failure, no zero-pad
+    val b2 = new PdfBuilder
+    b2.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b2.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b2.obj(3, "<< /Type /Page /Parent 2 0 R /Resources << /XObject << /Im0 4 0 R >> >> >>")
+    b2.obj(4, "<< /Type /XObject /Subtype /Image /Width 4 /Height 4 " +
+      "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode /Length 999999 >>",
+      stream = Some(flate))
+    val ex2 = intercept[IllegalArgumentException](PdfPages.pages(b2.build()))
+    assert(ex2.getMessage.contains("overruns"))
   }
 }
