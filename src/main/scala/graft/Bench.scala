@@ -30,6 +30,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      finally graft.ops.Queries.releaseCaches() // no storage residue between queries
       name -> (System.nanoTime() - t0) / 1e9
     }
 

@@ -52,6 +52,60 @@ object ExprImpl {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Number of differing positions between two equal-length int arrays — the
+    * near-dup Hamming gate as one static call instead of an interpreted
+    * zip_with/aggregate fold over 128 lambda frames per surviving pair.
+    */
+  def hammingBits(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                  b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val n = a.numElements()
+    var i = 0
+    var d = 0
+    while (i < n) { if (a.getInt(i) != b.getInt(i)) d += 1; i += 1 }
+    d
+  }
+
+  /** Pack a 0/1 int array into big-endian words of `width` bits (width ≤ 63):
+    * bits_pack(bits, 32) → the 4 packed signature words, bits_pack(bits, 8)
+    * → the 16 LSH band values. Identical fold order to the SQL
+    * `list_reduce((a, b) -> (a << 1) | b)` form the oracles evaluate.
+    */
+  def packBits(bits: org.apache.spark.sql.catalyst.util.ArrayData, width: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = bits.numElements()
+    val out = new Array[Long](n / width)
+    var w = 0
+    while (w < out.length) {
+      var acc = 0L
+      var i = 0
+      while (i < width) { acc = (acc << 1) | bits.getInt(w * width + i); i += 1 }
+      out(w) = acc
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else throw new IllegalArgumentException(s"not a lowercase hex digit: $c")
+
+  /** Bit-level Hamming distance between two equal-length lowercase-hex
+    * strings (the 16-digit simhash form) — replaces the 16-term interpreted
+    * instr/xor/bit_count expression tree.
+    */
+  def hexHamming(a: UTF8String, b: UTF8String): Int = {
+    val sa = a.toString
+    val sb = b.toString
+    require(sa.length == sb.length, "hex_hamming: length mismatch")
+    var i = 0
+    var d = 0
+    while (i < sa.length) {
+      d += java.lang.Integer.bitCount(hexVal(sa.charAt(i)) ^ hexVal(sb.charAt(i)))
+      i += 1
+    }
+    d
+  }
 }
 
 /** `churro_normalize(text)` — the reference's full evaluation normalizer
@@ -145,6 +199,48 @@ case class SignBits(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `hamming_bits(a, b)` — differing positions between two int arrays, native
+  * codegen (the embedding near-dup verify gate).
+  */
+case class HammingBits(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprImpl.hammingBits(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprImpl.hammingBits($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingBits =
+    copy(left = l, right = r)
+}
+
+/** `bits_pack(bits, width)` — pack a 0/1 array into big-endian `width`-bit
+  * words (array<long>), native codegen: one static call per row replaces a
+  * per-word interpreted shift/or fold.
+  */
+case class BitsPack(child: Expression, width: Int) extends UnaryExpression {
+  require(width > 0 && width < 64, s"bits_pack width out of range: $width")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    ExprImpl.packBits(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.packBits($c, $width)")
+  override protected def withNewChildInternal(newChild: Expression): BitsPack =
+    copy(child = newChild)
+}
+
+/** `hex_hamming(a, b)` — bit Hamming distance of two lowercase-hex strings
+  * (simhash verify), native codegen.
+  */
+case class HexHamming(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprImpl.hexHamming(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprImpl.hexHamming($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HexHamming =
+    copy(left = l, right = r)
+}
+
 /** Column surface + SQL registration. */
 object ChurroFunctions {
   private def e(c: Column) = ColumnBridge.expression(c)
@@ -156,6 +252,9 @@ object ChurroFunctions {
   def nls(a: Column, b: Column): Column = col(Nls(e(a), e(b)))
   def bucket_of(a: Column, b: Column): Column = col(BucketOf(e(a), e(b)))
   def sign_bits(c: Column): Column = col(SignBits(e(c)))
+  def hamming_bits(a: Column, b: Column): Column = col(HammingBits(e(a), e(b)))
+  def bits_pack(c: Column, width: Int): Column = col(BitsPack(e(c), width))
+  def hex_hamming(a: Column, b: Column): Column = col(HexHamming(e(a), e(b)))
 
   /** Register the SQL surface on a session (idempotent). */
   def register(spark: SparkSession): Unit = {

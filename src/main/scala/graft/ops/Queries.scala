@@ -25,6 +25,30 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Caches registered by query builders, released by [[releaseCaches]].
+    * A query function returns a LAZY DataFrame, so it cannot unpersist its
+    * own intermediates (the caller's terminal action hasn't run yet);
+    * instead every persist is tracked here and the caller releases after
+    * the action. Round-2 lesson: five untracked persists accumulated across
+    * the 45-query bench session and degraded unrelated queries
+    * (q_json_extract 0.7s → 6.4s).
+    */
+  private val liveCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def tracked(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    liveCaches.add(p)
+    p
+  }
+
+  /** Release every cache registered since the last call — invoke after each
+    * query's terminal action (Bench/Verify do).
+    */
+  def releaseCaches(): Unit = {
+    var d = liveCaches.poll()
+    while (d != null) { d.unpersist(blocking = false); d = liveCaches.poll() }
+  }
+
   private val dec: DataType = DecimalType(18, 2)
 
   // ---- scans / filters / projections ---------------------------------------
@@ -264,9 +288,14 @@ object Queries {
     minhashSigCore(spark, dir).orderBy("doc_id")
 
   /** MinHash+LSH candidate pairs: each band keys r consecutive signature
-    * components into a bucket id; docs meet ONLY inside (band, bucket) — a
-    * single equi-join after a posexplode, never an all-pairs comparison.
-    * Buckets above [[MinhashBucketCap]] are dropped first (skew guard).
+    * components into a bucket id; docs meet ONLY inside (band, bucket).
+    * Single-pass plan (round 3): ONE groupBy collects each (band, bucket)'s
+    * members (bounded by [[MinhashBucketCap]] — oversized buckets are
+    * dropped, the skew guard) and the ≤ cap²/2 pairs are emitted by a
+    * lambda over the sorted member array. The round-2 capped SELF-JOIN
+    * computed the same pairs but shuffled the band table twice, needed a
+    * window pass for the cap, and forced a persist (whose leaked blocks
+    * degraded unrelated queries in a shared session).
     */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val bandCols = (0 until MinhashBands).map { b =>
@@ -274,18 +303,15 @@ object Queries {
     }
     val bands = minhashSigCore(spark, dir) // unsorted: no mid-pipeline global sort
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_id", "bv")))
-    // persist: the self-join would otherwise recompute the whole
-    // shingle+hash chain on BOTH sides (at scale the signature table is a
-    // materialized index, so this models the production shape too)
-    val capped = bands
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band_id"), col("bv"))))
-      .filter(col("bsz") <= MinhashBucketCap)
-      .select(col("doc_id"), col("band_id"), col("bv"))
-      .persist()
-    capped.as("x").join(capped.as("y"),
-        col("x.band_id") === col("y.band_id") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    bands.groupBy(col("band_id"), col("bv"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, MinhashBucketCap))
+      .withColumn("ids", array_sort(col("ids"))) // collect_list order is nondeterministic
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(slice(ids, i + 1, size(ids) - i),
+          |    y -> struct(element_at(ids, i) AS a, y AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct().orderBy("a", "b")
   }
 
@@ -295,9 +321,10 @@ object Queries {
     * and the union comes from per-doc gram counts via |A|+|B|−|A∩B|.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // persist: the gram table feeds the minhash chain, both sides of the
-    // intersection join and the per-doc counts — 4 consumers
-    val grams = shingled(spark, dir).persist()
+    // tracked persist: the gram table feeds the minhash chain, both sides of
+    // the intersection join and the per-doc counts — 4 consumers (the cache
+    // is released by the caller via releaseCaches after the action)
+    val grams = tracked(shingled(spark, dir))
     val gramRows = grams.select(col("doc_id"), explode(col("grams")).as("g"))
     val gramCounts = grams.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
     val pairs = minhashPairs(spark, dir)
@@ -360,22 +387,24 @@ object Queries {
     val bandCols = (0 until 8).map(k => substring(col("simhash"), k * SimhashBandBits + 1, SimhashBandBits))
     val bands = sh.select(col("doc_id"), col("simhash"),
       posexplode(array(bandCols: _*)).as(Seq("band_id", "bv")))
-    val capped = bands
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band_id"), col("bv"))))
-      .filter(col("bsz") <= MinhashBucketCap)
-      .select(col("doc_id"), col("simhash"), col("band_id"), col("bv"))
-      .persist() // self-join reads both sides
-    val pairs = capped.as("x").join(capped.as("y"),
-        col("x.band_id") === col("y.band_id") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("x.simhash").as("sa"),
-        col("y.doc_id").as("b"), col("y.simhash").as("sb"))
+    // single-pass grouped buckets (see minhashPairs): members collected per
+    // (band, bucket) under the cap, pairs emitted from the sorted array —
+    // no self-join, no window, no persist
+    val pairs = bands.groupBy(col("band_id"), col("bv"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ms"))
+      .filter(size(col("ms")).between(2, MinhashBucketCap))
+      .withColumn("ms", array_sort(col("ms")))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ms) - 1),
+          |  i -> transform(slice(ms, i + 1, size(ms) - i),
+          |    y -> struct(element_at(ms, i).doc_id AS a, element_at(ms, i).simhash AS sa,
+          |                y.doc_id AS b, y.simhash AS sb))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.sa").as("sa"), col("p.b").as("b"), col("p.sb").as("sb"))
       .distinct()
-    val ham = (0 until 16).map { d =>
-      expr(s"bit_count((instr('0123456789abcdef', substring(sa, ${d + 1}, 1)) - 1) ^ " +
-        s"(instr('0123456789abcdef', substring(sb, ${d + 1}, 1)) - 1))"): Column
-    }.reduce(_ + _)
-    pairs.withColumn("hamming", ham.cast("long"))
+    // exact bit distance on survivors only — hex_hamming is a native
+    // codegen'd expression (one static call vs 16 interpreted instr/xor terms)
+    pairs.withColumn("hamming",
+        graft.functions.ChurroFunctions.hex_hamming(col("sa"), col("sb")).cast("long"))
       .filter(col("hamming") <= SimhashMaxHamming)
       .select(col("a"), col("b"), col("hamming"))
       .orderBy("a", "b")
@@ -452,33 +481,40 @@ object Queries {
   def embedLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
       .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
-    val packWords: Seq[Column] = (0 until EmbedLshPlanes / 32).map(k =>
-      expr(s"aggregate(slice(bits, ${k * 32 + 1}, 32), 0L, (a, b) -> shiftleft(a, 1) | b)").as(s"s$k"))
-    val sigs = emb.select(col("vec_id"), signBitsExpr.as("bits"))
-      .select(col("vec_id") +: packWords: _*)
-      .persist() // query side and candidate side both read the signatures
+    // 128 sign bits packed into 4 big-endian 32-bit words — sign_bits and
+    // bits_pack are native codegen'd expressions (one static call per row;
+    // the round-2 form ran four interpreted 32-step shift/or folds). The
+    // query side is 5 rows, so recomputing the signatures there is cheaper
+    // than a persisted cache (round 2 persisted and leaked the handle).
+    val words = EmbedLshPlanes / 32
+    val packed = emb.select(col("vec_id"),
+      graft.functions.ChurroFunctions.bits_pack(signBitsExpr, 32).as("sw"))
+    val sigs = packed.select(col("vec_id") +:
+      (0 until words).map(k => element_at(col("sw"), k + 1).as(s"s$k")): _*)
     val qs = sigs.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id") +:
-        (0 until EmbedLshPlanes / 32).map(k => col(s"s$k").as(s"q$k")): _*)
-    val hamExpr = (0 until EmbedLshPlanes / 32)
+        (0 until words).map(k => col(s"s$k").as(s"q$k")): _*)
+    val hamExpr = (0 until words)
       .map(k => expr(s"bit_count(s$k ^ q$k)"): Column).reduce(_ + _)
-    val hw = Window.partitionBy(col("q_id")).orderBy(col("ham").asc, col("vec_id").asc)
-    val shortlist = sigs.filter(col("vec_id") >= 5).crossJoin(broadcast(qs))
+    // per-query Hamming top-M via the two-phase bounded selection — the
+    // round-2 Window.partitionBy(q_id) sorted EVERY candidate signature for
+    // a query in one task (the 10^9-candidate failure shape)
+    val hamAll = sigs.filter(col("vec_id") >= 5).crossJoin(broadcast(qs))
       .withColumn("ham", hamExpr)
-      .withColumn("hrn", row_number().over(hw))
-      .filter(col("hrn") <= EmbedLshScanM)
+      .select(col("q_id"), col("vec_id"), col("ham"))
+    val shortlist = TopM.topM(hamAll, "q_id",
+        Seq(("ham", true), ("vec_id", true)), EmbedLshScanM, "hrn")
       .select(col("q_id"), col("vec_id"))
     val qv = emb.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("v").as("qv"))
     val dot = expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, e) -> acc + e)")
     val nq = expr("sqrt(aggregate(transform(qv, x -> x * x), 0D, (acc, e) -> acc + e))")
     val nv = expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, e) -> acc + e))")
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    shortlist
+    val reranked = shortlist
       .join(broadcast(qv), "q_id")
       .join(emb.select(col("vec_id"), col("v")), "vec_id")
       .withColumn("cos", dot / (nq * nv))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("vec_id"), col("cos"))
+    TopM.topM(reranked, "q_id", Seq(("cos", false), ("vec_id", true)), 3, "rn")
       .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos4"), col("rn"))
       .orderBy("q_id", "rn")
   }
@@ -513,23 +549,27 @@ object Queries {
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val base = embWithDups(spark, dir)
     val sigs = base.select(col("vec_id"), signBitsExpr.as("bits"))
-    val bandCols = (0 until EmbedLshPlanes / 8).map(k =>
-      expr(s"aggregate(slice(bits, ${8 * k + 1}, 8), 0, (acc, b) -> acc * 2 + b)"))
+    // 16 8-bit band values from ONE native bits_pack call (round 2 ran 16
+    // interpreted 8-step folds per row)
     val bands = sigs.select(col("vec_id"), col("bits"),
-      posexplode(array(bandCols: _*)).as(Seq("band_id", "bv")))
-    val capped = bands
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band_id"), col("bv"))))
-      .filter(col("bsz") <= MinhashBucketCap)
-      .select(col("vec_id"), col("bits"), col("band_id"), col("bv"))
-      .persist() // self-join reads both sides
-    val pairs = capped.as("x").join(capped.as("y"),
-        col("x.band_id") === col("y.band_id") && col("x.bv") === col("y.bv") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("x.bits").as("ba"),
-        col("y.vec_id").as("b"), col("y.bits").as("bb"))
+      posexplode(graft.functions.ChurroFunctions.bits_pack(col("bits"), 8))
+        .as(Seq("band_id", "bv")))
+    // single-pass grouped buckets (see minhashPairs): no self-join, no
+    // window pass for the cap, no persist
+    val pairs = bands.groupBy(col("band_id"), col("bv"))
+      .agg(collect_list(struct(col("vec_id"), col("bits"))).as("ms"))
+      .filter(size(col("ms")).between(2, MinhashBucketCap))
+      .withColumn("ms", array_sort(col("ms"))) // vec_id is unique: total order
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ms) - 1),
+          |  i -> transform(slice(ms, i + 1, size(ms) - i),
+          |    y -> struct(element_at(ms, i).vec_id AS a, element_at(ms, i).bits AS ba,
+          |                y.vec_id AS b, y.bits AS bb))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.ba").as("ba"), col("p.b").as("b"), col("p.bb").as("bb"))
       .distinct()
-      .withColumn("ham", expr(
-        "aggregate(zip_with(ba, bb, (p, q) -> CASE WHEN p = q THEN 0 ELSE 1 END), 0, (acc, e) -> acc + e)"))
+      // exact Hamming gate on survivors — native codegen'd expression (the
+      // round-2 zip_with/aggregate fold ran 128 interpreted lambda frames)
+      .withColumn("ham", graft.functions.ChurroFunctions.hamming_bits(col("ba"), col("bb")))
       .filter(col("ham") <= EmbedNearDupMaxHamming)
       .select(col("a"), col("b"))
     val va = base.select(col("vec_id").as("a"), col("v").as("qv"))
@@ -739,11 +779,17 @@ object Queries {
     * existed (tools/gen_media_fixture.py), so a green row proves the JVM
     * decode path bit-exact.
     */
-  /** Media fixture dir — env-overridable for non-sandbox checkouts (the
-    * committed PNGs are the only no-external-data image source available).
+  /** Media fixture dir — env-overridable; defaults to the repo-relative
+    * committed fixtures (resolved from the working directory, so any
+    * checkout run from the repo root works), with the sandbox absolute
+    * path as the last fallback for driver-side runs from another cwd.
     */
   private def mediaDir: String =
-    sys.env.getOrElse("GRAFT_MEDIA_DIR", "/root/repo/src/test/resources/media")
+    sys.env.getOrElse("GRAFT_MEDIA_DIR", {
+      val rel = new java.io.File("src/test/resources/media")
+      if (rel.isDirectory) rel.getAbsolutePath
+      else "/root/repo/src/test/resources/media"
+    })
 
   def imageDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
