@@ -59,6 +59,7 @@ object SparkEntry {
     "q_time_window" -> (Queries.timeWindow(_, _)),
     "q_json_extract" -> (Queries.jsonExtract(_, _)),
     "q_stream_window" -> (StreamOps.streamWindow(_, _)),
+    "q_stream_window_append" -> (StreamOps.streamWindowAppendQuery(_, _)),
     // deduplication
     "q_dedup_exact" -> (Queries.dedupExact(_, _)),
     "q_minhash_sig" -> (Queries.minhashSig(_, _)),
@@ -72,6 +73,8 @@ object SparkEntry {
     "q_embed_lsh" -> (Queries.embedLsh(_, _)),
     "q_embed_lsh_topk" -> (Queries.embedLshTopK(_, _)),
     "q_embed_ivf_topk" -> (Queries.embedIvfTopK(_, _)),
+    "q_embed_ivf_kmeans" -> ((s, _) => graft.ops.AnnKMeans.ivfTopK(s)),
+    "q_ann_recall" -> ((s, _) => graft.ops.AnnKMeans.annRecall(s)),
     // text analysis
     "q_token_count" -> (Queries.tokenCount(_, _)),
     "q_token_count_bpe" -> (Queries.tokenCountBpe(_, _)),
@@ -194,6 +197,14 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
         | MIN(value) AS min_v, MAX(value) AS max_v
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // append-mode twin: only windows CLOSED by the watermark (max(ts) − 2h)
+    // are emitted — the batch equivalent filters on window end ≤ watermark
+    "q_stream_window_append" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        | MIN(value) AS min_v, MAX(value) AS max_v
+        |FROM events GROUP BY 1, 2
+        |HAVING hour + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+        |ORDER BY 1, 2""".stripMargin,
     "q_dedup_exact" -> (dupsCte +
       """ SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM all_docs GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin),
@@ -322,6 +333,18 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(probes.qv, assigned.v) DESC, assigned.vec_id ASC) AS rn
         |  FROM probes JOIN assigned ON assigned.cent_id = probes.cent_id) t
         |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    // Fixture-backed oracles from the independent pure-Python twin
+    // (tools/gen_ivf_fixture.py): same documented integer-hash fixture and
+    // seeded k-means, plain-loop IEEE arithmetic — bit-identical by
+    // construction, derived without executing any Scala.
+    "q_embed_ivf_kmeans" ->
+      """SELECT q_id, vec_id, cos4, rn
+        |FROM read_parquet('/root/repo/src/test/resources/expected/ivf_kmeans.parquet')
+        |ORDER BY q_id, rn""".stripMargin,
+    "q_ann_recall" ->
+      """SELECT method, scanned_frac, recall3
+        |FROM read_parquet('/root/repo/src/test/resources/expected/ann_recall.parquet')
+        |ORDER BY method""".stripMargin,
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairsOracle,
     "q_embed_neardup" -> embedNearDupOracle,

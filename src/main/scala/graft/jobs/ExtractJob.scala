@@ -101,12 +101,6 @@ object ExtractJob {
       }
       val extracted: Dataset[DocOut] = Extract.run(docs, ExtractConfig.Default, Some(heartbeat))
 
-      // Idempotent group write: dynamic partition overwrite replaces exactly
-      // this group's bucket directories, so a crash BETWEEN the write and the
-      // lineage commit cannot duplicate rows on resume (Append mode would) —
-      // the retried group simply overwrites its own orphan files.
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
       // Lineage stats ride INSIDE the write job via Dataset.observe — no
       // second extraction pass and no read-back job. Per bucket: span count,
       // doc count (each doc contributes exactly its order-0 span) and the
@@ -121,7 +115,16 @@ object ExtractJob {
       }
       val out = spanRows(extracted, args.buckets)
         .observe(obs, statCols.head, statCols.tail: _*)
-      out.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(s"${args.out}/data")
+      // Idempotent group write: DYNAMIC partition overwrite replaces exactly
+      // this group's bucket directories, so a crash BETWEEN the write and the
+      // lineage commit cannot duplicate rows on resume (Append mode would) —
+      // the retried group simply overwrites its own orphan files. Set as a
+      // per-write option (a session-wide conf.set would silently change
+      // overwrite semantics for every later partitioned write that shares
+      // the session).
+      out.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(s"${args.out}/data")
       val observed: Map[String, Any] = obs.get
 
       if (args.failAfterWrite >= 0 && groupsDone >= args.failAfterWrite)
@@ -137,7 +140,8 @@ object ExtractJob {
           // a pruned read-back instead of a re-extraction pass
           val fresh = spark.read.parquet(s"${args.out}/data")
             .filter(col("bucket").isInCollection(group))
-            .select(col("doc_id"), col("order"), col("text").as("new_text"))
+            .select(col("doc_id"), col("order"), col("text").as("new_text"),
+              col("bucket").as("fresh_bucket"))
           // the expected table is written partitionBy(bucket) with the same
           // bucketing, so filtering on the partition column prunes the scan
           // to this group's directories (round 1 re-scanned the whole table
@@ -150,12 +154,15 @@ object ExtractJob {
             else expRaw.withColumn("bucket", bucketCol(args.buckets))
           val exp = expBucketed
             .filter(col("bucket").isInCollection(group))
-            .select(col("doc_id"), col("order"), col("text").as("exp_text"))
+            .select(col("doc_id"), col("order"), col("text").as("exp_text"),
+              col("bucket").as("exp_bucket"))
           fresh.join(exp, Seq("doc_id", "order"), "full_outer")
             .withColumn("sim",
               when(col("new_text").isNull || col("exp_text").isNull, lit(0.0))
                 .otherwise(graft.functions.ChurroFunctions.nls(col("new_text"), col("exp_text"))))
-            .withColumn("bucket", bucketCol(args.buckets))
+            // both sides carry their partition column — reuse it instead of
+            // re-hashing doc_id per span row (coalesce covers the outer join)
+            .withColumn("bucket", coalesce(col("fresh_bucket"), col("exp_bucket")))
             .groupBy(col("bucket"))
             .agg((lit(1.0) - avg(col("sim"))).as("divergence"))
             .collect()

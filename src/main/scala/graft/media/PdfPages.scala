@@ -16,8 +16,11 @@ import java.nio.charset.StandardCharsets
   *    table's exact byte offsets (never by scanning raw bytes, where
   *    compressed payloads could contain phantom `obj`/`endobj` markers),
   *  - page order from the /Kids array of the root /Pages node,
-  *  - exactly ONE /Subtype /Image XObject per page (multi-strip scanned
-  *    pages would need content-stream placement — rejected loudly),
+  *  - one /Subtype /Image XObject per page, OR several same-width strips
+  *    (the strip-scanned TIFF→PDF archive format) placed by simple
+  *    `q a b c d e f cm /Name Do Q` content-stream operators — composited
+  *    top-to-bottom by ty; anything fancier (rotation, overlap, repeated
+  *    draws) is rejected loudly,
   *  - /Length as a literal or an indirect integer reference,
   *  - /Filter /FlateDecode + /DeviceRGB/8-bit (raw RGB rows) or
   *    /DCTDecode (the stream IS a JPEG — handed to [[ImageDecode.decode]]).
@@ -31,9 +34,17 @@ object PdfPages {
   private val KidsRe = """/Kids\s*\[([^\]]*)\]""".r
   private val RefRe = """(\d+)\s+0\s+R""".r
   private val XObjectRefRe = """/XObject\s*<<([^>]*)>>""".r
+  private val XObjEntryRe = """/(\w+)\s+(\d+)\s+0\s+R""".r
+  private val ContentsRe = """/Contents\s+(\d+)\s+0\s+R""".r
   private val LengthLitRe = """/Length\s+(\d+)(?!\s+0\s+R)""".r
   private val LengthRefRe = """/Length\s+(\d+)\s+0\s+R""".r
   private val IntRe = """\d+""".r
+  /** `q a b c d e f cm /Name Do Q` — one image placement; e/f are the
+    * translation (tx, ty) of the strip's bottom-left corner.
+    */
+  private val DrawRe =
+    ("""q\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+""" +
+      """([\d.+-]+)\s+([\d.+-]+)\s+cm\s*/(\w+)\s+Do\s+Q""").r
 
   /** Latin-1 view: 1:1 byte↔char, so string offsets are byte offsets. */
   private def latin1(bytes: Array[Byte], from: Int, until: Int): String =
@@ -165,8 +176,44 @@ object PdfPages {
     } else throw new IllegalArgumentException(s"object ${obj.num}: unsupported /Filter")
   }
 
+  /** Image placements from the page's /Contents stream: (name, ty, tx) per
+    * `cm /Name Do`. Empty when the page has no /Contents reference.
+    */
+  private def contentDraws(bytes: Array[Byte], page: PdfObject,
+                           objs: Map[Int, PdfObject]): Vector[(String, Double, Double)] =
+    ContentsRe.findFirstMatchIn(page.dict) match {
+      case None => Vector.empty
+      case Some(m) =>
+        val cobj = objs.getOrElse(m.group(1).toInt,
+          throw new IllegalArgumentException(s"page ${page.num}: /Contents ${m.group(1)} unresolvable"))
+        val raw = streamData(bytes, cobj, objs)
+        val data = if (cobj.dict.contains("/FlateDecode")) inflate(raw) else raw
+        val text = new String(data, StandardCharsets.ISO_8859_1)
+        DrawRe.findAllMatchIn(text)
+          .map(mm => (mm.group(7), mm.group(6).toDouble, mm.group(5).toDouble))
+          .toVector
+    }
+
+  /** Vertically stack same-width strips (already top-to-bottom). */
+  private def composite(pageNum: Int, strips: Vector[ImageDecode.Decoded]): ImageDecode.Decoded =
+    if (strips.length == 1) strips.head
+    else {
+      require(strips.map(_.width).distinct.length == 1,
+        s"page $pageNum: strip widths differ (${strips.map(_.width).mkString(",")}) — not a strip scan")
+      val w = strips.head.width
+      val h = strips.map(_.height).sum
+      val rgb = new Array[Byte](w * h * 3)
+      var off = 0
+      strips.foreach { s => System.arraycopy(s.rgb, 0, rgb, off, s.rgb.length); off += s.rgb.length }
+      ImageDecode.Decoded(w, h, rgb)
+    }
+
   /** Extract the per-page images in /Kids order — the reference's page
-    * fan-out (`pdf.py:36-50`: one image per page, `page_index` sequential).
+    * fan-out (`pdf.py:36-50`, `page_index` sequential). One raster per page;
+    * multi-strip scanned pages (N same-width image XObjects — the
+    * strip-scanned TIFF→PDF archive format) are composited top-to-bottom by
+    * their content-stream cm placement (PDF user space is y-up, so the strip
+    * with the LARGEST ty renders highest on the page and comes first).
     */
   def pages(pdfBytes: Array[Byte]): Vector[PdfPage] = {
     require(pdfBytes.length > 8 && latin1(pdfBytes, 0, 5) == "%PDF-", "not a PDF")
@@ -183,13 +230,29 @@ object PdfPages {
     kids.zipWithIndex.map { case (pageNum, idx) =>
       val page = objs.getOrElse(pageNum,
         throw new IllegalArgumentException(s"missing page object $pageNum"))
-      val imgRefs = XObjectRefRe.findFirstMatchIn(page.dict)
-        .map(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toVector)
-        .getOrElse(Vector.empty)
-      require(imgRefs.nonEmpty, s"page $pageNum: no image XObject")
-      require(imgRefs.length == 1,
-        s"page $pageNum: ${imgRefs.length} XObjects (multi-strip pages need content-stream placement — unsupported)")
-      PdfPage(idx, decodeImageObject(pdfBytes, objs(imgRefs.head), objs))
+      val xmap: Map[String, Int] = XObjectRefRe.findFirstMatchIn(page.dict)
+        .map(m => XObjEntryRe.findAllMatchIn(m.group(1))
+          .map(mm => mm.group(1) -> mm.group(2).toInt).toMap)
+        .getOrElse(Map.empty)
+      require(xmap.nonEmpty, s"page $pageNum: no image XObject")
+      val orderedRefs: Vector[Int] =
+        if (xmap.size == 1) Vector(xmap.values.head)
+        else {
+          val draws = contentDraws(pdfBytes, page, objs)
+          require(draws.nonEmpty,
+            s"page $pageNum: ${xmap.size} XObjects but no parsable content-stream placements")
+          require(draws.length == xmap.size && draws.map(_._1).distinct.length == xmap.size,
+            s"page $pageNum: placements ${draws.map(_._1).mkString(",")} don't cover the " +
+              s"${xmap.size} XObjects exactly once (overlapping/repeated draws unsupported)")
+          draws.foreach { case (name, _, _) =>
+            require(xmap.contains(name), s"page $pageNum: draw of unknown XObject /$name")
+          }
+          // top-to-bottom: ty descending (y-up user space); tx then name as
+          // deterministic tiebreaks
+          draws.sortBy { case (name, ty, tx) => (-ty, tx, name) }.map(d => xmap(d._1))
+        }
+      val strips = orderedRefs.map(n => decodeImageObject(pdfBytes, objs(n), objs))
+      PdfPage(idx, composite(pageNum, strips))
     }
   }
 }

@@ -48,6 +48,36 @@ object StreamOps {
       .select(col("window.start").as("hour"), col("event_type"), col("n"),
         col("min_v"), col("max_v"))
 
+  /** Driveable form of [[streamWindowAppend]] for the correctness gate: the
+    * bounded events table through the SCALE shape (watermark + append mode,
+    * state for closed windows dropped). Deterministic because the file
+    * source reads the table in one batch, the watermark then advances to
+    * max(ts) − 2h, and Spark's no-data batch emits exactly the windows with
+    * `window.end <= watermark` — which is what the batch oracle selects.
+    * Unclosed trailing windows are withheld by design (they'd emit on the
+    * next day's data in production).
+    */
+  def streamWindowAppendQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      // watermarks require TIMESTAMP (the table stores NTZ; session TZ is
+      // UTC so the cast is value-preserving) — cast back on output so the
+      // result schema matches the batch oracle's NTZ
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val queryName = "graft_stream_window_append"
+    val q = streamWindowAppend(events).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+      .withColumn("hour", col("hour").cast("timestamp_ntz"))
+      .orderBy("hour", "event_type")
+  }
+
   /** One closed user session: the custom-state shape the brief calls for
     * (`flatMapGroupsWithState` + event-time timeout). Gap-based
     * sessionization: events of one user belong to one session while they

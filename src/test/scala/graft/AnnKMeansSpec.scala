@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.AnnKMeans
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Trained-quantizer IVF on the clustered fixture: determinism, recall vs
+  * scan budget (the round-2 verification gap: on structureless noise no
+  * quantizer can beat random partitioning, so the claim needs clusterable
+  * data), and the plan contract (no per-query single-task WindowExec).
+  */
+class AnnKMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("fixture is deterministic and clustered (member closest to own center)") {
+    val c1 = AnnKMeans.candidates(spark).orderBy("vec_id").collect()
+    val c2 = AnnKMeans.candidates(spark).orderBy("vec_id").collect()
+    assert(c1.length == AnnKMeans.nCandidates)
+    assert(c1.map(_.getSeq[Double](1)).toSeq == c2.map(_.getSeq[Double](1)).toSeq)
+  }
+
+  test("k-means centroids are deterministic across trainings") {
+    val a = AnnKMeans.trainCentroids(spark)
+    val b = AnnKMeans.trainCentroids(spark)
+    assert(a.length == AnnKMeans.Clusters)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("ivf top-k returns 3 ranked neighbors per query") {
+    val rows = AnnKMeans.ivfTopK(spark).collect()
+    assert(rows.length == AnnKMeans.NumQueries * AnnKMeans.TopK)
+    assert(rows.map(_.getInt(3)).forall(rn => rn >= 1 && rn <= 3))
+    // each query's neighbors should come from its own planted cluster
+    rows.foreach { r =>
+      val q = r.getInt(0); val v = r.getInt(1)
+      assert(v / AnnKMeans.PerCluster == q,
+        s"query $q matched vec $v from cluster ${v / AnnKMeans.PerCluster}")
+    }
+  }
+
+  test("recall@3 >= 0.9 for both scale paths at <= 25% scanned") {
+    val rows = AnnKMeans.annRecall(spark).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val method = r.getString(0)
+      val frac = r.getDouble(1)
+      val recall = r.getDouble(2)
+      assert(frac <= 0.30, s"$method scanned $frac")
+      assert(recall >= 0.9, s"$method recall $recall at $frac scanned")
+    }
+  }
+
+  test("no per-query WindowExec in the ivf plan (two-phase TopM)") {
+    val plan = AnnKMeans.ivfTopK(spark).queryExecution.sparkPlan.toString
+    // windows keyed by vec_id (bounded 16 rows/key) are fine; q_id must not
+    // be a window partition key anywhere
+    assert(!plan.contains("windowspecdefinition(q_id"),
+      s"per-query window found in:\n$plan")
+  }
+}

@@ -29,13 +29,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every catalog query executes and returns a well-formed frame") {
+  test("every catalog query executes, returns a well-formed frame, and leaves no cache residue") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, dir)
       val n = df.count()
       assert(n >= 0, s"$name failed")
       assert(df.columns.nonEmpty, s"$name has no columns")
+      graft.ops.Queries.releaseCaches()
+      // round-2 defect: leaked persists accumulated across the 45-query
+      // bench session and degraded unrelated queries — every cache a query
+      // registers must be released by releaseCaches
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        s"$name left persisted RDDs: ${spark.sparkContext.getPersistentRDDs.keys}")
     }
+  }
+
+  test("ann shortlist has no per-query window sort (two-phase TopM)") {
+    val plan = SparkEntry.queries("q_embed_lsh_topk")(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("windowspecdefinition(q_id"),
+      "per-query WindowExec funnels every candidate for a query through one task")
   }
 
   test("dedup finds the injected duplicate groups") {

@@ -41,6 +41,21 @@ class PdfPagesSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-strip page composites top-to-bottom by cm placement") {
+    // pdf_03 page 0: three 20-wide strips (heights 6/10/4) drawn BOTTOM-UP
+    // in the content stream — the extractor must order by ty, not by
+    // stream/dict order; page 1 is a plain single-image page
+    val got = PdfPages.pages(pdf("pdf_03.pdf"))
+    assert(got.length == 2)
+    val p0 = got(0).image
+    assert(p0.width == 20 && p0.height == 20)
+    val expected = pattern(20, 6, 6) ++ pattern(20, 10, 7) ++ pattern(20, 4, 8)
+    assert(p0.rgb.toSeq == expected.toSeq)
+    val p1 = got(1).image
+    assert(p1.width == 12 && p1.height == 12)
+    assert(p1.rgb.toSeq == pattern(12, 12, 9).toSeq)
+  }
+
   /** Minimal classic-xref PDF builder (offset-tracked). */
   private class PdfBuilder {
     private val body = new java.io.ByteArrayOutputStream()
@@ -95,7 +110,8 @@ class PdfPagesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](PdfPages.pages("not a pdf".getBytes))
     intercept[IllegalArgumentException](
       PdfPages.pages("%PDF-1.4\n1 0 obj\n<< >>\nendobj\n".getBytes))
-    // multi-strip page (two image XObjects): rejected, never half-returned
+    // multi-XObject page WITHOUT content-stream placements: rejected (the
+    // strip order would be a guess), never half-returned
     val raw = Array.fill[Byte](4 * 4 * 3)(9)
     val flate = {
       val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
@@ -111,7 +127,7 @@ class PdfPagesSpec extends AnyFunSuite {
       s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode /Length ${flate.length} >>",
       stream = Some(flate))
     val ex = intercept[IllegalArgumentException](PdfPages.pages(b.build()))
-    assert(ex.getMessage.contains("unsupported"))
+    assert(ex.getMessage.contains("no parsable content-stream placements"))
     // overstated /Length (truncated file): loud bounds failure, no zero-pad
     val b2 = new PdfBuilder
     b2.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
