@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g measured ≥ larger heaps at every thread count (A/B at matched
+  // bandwidth-probe health: 8-core 45.2k docs/s @8g vs 42.4k @24g, 32-core
+  // 80.7k @8g vs 76.3k @96g — the one window that suggested otherwise was
+  // host co-tenant noise, see BENCH.md §2b)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -66,6 +66,27 @@ object ExprImpl {
     d
   }
 
+  /** Cosine similarity of two double arrays. Dot and both norms accumulate
+    * as left folds from 0.0 in index order, then `dot / (√na · √nb)` — the
+    * exact operation order of the interpreted
+    * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, +) / (sqrt(...) * sqrt(...))`
+    * form it replaces, and of DuckDB's `list_reduce(list_prepend(0, ...))`
+    * twin, so every oracle-visible double is bit-identical. One static call
+    * per row instead of ~3·dims interpreted lambda frames.
+    */
+  def cosineSim(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Pack a 0/1 int array into big-endian words of `width` bits (width ≤ 63):
     * bits_pack(bits, 32) → the 4 packed signature words, bits_pack(bits, 8)
     * → the 16 LSH band values. Identical fold order to the SQL
@@ -83,6 +104,50 @@ object ExprImpl {
       w += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The two 56-bit halves of md5(s) as [h1, h2] — numerically identical to
+    * `conv(substring(md5(s), 1, 14), 16, 10)` / `(15, 14)` (14 hex digits =
+    * 7 digest bytes, big-endian) but computed straight from the digest
+    * bytes: one MessageDigest call, no hex-string render, no conv parse.
+    * The Kirsch–Mitzenmacher base hashes of the minhash family.
+    */
+  def md5Split56(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h1 = 0L
+    var i = 0
+    while (i < 7) { h1 = (h1 << 8) | (d(i) & 0xffL); i += 1 }
+    var h2 = 0L
+    while (i < 14) { h2 = (h2 << 8) | (d(i) & 0xffL); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(h1, h2))
+  }
+
+  /** The first 16 hex digits of md5(s) packed as a long whose bit
+    * (4d + p) is bit p of hex digit d — the simhash bit layout. Equal to
+    * the interpreted `((instr('0123456789abcdef', substring(h, d+1, 1)) - 1)
+    * div 2^p) % 2` construction, one digest call per word instead of 64
+    * string ops.
+    */
+  def md5NibbleBits(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var out = 0L
+    var digit = 0
+    while (digit < 16) {
+      val b = d(digit >> 1) & 0xff
+      val nib = if ((digit & 1) == 0) b >> 4 else b & 0xf
+      out |= nib.toLong << (4 * digit)
+      digit += 1
+    }
+    out
   }
 
   private def hexVal(c: Char): Int =
@@ -241,6 +306,48 @@ case class HexHamming(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** `md5_split56(s)` — the minhash double-hash bases [h1, h2] from one digest
+  * call (see [[ExprImpl.md5Split56]]), native codegen.
+  */
+case class Md5Split56(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    ExprImpl.md5Split56(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.md5Split56($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5Split56 =
+    copy(child = newChild)
+}
+
+/** `cosine_sim(a, b)` — cosine similarity of two `array<double>` columns
+  * (see [[ExprImpl.cosineSim]]), native codegen. The hot scalar of every
+  * ANN re-rank and near-dup confirmation.
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprImpl.cosineSim(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.functions.ExprImpl.cosineSim($l, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** `md5_nibble_bits(s)` — the 64 simhash bits of one word as a packed long
+  * (see [[ExprImpl.md5NibbleBits]]), native codegen.
+  */
+case class Md5NibbleBits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    ExprImpl.md5NibbleBits(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.md5NibbleBits($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5NibbleBits =
+    copy(child = newChild)
+}
+
 /** Column surface + SQL registration. */
 object ChurroFunctions {
   private def e(c: Column) = ColumnBridge.expression(c)
@@ -255,6 +362,9 @@ object ChurroFunctions {
   def hamming_bits(a: Column, b: Column): Column = col(HammingBits(e(a), e(b)))
   def bits_pack(c: Column, width: Int): Column = col(BitsPack(e(c), width))
   def hex_hamming(a: Column, b: Column): Column = col(HexHamming(e(a), e(b)))
+  def md5_split56(c: Column): Column = col(Md5Split56(e(c)))
+  def md5_nibble_bits(c: Column): Column = col(Md5NibbleBits(e(c)))
+  def cosine_sim(a: Column, b: Column): Column = col(CosineSim(e(a), e(b)))
 
   /** Register the SQL surface on a session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -149,8 +149,13 @@ object ExtractJob {
           // no bucket column, fall back to the native expression (codegen'd,
           // still no ScalaUDF, just not prunable)
           val expRaw = spark.read.parquet(expectedDir)
+          // normalize the partition column's type: an externally written
+          // expected table may carry bucket as BIGINT (e.g. a DuckDB COPY),
+          // and a long surviving through the coalesce below would poison
+          // the getInt on the collected row
           val expBucketed =
-            if (expRaw.columns.contains("bucket")) expRaw
+            if (expRaw.columns.contains("bucket"))
+              expRaw.withColumn("bucket", col("bucket").cast("int"))
             else expRaw.withColumn("bucket", bucketCol(args.buckets))
           val exp = expBucketed
             .filter(col("bucket").isInCollection(group))

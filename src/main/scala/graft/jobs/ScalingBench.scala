@@ -21,7 +21,57 @@ import org.apache.spark.sql.functions._
   */
 object ScalingBench {
 
+  /** Achievable DRAM copy bandwidth (GB/s) with `threads` copiers — a
+    * STREAM-style probe logged next to every throughput figure. The sandbox
+    * is a VM on a SHARED host: co-tenant pressure on the socket's memory
+    * controller is invisible from inside (no steal accounting for
+    * bandwidth) and was measured swinging the 8-core extract leg between
+    * 34k and 58k docs/s within one hour. Publishing the probe with each
+    * leg makes host weather a visible variable instead of silent noise.
+    */
+  def memBandwidthGbps(threads: Int, millis: Long = 1500): Double = {
+    val bytes = 64 * 1024 * 1024
+    val counts = new java.util.concurrent.atomic.AtomicLong()
+    // allocation + zeroing of the buffers must NOT eat the timed window:
+    // every thread allocates and warms first (barrier 1), THEN the deadline
+    // is set, THEN all start together (barrier 2) — setting the deadline
+    // before the first barrier let slow multi-GB allocation consume the
+    // whole window (probe read 0.0 at 8 threads)
+    val ready = new java.util.concurrent.CyclicBarrier(threads + 1)
+    val go = new java.util.concurrent.CyclicBarrier(threads + 1)
+    @volatile var deadline = 0L
+    val ts = (0 until threads).map { _ =>
+      val t = new Thread(() => {
+        val src = new Array[Long](bytes / 8)
+        val dst = new Array[Long](bytes / 8)
+        System.arraycopy(src, 0, dst, 0, src.length) // touch all pages
+        ready.await()
+        go.await()
+        var n = 0L
+        while (System.nanoTime() < deadline) {
+          System.arraycopy(src, 0, dst, 0, src.length)
+          n += 1
+        }
+        counts.addAndGet(n)
+      })
+      t.start(); t
+    }
+    ready.await() // all threads allocated + warm
+    deadline = System.nanoTime() + millis * 1000000L
+    go.await()
+    ts.foreach(_.join())
+    // each copy touches 2×bytes (read + write)
+    counts.get().toDouble * 2 * bytes / (millis / 1000.0) / 1e9
+  }
+
   def main(argv: Array[String]): Unit = {
+    if (argv.headOption.contains("probe")) {
+      // probe-only mode: bandwidth at 1..32 copier threads, no Spark
+      Seq(1, 2, 4, 8, 16, 32).foreach { t =>
+        println(f"""{"probe_threads":$t,"gbps":${memBandwidthGbps(t)}%.1f}""")
+      }
+      return
+    }
     val cores = if (argv.length > 0) argv(0) else "8"
     val nDocs = if (argv.length > 1) argv(1).toLong else 50000L
     val repeats = if (argv.length > 2) argv(2).toInt else 3
@@ -53,8 +103,9 @@ object ScalingBench {
 
     once(); once() // warm-ups (JIT, codegen, parquet footers, page cache)
     val runs = (1 to repeats).map { i =>
+      val gbps = memBandwidthGbps(cores.toInt)
       val (sec, d, s) = once()
-      println(f"""{"bench":"scaling","cores":$cores,"run":$i,"docs":$d,"spans":$s,"sec":$sec%.3f,"docs_per_sec":${d / sec}%.1f,"spans_per_sec":${s / sec}%.1f}""")
+      println(f"""{"bench":"scaling","cores":$cores,"run":$i,"docs":$d,"spans":$s,"sec":$sec%.3f,"docs_per_sec":${d / sec}%.1f,"spans_per_sec":${s / sec}%.1f,"probe_gbps":$gbps%.1f}""")
       sec -> d
     }
     val best = runs.map(_._1).min

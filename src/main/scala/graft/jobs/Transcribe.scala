@@ -14,6 +14,11 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *
   *   runMain graft.jobs.Transcribe --input <parquet dir> --doc doc_00000007
   *   runMain graft.jobs.Transcribe --docs 100 --out /tmp/md   # generate+render
+  *
+  * The `.collect()` below is deliberate CLI parity, not a data path: the
+  * reference CLI prints a handful of documents to a terminal. Bulk output
+  * at scale goes through the distributed sinks (`ExtractJob`,
+  * `Sinks.writeOutputsDistributed`), never through this main.
   */
 object Transcribe {
 

@@ -91,7 +91,11 @@ object AnnKMeans {
     * lowest-centroid tiebreak, arithmetic-mean update, empty cluster keeps
     * its previous centroid.
     */
-  def trainCentroids(spark: SparkSession): Array[Array[Double]] = {
+  def trainCentroids(spark: SparkSession): Array[Array[Double]] = synchronized {
+    // the fixture and the training are fully deterministic (seeded init,
+    // fixed summation order, no RNG), so the centroids are a constant of
+    // the module — memoize across queries (ivfTopK and annRecall both train)
+    if (centroidCache != null) return centroidCache
     val sample: Array[Array[Double]] = candidates(spark)
       .filter(col("vec_id") % SampleMod === 0)
       .orderBy("vec_id")
@@ -122,8 +126,11 @@ object AnnKMeans {
       }
       it += 1
     }
+    centroidCache = cents
     cents
   }
+
+  @volatile private var centroidCache: Array[Array[Double]] = _
 
   private def centroidsDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -132,10 +139,12 @@ object AnnKMeans {
       .toDF("cent_id", "cv")
   }
 
-  private def cosExpr(a: String, b: String) = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, e) -> acc + e)
-       | / (sqrt(aggregate(transform($a, x -> x * x), 0D, (acc, e) -> acc + e))
-       |    * sqrt(aggregate(transform($b, x -> x * x), 0D, (acc, e) -> acc + e)))""".stripMargin)
+  /** Native codegen'd cosine ([[graft.functions.CosineSim]]) — identical
+    * fold order to the interpreted zip_with/aggregate form and to the
+    * pure-Python oracle twin's loops, so every rounded cos4 is unchanged.
+    */
+  private def cosExpr(a: String, b: String) =
+    graft.functions.ChurroFunctions.cosine_sim(col(a), col(b))
 
   /** Broadcast-argmax assignment of every candidate to its best centroid —
     * the vectors never shuffle; the per-key window is 16 rows per vec_id
@@ -217,7 +226,9 @@ object AnnKMeans {
     * data (round-2 gap #4). Exact integer ratios → bit-identical doubles.
     */
   def annRecall(spark: SparkSession): DataFrame = {
-    val cands = candidates(spark)
+    // tracked persist: the candidate fixture feeds brute force, the LSH
+    // path and the IVF path (released by the caller via releaseCaches)
+    val cands = CacheTracker.track(candidates(spark))
     val bf = bfTop3(spark, cands)
     val cents = centroidsDF(spark)
     val asg = assigned(spark, cands, cents)

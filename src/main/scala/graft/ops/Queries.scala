@@ -25,29 +25,12 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Caches registered by query builders, released by [[releaseCaches]].
-    * A query function returns a LAZY DataFrame, so it cannot unpersist its
-    * own intermediates (the caller's terminal action hasn't run yet);
-    * instead every persist is tracked here and the caller releases after
-    * the action. Round-2 lesson: five untracked persists accumulated across
-    * the 45-query bench session and degraded unrelated queries
-    * (q_json_extract 0.7s → 6.4s).
-    */
-  private val liveCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-
-  private def tracked(df: DataFrame): DataFrame = {
-    val p = df.persist()
-    liveCaches.add(p)
-    p
-  }
+  private def tracked(df: DataFrame): DataFrame = CacheTracker.track(df)
 
   /** Release every cache registered since the last call — invoke after each
     * query's terminal action (Bench/Verify do).
     */
-  def releaseCaches(): Unit = {
-    var d = liveCaches.poll()
-    while (d != null) { d.unpersist(blocking = false); d = liveCaches.poll() }
-  }
+  def releaseCaches(): Unit = CacheTracker.releaseAll()
 
   private val dec: DataType = DecimalType(18, 2)
 
@@ -273,11 +256,15 @@ object Queries {
     * text itself, and the signature is 64 BIGINTs, not hex strings.
     */
   private def minhashSigCore(spark: SparkSession, dir: String): DataFrame = {
+    // h1/h2 = the two 56-bit md5 halves via ONE native digest call per gram
+    // (md5_split56) — numerically identical to the hex-string
+    // conv(substring(md5(g), ...)) form the DuckDB oracle still evaluates,
+    // without rendering/parsing 32 hex chars per gram
     val grams = shingled(spark, dir)
       .select(col("doc_id"), explode(col("grams")).as("g"))
-      .withColumn("hx", md5(col("g")))
-      .withColumn("h1", expr("cast(conv(substring(hx, 1, 14), 16, 10) as bigint)"))
-      .withColumn("h2", expr("cast(conv(substring(hx, 15, 14), 16, 10) as bigint)"))
+      .withColumn("hp", graft.functions.ChurroFunctions.md5_split56(col("g")))
+      .withColumn("h1", element_at(col("hp"), 1))
+      .withColumn("h2", element_at(col("hp"), 2))
     val sigCols = (0 until MinhashHashes).map(j =>
       min((col("h1") + lit(j.toLong) * col("h2")) % lit(MinhashMod)).as(s"sig$j"))
     grams.groupBy(col("doc_id"))
@@ -350,13 +337,14 @@ object Queries {
     * Single groupBy with map-side partial aggregation; scales like any hash agg.
     */
   private def simhashCore(spark: SparkSession, dir: String): DataFrame = {
+    // per-word hash bits from ONE native digest call (md5_nibble_bits packs
+    // bit (4d+p) of the simhash layout into a long) — same values as the
+    // 64-term instr/substring construction the DuckDB oracle still evaluates
     val words = docsWithDups(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("h", substring(md5(col("w")), 1, 16))
+      .withColumn("mb", graft.functions.ChurroFunctions.md5_nibble_bits(col("w")))
     val bitSums = (0 until 64).map { i =>
-      val d = i / 4; val p = 1 << (i % 4)
-      val bit = expr(s"((instr('0123456789abcdef', substring(h, ${d + 1}, 1)) - 1) div $p) % 2")
-      sum(when(bit === 1, 1L).otherwise(-1L)).as(s"s$i")
+      sum(when(expr(s"shiftright(mb, $i) & 1") === 1, 1L).otherwise(-1L)).as(s"s$i")
     }
     val agg = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
     val digits = (0 until 16).map { d =>
@@ -421,12 +409,12 @@ object Queries {
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val cand = emb.filter(col("vec_id") >= 5).select(col("vec_id"), col("v"))
-    val dot = expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, e) -> acc + e)")
-    val nq = expr("sqrt(aggregate(transform(qv, x -> x * x), 0D, (acc, e) -> acc + e))")
-    val nv = expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, e) -> acc + e))")
+    // native codegen'd cosine (one static call per pair; the interpreted
+    // zip_with/aggregate form it replaces ran ~3·dims lambda frames) —
+    // identical fold order, so the rounded cos4 values are unchanged
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
     cand.crossJoin(broadcast(q))
-      .withColumn("cos", dot / (nq * nv))
+      .withColumn("cos", graft.functions.ChurroFunctions.cosine_sim(col("qv"), col("v")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos4"), col("rn"))
@@ -506,13 +494,10 @@ object Queries {
         Seq(("ham", true), ("vec_id", true)), EmbedLshScanM, "hrn")
       .select(col("q_id"), col("vec_id"))
     val qv = emb.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val dot = expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, e) -> acc + e)")
-    val nq = expr("sqrt(aggregate(transform(qv, x -> x * x), 0D, (acc, e) -> acc + e))")
-    val nv = expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, e) -> acc + e))")
     val reranked = shortlist
       .join(broadcast(qv), "q_id")
       .join(emb.select(col("vec_id"), col("v")), "vec_id")
-      .withColumn("cos", dot / (nq * nv))
+      .withColumn("cos", graft.functions.ChurroFunctions.cosine_sim(col("qv"), col("v")))
       .select(col("q_id"), col("vec_id"), col("cos"))
     TopM.topM(reranked, "q_id", Seq(("cos", false), ("vec_id", true)), 3, "rn")
       .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos4"), col("rn"))
@@ -574,11 +559,8 @@ object Queries {
       .select(col("a"), col("b"))
     val va = base.select(col("vec_id").as("a"), col("v").as("qv"))
     val vb = base.select(col("vec_id").as("b"), col("v"))
-    val dot = expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, e) -> acc + e)")
-    val nq = expr("sqrt(aggregate(transform(qv, x -> x * x), 0D, (acc, e) -> acc + e))")
-    val nv = expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, e) -> acc + e))")
     pairs.join(va, "a").join(vb, "b")
-      .withColumn("cos", dot / (nq * nv))
+      .withColumn("cos", graft.functions.ChurroFunctions.cosine_sim(col("qv"), col("v")))
       .filter(col("cos") >= 0.99)
       .select(col("a"), col("b"), round(col("cos"), 4).as("cos4"))
       .orderBy("a", "b")
@@ -607,10 +589,8 @@ object Queries {
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     val cand = emb.filter(col("vec_id") >= 5).select(col("vec_id"), col("v"))
     val qs = emb.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("v").as("qv"))
-    def cosExpr(a: String, b: String): Column = expr(
-      s"""aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, e) -> acc + e)
-         | / (sqrt(aggregate(transform($a, x -> x * x), 0D, (acc, e) -> acc + e))
-         |    * sqrt(aggregate(transform($b, x -> x * x), 0D, (acc, e) -> acc + e)))""".stripMargin)
+    def cosExpr(a: String, b: String): Column =
+      graft.functions.ChurroFunctions.cosine_sim(col(a), col(b))
     // assignment: every vector to its best centroid (broadcast argmax)
     val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
     val assigned = cand.crossJoin(broadcast(cents))

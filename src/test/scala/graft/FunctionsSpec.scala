@@ -59,6 +59,72 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(2).isNullAt(0) && rows(2).isNullAt(1) && rows(2).isNullAt(2)) // null-intolerant
   }
 
+  test("bit/hash expressions match their interpreted SQL twins, inside codegen") {
+    import org.apache.spark.sql.functions._
+    // deterministic inputs: strings + derived 0/1 arrays
+    val df = spark.range(64).select(
+      concat(lit("word"), col("id")).as("w"),
+      expr("transform(sequence(0, 127), i -> CAST((i + id) % 3 = 0 AS INT))").as("bits"),
+      expr("transform(sequence(0, 127), i -> CAST((i + id) % 5 = 0 AS INT))").as("bits2"))
+    val got = df.select(
+      ChurroFunctions.md5_split56(col("w")).as("hp"),
+      expr("cast(conv(substring(md5(w), 1, 14), 16, 10) as bigint)").as("h1_sql"),
+      expr("cast(conv(substring(md5(w), 15, 14), 16, 10) as bigint)").as("h2_sql"),
+      ChurroFunctions.md5_nibble_bits(col("w")).as("mb"),
+      substring(md5(col("w")), 1, 16).as("hx"),
+      ChurroFunctions.bits_pack(col("bits"), 8).as("b8"),
+      ChurroFunctions.bits_pack(col("bits"), 32).as("b32"),
+      expr("transform(sequence(0, 3), k -> aggregate(slice(bits, k * 32 + 1, 32), 0L, (a, b) -> shiftleft(a, 1) | b))").as("b32_sql"),
+      ChurroFunctions.hamming_bits(col("bits"), col("bits2")).as("hb"),
+      expr("aggregate(zip_with(bits, bits2, (p, q) -> CASE WHEN p = q THEN 0 ELSE 1 END), 0, (acc, e) -> acc + e)").as("hb_sql"))
+    // codegen: the Project carrying all of the above must be whole-stage
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expected a WholeStageCodegen stage:\n$plan")
+    got.collect().foreach { r =>
+      val hp = r.getSeq[Long](0)
+      assert(hp(0) == r.getLong(1) && hp(1) == r.getLong(2), "md5_split56 vs conv")
+      // md5_nibble_bits bit (4d+p) == bit p of hex digit d of the md5 prefix
+      val mb = r.getLong(3)
+      val hx = r.getString(4)
+      (0 until 64).foreach { i =>
+        val digit = Integer.parseInt(hx.charAt(i / 4).toString, 16)
+        assert(((mb >> i) & 1L) == ((digit >> (i % 4)) & 1).toLong, s"bit $i")
+      }
+      assert(r.getSeq[Long](6) == r.getSeq[Long](7), "bits_pack(32) vs fold")
+      assert(r.getSeq[Long](5).length == 16, "bits_pack(8) word count")
+      assert(r.getInt(8) == r.getInt(9), "hamming_bits vs zip_with fold")
+    }
+    // hex_hamming vs known distances
+    val pairs = Seq(
+      ("0000000000000000", "0000000000000000", 0),
+      ("0000000000000000", "ffffffffffffffff", 64),
+      ("00000000000000f0", "00000000000000f1", 1),
+      ("abcdef0123456789", "abcdef0123456789", 0))
+    import spark.implicits._
+    pairs.toDF("a", "b", "exp")
+      .select(ChurroFunctions.hex_hamming($"a", $"b").as("d"), $"exp")
+      .collect().foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("cosine_sim equals the interpreted fold bit-for-bit, inside codegen") {
+    import org.apache.spark.sql.functions._
+    // deterministic mixed-sign vectors; same fold order ⇒ bitwise equality
+    val df = spark.range(200).select(
+      expr("transform(sequence(0, 63), i -> cast(((id + 1) * (i + 3)) % 97 - 48 as double) / 7.0)").as("a"),
+      expr("transform(sequence(0, 63), i -> cast(((id + 5) * (i + 11)) % 89 - 44 as double) / 13.0)").as("b"))
+    val got = df.select(
+      ChurroFunctions.cosine_sim(col("a"), col("b")).as("c"),
+      expr("""aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, e) -> acc + e)
+             | / (sqrt(aggregate(transform(a, x -> x * x), 0D, (acc, e) -> acc + e))
+             |    * sqrt(aggregate(transform(b, x -> x * x), 0D, (acc, e) -> acc + e)))""".stripMargin).as("c_sql"))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expected a WholeStageCodegen stage:\n$plan")
+    got.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), s"${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
   test("registry-based registration works on a plain session") {
     ChurroFunctions.register(spark)
     assert(spark.sql("SELECT churro_normalize('A  B')").collect()(0).getString(0) == "a b")
