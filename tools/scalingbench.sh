@@ -12,6 +12,16 @@ CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')x"
 # reading came from a co-tenant-noise window. SCALE_HEAP_GB overrides for
 # re-running that A/B.
 HEAP=${SCALE_HEAP_GB:-8}; [ "$HEAP" -lt 6 ] && HEAP=6
+JAVA_FLAGS=(
+  --add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED
+  --add-opens java.base/java.util=ALL-UNNAMED
+)
+# Host-weather probe in a SEPARATE JVM (same pinning) before the leg: the
+# probe saturates the memory bus and allocates humongous buffers, which
+# measured ~20% off the 8-thread leg when run inside the measurement JVM
+# (BENCH.md §2b) — so the leg itself runs probe-free and this line is the
+# weather record to pair with it.
+taskset -c "$1" java "${JAVA_FLAGS[@]}" -cp "$CP" graft.jobs.ScalingBench probeonce "$2" 2>/dev/null || true
 exec taskset -c "$1" java \
   --add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED \
@@ -21,4 +31,11 @@ exec taskset -c "$1" java \
   --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED \
   --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx${HEAP}g -Xms${HEAP}g \
+  ${SCALE_GC:--XX:+UseParallelGC} \
   -cp "$CP" graft.jobs.ScalingBench "$2" "$3" "$4"
+# ParallelGC default: this stage is pure batch throughput (no pause-time
+# constraint) and G1's concurrent phases compete with the workload for
+# memory bandwidth — interleaved duel at 8 threads: PGC median 45.8k vs
+# G1 38.5k docs/s (+19%), best-observed 58.4k vs 51.6k (BENCH.md §2b).
+# On a cluster: spark.executor.extraJavaOptions=-XX:+UseParallelGC.
+# SCALE_GC=" " restores the JVM default (G1) for A/Bs.
