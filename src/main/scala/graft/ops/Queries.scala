@@ -27,6 +27,21 @@ object Queries {
 
   private def tracked(df: DataFrame): DataFrame = CacheTracker.track(df)
 
+  /** Re-split `df` for a CPU-heavy narrow stage ONLY if its scan yields too
+    * few partitions to occupy the cluster. A consolidated small table (the
+    * sf-tier documents parquet is one row group) scans as ONE split, which
+    * would serialize per-gram md5 / per-word folds / Levenshtein onto a
+    * single core; a 100 TB table scans as thousands of splits, and there
+    * the condition is false so NO shuffle of the corpus text is added —
+    * an unconditional repartition here would be a full-corpus exchange at
+    * scale. Partition assignment is not oracle-visible: every downstream
+    * aggregate is order-independent (min / count / integer-unit sums).
+    */
+  private[graft] def resplitForCpu(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
+  }
+
   /** Release every cache registered since the last call — invoke after each
     * query's terminal action (Bench/Verify do).
     */
@@ -201,7 +216,8 @@ object Queries {
     * (both engines construct the same union).
     */
   private def docsWithDups(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+    val docs = resplitForCpu(spark,
+      t(spark, dir, "documents").select(col("doc_id"), col("text"), col("lang")))
     val exact = docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 100000).as("doc_id"), col("text"), col("lang"))
     val near = docs.filter(col("doc_id") % 10 === 1)
