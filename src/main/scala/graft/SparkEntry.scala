@@ -91,6 +91,7 @@ object SparkEntry {
     "q_image_decode" -> (Queries.imageDecode(_, _)),
     "q_image_features" -> (Queries.imageFeatures(_, _)),
     "q_pdf_pages" -> (Queries.pdfPages(_, _)),
+    "q_video_frames" -> (Queries.videoFrames(_, _)),
     // the extraction pipeline + evaluation harness
     "pipeline_extract" -> (pipelineExtract(_, _)),
     "pipeline_eval" -> (Eval.pipelineEval(_, _)),
@@ -266,6 +267,19 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_multimodal_sha" ->
       "SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha FROM documents ORDER BY doc_id",
+    "q_video_frames" ->
+      """WITH vids AS (
+        |  SELECT doc_id AS video_id,
+        |         CAST(24 + (doc_id % 2) * 6 AS BIGINT) AS fps,
+        |         CAST(2000 + (doc_id % 20) * 500 AS BIGINT) AS duration_ms,
+        |         sha256(text) AS content_sha
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |frames AS (
+        |  SELECT video_id, fps, content_sha, unnest(range(0, (duration_ms - 1) // 500 + 1)) AS k
+        |  FROM vids)
+        |SELECT video_id, k * 500 AS ts_ms, (k * 500 * fps) // 1000 AS frame_idx,
+        |       sha256(content_sha || ':' || CAST((k * 500 * fps) // 1000 AS VARCHAR)) AS frame_sha
+        |FROM frames ORDER BY video_id, ts_ms""".stripMargin,
     "q_image_decode" ->
       """SELECT name, width, height, pixel_sha, uri_sha, n_bytes
         |FROM read_parquet('/root/repo/src/test/resources/expected/image_decode.parquet')

@@ -766,6 +766,38 @@ object Queries {
         sha2(col("payload"), 256).as("sha"))
       .orderBy("doc_id")
 
+  /** Video frame sampling — the remaining multimodal op family (decode /
+    * feature-extract / resize are covered by the image path; this is the
+    * frame-sample shape). Videos are opaque binary payloads with typed
+    * metadata (fps, duration_ms); a deterministic subset of documents
+    * plays the video table. Sampling is uniform in TIME (one frame per
+    * 500 ms), realized as a generator over a computed sequence — the scan
+    * fans out to exactly the sampled frames, never one-row-per-source-frame
+    * (a 2-hour 30 fps video is 216k frames but only 14.4k samples). The
+    * per-frame decode is the documented sandbox stub: frame_sha stands in
+    * for the decoded frame bytes as sha256(content_sha ':' frame_idx) —
+    * deterministic, schema/partitioning/generator plumbing all real; on a
+    * cluster the decode step is the same shape with the codec call inside
+    * a mapPartitions batch.
+    */
+  def videoFrames(spark: SparkSession, dir: String): DataFrame = {
+    val vids = t(spark, dir, "documents")
+      .filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id").as("video_id"),
+        (lit(24) + (col("doc_id") % 2) * 6).cast("long").as("fps"),
+        (lit(2000) + (col("doc_id") % 20) * 500).cast("long").as("duration_ms"),
+        sha2(encode(col("text"), "utf-8"), 256).as("content_sha"))
+    vids
+      .select(col("video_id"), col("fps"), col("duration_ms"), col("content_sha"),
+        explode(expr("sequence(0L, (duration_ms - 1) div 500)")).as("k"))
+      .select(col("video_id"),
+        (col("k") * 500).as("ts_ms"),
+        expr("(k * 500 * fps) div 1000").as("frame_idx"),
+        sha2(concat(col("content_sha"), lit(":"),
+          expr("cast((k * 500 * fps) div 1000 as string)")), 256).as("frame_sha"))
+      .orderBy("video_id", "ts_ms")
+  }
+
   /** Real image decode over a binaryFile scan: `load_image` parity
     * (`_internal/image.py:20-29` — ImageIO decode + EXIF orientation
     * normalize) in a typed map, with the base64 data-URI transport encode

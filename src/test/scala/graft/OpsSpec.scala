@@ -73,6 +73,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getInt(3)).forall(rn => rn >= 1 && rn <= 3))
   }
 
+  test("video frame sampling: one frame per 500ms, idx = ts*fps/1000, deterministic") {
+    val rows = graft.ops.Queries.videoFrames(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byVid = rows.groupBy(_.getLong(0))
+    byVid.foreach { case (vid, frames) =>
+      assert(vid % 4 == 0, "only every 4th doc is a video")
+      val fps = 24 + (vid % 2) * 6
+      val durationMs = 2000 + (vid % 20) * 500
+      assert(frames.length == durationMs / 500, s"video $vid frame count")
+      frames.foreach { r =>
+        val ts = r.getLong(1)
+        assert(ts >= 0 && ts < durationMs, s"sample inside the video")
+        assert(r.getLong(2) == ts * fps / 1000, s"frame_idx from timestamp")
+        assert(r.getString(3).length == 64, "sha256 hex frame digest")
+      }
+    }
+    // deterministic: a second evaluation is byte-identical
+    assert(graft.ops.Queries.videoFrames(spark, dir).collect().map(_.toString).toSeq ==
+      rows.map(_.toString).toSeq)
+  }
+
   test("scan pruning reaches the parquet reader") {
     val df = SparkEntry.queries("q_scan_prune")(spark, dir)
     val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
