@@ -231,8 +231,12 @@ object AnnKMeans {
     val cands = CacheTracker.track(candidates(spark))
     val bf = bfTop3(spark, cands)
     val cents = centroidsDF(spark)
-    val asg = assigned(spark, cands, cents)
-    val prb = probes(spark, queries(spark), cents).select(col("q_id"), col("cent_id"))
+    // assignment and probe lists each feed BOTH the ivf3 search and the
+    // scanned-fraction audit below — tracked persists stop the 1600×16
+    // argmax and the probe TopM from running twice (released by the caller)
+    val asg = CacheTracker.track(assigned(spark, cands, cents))
+    val prb = CacheTracker.track(
+      probes(spark, queries(spark), cents).select(col("q_id"), col("cent_id")))
     val ivf3 = {
       val ranked = prb.join(broadcast(queries(spark)), "q_id")
         .join(asg, "cent_id")
