@@ -65,6 +65,7 @@ object SparkEntry {
     "q_minhash_sig" -> (Queries.minhashSig(_, _)),
     "q_minhash_pairs" -> (Queries.minhashPairs(_, _)),
     "q_ngram_jaccard" -> (Queries.ngramJaccard(_, _)),
+    "q_dedup_components" -> (Queries.dedupComponents(_, _)),
     "q_simhash" -> (Queries.simhash(_, _)),
     "q_simhash_pairs" -> (Queries.simhashPairs(_, _)),
     "q_embed_neardup" -> (Queries.embedNearDup(_, _)),
@@ -214,6 +215,19 @@ object SparkEntry {
         |FROM sigs ORDER BY doc_id""".stripMargin),
     "q_minhash_pairs" -> (dupsCte + minhashCtes +
       "\nSELECT a, b FROM pairs ORDER BY a, b"),
+    // true transitive closure via WITH RECURSIVE — hash-equality with the
+    // Spark min-label-propagation loop proves the loop reached the fixpoint
+    "q_dedup_components" -> (dupsCte + minhashCtes +
+      """, edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT a AS id, a AS lab FROM edges
+        |  UNION
+        |  SELECT e.a AS id, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+        |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+        |sizes AS (SELECT component, count(*) AS n_members FROM comp GROUP BY component)
+        |SELECT comp.id AS doc_id, comp.component, sizes.n_members
+        |FROM comp JOIN sizes USING (component) ORDER BY doc_id""".stripMargin)
+      .replaceFirst("WITH ", "WITH RECURSIVE "),
     "q_token_count" ->
       "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, n_chars FROM documents ORDER BY doc_id",
     "q_token_count_bpe" ->

@@ -234,6 +234,49 @@ object Queries {
       .filter(col("n_copies") > 1)
       .orderBy("keep_id")
 
+  /** Dedup clustering: connected components over the MinHash near-dup pair
+    * graph — the canonical-document-selection step a dedup pipeline runs
+    * after candidate pairing. Iterative min-label propagation: every round
+    * each node adopts the smallest label among itself and its neighbours
+    * (two hash joins + one partial-aggregated groupBy per round — the
+    * standard distributed CC shape, no driver-side graph, scales to
+    * billions of edges), converging in graph-diameter rounds with an
+    * explicit changed-label count as the stop condition (dup clusters are
+    * near-cliques, so 2-3 rounds in practice). The DuckDB oracle computes
+    * the true transitive closure with WITH RECURSIVE — equal at the
+    * fixpoint, so a hash-exact row proves the loop actually converged.
+    */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = tracked(minhashPairs(spark, dir).select(col("a"), col("b")))
+    val edges = tracked(
+      pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b"))))
+    var labels = tracked(
+      edges.select(col("a").as("id")).distinct().withColumn("label", col("id")))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("label")), "b")
+        .select(col("a").as("id"), col("label"))
+        .unionAll(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+      // LINEAGE CUT: `labels` appears twice per round, so without a cut the
+      // logical plan nests exponentially (~2^rounds nodes — measured OOM in
+      // plan stringification at round ~20). The RDD boundary flattens each
+      // round to a LogicalRDD over the previous round's cached blocks; at
+      // 10^9-node scale the same cut is a reliableCheckpoint to storage.
+      val next = tracked(spark.createDataFrame(nbrMin.rdd, nbrMin.schema))
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("component"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash family size / banding (b×r): 64 hash functions in 32 bands of 2
     * rows, derived from ONE md5 per gram via Kirsch–Mitzenmacher double
     * hashing — h_j = (h1 + j·h2) mod (2^61−1) with h1/h2 the two 56-bit

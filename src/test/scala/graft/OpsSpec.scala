@@ -73,6 +73,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getInt(3)).forall(rn => rn >= 1 && rn <= 3))
   }
 
+  test("dedup components: every planted copy lands in its base doc's cluster") {
+    val rows = graft.ops.Queries.dedupComponents(spark, dir).collect()
+    graft.ops.Queries.releaseCaches()
+    assert(rows.nonEmpty)
+    val comp = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // planted exact copies (base % 10 == 0 → base + 100000) and near copies
+    // (base % 10 == 1 → base + 200000) must share their base's component
+    comp.keys.filter(_ >= 100000).foreach { copy =>
+      val base = copy % 100000
+      assert(comp.contains(base), s"base $base of copy $copy must be in the graph")
+      assert(comp(copy) == comp(base), s"copy $copy split from base $base")
+    }
+    // component label is the min member id
+    rows.groupBy(_.getLong(1)).foreach { case (label, members) =>
+      assert(members.map(_.getLong(0)).min == label, s"component $label label != min member")
+      assert(members.forall(_.getLong(2) == members.length), "n_members wrong")
+    }
+  }
+
   test("video frame sampling: one frame per 500ms, idx = ts*fps/1000, deterministic") {
     val rows = graft.ops.Queries.videoFrames(spark, dir).collect()
     assert(rows.nonEmpty)
