@@ -252,9 +252,15 @@ object Queries {
       pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b"))))
     var labels = tracked(
       edges.select(col("a").as("id")).distinct().withColumn("label", col("id")))
-    var changed = 1L
+    // convergence check: labels are non-increasing under min-propagation,
+    // so sum(label) strictly decreases iff ANY label changed — one cheap
+    // partial aggregate per round instead of a labels⋈labels diff join
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("label"))).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    var converged = false
+    while (!converged && iter < 20) {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("label")), "b")
         .select(col("a").as("id"), col("label"))
@@ -266,8 +272,9 @@ object Queries {
       // round to a LogicalRDD over the previous round's cached blocks; at
       // 10^9-node scale the same cut is a reliableCheckpoint to storage.
       val next = tracked(spark.createDataFrame(nbrMin.rdd, nbrMin.schema))
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       iter += 1
     }
