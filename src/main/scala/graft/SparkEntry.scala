@@ -284,7 +284,7 @@ object SparkEntry {
     "q_video_frames" ->
       """WITH vids AS (
         |  SELECT doc_id AS video_id,
-        |         CAST(24 + (doc_id % 2) * 6 AS BIGINT) AS fps,
+        |         CAST(24 + ((doc_id // 4) % 2) * 6 AS BIGINT) AS fps,
         |         CAST(2000 + (doc_id % 20) * 500 AS BIGINT) AS duration_ms,
         |         sha256(text) AS content_sha
         |  FROM documents WHERE doc_id % 4 = 0),

@@ -75,16 +75,22 @@ object ExprImpl {
     * per row instead of ~3·dims interpreted lambda frames.
     */
   def cosineSim(a: org.apache.spark.sql.catalyst.util.ArrayData,
-                b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+                b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {
     val n = a.numElements()
+    // mismatched lengths / null elements → NULL, matching the interpreted
+    // form (zip_with pads the shorter side with null and the `+` fold
+    // propagates it) — a silent out-of-bounds getDouble on UnsafeArrayData
+    // would return garbage instead
+    if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getDouble(i); val y = b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
   /** Pack a 0/1 int array into big-endian words of `width` bits (width ≤ 63):
@@ -325,12 +331,18 @@ case class Md5Split56(child: Expression) extends UnaryExpression {
   */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override protected def nullSafeEval(a: Any, b: Any): Any =
     ExprImpl.cosineSim(
       a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (l, r) => s"graft.functions.ExprImpl.cosineSim($l, $r)")
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val res = ctx.freshName("cos")
+      s"""java.lang.Double $res = graft.functions.ExprImpl.cosineSim($l, $r);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res.doubleValue(); }""".stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
 }

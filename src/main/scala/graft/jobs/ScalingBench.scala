@@ -40,28 +40,46 @@ object ScalingBench {
     val ready = new java.util.concurrent.CyclicBarrier(threads + 1)
     val go = new java.util.concurrent.CyclicBarrier(threads + 1)
     @volatile var deadline = 0L
+    val lastEnd = new java.util.concurrent.atomic.AtomicLong()
     val ts = (0 until threads).map { _ =>
       val t = new Thread(() => {
-        val src = new Array[Long](bytes / 8)
-        val dst = new Array[Long](bytes / 8)
-        System.arraycopy(src, 0, dst, 0, src.length) // touch all pages
+        // allocate inside try: a thread that dies before its barriers (e.g.
+        // OOME on the 128MB pair in a small heap) would otherwise leave the
+        // main thread parked on the CyclicBarrier forever — the failed
+        // thread still reaches both awaits and just contributes 0 copies
+        var src: Array[Long] = null
+        var dst: Array[Long] = null
+        try {
+          src = new Array[Long](bytes / 8)
+          dst = new Array[Long](bytes / 8)
+          System.arraycopy(src, 0, dst, 0, src.length) // touch all pages
+        } catch { case _: Throwable => src = null }
         ready.await()
         go.await()
-        var n = 0L
-        while (System.nanoTime() < deadline) {
-          System.arraycopy(src, 0, dst, 0, src.length)
-          n += 1
+        if (src != null) {
+          var n = 0L
+          while (System.nanoTime() < deadline) {
+            System.arraycopy(src, 0, dst, 0, src.length)
+            n += 1
+          }
+          counts.addAndGet(n)
         }
-        counts.addAndGet(n)
+        lastEnd.getAndAccumulate(System.nanoTime(), math.max(_, _))
       })
       t.start(); t
     }
     ready.await() // all threads allocated + warm
-    deadline = System.nanoTime() + millis * 1000000L
+    val start = System.nanoTime()
+    deadline = start + millis * 1000000L
     go.await()
     ts.foreach(_.join())
-    // each copy touches 2×bytes (read + write)
-    counts.get().toDouble * 2 * bytes / (millis / 1000.0) / 1e9
+    // each copy touches 2×bytes (read + write). Divide by the ACTUAL window
+    // (last thread's finish, not the nominal millis): a copy admitted 1ns
+    // before the deadline still runs to completion, and under heavy
+    // contention that overshoot is largest exactly when bandwidth is lowest
+    // — dividing by the nominal window would compress the measured swing.
+    val elapsedSec = math.max(lastEnd.get() - start, 1L) / 1e9
+    counts.get().toDouble * 2 * bytes / elapsedSec / 1e9
   }
 
   def main(argv: Array[String]): Unit = {

@@ -255,8 +255,10 @@ object Queries {
     // convergence check: labels are non-increasing under min-propagation,
     // so sum(label) strictly decreases iff ANY label changed — one cheap
     // partial aggregate per round instead of a labels⋈labels diff join
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).collect()(0).getLong(0)
+    def labelSum(df: DataFrame): Long = {
+      val row = df.agg(sum(col("label"))).collect()(0)
+      if (row.isNullAt(0)) 0L else row.getLong(0) // empty graph → SUM is NULL
+    }
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -272,8 +274,9 @@ object Queries {
       // convergence in O(log diameter) rounds instead of O(diameter) —
       // decisive on near-boilerplate corpora where banding links most docs
       // into one giant component (sf0.1: 5,885 of ~6k nodes in one blob).
-      val jumped = nbrMin
-        .join(nbrMin.select(col("id").as("label"), col("label").as("jlabel")), "label")
+      val nbrMinP = tracked(nbrMin) // self-joined below: compute once per round
+      val jumped = nbrMinP
+        .join(nbrMinP.select(col("id").as("label"), col("label").as("jlabel")), "label")
         .select(col("id"), col("jlabel").as("label"))
       // LINEAGE CUT: `labels` appears twice per round, so without a cut the
       // logical plan nests exponentially (~2^rounds nodes — measured OOM in
@@ -843,7 +846,9 @@ object Queries {
     val vids = t(spark, dir, "documents")
       .filter(col("doc_id") % 4 === 0)
       .select(col("doc_id").as("video_id"),
-        (lit(24) + (col("doc_id") % 2) * 6).cast("long").as("fps"),
+        // fps alternates PER VIDEO (every 4th doc is a video, so the parity
+        // of doc_id div 4 — plain doc_id % 2 would be constant 0 here)
+        expr("cast(24 + ((doc_id div 4) % 2) * 6 as bigint)").as("fps"),
         (lit(2000) + (col("doc_id") % 20) * 500).cast("long").as("duration_ms"),
         sha2(encode(col("text"), "utf-8"), 256).as("content_sha"))
     vids

@@ -123,6 +123,16 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
         java.lang.Double.doubleToLongBits(r.getDouble(1)), s"${r.getDouble(0)} vs ${r.getDouble(1)}")
     }
+    // mismatched lengths and null elements → NULL, like the zip_with form
+    // (never a silent out-of-bounds read)
+    import spark.implicits._
+    val edge = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0)),
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)))
+      .toDF("a", "b")
+      .select(ChurroFunctions.cosine_sim(col("a"), col("b")).as("c"))
+      .collect()
+    assert(edge.forall(_.isNullAt(0)), "length/null-element mismatch must be NULL")
   }
 
   test("registry-based registration works on a plain session") {

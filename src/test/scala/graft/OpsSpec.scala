@@ -98,7 +98,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val byVid = rows.groupBy(_.getLong(0))
     byVid.foreach { case (vid, frames) =>
       assert(vid % 4 == 0, "only every 4th doc is a video")
-      val fps = 24 + (vid % 2) * 6
+      val fps = 24 + ((vid / 4) % 2) * 6
       val durationMs = 2000 + (vid % 20) * 500
       assert(frames.length == durationMs / 500, s"video $vid frame count")
       frames.foreach { r =>

@@ -11,7 +11,10 @@ CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')x"
 # 32 threads (80.7k vs 76.3k) — the earlier "8g starves the young gen"
 # reading came from a co-tenant-noise window. SCALE_HEAP_GB overrides for
 # re-running that A/B.
-HEAP=${SCALE_HEAP_GB:-8}; [ "$HEAP" -lt 6 ] && HEAP=6
+# An explicit SCALE_HEAP_GB is honored EXACTLY (it exists to re-run the
+# heap A/B — silently clamping a 4g request to 6g would mislabel the
+# measurement); only the default is fixed at the A/B winner 8g.
+HEAP=${SCALE_HEAP_GB:-8}
 JAVA_FLAGS=(
   --add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED
   --add-opens java.base/java.util=ALL-UNNAMED
@@ -20,8 +23,9 @@ JAVA_FLAGS=(
 # probe saturates the memory bus and allocates humongous buffers, which
 # measured ~20% off the 8-thread leg when run inside the measurement JVM
 # (BENCH.md §2b) — so the leg itself runs probe-free and this line is the
-# weather record to pair with it.
-taskset -c "$1" java "${JAVA_FLAGS[@]}" -cp "$CP" graft.jobs.ScalingBench probeonce "$2" 2>/dev/null || true
+# weather record to pair with it. The probe JVM gets an explicit 6g heap:
+# 32 copier threads hold ~4GB of buffers, above many default max-heaps.
+taskset -c "$1" java "${JAVA_FLAGS[@]}" -Xmx6g -cp "$CP" graft.jobs.ScalingBench probeonce "$2" 2>/dev/null || true
 exec taskset -c "$1" java \
   --add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED \
