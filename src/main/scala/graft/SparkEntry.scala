@@ -60,6 +60,7 @@ object SparkEntry {
     "q_json_extract" -> (Queries.jsonExtract(_, _)),
     "q_stream_window" -> (StreamOps.streamWindow(_, _)),
     "q_stream_window_append" -> (StreamOps.streamWindowAppendQuery(_, _)),
+    "q_stream_dedup" -> (StreamOps.streamDedupQuery(_, _)),
     // deduplication
     "q_dedup_exact" -> (Queries.dedupExact(_, _)),
     "q_minhash_sig" -> (Queries.minhashSig(_, _)),
@@ -207,6 +208,10 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2
         |HAVING hour + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
         |ORDER BY 1, 2""".stripMargin,
+    // streaming dedup: the planted in-stream copies are exact row copies,
+    // so the deduped stream equals the original events table
+    "q_stream_dedup" ->
+      "SELECT event_id, ts, event_type, value FROM events ORDER BY event_id",
     "q_dedup_exact" -> (dupsCte +
       """ SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM all_docs GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin),

@@ -78,6 +78,42 @@ object StreamOps {
       .orderBy("hour", "event_type")
   }
 
+  /** Streaming exact dedup — the ingest-time shape of the dedup family
+    * (`q_dedup_exact` is the batch form): duplicates planted INSIDE the
+    * stream (every 3rd event arrives twice) are dropped by
+    * `dropDuplicatesWithinWatermark`, the bounded-state production dedup —
+    * state for an event id is held only until the watermark passes it, so
+    * the store cannot grow without bound on an infinite stream (a plain
+    * `dropDuplicates` would). Deterministic: the planted copies are exact
+    * row copies, so whichever arrives first yields the same output row; the
+    * batch oracle is simply the original events table.
+    */
+  def streamDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val dupped = events
+      .withColumn("copy", explode(when(col("event_id") % 3 === 0,
+        array(lit(1), lit(2))).otherwise(array(lit(1)))))
+      .drop("copy")
+    val deduped = dupped
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val queryName = "graft_stream_dedup"
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .orderBy("event_id")
+  }
+
   /** One closed user session: the custom-state shape the brief calls for
     * (`flatMapGroupsWithState` + event-time timeout). Gap-based
     * sessionization: events of one user belong to one session while they

@@ -55,6 +55,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming dedup drops the planted in-stream copies, bounded state") {
+    val dir = "/root/testdata/sf0.001"
+    val out = StreamOps.streamDedupQuery(spark, dir).collect()
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val n = events.count()
+    // every 3rd event streamed in twice; dedup must return EXACTLY the table
+    assert(out.length == n, s"deduped rows ${out.length} != events $n")
+    assert(out.map(_.getLong(0)).distinct.length == out.length, "event_id unique")
+    assert(n / 3 > 0, "fixture must actually plant duplicates")
+  }
+
   test("flatMapGroupsWithState sessionization: gap split + event-time timeout emission") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
