@@ -177,6 +177,30 @@ object ExprImpl {
     }
     d
   }
+
+  /** Index of the max-cosine centroid (strict `>` scan from index 0 → the
+    * FIRST maximum wins, i.e. lowest index on ties — the same order the
+    * window form `orderBy(ccos desc, cent_id asc).row_number = 1` selects).
+    * Comparisons go through [[cosineSim]] itself so the selected centroid is
+    * bit-identical to the crossJoin+window plan this replaces; a null cosine
+    * (length mismatch / null element) is skipped exactly as desc-ordered
+    * nulls-last would skip it, and an all-null row yields NULL.
+    */
+  def argmaxCosine(v: org.apache.spark.sql.catalyst.util.ArrayData,
+                   cents: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Integer = {
+    val k = cents.numElements()
+    var best = -1
+    var bestCos = 0.0
+    var c = 0
+    while (c < k) {
+      val s = cosineSim(v, cents.getArray(c))
+      if (s != null && (best < 0 || s.doubleValue() > bestCos)) {
+        best = c; bestCos = s.doubleValue()
+      }
+      c += 1
+    }
+    if (best < 0) null else java.lang.Integer.valueOf(best)
+  }
 }
 
 /** `churro_normalize(text)` — the reference's full evaluation normalizer
@@ -312,6 +336,32 @@ case class HexHamming(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** `argmax_cosine(v, cents)` — 0-based index of the centroid (an
+  * `array<array<double>>`, in practice a broadcast-sized LITERAL riding the
+  * plan as one constant object) with the highest cosine against `v`; lowest
+  * index on exact ties. This is the zero-Exchange IVF assignment: a pure
+  * projection over the scan replaces the round-3
+  * `crossJoin(broadcast(cents))` + `Window.partitionBy(vec_id)` plan, which
+  * hash-partitioned 16 centroid-crossed copies of every full float vector by
+  * vec_id — a full-corpus shuffle with 16× amplification at 10^12 rows.
+  */
+case class ArgmaxCosine(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprImpl.argmaxCosine(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val res = ctx.freshName("amc")
+      s"""java.lang.Integer $res = graft.functions.ExprImpl.argmaxCosine($l, $r);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res.intValue(); }""".stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArgmaxCosine =
+    copy(left = l, right = r)
+}
+
 /** `md5_split56(s)` — the minhash double-hash bases [h1, h2] from one digest
   * call (see [[ExprImpl.md5Split56]]), native codegen.
   */
@@ -377,6 +427,9 @@ object ChurroFunctions {
   def md5_split56(c: Column): Column = col(Md5Split56(e(c)))
   def md5_nibble_bits(c: Column): Column = col(Md5NibbleBits(e(c)))
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(e(a), e(b)))
+  def argmax_cosine(v: Column, cents: Column): Column = col(ArgmaxCosine(e(v), e(cents)))
+  def collect_list_capped(c: Column, maxElems: Int): Column =
+    col(CollectListCapped(e(c), maxElems).toAggregateExpression())
 
   /** Register the SQL surface on a session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -16,15 +16,18 @@ import org.apache.spark.sql.expressions.Window
   *    code and the independent Python oracle generator
   *    (tools/gen_ivf_fixture.py) reproduce it bit-identically, no data files,
   *    no RNG);
-  *  - a seeded k-means coarse quantizer: collect a 25% sample to the driver
-  *    (the standard train-on-sample pattern — FAISS-style quantizer training
-  *    is a tiny-sample job even at 10^12 vectors), [[LloydIters]] Lloyd
-  *    iterations with cosine assignment, deterministic evenly-spaced init,
-  *    fixed left-to-right summation order so the centroids are bit-equal to
-  *    the oracle's pure-Python loops;
-  *  - the IVF search itself stays fully distributed: broadcast-argmax
-  *    assignment (vectors never shuffle), probe-list equi-join, exact-cosine
-  *    re-rank through the two-phase [[TopM]] (no per-query single-task sort);
+  *  - a seeded k-means coarse quantizer: collect a BOUNDED-COUNT
+  *    deterministic sample to the driver ([[TrainSampleN]] md5-ranked rows
+  *    via TakeOrderedAndProject — the FAISS-style fixed-size training
+  *    sample, a constant driver footprint even at 10^12 vectors),
+  *    [[LloydIters]] Lloyd iterations with cosine assignment, deterministic
+  *    evenly-spaced init, fixed left-to-right summation order so the
+  *    centroids are bit-equal to the oracle's pure-Python loops;
+  *  - the IVF search itself stays fully distributed: per-row
+  *    [[graft.functions.ArgmaxCosine]] assignment against the literal
+  *    centroid constant (zero Exchange — the vectors never shuffle, asserted
+  *    in OpsSpec), probe-list equi-join, exact-cosine re-rank through the
+  *    two-phase [[TopM]] (no per-query single-task sort);
   *  - [[annRecall]]: recall@3 vs the exact brute-force answer for BOTH scale
   *    paths (IVF probes and sign-LSH Hamming shortlist) at the same 25%
   *    scan budget, as an oracle-checked query — the documented comparison
@@ -38,7 +41,19 @@ object AnnKMeans {
   val NumQueries = 5
   val Probes = 4 // of 16 centroids → 25% nominal scan budget
   val LloydIters = 5
-  val SampleMod = 4 // train on vec_id % 4 == 0 (25% sample)
+
+  /** Quantizer training-sample size — a BOUNDED COUNT, not a corpus
+    * fraction. The round-3 `vec_id % 4 == 0` rule collected 25% of the
+    * corpus to the driver — fine at 1,600 vectors, a driver OOM at 10^12.
+    * The FAISS-style pattern is a fixed-size sample whatever the corpus
+    * size: rank by a deterministic per-id digest (md5 of "ivf:<id>" — the
+    * same keyless hash both engines compute identically) and keep the
+    * smallest [[TrainSampleN]], which Spark plans as TakeOrderedAndProject
+    * (per-partition bounded heap → driver merge of N rows, never a full
+    * collect). The selected ids are then processed in vec_id order so the
+    * Lloyd summation order — and every centroid bit — stays fixed.
+    */
+  val TrainSampleN = 400
   val LshScanM: Int = Clusters * PerCluster / 4 // 400 = the same 25% budget
   val TopK = 3
 
@@ -97,8 +112,10 @@ object AnnKMeans {
     // the module — memoize across queries (ivfTopK and annRecall both train)
     if (centroidCache != null) return centroidCache
     val sample: Array[Array[Double]] = candidates(spark)
-      .filter(col("vec_id") % SampleMod === 0)
-      .orderBy("vec_id")
+      .withColumn("h", md5(concat(lit("ivf:"), col("vec_id").cast("string"))))
+      .orderBy("h", "vec_id") // TakeOrderedAndProject: bounded driver return
+      .limit(TrainSampleN)
+      .orderBy("vec_id") // fixed summation order over the N selected rows
       .select("v").collect()
       .map(_.getSeq[Double](0).toArray)
     val n = sample.length
@@ -146,16 +163,23 @@ object AnnKMeans {
   private def cosExpr(a: String, b: String) =
     graft.functions.ChurroFunctions.cosine_sim(col(a), col(b))
 
-  /** Broadcast-argmax assignment of every candidate to its best centroid —
-    * the vectors never shuffle; the per-key window is 16 rows per vec_id
-    * (bounded by construction), parallel across candidates.
+  /** Zero-Exchange assignment of every candidate to its best centroid: the
+    * trained centroid table rides the plan as ONE literal constant and
+    * [[graft.functions.ArgmaxCosine]] picks the argmax per row — a pure
+    * projection over the scan, so the vectors genuinely never shuffle. The
+    * round-3 `crossJoin(broadcast(cents))` + `Window.partitionBy(vec_id)`
+    * form computed the same argmax but forced an Exchange hash-partitioning
+    * of 16 centroid-crossed copies of every full float vector (16× shuffle
+    * amplification of the corpus at 10^12 rows). Tie order is identical
+    * (first maximum = lowest cent_id) and the comparisons run through the
+    * same [[graft.functions.ExprImpl.cosineSim]], so every assignment bit
+    * matches the window plan and the pure-Python oracle twin.
+    * OpsSpec asserts the subplan contains no Exchange and no Window.
     */
-  private def assigned(spark: SparkSession, cands: DataFrame, cents: DataFrame): DataFrame = {
-    val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
-    cands.crossJoin(broadcast(cents))
-      .withColumn("ccos", cosExpr("v", "cv"))
-      .withColumn("arn", row_number().over(aw))
-      .filter(col("arn") === 1)
+  private[graft] def assigned(spark: SparkSession, cands: DataFrame): DataFrame = {
+    val centsLit = typedlit(trainCentroids(spark).map(_.toSeq).toSeq)
+    cands
+      .withColumn("cent_id", graft.functions.ChurroFunctions.argmax_cosine(col("v"), centsLit))
       .select(col("vec_id"), col("v"), col("cent_id"))
   }
 
@@ -178,7 +202,7 @@ object AnnKMeans {
     val cands = candidates(spark)
     val cents = centroidsDF(spark)
     val ranked = probes(spark, queries(spark), cents)
-      .join(assigned(spark, cands, cents), "cent_id")
+      .join(assigned(spark, cands), "cent_id")
       .withColumn("c", cosExpr("qv", "v"))
       .select(col("q_id"), col("vec_id"), col("c"))
     TopM.topM(ranked, "q_id", Seq(("c", false), ("vec_id", true)), TopK, "rn")
@@ -234,7 +258,7 @@ object AnnKMeans {
     // assignment and probe lists each feed BOTH the ivf3 search and the
     // scanned-fraction audit below — tracked persists stop the 1600×16
     // argmax and the probe TopM from running twice (released by the caller)
-    val asg = CacheTracker.track(assigned(spark, cands, cents))
+    val asg = CacheTracker.track(assigned(spark, cands))
     val prb = CacheTracker.track(
       probes(spark, queries(spark), cents).select(col("q_id"), col("cent_id")))
     val ivf3 = {

@@ -39,7 +39,12 @@ object Queries {
     */
   private[graft] def resplitForCpu(spark: SparkSession, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
+    // probe the split count via this df's own QueryExecution (`toRdd` is the
+    // already-planned physical scan, no action) — the round-3 `df.rdd` probe
+    // instantiated a SECOND physical plan (extra DeserializeToObject tree)
+    // per query just to read a partition count
+    val splits = df.queryExecution.toRdd.getNumPartitions
+    if (splits < math.max(2, target / 2)) df.repartition(target) else df
   }
 
   /** Release every cache registered since the last call — invoke after each
@@ -246,23 +251,27 @@ object Queries {
     * the true transitive closure with WITH RECURSIVE — equal at the
     * fixpoint, so a hash-exact row proves the loop actually converged.
     */
+  /** Max propagation rounds. Pointer jumping halves chain depth every round,
+    * so 24 rounds cover graphs of diameter ~2^24 — far past any real dedup
+    * graph; hitting the cap without convergence is a failure, not a result.
+    */
+  val DedupComponentsMaxRounds = 24
+
+  /** Peak tracked-cache count observed inside the last [[dedupComponents]]
+    * propagation loop (spec observability for the eager-release contract).
+    */
+  @volatile private[graft] var componentsMaxLiveCaches: Int = 0
+
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
     val pairs = tracked(minhashPairs(spark, dir).select(col("a"), col("b")))
     val edges = tracked(
       pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b"))))
     var labels = tracked(
       edges.select(col("a").as("id")).distinct().withColumn("label", col("id")))
-    // convergence check: labels are non-increasing under min-propagation,
-    // so sum(label) strictly decreases iff ANY label changed — one cheap
-    // partial aggregate per round instead of a labels⋈labels diff join
-    def labelSum(df: DataFrame): Long = {
-      val row = df.agg(sum(col("label"))).collect()(0)
-      if (row.isNullAt(0)) 0L else row.getLong(0) // empty graph → SUM is NULL
-    }
-    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
-    while (!converged && iter < 20) {
+    componentsMaxLiveCaches = CacheTracker.liveCount
+    while (!converged && iter < DedupComponentsMaxRounds) {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("label")), "b")
         .select(col("a").as("id"), col("label"))
@@ -284,12 +293,31 @@ object Queries {
       // round to a LogicalRDD over the previous round's cached blocks; at
       // 10^9-node scale the same cut is a reliableCheckpoint to storage.
       val next = tracked(spark.createDataFrame(jumped.rdd, jumped.schema))
-      val s = labelSum(next)
-      converged = s == prevSum
-      prevSum = s
+      // convergence = zero changed labels, counted via an id equi-join of
+      // consecutive rounds. Overflow-safe at any id scale — the round-3
+      // sum(label)-equality probe wraps Long once 10^9+ labels drawn from
+      // 10^12-scale ids sum past 2^63 and a wraparound collision could
+      // falsely signal convergence. The count action doubles as the
+      // materializer of `next`'s cache blocks.
+      val changed = next
+        .join(labels.select(col("id"), col("label").as("prev")), "id")
+        .filter(col("label") =!= col("prev"))
+        .count()
+      converged = changed == 0L
+      // eager release: round r−1's label table and this round's propagation
+      // intermediate die NOW that `next` is materialized — the round-3 loop
+      // held every round's handles (~2 × rounds caches) until query end
+      componentsMaxLiveCaches = math.max(componentsMaxLiveCaches, CacheTracker.liveCount)
+      CacheTracker.release(labels)
+      CacheTracker.release(nbrMinP)
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupComponents did not converge within $DedupComponentsMaxRounds rounds — " +
+          "pointer-jumped min-label propagation covers diameter ~2^rounds, so this " +
+          "indicates a logic or data error, not a graph that merely needs patience")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
     labels.join(sizes, "label")
       .select(col("id").as("doc_id"), col("label").as("component"), col("n_members"))
@@ -368,8 +396,12 @@ object Queries {
     }
     val bands = minhashSigCore(spark, dir) // unsorted: no mid-pipeline global sort
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_id", "bv")))
+    // capped collector: a boilerplate mega-bucket stops accumulating at
+    // cap + 1 elements instead of materializing all members in one buffer
+    // before the size filter drops it (see CollectListCapped)
     bands.groupBy(col("band_id"), col("bv"))
-      .agg(collect_list(col("doc_id")).as("ids"))
+      .agg(graft.functions.ChurroFunctions
+        .collect_list_capped(col("doc_id"), MinhashBucketCap + 1).as("ids"))
       .filter(size(col("ids")).between(2, MinhashBucketCap))
       .withColumn("ids", array_sort(col("ids"))) // collect_list order is nondeterministic
       .select(explode(expr(
@@ -457,7 +489,8 @@ object Queries {
     // (band, bucket) under the cap, pairs emitted from the sorted array —
     // no self-join, no window, no persist
     val pairs = bands.groupBy(col("band_id"), col("bv"))
-      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ms"))
+      .agg(graft.functions.ChurroFunctions
+        .collect_list_capped(struct(col("doc_id"), col("simhash")), MinhashBucketCap + 1).as("ms"))
       .filter(size(col("ms")).between(2, MinhashBucketCap))
       .withColumn("ms", array_sort(col("ms")))
       .select(explode(expr(
@@ -620,7 +653,8 @@ object Queries {
     // single-pass grouped buckets (see minhashPairs): no self-join, no
     // window pass for the cap, no persist
     val pairs = bands.groupBy(col("band_id"), col("bv"))
-      .agg(collect_list(struct(col("vec_id"), col("bits"))).as("ms"))
+      .agg(graft.functions.ChurroFunctions
+        .collect_list_capped(struct(col("vec_id"), col("bits")), MinhashBucketCap + 1).as("ms"))
       .filter(size(col("ms")).between(2, MinhashBucketCap))
       .withColumn("ms", array_sort(col("ms"))) // vec_id is unique: total order
       .select(explode(expr(
@@ -654,12 +688,39 @@ object Queries {
   val EmbedIvfCentroids = 16
   val EmbedIvfProbes = 8
 
-  /** IVF-style ANN: coarse quantizer (centroids = a deterministic sample of
-    * the corpus — the train-on-sample step), map-side argmax assignment
-    * against the broadcast centroid table (no shuffle of vectors), probe
-    * the top-P centroid lists per query via an equi-join on the cluster id,
-    * exact-cosine re-rank inside the probed lists only.
+  /** IVF-style ANN with an UNTRAINED coarse quantizer (centroids = a fixed
+    * deterministic sample of the corpus — the contrast case to the trained
+    * [[AnnKMeans]] quantizer; on the structureless fixture neither beats the
+    * scan fraction, documented above). Assignment is the zero-Exchange
+    * per-row argmax: the 16 centroid vectors are collected (a bounded,
+    * deterministic 16-row driver fetch — a coarse quantizer is
+    * driver-resident by design) and ride the plan as ONE literal constant
+    * consumed by [[graft.functions.ArgmaxCosine]], so the corpus vectors
+    * never shuffle. The round-3 `crossJoin(broadcast)` + per-vec_id window
+    * form computed the same argmax but exchanged 16 expanded copies of
+    * every vector (OpsSpec now asserts no Exchange/Window in this subplan).
+    * Probe lists then equi-join on the cluster id and the exact-cosine
+    * re-rank runs inside the probed lists only.
     */
+  /** The assignment subplan of [[embedIvfTopK]], factored for the OpsSpec
+    * no-Exchange/no-Window plan assert: the 16 fixed corpus centroids are a
+    * bounded deterministic driver fetch (ordered by vec_id, so the literal's
+    * index order equals the old window's cent_id-asc tie order) and
+    * `cent_id = 5 + argmax index`.
+    */
+  private[graft] def ivfAssignFixed(spark: SparkSession, dir: String, cand: DataFrame): DataFrame = {
+    val centRows: Seq[Seq[Double]] = t(spark, dir, "embeddings")
+      .filter(col("vec_id") >= 5 && col("vec_id") < lit(5 + EmbedIvfCentroids))
+      .orderBy("vec_id")
+      .select(expr("transform(embedding, x -> cast(x as double))").as("cv"))
+      .collect().toSeq.map(_.getSeq[Double](0))
+    cand
+      .withColumn("cent_id",
+        (graft.functions.ChurroFunctions.argmax_cosine(col("v"), typedlit(centRows)) + lit(5))
+          .cast("long"))
+      .select(col("vec_id"), col("v"), col("cent_id"))
+  }
+
   def embedIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
       .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
@@ -669,13 +730,7 @@ object Queries {
     val qs = emb.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("v").as("qv"))
     def cosExpr(a: String, b: String): Column =
       graft.functions.ChurroFunctions.cosine_sim(col(a), col(b))
-    // assignment: every vector to its best centroid (broadcast argmax)
-    val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
-    val assigned = cand.crossJoin(broadcast(cents))
-      .withColumn("ccos", cosExpr("v", "cv"))
-      .withColumn("arn", row_number().over(aw))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id"))
+    val assigned = ivfAssignFixed(spark, dir, cand)
     // probe lists: top-P centroids per query
     val pw = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("cent_id").asc)
     val probes = qs.crossJoin(broadcast(cents))

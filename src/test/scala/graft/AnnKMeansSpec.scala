@@ -20,7 +20,12 @@ class AnnKMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = {
+    // release before stop: tracked handles must not outlive their session
+    // (a stopped context's cache blocks are gone; late unpersist NPEs)
+    graft.ops.Queries.releaseCaches()
+    spark.stop()
+  }
 
   test("fixture is deterministic and clustered (member closest to own center)") {
     val c1 = AnnKMeans.candidates(spark).orderBy("vec_id").collect()

@@ -135,6 +135,56 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(edge.forall(_.isNullAt(0)), "length/null-element mismatch must be NULL")
   }
 
+  test("argmax_cosine equals the crossJoin+window argmax it replaces") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // deterministic vectors; centroids = first 4 rows
+    val vecs = (0 until 40).map { id =>
+      (id.toLong, Seq.tabulate(8)(i => (((id * 31 + i * 17 + 3) % 19) - 9).toDouble))
+    }.toDF("vec_id", "v")
+    val cents = vecs.filter($"vec_id" < 4)
+      .select($"vec_id".as("cent_id"), $"v".as("cv"))
+    val centRows = cents.orderBy("cent_id").select("cv").collect().toSeq.map(_.getSeq[Double](0))
+    val byExpr = vecs.select($"vec_id",
+      ChurroFunctions.argmax_cosine($"v", typedlit(centRows)).cast("long").as("cent_id"))
+    val aw = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id".asc)
+    val byWindow = vecs.crossJoin(broadcast(cents))
+      .withColumn("ccos", ChurroFunctions.cosine_sim($"v", $"cv"))
+      .withColumn("arn", row_number().over(aw))
+      .filter($"arn" === 1)
+      .select($"vec_id", $"cent_id")
+    val a = byExpr.orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = byWindow.orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b))
+    // and the expression plan stays codegen'd + exchange-free
+    val plan = byExpr.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("collect_list_capped: complete under the cap, bounded above it") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // group 0: 3 members (under cap), group 1: 50 members (over cap)
+    val df = ((0 until 3).map(i => (0, i)) ++ (0 until 50).map(i => (1, i + 100)))
+      .toDF("g", "x").repartition(4) // force partial buffers + merge
+    val cap = 5
+    val got = df.groupBy($"g")
+      .agg(ChurroFunctions.collect_list_capped($"x", cap + 1).as("xs"))
+      .select($"g", array_sort($"xs").as("xs"), size($"xs").as("n"))
+      .orderBy("g").collect()
+    // under-cap group: every element present, same as plain collect_list
+    assert(got(0).getSeq[Int](1) == Seq(0, 1, 2))
+    // over-cap group: buffer stopped at exactly cap + 1 elements
+    assert(got(1).getInt(2) == cap + 1)
+    assert(got(1).getSeq[Int](1).forall(x => x >= 100 && x < 150))
+    // struct elements round-trip through serialize/deserialize too
+    val st = df.groupBy($"g")
+      .agg(ChurroFunctions.collect_list_capped(struct($"x", $"g"), cap + 1).as("ms"))
+      .select($"g", size($"ms").as("n")).orderBy("g").collect()
+    assert(st(0).getInt(1) == 3 && st(1).getInt(1) == cap + 1)
+  }
+
   test("registry-based registration works on a plain session") {
     ChurroFunctions.register(spark)
     assert(spark.sql("SELECT churro_normalize('A  B')").collect()(0).getString(0) == "a b")

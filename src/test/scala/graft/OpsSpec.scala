@@ -44,6 +44,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("IVF centroid assignment is a zero-Exchange projection in both quantizer paths") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // round-3 defect: crossJoin(broadcast(cents)) + Window.partitionBy(vec_id)
+    // exchanged 16 centroid-crossed copies of every full float vector — a
+    // 16×-amplified corpus shuffle at 10^12 rows. The argmax_cosine form is
+    // a pure projection; neither assignment subplan may contain an Exchange
+    // or a Window.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+    val cand = emb.filter(col("vec_id") >= 5).select(col("vec_id"), col("v"))
+    val fixedPlan = graft.ops.Queries.ivfAssignFixed(spark, dir, cand)
+      .queryExecution.executedPlan.toString
+    assert(!fixedPlan.contains("Exchange"), s"fixed assignment must not shuffle:\n$fixedPlan")
+    assert(!fixedPlan.contains("Window"), s"fixed assignment must not window:\n$fixedPlan")
+    val trainedPlan = graft.ops.AnnKMeans
+      .assigned(spark, graft.ops.AnnKMeans.candidates(spark))
+      .queryExecution.executedPlan.toString
+    assert(!trainedPlan.contains("Exchange"), s"trained assignment must not shuffle:\n$trainedPlan")
+    assert(!trainedPlan.contains("Window"), s"trained assignment must not window:\n$trainedPlan")
+  }
+
   test("ann shortlist has no per-query window sort (two-phase TopM)") {
     val plan = SparkEntry.queries("q_embed_lsh_topk")(spark, dir)
       .queryExecution.sparkPlan.toString
@@ -64,6 +85,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("near-dup jaccard pairs score high for corrupted copies") {
     val rows = SparkEntry.queries("q_ngram_jaccard")(spark, dir).collect()
+    graft.ops.Queries.releaseCaches()
     rows.foreach(r => assert(r.getDouble(4) >= 0.7))
   }
 
@@ -76,6 +98,12 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("dedup components: every planted copy lands in its base doc's cluster") {
     val rows = graft.ops.Queries.dedupComponents(spark, dir).collect()
     graft.ops.Queries.releaseCaches()
+    // eager per-round release: at most ONE round's working set may be live
+    // mid-loop — pairs + edges + current labels + the transient round pair
+    // (nbrMin, next) = 5; the round-3 loop accumulated ~2 caches per round
+    // for up to 20 rounds before releasing any
+    assert(graft.ops.Queries.componentsMaxLiveCaches <= 5,
+      s"propagation loop held ${graft.ops.Queries.componentsMaxLiveCaches} live caches mid-round")
     assert(rows.nonEmpty)
     val comp = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
     // planted exact copies (base % 10 == 0 → base + 100000) and near copies

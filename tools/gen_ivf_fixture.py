@@ -1,6 +1,8 @@
 """Independent pure-Python twin of graft.ops.AnnKMeans: regenerates the
 clustered embedding fixture from its documented integer-hash formula, trains
-the SAME seeded k-means (evenly-spaced init over the sorted 25% sample, 5
+the SAME seeded k-means (evenly-spaced init over the vec_id-sorted
+bounded-count sample — the TRAIN_SAMPLE_N ids with the smallest
+md5("ivf:<id>") digests, the fixed-size FAISS-style training sample — 5
 Lloyd iterations, cosine argmax with lowest-centroid tiebreak, arithmetic
 mean update, left-to-right summation), and computes
 
@@ -28,7 +30,7 @@ DIMS = 64
 NUM_QUERIES = 5
 PROBES = 4
 LLOYD_ITERS = 5
-SAMPLE_MOD = 4
+TRAIN_SAMPLE_N = 400
 N_CAND = CLUSTERS * PER_CLUSTER
 LSH_SCAN_M = N_CAND // 4
 TOP_K = 3
@@ -70,7 +72,10 @@ def round4(v):
 
 
 def train_centroids(cands):
-    sample = [cands[v] for v in range(N_CAND) if v % SAMPLE_MOD == 0]
+    import hashlib
+    ranked = sorted(range(N_CAND),
+                    key=lambda v: (hashlib.md5(f"ivf:{v}".encode()).hexdigest(), v))
+    sample = [cands[v] for v in sorted(ranked[:TRAIN_SAMPLE_N])]
     n = len(sample)
     cents = [list(sample[j * n // CLUSTERS]) for j in range(CLUSTERS)]
     for _ in range(LLOYD_ITERS):
