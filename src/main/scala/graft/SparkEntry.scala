@@ -94,6 +94,7 @@ object SparkEntry {
     "q_image_features" -> (Queries.imageFeatures(_, _)),
     "q_pdf_pages" -> (Queries.pdfPages(_, _)),
     "q_video_frames" -> (Queries.videoFrames(_, _)),
+    "q_video_decode" -> (Queries.videoDecode(_, _)),
     // the extraction pipeline + evaluation harness
     "pipeline_extract" -> (pipelineExtract(_, _)),
     "pipeline_eval" -> (Eval.pipelineEval(_, _)),
@@ -299,6 +300,14 @@ object SparkEntry {
         |SELECT video_id, k * 500 AS ts_ms, (k * 500 * fps) // 1000 AS frame_idx,
         |       sha256(content_sha || ':' || CAST((k * 500 * fps) // 1000 AS VARCHAR)) AS frame_sha
         |FROM frames ORDER BY video_id, ts_ms""".stripMargin,
+    // real per-frame decode: expectations computed by the independent
+    // pure-Python writer (tools/gen_video_fixture.py) from the raw pattern
+    // arrays BEFORE PNG encoding — a green row proves the JVM decoded the
+    // sampled frame's actual bytes
+    "q_video_decode" ->
+      """SELECT name, ts_ms, frame_idx, width, height, pixel_sha
+        |FROM read_parquet('/root/repo/src/test/resources/expected/video_decode.parquet')
+        |ORDER BY name, ts_ms""".stripMargin,
     "q_image_decode" ->
       """SELECT name, width, height, pixel_sha, uri_sha, n_bytes
         |FROM read_parquet('/root/repo/src/test/resources/expected/image_decode.parquet')

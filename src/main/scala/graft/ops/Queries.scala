@@ -917,6 +917,33 @@ object Queries {
       .orderBy("video_id", "ts_ms")
   }
 
+  /** REAL per-frame video decode over a binaryFile scan of GFV1 containers
+    * (committed fixtures; an MJPEG-style length-prefixed frame stream with
+    * lossless frames — see [[graft.media.VideoFrames]]): uniform-in-time
+    * sampling (one frame per 500 ms), length-prefix skip of unsampled
+    * frames, actual pixel decode of each sampled frame through the same
+    * [[graft.media.ImageDecode]] path as the image queries. Complements
+    * [[videoFrames]] (the generator-shape query over the documents table,
+    * whose per-frame decode is a digest stub): here the pixel_sha values
+    * are oracle-checked against expectations an independent pure-Python
+    * writer computed from the raw pattern arrays before any encoding.
+    */
+  def videoDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .load(s"$mediaDir/*.gfv")
+      .withColumn("name", element_at(split(col("path"), "/"), -1))
+      .select(col("name"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (n, bytes) =>
+        graft.media.VideoFrames.sampledFrames(bytes).map { s =>
+          (n, s.tsMs, s.frameIdx, s.frame.width, s.frame.height,
+            graft.media.ImageDecode.sha256Hex(s.frame.rgb))
+        }
+      }
+      .toDF("name", "ts_ms", "frame_idx", "width", "height", "pixel_sha")
+      .orderBy("name", "ts_ms")
+  }
+
   /** Real image decode over a binaryFile scan: `load_image` parity
     * (`_internal/image.py:20-29` — ImageIO decode + EXIF orientation
     * normalize) in a typed map, with the base64 data-URI transport encode
