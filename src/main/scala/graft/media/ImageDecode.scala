@@ -149,40 +149,14 @@ object ImageDecode {
     Decoded(w, h, out)
   }
 
-  /** Bicubic resize via Graphics2D. Real resampling with the same kernel
-    * family as PIL's BICUBIC but not bit-identical to it (different
-    * implementations; PIL itself is not available in this environment) —
-    * tile GEOMETRY is golden-exact, pixel values are real but
-    * implementation-defined, documented in COVERAGE.md.
+  /** Bicubic resize — Pillow-exact via [[PilResample]] (the fixed-point
+    * Resample.c pipeline, Keys a = −0.5, differentially golden-verified
+    * against the independent twin in tools/gen_resample_fixture.py). The
+    * round-3 Graphics2D implementation was "real but PIL-bit-inexact";
+    * this one reproduces Pillow's bytes.
     */
-  def resizeBicubic(d: Decoded, tw: Int, th: Int): Decoded = {
-    if (tw == d.width && th == d.height) return d
-    val src = new java.awt.image.BufferedImage(d.width, d.height,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var i = 0
-    val px = new Array[Int](d.width * d.height)
-    while (i < px.length) {
-      px(i) = ((d.rgb(i * 3) & 0xFF) << 16) | ((d.rgb(i * 3 + 1) & 0xFF) << 8) | (d.rgb(i * 3 + 2) & 0xFF)
-      i += 1
-    }
-    src.setRGB(0, 0, d.width, d.height, px, 0, d.width)
-    val dst = new java.awt.image.BufferedImage(tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val g = dst.createGraphics()
-    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-      java.awt.RenderingHints.VALUE_INTERPOLATION_BICUBIC)
-    g.drawImage(src, 0, 0, tw, th, null)
-    g.dispose()
-    val opx = dst.getRGB(0, 0, tw, th, null, 0, tw)
-    val out = new Array[Byte](tw * th * 3)
-    i = 0
-    while (i < opx.length) {
-      out(i * 3) = ((opx(i) >> 16) & 0xFF).toByte
-      out(i * 3 + 1) = ((opx(i) >> 8) & 0xFF).toByte
-      out(i * 3 + 2) = (opx(i) & 0xFF).toByte
-      i += 1
-    }
-    Decoded(tw, th, out)
-  }
+  def resizeBicubic(d: Decoded, tw: Int, th: Int): Decoded =
+    PilResample.resize(d, tw, th)
 
   /** Exact integer per-channel pixel sums (feature extraction primitive —
     * channel means follow as one double division, reproducible everywhere).

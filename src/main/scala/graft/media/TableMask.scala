@@ -4,12 +4,13 @@ import graft.layout.TableImageTokens
 
 /** Real-pixel port of `_mask_and_encode_table_image`
   * (`/root/reference/src/churro_ocr/providers/_mineru25.py:486-576`) and the
-  * font-size binary search (`:251-280`). The one step left out is drawing
-  * the token GLYPHS (TrueType rasterization — no fonts ship in this
-  * sandbox); the search that sizes the text box runs against an injectable
-  * measure so its semantics are fully ported and testable, and the mask
-  * rectangle, average-color fill, token map, rotations and JPEG data-URIs
-  * are real pixels end to end.
+  * font-size binary search (`:251-280`). Mask rectangle, average-color
+  * fill, token map, rotations, JPEG data-URIs AND the token glyph labels
+  * are real pixels end to end — labels render through the built-in 5×7
+  * bitmap font ([[GlyphFont]]; the reference rasterizes a system TrueType
+  * font, absent in this sandbox, with the same fit/center/contrast rules).
+  * The point-size binary search semantics are additionally ported against
+  * an injectable measure in [[optimalTextSize]].
   */
 object TableMask {
 
@@ -110,8 +111,11 @@ object TableMask {
           val avg = ImageDecode.averageColor(masked, maskBox)
           // PIL's draw.rectangle includes the bottom/right edge pixel
           masked = ImageDecode.fillRect(masked, (maskBox._1, maskBox._2, maskBox._3 + 1, maskBox._4 + 1), avg)
-          // glyph drawing intentionally omitted (no fonts in sandbox);
-          // the text-box sizing semantics live in optimalTextSize
+          // token label drawn with the built-in 5×7 bitmap font (the
+          // reference's TrueType draw at `_mineru25.py:566-574`; no system
+          // fonts here) — same 0.7 fill-ratio fit, centering and
+          // luminance-contrast color, differentially golden-tested
+          masked = GlyphFont.drawCenteredLabel(masked, tokenText, maskBox, avg)
         }
       }
     }
