@@ -180,7 +180,7 @@ object PdfPages {
     * `cm /Name Do`. Empty when the page has no /Contents reference.
     */
   private def contentDraws(bytes: Array[Byte], page: PdfObject,
-                           objs: Map[Int, PdfObject]): Vector[(String, Double, Double)] =
+                           objs: Map[Int, PdfObject]): Vector[Draw] =
     ContentsRe.findFirstMatchIn(page.dict) match {
       case None => Vector.empty
       case Some(m) =>
@@ -190,9 +190,15 @@ object PdfPages {
         val data = if (cobj.dict.contains("/FlateDecode")) inflate(raw) else raw
         val text = new String(data, StandardCharsets.ISO_8859_1)
         DrawRe.findAllMatchIn(text)
-          .map(mm => (mm.group(7), mm.group(6).toDouble, mm.group(5).toDouble))
+          .map(mm => Draw(mm.group(7), mm.group(1).toDouble, mm.group(2).toDouble,
+            mm.group(3).toDouble, mm.group(4).toDouble,
+            mm.group(5).toDouble, mm.group(6).toDouble))
           .toVector
     }
+
+  /** One parsed `q a b c d e f cm /Name Do Q` placement. */
+  private final case class Draw(name: String, a: Double, b: Double, c: Double,
+                                d: Double, tx: Double, ty: Double)
 
   /** Vertically stack same-width strips (already top-to-bottom). */
   private def composite(pageNum: Int, strips: Vector[ImageDecode.Decoded]): ImageDecode.Decoded =
@@ -235,23 +241,49 @@ object PdfPages {
           .map(mm => mm.group(1) -> mm.group(2).toInt).toMap)
         .getOrElse(Map.empty)
       require(xmap.nonEmpty, s"page $pageNum: no image XObject")
-      val orderedRefs: Vector[Int] =
-        if (xmap.size == 1) Vector(xmap.values.head)
+      val orderedDraws: Vector[Draw] =
+        if (xmap.size == 1) Vector.empty
         else {
           val draws = contentDraws(pdfBytes, page, objs)
           require(draws.nonEmpty,
             s"page $pageNum: ${xmap.size} XObjects but no parsable content-stream placements")
-          require(draws.length == xmap.size && draws.map(_._1).distinct.length == xmap.size,
-            s"page $pageNum: placements ${draws.map(_._1).mkString(",")} don't cover the " +
+          require(draws.length == xmap.size && draws.map(_.name).distinct.length == xmap.size,
+            s"page $pageNum: placements ${draws.map(_.name).mkString(",")} don't cover the " +
               s"${xmap.size} XObjects exactly once (overlapping/repeated draws unsupported)")
-          draws.foreach { case (name, _, _) =>
-            require(xmap.contains(name), s"page $pageNum: draw of unknown XObject /$name")
+          draws.foreach { d =>
+            require(xmap.contains(d.name), s"page $pageNum: draw of unknown XObject /${d.name}")
           }
           // top-to-bottom: ty descending (y-up user space); tx then name as
           // deterministic tiebreaks
-          draws.sortBy { case (name, ty, tx) => (-ty, tx, name) }.map(d => xmap(d._1))
+          draws.sortBy(d => (-d.ty, d.tx, d.name))
         }
-      val strips = orderedRefs.map(n => decodeImageObject(pdfBytes, objs(n), objs))
+      val strips =
+        if (orderedDraws.isEmpty) Vector(decodeImageObject(pdfBytes, objs(xmap.values.head), objs))
+        else orderedDraws.map(d => decodeImageObject(pdfBytes, objs(xmap(d.name)), objs))
+      // the stack composite is only valid for AXIS-ALIGNED 1:1 strip
+      // placements that tile the page contiguously — a rotated / mirrored /
+      // re-scaled cm matrix, or gaps/overlaps between strips, would match
+      // DrawRe but render differently; reject them loudly rather than
+      // composite wrong pixels
+      if (orderedDraws.length > 1) {
+        val eps = 1e-6
+        orderedDraws.zip(strips).foreach { case (d, s) =>
+          require(math.abs(d.b) < eps && math.abs(d.c) < eps,
+            s"page $pageNum: /${d.name} has a rotated/skewed cm (b=${d.b}, c=${d.c}) — unsupported")
+          require(d.a > 0 && d.d > 0,
+            s"page $pageNum: /${d.name} is mirrored (a=${d.a}, d=${d.d}) — unsupported")
+          require(math.abs(d.a - s.width) < eps && math.abs(d.d - s.height) < eps,
+            s"page $pageNum: /${d.name} placed at ${d.a}x${d.d} user units but decodes to " +
+              s"${s.width}x${s.height} px — non-1:1 strip scaling unsupported")
+        }
+        orderedDraws.sliding(2).foreach { case Seq(upper, lower) =>
+          require(math.abs(upper.ty - (lower.ty + lower.d)) < eps,
+            s"page $pageNum: strips /${upper.name} (ty=${upper.ty}) and /${lower.name} " +
+              s"(ty=${lower.ty}, h=${lower.d}) do not tile contiguously — gap/overlap unsupported")
+          require(math.abs(upper.tx - lower.tx) < eps,
+            s"page $pageNum: strips /${upper.name} and /${lower.name} are not x-aligned")
+        }
+      }
       PdfPage(idx, composite(pageNum, strips))
     }
   }

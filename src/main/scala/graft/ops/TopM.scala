@@ -20,6 +20,17 @@ import org.apache.spark.sql.types._
   *
   * The ordering must be total (include a unique tiebreak column) so the
   * result is deterministic and equal to the window form / the SQL oracle.
+  *
+  * Memory bound: phase 1 holds one m-row heap PER DISTINCT KEY seen in the
+  * partition, i.e. O(min(rowsInPartition, distinctKeysInPartition) × m)
+  * rows of executor state. That is the right shape when the key side is
+  * small relative to the candidate side (here: keys = queries, candidates =
+  * the corpus — a partition sees every query but the heaps hold m rows
+  * each). For a HIGH-cardinality key (millions of distinct groups per
+  * partition) the per-partition map itself becomes the footprint and a
+  * plain `groupBy(key).agg(...)` with partial aggregation (or a window
+  * after a repartition on key) is the better plan — this helper targets
+  * the few-keys/many-candidates regime.
   */
 object TopM {
 

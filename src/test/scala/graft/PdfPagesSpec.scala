@@ -106,6 +106,36 @@ class PdfPagesSpec extends AnyFunSuite {
     assert(got.head.image.rgb.toSeq == expected.rgb.toSeq)
   }
 
+  test("rotated, mis-scaled or non-tiling strip placements are rejected") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    // pdf_03 is the 2-strip page; its content stream is uncompressed
+    // `q w 0 0 h tx ty cm /ImN Do Q` lines — same-length byte surgery keeps
+    // /Length valid while corrupting exactly one matrix term
+    val raw = new String(pdf("pdf_03.pdf"), ISO_8859_1)
+    def mutated(re: String, repl: String): Array[Byte] = {
+      val out = raw.replaceFirst(re, repl)
+      assert(out != raw, s"surgery pattern $re did not match")
+      assert(out.length == raw.length, "surgery must preserve /Length")
+      out.getBytes(ISO_8859_1)
+    }
+    // b != 0: rotated/skewed matrix
+    val rot = intercept[IllegalArgumentException](PdfPages.pages(
+      mutated("""q (\d+) 0 0 (\d+) 0 (\d+) cm /Im""", "q $1 1 0 $2 0 $3 cm /Im")))
+    assert(rot.getMessage.contains("rotated/skewed"))
+    // a != strip pixel width: non-1:1 scaling (leading digit bumped, 20→90)
+    val scaled = intercept[IllegalArgumentException](PdfPages.pages(
+      mutated("""q 2(\d*) 0 0 (\d+) 0 (\d+) cm /Im""", "q 9$1 0 0 $2 0 $3 cm /Im")))
+    assert(scaled.getMessage.contains("non-1:1"))
+    // bottom strip moved up 5 units: gap/overlap in the tiling
+    val gap = intercept[IllegalArgumentException](PdfPages.pages(
+      mutated(""" 0 cm /Im""", " 5 cm /Im")))
+    assert(gap.getMessage.contains("tile contiguously"))
+    // tx misaligned between strips
+    val shift = intercept[IllegalArgumentException](PdfPages.pages(
+      mutated("""(\d) 0 (\d+) cm /Im""", "$1 7 $2 cm /Im")))
+    assert(shift.getMessage.contains("x-aligned"))
+  }
+
   test("unsupported inputs fail loudly, not silently") {
     intercept[IllegalArgumentException](PdfPages.pages("not a pdf".getBytes))
     intercept[IllegalArgumentException](
