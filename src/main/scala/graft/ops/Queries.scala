@@ -262,8 +262,20 @@ object Queries {
     */
   @volatile private[graft] var componentsMaxLiveCaches: Int = 0
 
-  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = tracked(minhashPairs(spark, dir).select(col("a"), col("b")))
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    // pairsCore, not minhashPairs: the propagation loop consumes pairs
+    // unordered, so the catalog query's presentation sort would be a wasted
+    // global exchange here (results are identical — output sorts by doc_id)
+    dedupComponentsFrom(spark,
+      minhashPairsCore(minhashSigCore(spark, dir)).select(col("a"), col("b")))
+
+  /** The propagation loop from any (a, b) pair frame; `onRound` observes
+    * (round, changedLabels, wallMillis) — the DedupScaleBench instrument.
+    */
+  private[graft] def dedupComponentsFrom(
+      spark: SparkSession, pairsIn: DataFrame,
+      onRound: (Int, Long, Long) => Unit = (_, _, _) => ()): DataFrame = {
+    val pairs = tracked(pairsIn)
     val edges = tracked(
       pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b"))))
     var labels = tracked(
@@ -272,6 +284,7 @@ object Queries {
     var converged = false
     componentsMaxLiveCaches = CacheTracker.liveCount
     while (!converged && iter < DedupComponentsMaxRounds) {
+      val roundStart = System.nanoTime()
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("label")), "b")
         .select(col("a").as("id"), col("label"))
@@ -312,6 +325,7 @@ object Queries {
       CacheTracker.release(nbrMinP)
       labels = next
       iter += 1
+      onRound(iter, changed, (System.nanoTime() - roundStart) / 1000000L)
     }
     if (!converged)
       throw new IllegalStateException(
@@ -350,7 +364,11 @@ object Queries {
     * Jaccard verify stage).
     */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    docsWithDups(spark, dir)
+    shingledFrom(docsWithDups(spark, dir))
+
+  /** Same, from any (doc_id, text) frame — the DedupScaleBench entry. */
+  private[graft] def shingledFrom(docs: DataFrame): DataFrame =
+    docs
       .withColumn("words", split(col("text"), " "))
       .withColumn("grams", expr(
         "array_distinct(transform(sequence(0, greatest(size(words) - 3, 0)), i -> concat_ws(' ', slice(words, i + 1, 3))))"))
@@ -361,12 +379,15 @@ object Queries {
     * partial-aggregated minima. Map-side combine means no wide shuffle of the
     * text itself, and the signature is 64 BIGINTs, not hex strings.
     */
-  private def minhashSigCore(spark: SparkSession, dir: String): DataFrame = {
+  private def minhashSigCore(spark: SparkSession, dir: String): DataFrame =
+    minhashSigCoreFrom(shingled(spark, dir))
+
+  private[graft] def minhashSigCoreFrom(sh: DataFrame): DataFrame = {
     // h1/h2 = the two 56-bit md5 halves via ONE native digest call per gram
     // (md5_split56) — numerically identical to the hex-string
     // conv(substring(md5(g), ...)) form the DuckDB oracle still evaluates,
     // without rendering/parsing 32 hex chars per gram
-    val grams = shingled(spark, dir)
+    val grams = sh
       .select(col("doc_id"), explode(col("grams")).as("g"))
       .withColumn("hp", graft.functions.ChurroFunctions.md5_split56(col("g")))
       .withColumn("h1", element_at(col("hp"), 1))
@@ -390,11 +411,17 @@ object Queries {
     * window pass for the cap, and forced a persist (whose leaked blocks
     * degraded unrelated queries in a shared session).
     */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsCore(minhashSigCore(spark, dir)).orderBy("a", "b")
+
+  /** The pair stage without the presentation sort (CC and the scale bench
+    * consume pairs unordered — a global sort there is wasted work).
+    */
+  private[graft] def minhashPairsCore(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until MinhashBands).map { b =>
       concat_ws("|", (0 until MinhashBandRows).map(r => col(s"sig${b * MinhashBandRows + r}")): _*)
     }
-    val bands = minhashSigCore(spark, dir) // unsorted: no mid-pipeline global sort
+    val bands = sigs // unsorted: no mid-pipeline global sort
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_id", "bv")))
     // capped collector: a boilerplate mega-bucket stops accumulating at
     // cap + 1 elements instead of materializing all members in one buffer
@@ -409,7 +436,7 @@ object Queries {
           |  i -> transform(slice(ids, i + 1, size(ids) - i),
           |    y -> struct(element_at(ids, i) AS a, y AS b))))""".stripMargin)).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct().orderBy("a", "b")
+      .distinct()
   }
 
   /** Word 3-gram Jaccard verify for the LSH candidate pairs. Scale-safe plan:
