@@ -74,7 +74,7 @@ object SparkEntry {
     "q_embed_topk" -> (Queries.embedTopK(_, _)),
     "q_embed_lsh" -> (Queries.embedLsh(_, _)),
     "q_embed_lsh_topk" -> (Queries.embedLshTopK(_, _)),
-    "q_embed_ivf_topk" -> (Queries.embedIvfTopK(_, _)),
+    "q_embed_ivf_fixed" -> (Queries.embedIvfTopK(_, _)),
     "q_embed_ivf_kmeans" -> ((s, _) => graft.ops.AnnKMeans.ivfTopK(s)),
     "q_ann_recall" -> ((s, _) => graft.ops.AnnKMeans.annRecall(s)),
     // text analysis
@@ -353,7 +353,7 @@ object SparkEntry {
       """SELECT doc_id, "order", kind, media_ref, text
         |FROM read_parquet('/root/repo/src/test/resources/expected/pipeline_extract.parquet')
         |ORDER BY doc_id, "order"""".stripMargin,
-    "q_embed_ivf_topk" ->
+    "q_embed_ivf_fixed" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id >= 5 AND vec_id < ${5 + Queries.EmbedIvfCentroids}),
         |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
