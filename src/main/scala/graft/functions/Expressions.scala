@@ -178,13 +178,21 @@ object ExprImpl {
     d
   }
 
-  /** Index of the max-cosine centroid (strict `>` scan from index 0 → the
-    * FIRST maximum wins, i.e. lowest index on ties — the same order the
-    * window form `orderBy(ccos desc, cent_id asc).row_number = 1` selects).
-    * Comparisons go through [[cosineSim]] itself so the selected centroid is
-    * bit-identical to the crossJoin+window plan this replaces; a null cosine
-    * (length mismatch / null element) is skipped exactly as desc-ordered
-    * nulls-last would skip it, and an all-null row yields NULL.
+  /** Index of the max-cosine centroid under SPARK's descending double
+    * order — the same row `orderBy(ccos desc, cent_id asc).row_number = 1`
+    * selects, for every input:
+    *  - comparisons go through [[cosineSim]] itself, compared with
+    *    `Double.compare` so NaN (zero-norm vector → 0/0) ranks ABOVE every
+    *    finite cosine exactly as Spark's NaN-largest desc sort does, with
+    *    −0.0 normalized to 0.0 first (Spark compares them equal; raw
+    *    `Double.compare` would not);
+    *  - the first maximum wins → lowest index on exact ties (the cent_id
+    *    asc tiebreak);
+    *  - a null cosine (length mismatch / null element) is skipped like a
+    *    desc-ordered nulls-last row, and an ALL-null row falls back to
+    *    index 0 — the window kept those rows and its cent_id-asc tiebreak
+    *    assigned the lowest centroid;
+    *  - an empty centroid array yields NULL.
     */
   def argmaxCosine(v: org.apache.spark.sql.catalyst.util.ArrayData,
                    cents: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Integer = {
@@ -194,12 +202,17 @@ object ExprImpl {
     var c = 0
     while (c < k) {
       val s = cosineSim(v, cents.getArray(c))
-      if (s != null && (best < 0 || s.doubleValue() > bestCos)) {
-        best = c; bestCos = s.doubleValue()
+      if (s != null) {
+        val sv = s.doubleValue() + 0.0 // −0.0 → 0.0; NaN stays NaN
+        if (best < 0 || java.lang.Double.compare(sv, bestCos) > 0) {
+          best = c; bestCos = sv
+        }
       }
       c += 1
     }
-    if (best < 0) null else java.lang.Integer.valueOf(best)
+    if (best >= 0) java.lang.Integer.valueOf(best)
+    else if (k > 0) java.lang.Integer.valueOf(0)
+    else null
   }
 }
 

@@ -231,9 +231,9 @@ object ImageDecode {
   }
 
   /** Fill a clamped rectangle with a solid color — the pixel half of
-    * `_mask_and_encode_table_image`'s cover step (`_mineru25.py:486-576`;
-    * the token-label TEXT rendering needs fonts and stays out of scope —
-    * the token map itself is real, see `layout.TableImageTokens`).
+    * `_mask_and_encode_table_image`'s cover step (`_mineru25.py:486-576`).
+    * The token-label TEXT on top of the fill renders through the built-in
+    * bitmap font ([[GlyphFont.drawCenteredLabel]]).
     */
   def fillRect(d: Decoded, box: (Int, Int, Int, Int), color: (Int, Int, Int)): Decoded = {
     val out = d.rgb.clone()

@@ -39,25 +39,37 @@ object VideoFrames {
       "not a GFV1 container")
     val fps = u16(bytes, 4)
     require(fps > 0, s"fps must be positive: $fps")
-    val n = u32(bytes, 6).toInt
+    // u32 fields stay Long until bounds-checked — a corrupt 2^31+ count or
+    // frame length truncated through .toInt would go NEGATIVE, slip past
+    // the <= bytes.length checks and fail far from the parse
+    val nL = u32(bytes, 6)
+    require(nL <= (bytes.length - 10) / 4 + 1, s"implausible frame count $nL for ${bytes.length} bytes")
+    val n = nL.toInt
     val frames = new Array[(Int, Int)](n)
     var off = 10
     var i = 0
     while (i < n) {
       require(off + 4 <= bytes.length, s"truncated container at frame $i")
-      val len = u32(bytes, off).toInt
+      val len = u32(bytes, off) // Long: unsigned, never negative
       require(off + 4 + len <= bytes.length, s"truncated frame $i")
-      frames(i) = (off + 4, len)
-      off += 4 + len
+      frames(i) = (off + 4, len.toInt)
+      off += 4 + len.toInt
       i += 1
     }
     (fps, frames)
   }
 
-  /** Uniform-in-time sample positions for a container's timeline. */
+  /** Uniform-in-time sample positions for a container's timeline:
+    * ceil(durationMs / 500) samples — ZERO for a sub-millisecond timeline
+    * (durationMs = frameCount·1000/fps truncates to 0), matching the
+    * Python expectation writer's floor-division row count exactly (JVM
+    * `/` truncates toward zero, so the old `(durationMs-1)/500` form
+    * disagreed with Python's floor `//` at durationMs = 0).
+    */
   def samplePositions(fps: Int, frameCount: Int): Seq[(Long, Long)] = {
     val durationMs = frameCount.toLong * 1000L / fps
-    (0L to (durationMs - 1) / SampleEveryMs).map { k =>
+    val n = (durationMs + SampleEveryMs - 1) / SampleEveryMs
+    (0L until n).map { k =>
       val ts = k * SampleEveryMs
       (ts, ts * fps / 1000L)
     }

@@ -33,7 +33,12 @@ object CacheTracker {
 
   def track(df: DataFrame): DataFrame = {
     val p = df.persist()
-    live.get().add(p)
+    // idempotent per handle: re-tracking the same frame (a caller persists
+    // for a count, then hands it to a builder that tracks its input) must
+    // not register a second deque entry — liveCount would double-count one
+    // cache and releaseAll would unpersist it twice
+    val q = live.get()
+    if (!q.contains(p)) q.add(p)
     p
   }
 

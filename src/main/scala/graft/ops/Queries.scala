@@ -239,6 +239,17 @@ object Queries {
       .filter(col("n_copies") > 1)
       .orderBy("keep_id")
 
+  /** Max propagation rounds. Pointer jumping halves chain depth every round,
+    * so 24 rounds cover graphs of diameter ~2^24 — far past any real dedup
+    * graph; hitting the cap without convergence is a failure, not a result.
+    */
+  val DedupComponentsMaxRounds = 24
+
+  /** Peak tracked-cache count observed inside the last [[dedupComponents]]
+    * propagation loop (spec observability for the eager-release contract).
+    */
+  @volatile private[graft] var componentsMaxLiveCaches: Int = 0
+
   /** Dedup clustering: connected components over the MinHash near-dup pair
     * graph — the canonical-document-selection step a dedup pipeline runs
     * after candidate pairing. Iterative min-label propagation: every round
@@ -251,17 +262,6 @@ object Queries {
     * the true transitive closure with WITH RECURSIVE — equal at the
     * fixpoint, so a hash-exact row proves the loop actually converged.
     */
-  /** Max propagation rounds. Pointer jumping halves chain depth every round,
-    * so 24 rounds cover graphs of diameter ~2^24 — far past any real dedup
-    * graph; hitting the cap without convergence is a failure, not a result.
-    */
-  val DedupComponentsMaxRounds = 24
-
-  /** Peak tracked-cache count observed inside the last [[dedupComponents]]
-    * propagation loop (spec observability for the eager-release contract).
-    */
-  @volatile private[graft] var componentsMaxLiveCaches: Int = 0
-
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =
     // pairsCore, not minhashPairs: the propagation loop consumes pairs
     // unordered, so the catalog query's presentation sort would be a wasted
@@ -715,20 +715,6 @@ object Queries {
   val EmbedIvfCentroids = 16
   val EmbedIvfProbes = 8
 
-  /** IVF-style ANN with an UNTRAINED coarse quantizer (centroids = a fixed
-    * deterministic sample of the corpus — the contrast case to the trained
-    * [[AnnKMeans]] quantizer; on the structureless fixture neither beats the
-    * scan fraction, documented above). Assignment is the zero-Exchange
-    * per-row argmax: the 16 centroid vectors are collected (a bounded,
-    * deterministic 16-row driver fetch — a coarse quantizer is
-    * driver-resident by design) and ride the plan as ONE literal constant
-    * consumed by [[graft.functions.ArgmaxCosine]], so the corpus vectors
-    * never shuffle. The round-3 `crossJoin(broadcast)` + per-vec_id window
-    * form computed the same argmax but exchanged 16 expanded copies of
-    * every vector (OpsSpec now asserts no Exchange/Window in this subplan).
-    * Probe lists then equi-join on the cluster id and the exact-cosine
-    * re-rank runs inside the probed lists only.
-    */
   /** The assignment subplan of [[embedIvfTopK]], factored for the OpsSpec
     * no-Exchange/no-Window plan assert: the 16 fixed corpus centroids are a
     * bounded deterministic driver fetch (ordered by vec_id, so the literal's
@@ -748,6 +734,20 @@ object Queries {
       .select(col("vec_id"), col("v"), col("cent_id"))
   }
 
+  /** IVF-style ANN with an UNTRAINED coarse quantizer (centroids = a fixed
+    * deterministic sample of the corpus — the contrast case to the trained
+    * [[AnnKMeans]] quantizer; on the structureless fixture neither beats the
+    * scan fraction, documented above). Assignment is the zero-Exchange
+    * per-row argmax: the 16 centroid vectors are collected (a bounded,
+    * deterministic 16-row driver fetch — a coarse quantizer is
+    * driver-resident by design) and ride the plan as ONE literal constant
+    * consumed by [[graft.functions.ArgmaxCosine]], so the corpus vectors
+    * never shuffle. The round-3 `crossJoin(broadcast)` + per-vec_id window
+    * form computed the same argmax but exchanged 16 expanded copies of
+    * every vector (OpsSpec now asserts no Exchange/Window in this subplan).
+    * Probe lists then equi-join on the cluster id and the exact-cosine
+    * re-rank runs inside the probed lists only.
+    */
   def embedIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
       .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))

@@ -139,10 +139,12 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    // deterministic vectors; centroids = first 4 rows
-    val vecs = (0 until 40).map { id =>
+    // deterministic vectors; centroids = first 4 rows; vec 100 is the
+    // ZERO vector (cosine = 0/0 = NaN against every centroid — the window
+    // twin must agree on where NaN lands in the desc order)
+    val vecs = ((0 until 40).map { id =>
       (id.toLong, Seq.tabulate(8)(i => (((id * 31 + i * 17 + 3) % 19) - 9).toDouble))
-    }.toDF("vec_id", "v")
+    } :+ (100L, Seq.fill(8)(0.0))).toDF("vec_id", "v")
     val cents = vecs.filter($"vec_id" < 4)
       .select($"vec_id".as("cent_id"), $"v".as("cv"))
     val centRows = cents.orderBy("cent_id").select("cv").collect().toSeq.map(_.getSeq[Double](0))
@@ -160,6 +162,13 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the expression plan stays codegen'd + exchange-free
     val plan = byExpr.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+    // NaN ranks ABOVE finite cosines (Spark's desc order): a zero-norm
+    // CENTROID at index 1 wins over a perfect index-0 match
+    val nanWin = spark.range(1)
+      .select(ChurroFunctions.argmax_cosine(
+        typedlit(Seq(1.0, 0.0)), typedlit(Seq(Seq(1.0, 0.0), Seq(0.0, 0.0)))).as("i"))
+      .collect()(0).getInt(0)
+    assert(nanWin == 1, s"NaN must sort largest like the window's desc order, got index $nanWin")
   }
 
   test("collect_list_capped: complete under the cap, bounded above it") {
