@@ -93,6 +93,7 @@ object SparkEntry {
     "q_image_decode" -> (Queries.imageDecode(_, _)),
     "q_image_features" -> (Queries.imageFeatures(_, _)),
     "q_pdf_pages" -> (Queries.pdfPages(_, _)),
+    "q_pdf_text" -> (Queries.pdfText(_, _)),
     "q_video_frames" -> (Queries.videoFrames(_, _)),
     "q_video_decode" -> (Queries.videoDecode(_, _)),
     // the extraction pipeline + evaluation harness
@@ -300,6 +301,13 @@ object SparkEntry {
         |SELECT video_id, k * 500 AS ts_ms, (k * 500 * fps) // 1000 AS frame_idx,
         |       sha256(content_sha || ':' || CAST((k * 500 * fps) // 1000 AS VARCHAR)) AS frame_sha
         |FROM frames ORDER BY video_id, ts_ms""".stripMargin,
+    // born-digital text extraction: expected lines computed by the
+    // independent pure-Python content-stream interpreter twin
+    // (tools/gen_pdftext_fixture.py) under the same documented line rules
+    "q_pdf_text" ->
+      """SELECT name, page_index, line_index, y, text
+        |FROM read_parquet('/root/repo/src/test/resources/expected/pdf_text.parquet')
+        |ORDER BY name, page_index, line_index""".stripMargin,
     // real per-frame decode: expectations computed by the independent
     // pure-Python writer (tools/gen_video_fixture.py) from the raw pattern
     // arrays BEFORE PNG encoding — a green row proves the JVM decoded the

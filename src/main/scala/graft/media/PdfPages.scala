@@ -31,11 +31,11 @@ object PdfPages {
 
   final case class PdfPage(pageIndex: Int, image: ImageDecode.Decoded)
 
-  private val KidsRe = """/Kids\s*\[([^\]]*)\]""".r
-  private val RefRe = """(\d+)\s+0\s+R""".r
+  private[media] val KidsRe = """/Kids\s*\[([^\]]*)\]""".r
+  private[media] val RefRe = """(\d+)\s+0\s+R""".r
   private val XObjectRefRe = """/XObject\s*<<([^>]*)>>""".r
   private val XObjEntryRe = """/(\w+)\s+(\d+)\s+0\s+R""".r
-  private val ContentsRe = """/Contents\s+(\d+)\s+0\s+R""".r
+  private[media] val ContentsRe = """/Contents\s+(\d+)\s+0\s+R""".r
   private val LengthLitRe = """/Length\s+(\d+)(?!\s+0\s+R)""".r
   private val LengthRefRe = """/Length\s+(\d+)\s+0\s+R""".r
   private val IntRe = """\d+""".r
@@ -47,17 +47,17 @@ object PdfPages {
       """([\d.+-]+)\s+([\d.+-]+)\s+cm\s*/(\w+)\s+Do\s+Q""").r
 
   /** Latin-1 view: 1:1 byte↔char, so string offsets are byte offsets. */
-  private def latin1(bytes: Array[Byte], from: Int, until: Int): String =
+  private[media] def latin1(bytes: Array[Byte], from: Int, until: Int): String =
     new String(bytes, from, until - from, StandardCharsets.ISO_8859_1)
 
   /** One parsed object: header/dict text + exact stream payload bounds. */
-  private final case class PdfObject(num: Int, dict: String,
+  private[media] final case class PdfObject(num: Int, dict: String,
                                      streamStart: Int = -1, streamLenRaw: Option[Either[Int, Int]] = None) {
     def hasStream: Boolean = streamStart >= 0
   }
 
   /** Byte offsets of the in-use objects from the classic xref table. */
-  private def xrefOffsets(bytes: Array[Byte]): Map[Int, Int] = {
+  private[media] def xrefOffsets(bytes: Array[Byte]): Map[Int, Int] = {
     val tail = latin1(bytes, math.max(0, bytes.length - 2048), bytes.length)
     val sx = tail.lastIndexOf("startxref")
     require(sx >= 0, "no startxref (classic-xref subset)")
@@ -96,7 +96,7 @@ object PdfPages {
     * stream follows, record its exact payload start (the /Length is applied
     * later, after indirect resolution).
     */
-  private def parseObjectAt(bytes: Array[Byte], num: Int, offset: Int): PdfObject = {
+  private[media] def parseObjectAt(bytes: Array[Byte], num: Int, offset: Int): PdfObject = {
     val window = latin1(bytes, offset, math.min(bytes.length, offset + 8 * 1024))
     val headEnd = window.indexOf("obj")
     require(headEnd >= 0 && window.substring(0, headEnd).trim == s"$num 0",
@@ -131,7 +131,7 @@ object PdfPages {
         .getOrElse(throw new IllegalArgumentException(s"object ${obj.num}: /Length target $ref not an integer"))
   }
 
-  private def streamData(bytes: Array[Byte], obj: PdfObject, objs: Map[Int, PdfObject]): Array[Byte] = {
+  private[media] def streamData(bytes: Array[Byte], obj: PdfObject, objs: Map[Int, PdfObject]): Array[Byte] = {
     require(obj.hasStream, s"object ${obj.num}: no stream")
     val len = resolveLength(obj, objs)
     require(obj.streamStart + len <= bytes.length,
@@ -139,7 +139,7 @@ object PdfPages {
     java.util.Arrays.copyOfRange(bytes, obj.streamStart, obj.streamStart + len)
   }
 
-  private def inflate(data: Array[Byte]): Array[Byte] = {
+  private[media] def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(data)
     val out = new java.io.ByteArrayOutputStream(data.length * 4)

@@ -1038,6 +1038,30 @@ object Queries {
       .orderBy("name", "page_index")
   }
 
+  /** Native text extraction from BORN-DIGITAL PDFs ([[graft.media.PdfText]]):
+    * binaryFile scan → per-page content-stream interpretation (BT/ET text
+    * blocks, Td/TD/Tm/T* positioning, Tj/'/"/TJ shows with the kern-space
+    * rule, full literal/hex string decoding) → one row per text line in
+    * top-down order. The reference rasterizes every PDF and OCRs the
+    * pixels; for a text PDF the transcription IS the embedded text, so a
+    * training-data pipeline extracts it directly and skips the render+OCR
+    * round trip (scanned PDFs keep going through [[pdfPages]]). Oracle:
+    * expected lines computed by the independent pure-Python interpreter
+    * twin (tools/gen_pdftext_fixture.py) from the same documented rules.
+    */
+  def pdfText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .load(s"$mediaDir/textpdf/*.pdf")
+      .withColumn("name", element_at(split(col("path"), "/"), -1))
+      .select(col("name"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (n, bytes) =>
+        graft.media.PdfText.lines(bytes).map(l => (n, l.pageIndex, l.lineIndex, l.y, l.text))
+      }
+      .toDF("name", "page_index", "line_index", "y", "text")
+      .orderBy("name", "page_index", "line_index")
+  }
+
   /** Batched multimodal feature extraction — the Spark-native shape of the
     * brief's `mapInPandas` decode/feature step: a binaryFile scan feeds
     * `mapPartitions` where [[graft.pipeline.Batching.mapBatched]] groups

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+import graft.media.PdfText
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Born-digital PDF text extraction vs the independent pure-Python
+  * interpreter twin's committed expectations (tools/gen_pdftext_fixture.py),
+  * plus the loud-rejection contract for inputs outside the subset.
+  */
+class PdfTextSpec extends AnyFunSuite {
+
+  private def fixture: Array[Byte] =
+    java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/media/textpdf/text_00.pdf"))
+
+  test("extracted lines match the committed twin expectations") {
+    val got = PdfText.lines(fixture)
+    // spot-check the tricky operator classes; the full-table compare is the
+    // q_pdf_text oracle
+    val texts = got.map(l => (l.pageIndex, l.lineIndex) -> l.text).toMap
+    assert(texts((0, 0)) == "Hello, world! same line") // two BT runs, one baseline
+    assert(texts((0, 1)) == "Second (line) with \\escapes") // escaped parens + backslash
+    assert(texts((0, 2)) == "Octal and tab\there") // \141 octal + \t
+    assert(texts((0, 4)) == "Leading two") // T* + ' line advances
+    assert(texts((1, 0)) == "nogap") // TJ kern -50: no space
+    assert(texts((1, 4)) == "ker ned") // TJ kern -250: space
+    assert(texts((1, 1)) == "Hello") // hex string
+    assert(texts((1, 3)) == "q2") // " operator (aw ac string)
+    assert(texts((1, 5)) == "line continued") // backslash-newline continuation
+    // lines are top-down within each page
+    got.groupBy(_.pageIndex).values.foreach { page =>
+      val ys = page.sortBy(_.lineIndex).map(_.y)
+      assert(ys == ys.sorted(Ordering[Double].reverse), s"not top-down: $ys")
+    }
+    // page 2's content stream is Flate-compressed in the fixture
+    assert(got.count(_.pageIndex == 1) == 6)
+  }
+
+  test("rotated text matrices and malformed streams are rejected loudly") {
+    val raw = new String(fixture, ISO_8859_1)
+    // the uncompressed page-1 stream has no Tm; surgery on it: turn a Td
+    // into a rotated Tm-like op is length-fussy, so build tiny PDFs instead
+    def tinyPdf(content: String): Array[Byte] = {
+      val objs = Seq(
+        1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4 -> s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
+      val out = new StringBuilder("%PDF-1.4\n")
+      val offsets = objs.map { case (n, body) =>
+        val off = out.length
+        out ++= s"$n 0 obj\n$body\nendobj\n"
+        n -> off
+      }.toMap
+      val xrefAt = out.length
+      out ++= s"xref\n0 ${objs.length + 1}\n"
+      out ++= "0000000000 65535 f \n"
+      (1 to objs.length).foreach(n => out ++= f"${offsets(n)}%010d 00000 n \n")
+      out ++= s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n"
+      out.toString.getBytes(ISO_8859_1)
+    }
+    // happy tiny case parses
+    assert(PdfText.lines(tinyPdf("BT 10 20 Td (ok) Tj ET")).map(_.text) == Vector("ok"))
+    // rotated Tm
+    val rot = intercept[IllegalArgumentException](
+      PdfText.lines(tinyPdf("BT 0 1 -1 0 72 700 Tm (x) Tj ET")))
+    assert(rot.getMessage.contains("rotated/skewed"))
+    // show outside BT
+    val outside = intercept[IllegalArgumentException](
+      PdfText.lines(tinyPdf("(x) Tj")))
+    assert(outside.getMessage.contains("outside BT/ET"))
+    // unterminated literal string
+    intercept[IllegalArgumentException](PdfText.lines(tinyPdf("BT (never closed Tj ET")))
+    // not a PDF at all
+    intercept[IllegalArgumentException](PdfText.lines("nope".getBytes(ISO_8859_1)))
+    assert(raw.contains("/FlateDecode")) // fixture really exercises inflate
+  }
+}

@@ -1,0 +1,251 @@
+"""Generate born-digital TEXT-PDF fixtures + independent expected lines for
+graft.media.PdfText.
+
+Each PDF is built in pure Python (no PDF library): classic xref, /Kids page
+tree, Helvetica font resource, and content streams exercising the full
+supported text-operator set — Td/TD/Tm/T*/TL positioning, Tj / ' / " / TJ
+shows, kerned TJ arrays (kern <= -180 thousandths inserts one space; milder
+kerns do not), literal strings with every escape class (nested parens,
+octal, \\n, backslash-newline continuation), hex strings, multiple BT
+blocks landing runs on one shared baseline (joined with one space, x
+order), out-of-order baseline emission (extraction must sort lines
+top-down), comments, inline dicts and ignored graphics state. One content
+stream is FlateDecode-compressed.
+
+The expected rows are computed by a pure-Python interpreter in this file
+implementing the SAME documented line-model rules (group shows by rounded
+baseline, lines top-down, runs joined left-to-right with one space) —
+rule drift between the twins fails PdfTextSpec / the q_pdf_text oracle.
+
+Outputs: src/test/resources/media/textpdf/text_*.pdf
+         src/test/resources/expected/pdf_text.parquet
+"""
+import re
+import zlib
+
+OUTDIR = 'src/test/resources/media/textpdf'
+EXPECTED = 'src/test/resources/expected/pdf_text.parquet'
+KERN_SPACE = -180.0
+
+
+def build_pdf(page_contents, compress_mask):
+    objs = {}
+    n = len(page_contents)
+    page_nums = list(range(3, 3 + n))
+    content_nums = list(range(3 + n, 3 + 2 * n))
+    font_num = 3 + 2 * n
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    kids = " ".join(f"{p} 0 R" for p in page_nums)
+    objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()
+    for i, content in enumerate(page_contents):
+        objs[page_nums[i]] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+            f"/Contents {content_nums[i]} 0 R >>").encode()
+        data = content.encode('latin-1')
+        if compress_mask[i]:
+            data = zlib.compress(data, 9)
+            objs[content_nums[i]] = (
+                f"<< /Length {len(data)} /Filter /FlateDecode >>\nstream\n".encode()
+                + data + b"\nendstream")
+        else:
+            objs[content_nums[i]] = (
+                f"<< /Length {len(data)} >>\nstream\n".encode() + data + b"\nendstream")
+    objs[font_num] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    maxnum = max(objs)
+    out += f"xref\n0 {maxnum + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, maxnum + 1):
+        out += (f"{offsets.get(num, 0):010d} 00000 n \n").encode()
+    out += (f"trailer\n<< /Size {maxnum + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+# ---- independent interpreter (the documented extraction rules) -------------
+
+def _tokens(s):
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in ' \n\r\t\f\x00':
+            i += 1
+        elif c == '%':
+            while i < n and s[i] not in '\n\r':
+                i += 1
+        elif c == '(':
+            out, depth, i = [], 1, i + 1
+            while depth:
+                ch = s[i]
+                if ch == '\\':
+                    nx = s[i + 1]
+                    mapped = {'n': '\n', 'r': '\r', 't': '\t', 'b': '\b', 'f': '\f',
+                              '(': '(', ')': ')', '\\': '\\'}
+                    if nx in mapped:
+                        out.append(mapped[nx]); i += 2
+                    elif nx in '\r\n':
+                        i += 2
+                        if nx == '\r' and i < n and s[i] == '\n':
+                            i += 1
+                    elif nx.isdigit() and nx in '01234567':
+                        v, k, i = 0, 0, i + 1
+                        while k < 3 and i < n and s[i] in '01234567':
+                            v = v * 8 + int(s[i]); i += 1; k += 1
+                        out.append(chr(v & 0xFF))
+                    else:
+                        out.append(nx); i += 2
+                elif ch == '(':
+                    depth += 1; out.append('('); i += 1
+                elif ch == ')':
+                    depth -= 1
+                    if depth:
+                        out.append(')')
+                    i += 1
+                else:
+                    out.append(ch); i += 1
+            yield ('str', ''.join(out))
+        elif s.startswith('<<', i):
+            depth, i = 1, i + 2
+            while depth:
+                if s.startswith('<<', i):
+                    depth += 1; i += 2
+                elif s.startswith('>>', i):
+                    depth -= 1; i += 2
+                else:
+                    i += 1
+        elif c == '<':
+            end = s.index('>', i)
+            h = re.sub(r'\s', '', s[i + 1:end])
+            if len(h) % 2:
+                h += '0'
+            yield ('str', ''.join(chr(int(h[k:k + 2], 16)) for k in range(0, len(h), 2)))
+            i = end + 1
+        elif c == '[':
+            yield ('arr_open', None); i += 1
+        elif c == ']':
+            yield ('arr_close', None); i += 1
+        elif c == '/':
+            j = i + 1
+            while j < n and s[j] not in ' \n\r\t\f\x00()<>[]{}/%':
+                j += 1
+            yield ('name', s[i + 1:j]); i = j
+        elif c in '+-.0123456789':
+            j = i + 1
+            while j < n and s[j] in '+-.0123456789':
+                j += 1
+            yield ('num', float(s[i:j])); i = j
+        else:
+            j = i
+            while j < n and s[j] not in ' \n\r\t\f\x00()<>[]{}/%':
+                j += 1
+            yield ('op', s[i:j]); i = j
+
+
+def interpret(content):
+    shows = []
+    lx = ly = leading = 0.0
+    seq = 0
+    operands, arr, arr_done = [], None, None
+    for kind, val in _tokens(content):
+        if kind == 'arr_open':
+            arr = []
+        elif kind == 'arr_close':
+            arr_done, arr = arr, None
+            operands.append(('arr', None))
+        elif arr is not None:
+            arr.append((kind, val))
+        elif kind == 'op':
+            if val == 'BT':
+                lx = ly = 0.0
+            elif val == 'Td':
+                lx += operands[-2][1]; ly += operands[-1][1]
+            elif val == 'TD':
+                leading = -operands[-1][1]
+                lx += operands[-2][1]; ly += operands[-1][1]
+            elif val == 'Tm':
+                lx, ly = operands[-2][1], operands[-1][1]
+            elif val == 'T*':
+                ly -= leading
+            elif val == 'TL':
+                leading = operands[-1][1]
+            elif val in ('Tj', "'", '"'):
+                if val in ("'", '"'):
+                    ly -= leading
+                text = operands[-1][1]
+                if text:
+                    shows.append((ly, lx, seq, text)); seq += 1
+            elif val == 'TJ':
+                buf = []
+                for k, v in arr_done:
+                    if k == 'str':
+                        buf.append(v)
+                    elif k == 'num' and v <= KERN_SPACE:
+                        buf.append(' ')
+                arr_done = None
+                text = ''.join(buf)
+                if text:
+                    shows.append((ly, lx, seq, text)); seq += 1
+            operands = []
+        else:
+            operands.append((kind, val))
+    by_line = {}
+    for (y, x, q, t) in shows:
+        by_line.setdefault(round(y * 10) / 10.0, []).append((x, q, t))
+    out = []
+    for li, y in enumerate(sorted(by_line, reverse=True)):
+        runs = sorted(by_line[y])
+        out.append((li, y, ' '.join(t for (_, _, t) in runs)))
+    return out
+
+
+def main():
+    import os
+    os.makedirs(OUTDIR, exist_ok=True)
+    # page 1: Td/TD/T* lines, same-baseline second BT block, escapes, octal
+    p1 = (
+        "BT /F1 12 Tf 72 720 Td (Hello, world!) Tj ET "
+        "BT /F1 12 Tf 300 720 Td (same line) Tj ET "          # joins line 1
+        "BT /F1 12 Tf 72 700 TD (Second \\(line\\) with \\\\escapes) Tj "
+        "0 -20 Td (Oct\\141l and tab\\there) Tj ET "           # \141 = 'a'
+        "% a comment to ignore\n"
+        "BT /F1 10 Tf 72 640 Td 14 TL (Leading one) Tj T* (Leading two) ' ET")
+    # page 2: Tm positioning, TJ kerning, hex strings, out-of-order baselines,
+    # quote/doublequote, inline dict (marked content), Flate-compressed
+    p2 = (
+        "BT /F1 12 Tf 1 0 0 1 72 500 Tm "
+        "[ (ker) -250 (ned) ] TJ ET "                          # -> 'ker ned'
+        "BT /F1 12 Tf 1 0 0 1 72 700 Tm "
+        "[ (no) -50 (gap) ] TJ ET "                            # -> 'nogap'
+        "/Span << /ActualText (ignored) >> BDC "
+        "BT /F1 12 Tf 72 600 Td <48656C6C6F> Tj ET EMC "      # hex 'Hello'
+        "BT /F1 12 Tf 72 560 Td 16 TL (q1) Tj 2 3 (q2) \" ET "  # \" pops aw ac string
+        "BT /F1 12 Tf 72 450 Td (line con\\\ntinued) Tj ET")   # backslash-newline
+    pages = [p1, p2]
+    pdf = build_pdf(pages, compress_mask=[False, True])
+    name = 'text_00.pdf'
+    with open(f'{OUTDIR}/{name}', 'wb') as f:
+        f.write(pdf)
+    rows = []
+    for pi, content in enumerate(pages):
+        for (li, y, text) in interpret(content):
+            rows.append(dict(name=name, page_index=pi, line_index=li, y=y, text=text))
+    import duckdb
+    import pandas as pd
+    df = pd.DataFrame(rows)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT name, CAST(page_index AS INT) page_index, "
+                "CAST(line_index AS INT) line_index, y, text FROM df")
+    con.execute(f"COPY t TO '{EXPECTED}' (FORMAT PARQUET)")
+    for r in rows:
+        print(r)
+    print(f"wrote {name} + {len(rows)} expected lines to {EXPECTED}")
+
+
+if __name__ == '__main__':
+    main()
