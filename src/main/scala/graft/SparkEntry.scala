@@ -78,6 +78,8 @@ object SparkEntry {
     "q_embed_ivf_kmeans" -> ((s, _) => graft.ops.AnnKMeans.ivfTopK(s)),
     "q_ann_recall" -> ((s, _) => graft.ops.AnnKMeans.annRecall(s)),
     // text analysis
+    "q_token_rarity" -> (Queries.tokenRarity(_, _)),
+    "q_stratified_sample" -> (Queries.stratifiedSample(_, _)),
     "q_token_count" -> (Queries.tokenCount(_, _)),
     "q_token_count_bpe" -> (Queries.tokenCountBpe(_, _)),
     "q_quality_score" -> (Queries.qualityScore(_, _)),
@@ -235,6 +237,24 @@ object SparkEntry {
         |SELECT comp.id AS doc_id, comp.component, sizes.n_members
         |FROM comp JOIN sizes USING (component) ORDER BY doc_id""".stripMargin)
       .replaceFirst("WITH ", "WITH RECURSIVE "),
+    // exact integers + one double division (log-domain perplexity would
+    // differ from DuckDB's libm in final ulps); DuckDB SUM(BIGINT) is
+    // HUGEINT, hence the explicit BIGINT cast
+    "q_token_rarity" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |freq AS (SELECT w, count(*) AS wc FROM toks GROUP BY w)
+        |SELECT doc_id, CAST(SUM(wc) AS BIGINT) AS freq_sum, COUNT(*) AS n_tokens,
+        |  CAST(SUM(wc) AS DOUBLE) / COUNT(*) AS mean_token_freq
+        |FROM toks JOIN freq USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_stratified_sample" ->
+      s"""WITH r AS (SELECT lang, doc_id,
+        |  md5('strat:' || CAST(doc_id AS VARCHAR)) AS h FROM documents)
+        |SELECT lang, doc_id, CAST(rn AS INT) AS rn FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+        |  FROM r) t
+        |WHERE rn <= ${Queries.StratifiedSampleK}
+        |ORDER BY lang, rn""".stripMargin,
     "q_token_count" ->
       "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, n_chars FROM documents ORDER BY doc_id",
     "q_token_count_bpe" ->

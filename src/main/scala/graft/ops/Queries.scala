@@ -776,6 +776,50 @@ object Queries {
 
   // ---- text analysis ---------------------------------------------------------
 
+  /** Token rarity scoring: each document's mean CORPUS frequency of its
+    * tokens — the two-pass global-statistics shape a perplexity/quality
+    * filter needs (a document of rare tokens scores low, boilerplate scores
+    * high). Pass 1 is a partial-aggregated global token count; pass 2 joins
+    * it back to the exploded tokens (broadcast when the vocabulary is
+    * small; an ordinary hash join keyed on the token otherwise — the
+    * standard corpus-statistics shape at 100 TB) and re-aggregates per
+    * document. All arithmetic is exact integers plus ONE final double
+    * division, so the oracle is hash-exact — a log-domain perplexity would
+    * differ from DuckDB's libm in final ulps and is deliberately avoided.
+    */
+  def tokenRarity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    toks.join(freq, "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("wc")).as("freq_sum"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("freq_sum"), col("n_tokens"),
+        (col("freq_sum").cast("double") / col("n_tokens")).as("mean_token_freq"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-group quota for [[stratifiedSample]]. */
+  val StratifiedSampleK = 10
+
+  /** Deterministic stratified sampling: the [[StratifiedSampleK]] documents
+    * with the smallest md5("strat:"++id) digests PER LANGUAGE — the
+    * per-group quota sampling a mixture-balancing pipeline runs before
+    * training. Selection is a keyless hash rank, so the sample is stable
+    * across runs/engines, and the per-group top-K goes through the
+    * two-phase [[TopM]] (languages are few, candidates are the corpus —
+    * exactly TopM's regime; a window would funnel each language's full
+    * corpus partition through one task's sort).
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = t(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        md5(concat(lit("strat:"), col("doc_id").cast("string"))).as("h"))
+    TopM.topM(ranked, "lang", Seq(("h", true), ("doc_id", true)), StratifiedSampleK, "rn")
+      .select(col("lang"), col("doc_id"), col("rn"))
+      .orderBy("lang", "rn")
+  }
+
   /** Token counting (whitespace split; SURVEY training-data ops). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
