@@ -79,6 +79,7 @@ object SparkEntry {
     "q_ann_recall" -> ((s, _) => graft.ops.AnnKMeans.annRecall(s)),
     // text analysis
     "q_token_rarity" -> (Queries.tokenRarity(_, _)),
+    "q_boilerplate_strip" -> (Queries.boilerplateStrip(_, _)),
     "q_stratified_sample" -> (Queries.stratifiedSample(_, _)),
     "q_token_count" -> (Queries.tokenCount(_, _)),
     "q_token_count_bpe" -> (Queries.tokenCountBpe(_, _)),
@@ -246,6 +247,25 @@ object SparkEntry {
         |SELECT doc_id, CAST(SUM(wc) AS BIGINT) AS freq_sum, COUNT(*) AS n_tokens,
         |  CAST(SUM(wc) AS DOUBLE) / COUNT(*) AS mean_token_freq
         |FROM toks JOIN freq USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // DuckDB zips parallel unnests in one SELECT → (pos, sent) pairs;
+    // string_agg(... ORDER BY pos) is the order-preserving reassembly
+    "q_boilerplate_strip" ->
+      s"""WITH planted AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 5 = 0 THEN 'Cookie notice: this site uses cookies. ' ELSE '' END)
+        |    || text ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '. Subscribe to our newsletter for updates' ELSE '' END) AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    unnest(range(len(string_split(text, '. ')))) AS pos,
+        |    unnest(string_split(text, '. ')) AS sent
+        |  FROM planted),
+        |common AS (SELECT sent FROM (
+        |    SELECT sent, count(DISTINCT doc_id) AS nd FROM s GROUP BY sent)
+        |  WHERE nd >= ${Queries.BoilerplateMinDocs})
+        |SELECT doc_id, COUNT(*) AS n_kept,
+        |  md5(string_agg(sent, '. ' ORDER BY pos)) AS clean_sha
+        |FROM s ANTI JOIN common USING (sent)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_stratified_sample" ->
       s"""WITH r AS (SELECT lang, doc_id,

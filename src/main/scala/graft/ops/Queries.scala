@@ -799,6 +799,46 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** A sentence is boilerplate when it appears in at least this many
+    * DISTINCT documents (CCNet-style line-level dedup threshold).
+    */
+  val BoilerplateMinDocs = 50
+
+  /** CCNet-style line-level boilerplate removal: sentences appearing in
+    * ≥ [[BoilerplateMinDocs]] distinct documents (cookie banners,
+    * subscription footers) are stripped from every document, which is then
+    * reassembled IN ORDER. The corpus has no natural cross-doc sentence
+    * duplication at test scale, so deterministic boilerplate is planted
+    * in-query (a footer on doc_id % 3, a header on doc_id % 5 — the same
+    * planted-structure pattern the dedup family uses). Plan shape: explode
+    * with position → global distinct-doc counts (partial-aggregated) →
+    * anti join → ORDER-PRESERVING regroup (array_sort over (pos, sent)
+    * structs — collect order is nondeterministic, position is data). The
+    * per-doc collect buffer is bounded by the document's own length.
+    */
+  def boilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
+    val planted = t(spark, dir, "documents").select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 5 === 0, lit("Cookie notice: this site uses cookies. "))
+          .otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit(". Subscribe to our newsletter for updates"))
+          .otherwise(lit(""))).as("text"))
+    val sents = planted.select(col("doc_id"),
+      posexplode(split(col("text"), "\\. ")).as(Seq("pos", "sent")))
+    val common = sents.groupBy(col("sent"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= BoilerplateMinDocs)
+      .select(col("sent"))
+    sents.join(common, Seq("sent"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          expr("transform(array_sort(collect_list(struct(pos, sent))), x -> x.sent)"),
+          ". ")).as("clean_sha"))
+      .orderBy("doc_id")
+  }
+
   /** Per-group quota for [[stratifiedSample]]. */
   val StratifiedSampleK = 10
 
