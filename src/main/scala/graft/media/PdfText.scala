@@ -139,7 +139,11 @@ object PdfText {
         i += 1
         while (i < s.length && (s.charAt(i) == '.' || s.charAt(i) == '+' || s.charAt(i) == '-'
           || (s.charAt(i) >= '0' && s.charAt(i) <= '9'))) i += 1
-        toks += TNum(s.substring(start, i).toDouble)
+        val lit = s.substring(start, i)
+        toks += TNum(try lit.toDouble catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"unparsable numeric token '$lit'")
+        })
       } else {
         val start = i
         while (i < s.length && !isWs(s.charAt(i)) && !isDelim(s.charAt(i))) i += 1
@@ -151,6 +155,22 @@ object PdfText {
   }
 
   // ---- text-state interpreter -----------------------------------------------
+
+  /** Operators with NO effect on extracted text, consumed and ignored:
+    * font/text state (Tf Tc Tw Tz Ts Tr), graphics state (q Q cm gs w J j
+    * M d ri i), color (g G rg RG k K cs CS sc scn SC SCN), path
+    * construction/painting (m l c v y h re S s f F f* B B* b b* n W W*),
+    * marked content (BMC BDC EMC MP DP), shading/type3 (sh d0 d1).
+    * Anything NOT here and not a text operator throws — `Do` (Form
+    * XObjects) and `BI` (inline images) in particular, which could carry
+    * content a silent skip would lose.
+    */
+  private val IgnoredOps: Set[String] = Set(
+    "Tf", "Tc", "Tw", "Tz", "Ts", "Tr",
+    "q", "Q", "cm", "gs", "w", "J", "j", "M", "d", "ri", "i",
+    "g", "G", "rg", "RG", "k", "K", "cs", "CS", "sc", "scn", "SC", "SCN",
+    "m", "l", "c", "v", "y", "h", "re", "S", "s", "f", "F", "f*", "B", "B*", "b", "b*", "n", "W", "W*",
+    "BMC", "BDC", "EMC", "MP", "DP", "sh", "d0", "d1")
 
   private final case class Show(y: Double, x: Double, seq: Int, text: String)
 
@@ -169,6 +189,10 @@ object PdfText {
     def num(t: Tok): Double = t match {
       case TNum(v) => v
       case other => throw new IllegalArgumentException(s"expected number, got $other")
+    }
+    def lastOperand(op: String): Tok = {
+      require(operands.nonEmpty, s"$op with no operand")
+      operands.last
     }
     def show(text: String): Unit = {
       require(inText, "text-show operator outside BT/ET")
@@ -205,15 +229,15 @@ object PdfText {
               s"rotated/skewed text matrix unsupported (a=$a b=$b c=$c d=$d)")
             lineX = e; lineY = f
           case "T*" => nextLine()
-          case "TL" => leading = num(operands.last)
+          case "TL" => leading = num(lastOperand("TL"))
           case "Tj" =>
-            operands.last match {
+            lastOperand("Tj") match {
               case TStr(s) => show(s)
               case other => throw new IllegalArgumentException(s"Tj on $other")
             }
           case "'" =>
             nextLine()
-            operands.last match {
+            lastOperand("'") match {
               case TStr(s) => show(s)
               case other => throw new IllegalArgumentException(s"' on $other")
             }
@@ -234,7 +258,14 @@ object PdfText {
             }
             arrDone = null
             show(sb.toString)
-          case _ => // Tf/Tc/Tw/Tz/Ts/Tr/q/Q/cm/gs/color/path ops: state we ignore
+          case known if IgnoredOps(known) => // graphics/font/path state: no effect on text
+          case unknown =>
+            // LOUD contract: an operator outside the subset may carry text
+            // we cannot see (`Do` runs a Form XObject, `BI...EI` embeds
+            // binary an operand tokenizer would shred) — never extract
+            // silently-partial text
+            throw new IllegalArgumentException(
+              s"unsupported content-stream operator '$unknown' (outside the text subset)")
         }
         operands.clear()
       case t => operands += t
@@ -268,8 +299,10 @@ object PdfText {
       val raw = streamData(pdfBytes, cobj, objs)
       val data = if (cobj.dict.contains("/FlateDecode")) inflate(raw) else raw
       val shows = interpret(new String(data, java.nio.charset.StandardCharsets.ISO_8859_1))
-      // group by rounded baseline, top-down; runs join left-to-right with one space
-      shows.groupBy(s => math.round(s.y * 10) / 10.0).toVector
+      // group by rounded baseline (math.rint = half-even, matching the
+      // Python twin's round() — math.round's half-up would diverge at
+      // exact .05 baselines), top-down; runs join left-to-right, one space
+      shows.groupBy(s => math.rint(s.y * 10) / 10.0).toVector
         .sortBy { case (y, _) => -y }
         .zipWithIndex
         .map { case ((y, runs), li) =>

@@ -73,6 +73,20 @@ class PdfTextSpec extends AnyFunSuite {
     assert(outside.getMessage.contains("outside BT/ET"))
     // unterminated literal string
     intercept[IllegalArgumentException](PdfText.lines(tinyPdf("BT (never closed Tj ET")))
+    // unknown operators are LOUD, not skipped: a Form XObject draw could
+    // carry text we cannot see, and inline-image bytes would shred the
+    // tokenizer — silent partial extraction is the failure mode to refuse
+    val formXObj = intercept[IllegalArgumentException](
+      PdfText.lines(tinyPdf("BT 10 20 Td (x) Tj ET q /Fm0 Do Q")))
+    assert(formXObj.getMessage.contains("unsupported content-stream operator 'Do'"))
+    // show with no operand: descriptive failure, not NoSuchElementException
+    val noOperand = intercept[IllegalArgumentException](
+      PdfText.lines(tinyPdf("BT Tj ET")))
+    assert(noOperand.getMessage.contains("Tj with no operand"))
+    // ignored state operators really are ignored (color, path, marked content)
+    assert(PdfText.lines(tinyPdf(
+      "0.5 g 1 0 0 RG 10 10 100 5 re f BMC BT 10 20 Td (kept) Tj ET EMC")).map(_.text)
+      == Vector("kept"))
     // not a PDF at all
     intercept[IllegalArgumentException](PdfText.lines("nope".getBytes(ISO_8859_1)))
     assert(raw.contains("/FlateDecode")) // fixture really exercises inflate

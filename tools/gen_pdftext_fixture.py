@@ -148,12 +148,17 @@ def _tokens(s):
 
 
 def interpret(content):
+    # mirrors the Scala interpreter's validity contract too (rotated Tm,
+    # shows outside BT, nested arrays all rejected) so a fixture the JVM
+    # side would refuse fails HERE, at generation time
     shows = []
     lx = ly = leading = 0.0
     seq = 0
+    in_text = False
     operands, arr, arr_done = [], None, None
     for kind, val in _tokens(content):
         if kind == 'arr_open':
+            assert arr is None, 'nested array in content stream'
             arr = []
         elif kind == 'arr_close':
             arr_done, arr = arr, None
@@ -162,25 +167,34 @@ def interpret(content):
             arr.append((kind, val))
         elif kind == 'op':
             if val == 'BT':
+                in_text = True
                 lx = ly = 0.0
+            elif val == 'ET':
+                in_text = False
             elif val == 'Td':
                 lx += operands[-2][1]; ly += operands[-1][1]
             elif val == 'TD':
                 leading = -operands[-1][1]
                 lx += operands[-2][1]; ly += operands[-1][1]
             elif val == 'Tm':
+                a, b, c, d = (operands[-6][1], operands[-5][1],
+                              operands[-4][1], operands[-3][1])
+                assert b == 0.0 and c == 0.0 and a > 0 and d > 0, \
+                    f'rotated/skewed text matrix unsupported (a={a} b={b} c={c} d={d})'
                 lx, ly = operands[-2][1], operands[-1][1]
             elif val == 'T*':
                 ly -= leading
             elif val == 'TL':
                 leading = operands[-1][1]
             elif val in ('Tj', "'", '"'):
+                assert in_text, 'text-show operator outside BT/ET'
                 if val in ("'", '"'):
                     ly -= leading
                 text = operands[-1][1]
                 if text:
                     shows.append((ly, lx, seq, text)); seq += 1
             elif val == 'TJ':
+                assert in_text, 'text-show operator outside BT/ET'
                 buf = []
                 for k, v in arr_done:
                     if k == 'str':
