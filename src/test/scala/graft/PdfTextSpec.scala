@@ -38,6 +38,32 @@ class PdfTextSpec extends AnyFunSuite {
     assert(got.count(_.pageIndex == 1) == 6)
   }
 
+  test("a /Contents ARRAY concatenates its streams into one page") {
+    // text state set in stream 1 (incl. the open BT block and line
+    // position) carries into stream 2 — the spec's concatenation
+    // semantics; parts split at token boundaries as the spec requires
+    val c1 = "BT /F1 12 Tf 72 700 Td (part one) Tj"
+    val c2 = "0 -20 Td (part two) Tj ET"
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>",
+      4 -> s"<< /Length ${c1.length} >>\nstream\n$c1\nendstream",
+      5 -> s"<< /Length ${c2.length} >>\nstream\n$c2\nendstream")
+    val out = new StringBuilder("%PDF-1.4\n")
+    val offsets = objs.map { case (n, body) =>
+      val off = out.length
+      out ++= s"$n 0 obj\n$body\nendobj\n"
+      n -> off
+    }.toMap
+    val xrefAt = out.length
+    out ++= s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n"
+    (1 to objs.length).foreach(n => out ++= f"${offsets(n)}%010d 00000 n \n")
+    out ++= s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n"
+    val lines = PdfText.lines(out.toString.getBytes(ISO_8859_1))
+    assert(lines.map(l => (l.lineIndex, l.text)) == Vector((0, "part one"), (1, "part two")))
+  }
+
   test("rotated text matrices and malformed streams are rejected loudly") {
     val raw = new String(fixture, ISO_8859_1)
     // the uncompressed page-1 stream has no Tm; surgery on it: turn a Td
