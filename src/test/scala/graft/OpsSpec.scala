@@ -44,6 +44,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("no catalog query plans a CartesianProduct join") {
+    // intended cross joins (query-side broadcast in the ANN family) compile
+    // to BroadcastNestedLoopJoin — bounded by the tiny broadcast side. A
+    // CartesianProductExec means NEITHER side is broadcast: the full
+    // n×m shuffle-and-pair that kills any query at corpus scale. Guard the
+    // whole catalog so a future join never degrades silently.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      graft.ops.Queries.releaseCaches()
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n${plan.take(2000)}")
+    }
+  }
+
   test("IVF centroid assignment is a zero-Exchange projection in both quantizer paths") {
     import org.apache.spark.sql.functions.{col, expr}
     // round-3 defect: crossJoin(broadcast(cents)) + Window.partitionBy(vec_id)
