@@ -187,12 +187,27 @@ object AnnKMeans {
     * plan free of per-query window sorts).
     */
   private def probes(spark: SparkSession, qs: DataFrame, cents: DataFrame): DataFrame = {
+    // VECTOR-FREE (q_id, cent_id) pairs — broadcast-sized at any query
+    // volume. AnnScaleBench (BENCH.md §7) measured why qv must not ride
+    // along: at 1,000 queries a vector-carrying probe table exceeded the
+    // broadcast threshold and the probe join fell back to exchanging 41M
+    // vector-carrying corpus rows over 256 skewed keys.
     val scored = qs.crossJoin(broadcast(cents))
       .withColumn("qcos", cosExpr("qv", "cv"))
-      .select(col("q_id"), col("qv"), col("cent_id"), col("qcos"))
+      .select(col("q_id"), col("cent_id"), col("qcos"))
     TopM.topM(scored, "q_id", Seq(("qcos", false), ("cent_id", true)), Probes, "prn")
-      .select(col("q_id"), col("qv"), col("cent_id"))
+      .select(col("q_id"), col("cent_id"))
   }
+
+  /** The probed re-rank input with the corpus on the STREAMING side: probe
+    * pairs and query vectors both broadcast, so the candidate vectors never
+    * shuffle — the only probe-join shape that survives 10^9 candidates.
+    */
+  private def probedRanked(spark: SparkSession, asg: DataFrame, prb: DataFrame): DataFrame =
+    asg.join(broadcast(prb), "cent_id")
+      .join(broadcast(queries(spark)), "q_id")
+      .withColumn("c", cosExpr("qv", "v"))
+      .select(col("q_id"), col("vec_id"), col("c"))
 
   /** q_embed_ivf_kmeans: the full trained-quantizer IVF search, top-3 per
     * query via the two-phase TopM. Oracle: expected/ivf_kmeans.parquet from
@@ -201,10 +216,8 @@ object AnnKMeans {
   def ivfTopK(spark: SparkSession): DataFrame = {
     val cands = candidates(spark)
     val cents = centroidsDF(spark)
-    val ranked = probes(spark, queries(spark), cents)
-      .join(assigned(spark, cands), "cent_id")
-      .withColumn("c", cosExpr("qv", "v"))
-      .select(col("q_id"), col("vec_id"), col("c"))
+    val ranked = probedRanked(spark,
+      assigned(spark, cands), probes(spark, queries(spark), cents))
     TopM.topM(ranked, "q_id", Seq(("c", false), ("vec_id", true)), TopK, "rn")
       .select(col("q_id"), col("vec_id"), round(col("c"), 4).as("cos4"), col("rn"))
       .orderBy("q_id", "rn")
@@ -259,16 +272,11 @@ object AnnKMeans {
     // scanned-fraction audit below — tracked persists stop the 1600×16
     // argmax and the probe TopM from running twice (released by the caller)
     val asg = CacheTracker.track(assigned(spark, cands))
-    val prb = CacheTracker.track(
-      probes(spark, queries(spark), cents).select(col("q_id"), col("cent_id")))
-    val ivf3 = {
-      val ranked = prb.join(broadcast(queries(spark)), "q_id")
-        .join(asg, "cent_id")
-        .withColumn("c", cosExpr("qv", "v"))
-        .select(col("q_id"), col("vec_id"), col("c"))
-      TopM.topM(ranked, "q_id", Seq(("c", false), ("vec_id", true)), TopK, "rn")
+    val prb = CacheTracker.track(probes(spark, queries(spark), cents))
+    val ivf3 =
+      TopM.topM(probedRanked(spark, asg, prb),
+        "q_id", Seq(("c", false), ("vec_id", true)), TopK, "rn")
         .select(col("q_id"), col("vec_id"))
-    }
     val methods = ivf3.withColumn("method", lit("ivf_kmeans"))
       .unionAll(lshTop3(spark, cands).withColumn("method", lit("lsh_hamming")))
     val recall = methods

@@ -758,15 +758,20 @@ object Queries {
     def cosExpr(a: String, b: String): Column =
       graft.functions.ChurroFunctions.cosine_sim(col(a), col(b))
     val assigned = ivfAssignFixed(spark, dir, cand)
-    // probe lists: top-P centroids per query
+    // probe lists: VECTOR-FREE top-P (q_id, cent_id) pairs per query —
+    // broadcast-sized at any query volume (see AnnKMeans.probes /
+    // BENCH.md §7: a qv-carrying probe table can outgrow the broadcast
+    // threshold and force a corpus shuffle over few skewed keys)
     val pw = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("cent_id").asc)
-    val probes = qs.crossJoin(broadcast(cents))
+    val probePairs = qs.crossJoin(broadcast(cents))
       .withColumn("qcos", cosExpr("qv", "cv"))
       .withColumn("prn", row_number().over(pw))
       .filter(col("prn") <= EmbedIvfProbes)
-      .select(col("q_id"), col("qv"), col("cent_id"))
+      .select(col("q_id"), col("cent_id"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    probes.join(assigned, "cent_id")
+    // corpus on the streaming side: pairs + query vectors both broadcast
+    assigned.join(broadcast(probePairs), "cent_id")
+      .join(broadcast(qs), "q_id")
       .withColumn("cos", cosExpr("qv", "v"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
