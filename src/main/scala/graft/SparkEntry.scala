@@ -80,6 +80,7 @@ object SparkEntry {
     // text analysis
     "q_token_rarity" -> (Queries.tokenRarity(_, _)),
     "q_boilerplate_strip" -> (Queries.boilerplateStrip(_, _)),
+    "q_decontaminate" -> (Queries.decontaminate(_, _)),
     "q_stratified_sample" -> (Queries.stratifiedSample(_, _)),
     "q_token_count" -> (Queries.tokenCount(_, _)),
     "q_token_count_bpe" -> (Queries.tokenCountBpe(_, _)),
@@ -266,6 +267,22 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_kept,
         |  md5(string_agg(sent, '. ' ORDER BY pos)) AS clean_sha
         |FROM s ANTI JOIN common USING (sent)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH docs0 AS (SELECT doc_id, text FROM documents),
+        |ev AS (SELECT doc_id, text FROM docs0 WHERE doc_id % 97 = 0),
+        |train AS (SELECT doc_id, text FROM docs0 WHERE doc_id % 97 <> 0
+        |  UNION ALL SELECT doc_id + 300000, 'copied into the training set: ' || text FROM ev),
+        |eg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - ${Queries.DecontaminateGramLen}, 0) + 1),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + ${Queries.DecontaminateGramLen}), ' ')))) AS g
+        |  FROM ev),
+        |tg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - ${Queries.DecontaminateGramLen}, 0) + 1),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + ${Queries.DecontaminateGramLen}), ' ')))) AS g
+        |  FROM train)
+        |SELECT doc_id, count(*) AS n_shared_grams
+        |FROM tg JOIN eg USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_stratified_sample" ->
       s"""WITH r AS (SELECT lang, doc_id,

@@ -844,6 +844,47 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Contamination n-gram length (the 13-gram rule used for benchmark
+    * decontamination of web-scale training sets).
+    */
+  val DecontaminateGramLen = 8 // 8 words: the synthetic docs are short
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * [[DecontaminateGramLen]]-word shingle with a held-out evaluation set —
+    * the standard n-gram overlap decontamination step before training. The
+    * eval set here is a deterministic corpus slice (doc_id % 97 == 0 plays
+    * the benchmark; its own rows are excluded from the scan side). Plan
+    * shape: the EVAL side's gram set is tiny and hash-joins against the
+    * exploded corpus grams (Spark broadcasts it at this size; at 100 TB the
+    * eval set is still benchmark-sized, so the broadcast holds — the
+    * corpus-side grams never shuffle), then a partial-aggregated count per
+    * contaminated document.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val evalSet = docs.filter(col("doc_id") % 97 === 0)
+    // the natural corpus shares no long shingles across documents, so the
+    // contamination to catch is PLANTED (the dedup family's pattern):
+    // prefixed copies of eval documents under fresh ids — every interior
+    // eval shingle survives the prefix
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+      .unionAll(evalSet.select((col("doc_id") + 300000).as("doc_id"),
+        concat(lit("copied into the training set: "), col("text")).as("text")))
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(
+           |  sequence(0, greatest(size(words) - $DecontaminateGramLen, 0)),
+           |  i -> concat_ws(' ', slice(words, i + 1, $DecontaminateGramLen))))""".stripMargin))
+        .as("g"))
+    val evalGrams = grams(evalSet).select(col("g")).distinct()
+    grams(train)
+      .join(evalGrams, "g") // eval side broadcast: benchmark-sized at any corpus scale
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
   /** Per-group quota for [[stratifiedSample]]. */
   val StratifiedSampleK = 10
 
