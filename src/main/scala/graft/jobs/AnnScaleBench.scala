@@ -1,6 +1,6 @@
 package graft.jobs
 
-import graft.ops.{CacheTracker, TopM}
+import graft.ops.{AnnKMeans, CacheTracker, TopM}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,66 +19,8 @@ import org.apache.spark.sql.functions._
   */
 object AnnScaleBench {
 
-  val Dims = 64
-  val LloydIters = 5
   val TrainSampleN = 4096
   val TopK = 3
-
-  private def centerSql(kExpr: String): String =
-    s"(CAST(2654435761 AS BIGINT) * (CAST(($kExpr) AS BIGINT) * $Dims + i + 1)) % 2147483647 % 2001 - 1000"
-
-  private def perturbSql(idExpr: String): String =
-    s"(CAST(1099087573 AS BIGINT) * (CAST(($idExpr) AS BIGINT) * $Dims + i + 1)) % 2147483647 % 201 - 100"
-
-  private def candidates(spark: SparkSession, n: Int, perCluster: Int): DataFrame =
-    spark.range(n.toLong)
-      .select(col("id").cast("int").as("vec_id"),
-        expr(s"""transform(sequence(0, ${Dims - 1}), i ->
-                |  (${centerSql("vec_id div " + perCluster)}) / 1000.0D
-                |+ (${perturbSql("vec_id")}) / 1000.0D)""".stripMargin).as("v"))
-      .repartition(spark.sparkContext.defaultParallelism)
-
-  private def queries(spark: SparkSession, nq: Int): DataFrame =
-    spark.range(nq.toLong)
-      .select(col("id").cast("int").as("q_id"),
-        expr(s"""transform(sequence(0, ${Dims - 1}), i ->
-                |  (${centerSql("q_id")}) / 1000.0D
-                |+ (${perturbSql("q_id + 7777")}) / 1000.0D)""".stripMargin).as("qv"))
-
-  private def cos(a: Array[Double], b: Array[Double]): Double = {
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
-
-  private def train(cands: DataFrame, k: Int): Array[Array[Double]] = {
-    val sample = cands
-      .withColumn("h", md5(concat(lit("ivf:"), col("vec_id").cast("string"))))
-      .orderBy("h", "vec_id").limit(TrainSampleN)
-      .orderBy("vec_id")
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
-    val n = sample.length
-    var cents = Array.tabulate(k)(j => sample(j * n / k).clone())
-    var it = 0
-    while (it < LloydIters) {
-      val sums = Array.fill(k)(new Array[Double](Dims))
-      val counts = new Array[Int](k)
-      sample.foreach { v =>
-        var best = 0; var bestCos = cos(v, cents(0))
-        var c = 1
-        while (c < k) {
-          val s = cos(v, cents(c)); if (s > bestCos) { best = c; bestCos = s }; c += 1
-        }
-        val s = sums(best); var i = 0
-        while (i < Dims) { s(i) += v(i); i += 1 }
-        counts(best) += 1
-      }
-      cents = Array.tabulate(k)(c => if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
-      it += 1
-    }
-    cents
-  }
 
   def main(args: Array[String]): Unit = {
     val clusters = args.headOption.map(_.toInt).getOrElse(256)
@@ -96,11 +38,12 @@ object AnnScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val cands = CacheTracker.track(candidates(spark, n, perCluster))
+    val cands = CacheTracker.track(AnnKMeans.candidates(spark, n, perCluster)
+      .repartition(spark.sparkContext.defaultParallelism))
     cands.count() // materialize the corpus outside the timed sections
 
     val t0 = System.nanoTime()
-    val cents = train(cands, clusters)
+    val cents = AnnKMeans.trainCentroidsFor(cands, clusters, TrainSampleN)
     val centsLit = typedlit(cents.map(_.toSeq).toSeq)
     // zero-Exchange assignment + posting-list materialization = the index
     val assigned = CacheTracker.track(
@@ -110,7 +53,7 @@ object AnnScaleBench {
     val indexSec = (System.nanoTime() - t0) / 1e9
 
     import spark.implicits._
-    val qs = CacheTracker.track(queries(spark, nq))
+    val qs = CacheTracker.track(AnnKMeans.queries(spark, nq))
     val centsDf = cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cent_id", "cv")
     def cosC(a: String, b: String) =
@@ -123,12 +66,14 @@ object AnnScaleBench {
     // side never shuffles. The naive `probeLists.join(assigned)` — probe
     // rows carrying qv — exceeded the broadcast threshold at 1000 queries
     // and fell back to a shuffle join that exchanged 41M vector-carrying
-    // rows across only 256 join keys (measured: 4.5 s vs 2.0 s here).
-    val probePairs = TopM.topM(
+    // rows across only 256 join keys (measured: 4.5 s naive vs 3.9 s
+    // broadcast at the same 25% scan — BENCH.md §7). Tracked: the pairs
+    // also feed the scanned-fraction audit after the timed section.
+    val probePairs = CacheTracker.track(TopM.topM(
       qs.crossJoin(broadcast(centsDf)).withColumn("qcos", cosC("qv", "cv"))
         .select(col("q_id"), col("cent_id"), col("qcos")),
       "q_id", Seq(("qcos", false), ("cent_id", true)), probes, "prn")
-      .select(col("q_id"), col("cent_id"))
+      .select(col("q_id"), col("cent_id")))
     val ivf3 = TopM.topM(
       assigned.join(broadcast(probePairs), "cent_id")
         .join(broadcast(qs), "q_id")

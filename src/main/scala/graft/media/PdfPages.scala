@@ -36,6 +36,8 @@ object PdfPages {
   private val XObjectRefRe = """/XObject\s*<<([^>]*)>>""".r
   private val XObjEntryRe = """/(\w+)\s+(\d+)\s+0\s+R""".r
   private[media] val ContentsRe = """/Contents\s+(\d+)\s+0\s+R""".r
+  private[media] val ContentsArrayRe = """/Contents\s*\[([^\]]*)\]""".r
+  private[media] val AnyRefRe = """(\d+)\s+(\d+)\s+R""".r
   private val LengthLitRe = """/Length\s+(\d+)(?!\s+0\s+R)""".r
   private val LengthRefRe = """/Length\s+(\d+)\s+0\s+R""".r
   private val IntRe = """\d+""".r
@@ -179,22 +181,51 @@ object PdfPages {
   /** Image placements from the page's /Contents stream: (name, ty, tx) per
     * `cm /Name Do`. Empty when the page has no /Contents reference.
     */
+  /** Resolve /Contents to its ordered stream-object refs — the single-ref
+    * or ARRAY form ("/Contents [4 0 R 5 0 R]" — a common real-generator
+    * layout); non-generation-0 refs and unparsable array residue are
+    * rejected loudly rather than silently dropped.
+    */
+  private[media] def contentRefs(page: PdfObject): Vector[Int] =
+    ContentsArrayRe.findFirstMatchIn(page.dict) match {
+      case Some(m) =>
+        val body = m.group(1)
+        val refs = AnyRefRe.findAllMatchIn(body).toVector
+        refs.foreach(r => require(r.group(2) == "0",
+          s"page ${page.num}: non-generation-0 /Contents ref " +
+            s"${r.group(1)} ${r.group(2)} R unsupported"))
+        val residue = AnyRefRe.replaceAllIn(body, " ").trim
+        require(residue.isEmpty,
+          s"page ${page.num}: unparsable /Contents array residue '$residue'")
+        require(refs.nonEmpty, s"page ${page.num}: empty /Contents array")
+        refs.map(_.group(1).toInt)
+      case None =>
+        ContentsRe.findFirstMatchIn(page.dict).map(m => Vector(m.group(1).toInt))
+          .getOrElse(throw new IllegalArgumentException(s"page ${page.num}: no /Contents"))
+    }
+
+  /** The page's complete decoded content text: all /Contents streams
+    * concatenated (the spec's token-boundary split rule; parts join with a
+    * separator newline).
+    */
+  private[media] def contentText(bytes: Array[Byte], page: PdfObject,
+                                 objs: Map[Int, PdfObject]): String =
+    contentRefs(page).map { ref =>
+      val cobj = objs.getOrElse(ref,
+        throw new IllegalArgumentException(s"page ${page.num}: /Contents $ref unresolvable"))
+      val raw = streamData(bytes, cobj, objs)
+      new String(if (cobj.dict.contains("/FlateDecode")) inflate(raw) else raw,
+        StandardCharsets.ISO_8859_1)
+    }.mkString("\n")
+
   private def contentDraws(bytes: Array[Byte], page: PdfObject,
                            objs: Map[Int, PdfObject]): Vector[Draw] =
-    ContentsRe.findFirstMatchIn(page.dict) match {
-      case None => Vector.empty
-      case Some(m) =>
-        val cobj = objs.getOrElse(m.group(1).toInt,
-          throw new IllegalArgumentException(s"page ${page.num}: /Contents ${m.group(1)} unresolvable"))
-        val raw = streamData(bytes, cobj, objs)
-        val data = if (cobj.dict.contains("/FlateDecode")) inflate(raw) else raw
-        val text = new String(data, StandardCharsets.ISO_8859_1)
-        DrawRe.findAllMatchIn(text)
-          .map(mm => Draw(mm.group(7), mm.group(1).toDouble, mm.group(2).toDouble,
-            mm.group(3).toDouble, mm.group(4).toDouble,
-            mm.group(5).toDouble, mm.group(6).toDouble))
-          .toVector
-    }
+    if (!page.dict.contains("/Contents")) Vector.empty
+    else DrawRe.findAllMatchIn(contentText(bytes, page, objs))
+      .map(mm => Draw(mm.group(7), mm.group(1).toDouble, mm.group(2).toDouble,
+        mm.group(3).toDouble, mm.group(4).toDouble,
+        mm.group(5).toDouble, mm.group(6).toDouble))
+      .toVector
 
   /** One parsed `q a b c d e f cm /Name Do Q` placement. */
   private final case class Draw(name: String, a: Double, b: Double, c: Double,

@@ -38,8 +38,6 @@ object PdfText {
   /** TJ kern (thousandths of text space) at or below this inserts a space. */
   val KernSpaceThreshold: Double = -180.0
 
-  /** `/Contents [r1 0 R r2 0 R ...]` — the array form. */
-  private val ContentsArrayRe = """/Contents\s*\[([^\]]*)\]""".r
 
   final case class TextLine(pageIndex: Int, lineIndex: Int, y: Double, text: String)
 
@@ -296,22 +294,9 @@ object PdfText {
       val page = objs.getOrElse(pageNum,
         throw new IllegalArgumentException(s"missing page object $pageNum"))
       // /Contents may be one indirect ref or an ARRAY of refs whose decoded
-      // streams concatenate into the page's content (the spec inserts
-      // whitespace between parts; splitting a content stream across several
-      // objects is common in real generators)
-      val crefs: Vector[Int] = ContentsArrayRe.findFirstMatchIn(page.dict)
-        .map(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toVector)
-        .orElse(ContentsRe.findFirstMatchIn(page.dict).map(m => Vector(m.group(1).toInt)))
-        .getOrElse(throw new IllegalArgumentException(s"page $pageNum: no /Contents"))
-      require(crefs.nonEmpty, s"page $pageNum: empty /Contents array")
-      val data = crefs.map { ref =>
-        val cobj = objs.getOrElse(ref,
-          throw new IllegalArgumentException(s"page $pageNum: /Contents $ref unresolvable"))
-        val raw = streamData(pdfBytes, cobj, objs)
-        new String(if (cobj.dict.contains("/FlateDecode")) inflate(raw) else raw,
-          java.nio.charset.StandardCharsets.ISO_8859_1)
-      }.mkString("\n")
-      val shows = interpret(data)
+      // streams concatenate into the page's content — shared resolution
+      // (incl. residue/generation validation) lives in PdfPages.contentText
+      val shows = interpret(contentText(pdfBytes, page, objs))
       // group by rounded baseline (math.rint = half-even, matching the
       // Python twin's round() — math.round's half-up would diverge at
       // exact .05 baselines), top-down; runs join left-to-right, one space

@@ -73,21 +73,24 @@ object AnnKMeans {
   private def perturbSql(idExpr: String): String =
     s"(CAST(1099087573 AS BIGINT) * (CAST(($idExpr) AS BIGINT) * $Dims + i + 1)) % 2147483647 % 201 - 100"
 
-  /** The 1600 clustered candidate vectors: vec_id ∈ [0, 1600), cluster =
-    * vec_id div 100, v[i] = center + member perturbation.
+  /** The clustered candidate vectors: vec_id ∈ [0, n), cluster =
+    * vec_id div perCluster, v[i] = center + member perturbation. Defaults
+    * are the frozen oracle fixture; AnnScaleBench passes 100× sizes — the
+    * CONSTRUCTION is shared so the scale bench certifies the same code.
     */
-  def candidates(spark: SparkSession): DataFrame =
-    spark.range(nCandidates.toLong)
+  def candidates(spark: SparkSession, n: Int = nCandidates,
+                 perCluster: Int = PerCluster): DataFrame =
+    spark.range(n.toLong)
       .select(col("id").cast("int").as("vec_id"),
         expr(s"""transform(sequence(0, ${Dims - 1}), i ->
-                |  (${centerSql("vec_id div " + PerCluster)}) / 1000.0D
+                |  (${centerSql("vec_id div " + perCluster)}) / 1000.0D
                 |+ (${perturbSql("vec_id")}) / 1000.0D)""".stripMargin).as("v"))
 
-  /** 5 held-out queries, one per cluster 0..4: center + a query-specific
+  /** Held-out queries, one per cluster 0..nq−1: center + a query-specific
     * perturbation (id offset 7777 decorrelates it from every member).
     */
-  def queries(spark: SparkSession): DataFrame =
-    spark.range(NumQueries.toLong)
+  def queries(spark: SparkSession, nq: Int = NumQueries): DataFrame =
+    spark.range(nq.toLong)
       .select(col("id").cast("int").as("q_id"),
         expr(s"""transform(sequence(0, ${Dims - 1}), i ->
                 |  (${centerSql("q_id")}) / 1000.0D
@@ -111,23 +114,34 @@ object AnnKMeans {
     // fixed summation order, no RNG), so the centroids are a constant of
     // the module — memoize across queries (ivfTopK and annRecall both train)
     if (centroidCache != null) return centroidCache
-    val sample: Array[Array[Double]] = candidates(spark)
+    centroidCache = trainCentroidsFor(candidates(spark), Clusters, TrainSampleN)
+    centroidCache
+  }
+
+  /** The quantizer training itself, parameterized (no memoization) — shared
+    * with AnnScaleBench so the 100×-tier bench certifies THIS code, not a
+    * copy: bounded md5-ranked sample via TakeOrderedAndProject, vec_id
+    * summation order, evenly-spaced init, [[LloydIters]] Lloyd iterations
+    * with lowest-centroid tiebreak, empty cluster keeps its centroid.
+    */
+  def trainCentroidsFor(cands: DataFrame, k: Int, sampleN: Int): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = cands
       .withColumn("h", md5(concat(lit("ivf:"), col("vec_id").cast("string"))))
       .orderBy("h", "vec_id") // TakeOrderedAndProject: bounded driver return
-      .limit(TrainSampleN)
+      .limit(sampleN)
       .orderBy("vec_id") // fixed summation order over the N selected rows
       .select("v").collect()
       .map(_.getSeq[Double](0).toArray)
     val n = sample.length
-    var cents = Array.tabulate(Clusters)(j => sample(j * n / Clusters).clone())
+    var cents = Array.tabulate(k)(j => sample(j * n / k).clone())
     var it = 0
     while (it < LloydIters) {
-      val sums = Array.fill(Clusters)(new Array[Double](Dims))
-      val counts = new Array[Int](Clusters)
+      val sums = Array.fill(k)(new Array[Double](Dims))
+      val counts = new Array[Int](k)
       sample.foreach { v =>
         var best = 0; var bestCos = cos(v, cents(0))
         var c = 1
-        while (c < Clusters) {
+        while (c < k) {
           val s = cos(v, cents(c))
           if (s > bestCos) { best = c; bestCos = s }
           c += 1
@@ -137,13 +151,12 @@ object AnnKMeans {
         while (i < Dims) { s(i) += v(i); i += 1 }
         counts(best) += 1
       }
-      cents = Array.tabulate(Clusters) { c =>
+      cents = Array.tabulate(k) { c =>
         if (counts(c) == 0) cents(c)
         else sums(c).map(_ / counts(c))
       }
       it += 1
     }
-    centroidCache = cents
     cents
   }
 

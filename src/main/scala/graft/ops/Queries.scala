@@ -879,7 +879,11 @@ object Queries {
         .as("g"))
     val evalGrams = grams(evalSet).select(col("g")).distinct()
     grams(train)
-      .join(evalGrams, "g") // eval side broadcast: benchmark-sized at any corpus scale
+      // EXPLICIT broadcast: the eval side is benchmark-sized at any corpus
+      // scale, but Catalyst cannot estimate that through explode+distinct —
+      // without the hint the size estimate tracks the documents scan and a
+      // real corpus would fall back to shuffling every corpus gram by g
+      .join(broadcast(evalGrams), "g")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_grams"))
       .orderBy("doc_id")

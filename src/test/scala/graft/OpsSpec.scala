@@ -35,26 +35,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val n = df.count()
       assert(n >= 0, s"$name failed")
       assert(df.columns.nonEmpty, s"$name has no columns")
+      // plan-shape guard on the SAME build (the iterative/streaming
+      // entries do real work on construction — don't build twice):
+      // intended cross joins broadcast their tiny side and compile to
+      // BroadcastNestedLoopJoin; a CartesianProductExec means NEITHER
+      // side broadcast — the n×m shuffle-and-pair that kills any query at
+      // corpus scale must never appear silently
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n${plan.take(2000)}")
       graft.ops.Queries.releaseCaches()
       // round-2 defect: leaked persists accumulated across the 45-query
       // bench session and degraded unrelated queries — every cache a query
       // registers must be released by releaseCaches
       assert(spark.sparkContext.getPersistentRDDs.isEmpty,
         s"$name left persisted RDDs: ${spark.sparkContext.getPersistentRDDs.keys}")
-    }
-  }
-
-  test("no catalog query plans a CartesianProduct join") {
-    // intended cross joins (query-side broadcast in the ANN family) compile
-    // to BroadcastNestedLoopJoin — bounded by the tiny broadcast side. A
-    // CartesianProductExec means NEITHER side is broadcast: the full
-    // n×m shuffle-and-pair that kills any query at corpus scale. Guard the
-    // whole catalog so a future join never degrades silently.
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val plan = fn(spark, dir).queryExecution.executedPlan.toString
-      graft.ops.Queries.releaseCaches()
-      assert(!plan.contains("CartesianProduct"),
-        s"$name plans a CartesianProduct:\n${plan.take(2000)}")
     }
   }
 
