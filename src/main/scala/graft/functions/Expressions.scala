@@ -178,6 +178,43 @@ object ExprImpl {
     d
   }
 
+  /** All `hashes` MinHash signature minima of a distinct-gram array in ONE
+    * row-local pass: per gram one md5 digest split into the two 56-bit
+    * Kirsch–Mitzenmacher bases (identical to [[md5Split56]]), then
+    * `sig[j] = min over grams of (h1 + j·h2) mod M`. Numerically identical
+    * to the explode → 64 partial-min aggregations plan it replaces (min is
+    * order-independent and the per-gram arithmetic is the same), but the
+    * signature stage becomes a pure projection — no per-gram row
+    * materialization, no hash aggregate, no Exchange.
+    */
+  def minhashSigs(grams: org.apache.spark.sql.catalyst.util.ArrayData,
+                  hashes: Int, mod: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val sigs = new Array[Long](hashes)
+    java.util.Arrays.fill(sigs, Long.MaxValue)
+    val md = md5Local.get()
+    val n = grams.numElements()
+    var g = 0
+    while (g < n) {
+      if (grams.isNullAt(g)) { g += 1 } else {
+      md.reset()
+      val d = md.digest(grams.getUTF8String(g).getBytes)
+      var h1 = 0L
+      var i = 0
+      while (i < 7) { h1 = (h1 << 8) | (d(i) & 0xffL); i += 1 }
+      var h2 = 0L
+      while (i < 14) { h2 = (h2 << 8) | (d(i) & 0xffL); i += 1 }
+      var j = 0
+      while (j < hashes) {
+        val v = (h1 + j * h2) % mod
+        if (v < sigs(j)) sigs(j) = v
+        j += 1
+      }
+      g += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
+
   /** Index of the max-cosine centroid under SPARK's descending double
     * order — the same row `orderBy(ccos desc, cent_id asc).row_number = 1`
     * selects, for every input:
@@ -349,6 +386,30 @@ case class HexHamming(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** `minhash_sigs(grams, hashes, mod)` — all MinHash signature minima of a
+  * distinct-gram array in one row-local pass (see [[ExprImpl.minhashSigs]]):
+  * the signature stage becomes a pure projection with no gram explode, no
+  * hash aggregate and no Exchange. NULL for an empty/all-null gram array —
+  * the exploded plan produced no row for such a document, so callers filter
+  * empties to keep semantics identical.
+  */
+case class MinhashSigsExpr(child: Expression, hashes: Int, mod: Long) extends UnaryExpression {
+  require(hashes > 0, s"hashes must be positive: $hashes")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (arr.numElements() == 0) null else ExprImpl.minhashSigs(arr, hashes, mod)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""if ($c.numElements() == 0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.ExprImpl.minhashSigs($c, $hashes, ${mod}L); }""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigsExpr =
+    copy(child = newChild)
+}
+
 /** `argmax_cosine(v, cents)` — 0-based index of the centroid (an
   * `array<array<double>>`, in practice a broadcast-sized LITERAL riding the
   * plan as one constant object) with the highest cosine against `v`; lowest
@@ -443,6 +504,8 @@ object ChurroFunctions {
   def argmax_cosine(v: Column, cents: Column): Column = col(ArgmaxCosine(e(v), e(cents)))
   def collect_list_capped(c: Column, maxElems: Int): Column =
     col(CollectListCapped(e(c), maxElems).toAggregateExpression())
+  def minhash_sigs(grams: Column, hashes: Int, mod: Long): Column =
+    col(MinhashSigsExpr(e(grams), hashes, mod))
 
   /** Register the SQL surface on a session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -383,19 +383,22 @@ object Queries {
     minhashSigCoreFrom(shingled(spark, dir))
 
   private[graft] def minhashSigCoreFrom(sh: DataFrame): DataFrame = {
-    // h1/h2 = the two 56-bit md5 halves via ONE native digest call per gram
-    // (md5_split56) — numerically identical to the hex-string
-    // conv(substring(md5(g), ...)) form the DuckDB oracle still evaluates,
-    // without rendering/parsing 32 hex chars per gram
-    val grams = sh
-      .select(col("doc_id"), explode(col("grams")).as("g"))
-      .withColumn("hp", graft.functions.ChurroFunctions.md5_split56(col("g")))
-      .withColumn("h1", element_at(col("hp"), 1))
-      .withColumn("h2", element_at(col("hp"), 2))
-    val sigCols = (0 until MinhashHashes).map(j =>
-      min((col("h1") + lit(j.toLong) * col("h2")) % lit(MinhashMod)).as(s"sig$j"))
-    grams.groupBy(col("doc_id"))
-      .agg(sigCols.head, sigCols.tail: _*)
+    // ONE row-local pass computes all 64 minima (native minhash_sigs, same
+    // Kirsch–Mitzenmacher arithmetic as the DuckDB oracle's hex-string
+    // form) — the signature stage is a pure PROJECTION. The round-3 plan
+    // exploded ~40 gram rows per document through md5_split56 and 64
+    // partial-min aggregations with an Exchange; min is order-independent
+    // and the per-gram arithmetic identical, so every signature bit is
+    // unchanged. The empty-gram filter reproduces the exploded plan's
+    // absent rows (shingledFrom always emits ≥1 gram, so it is a no-op in
+    // practice). The 64 element_at projections of one deterministic
+    // expression are subexpression-eliminated inside whole-stage codegen —
+    // the digest pass runs once per row (generated-code assert: SigCseSpec).
+    sh.filter(size(col("grams")) > 0)
+      .withColumn("sigs",
+        graft.functions.ChurroFunctions.minhash_sigs(col("grams"), MinhashHashes, MinhashMod))
+      .select(col("doc_id") +:
+        (0 until MinhashHashes).map(j => element_at(col("sigs"), j + 1).as(s"sig$j")): _*)
   }
 
   def minhashSig(spark: SparkSession, dir: String): DataFrame =

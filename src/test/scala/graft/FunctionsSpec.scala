@@ -171,6 +171,35 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nanWin == 1, s"NaN must sort largest like the window's desc order, got index $nanWin")
   }
 
+  test("minhash_sigs equals the exploded 64-min-aggregation twin bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val mod = graft.ops.Queries.MinhashMod
+    val hashes = graft.ops.Queries.MinhashHashes
+    val docs = Seq(
+      (1L, Seq("alpha beta gamma", "beta gamma delta", "x")),
+      (2L, Seq("one two three")),
+      (3L, Seq("alpha beta gamma")), // shares a gram with doc 1
+      (4L, (0 until 200).map(i => s"gram $i payload"))).toDF("doc_id", "grams")
+    val native = docs
+      .withColumn("sigs", ChurroFunctions.minhash_sigs($"grams", hashes, mod))
+      .select(col("doc_id") +: (0 until hashes).map(j => element_at($"sigs", j + 1).as(s"s$j")): _*)
+    val hp = docs.select($"doc_id", explode($"grams").as("g"))
+      .withColumn("hp", ChurroFunctions.md5_split56($"g"))
+      .withColumn("h1", element_at($"hp", 1))
+      .withColumn("h2", element_at($"hp", 2))
+    val sigCols = (0 until hashes).map(j =>
+      min(($"h1" + lit(j.toLong) * $"h2") % lit(mod)).as(s"s$j"))
+    val twin = hp.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val a = native.orderBy("doc_id").collect().map(_.toSeq)
+    val b = twin.orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y })
+    // empty gram array -> NULL (the exploded plan had no row; callers filter)
+    val empty = Seq((9L, Seq.empty[String])).toDF("doc_id", "grams")
+      .select(ChurroFunctions.minhash_sigs($"grams", hashes, mod).as("sigs")).collect()(0)
+    assert(empty.isNullAt(0))
+  }
+
   test("collect_list_capped: complete under the cap, bounded above it") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
