@@ -215,6 +215,44 @@ object ExprImpl {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
   }
 
+  /** The full 64-bit SimHash of a word array as 16 lowercase hex chars in
+    * ONE row-local pass: per word the [[md5NibbleBits]] packed bits, each
+    * bit contributing ±1 to its position sum (duplicates kept — integer
+    * addition is order-independent, so the result is bit-identical to the
+    * explode → 64 sum-aggregations plan this replaces), then digit d =
+    * Σ_p (sum[4d+p] > 0) << p. Split arrays never contain nulls; a null
+    * element would simply be skipped.
+    */
+  def simhashHex(words: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val sums = new Array[Int](64)
+    val n = words.numElements()
+    var w = 0
+    while (w < n) {
+      if (!words.isNullAt(w)) {
+        val mb = md5NibbleBits(words.getUTF8String(w))
+        var i = 0
+        while (i < 64) {
+          sums(i) += (if (((mb >>> i) & 1L) == 1L) 1 else -1)
+          i += 1
+        }
+      }
+      w += 1
+    }
+    val sb = new java.lang.StringBuilder(16)
+    var d = 0
+    while (d < 16) {
+      var v = 0
+      var bp = 0
+      while (bp < 4) {
+        if (sums(4 * d + bp) > 0) v |= (1 << bp)
+        bp += 1
+      }
+      sb.append(java.lang.Character.forDigit(v, 16))
+      d += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Index of the max-cosine centroid under SPARK's descending double
     * order — the same row `orderBy(ccos desc, cent_id asc).row_number = 1`
     * selects, for every input:
@@ -410,6 +448,21 @@ case class MinhashSigsExpr(child: Expression, hashes: Int, mod: Long) extends Un
     copy(child = newChild)
 }
 
+/** `simhash_hex(words)` — the 64-bit SimHash of a word array as 16 hex
+  * chars in one row-local pass (see [[ExprImpl.simhashHex]]): the
+  * signature stage becomes a pure projection, replacing the per-word
+  * explode + 64 sum-aggregations + Exchange.
+  */
+case class SimhashHex(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    ExprImpl.simhashHex(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.simhashHex($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimhashHex =
+    copy(child = newChild)
+}
+
 /** `argmax_cosine(v, cents)` — 0-based index of the centroid (an
   * `array<array<double>>`, in practice a broadcast-sized LITERAL riding the
   * plan as one constant object) with the highest cosine against `v`; lowest
@@ -506,6 +559,7 @@ object ChurroFunctions {
     col(CollectListCapped(e(c), maxElems).toAggregateExpression())
   def minhash_sigs(grams: Column, hashes: Int, mod: Long): Column =
     col(MinhashSigsExpr(e(grams), hashes, mod))
+  def simhash_hex(words: Column): Column = col(SimhashHex(e(words)))
 
   /** Register the SQL surface on a session (idempotent). */
   def register(spark: SparkSession): Unit = {

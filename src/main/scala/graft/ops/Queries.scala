@@ -476,25 +476,16 @@ object Queries {
     * round-1 xxhash64 variant was unverifiable (engine-specific hash).
     * Single groupBy with map-side partial aggregation; scales like any hash agg.
     */
-  private def simhashCore(spark: SparkSession, dir: String): DataFrame = {
-    // per-word hash bits from ONE native digest call (md5_nibble_bits packs
-    // bit (4d+p) of the simhash layout into a long) — same values as the
-    // 64-term instr/substring construction the DuckDB oracle still evaluates
-    val words = docsWithDups(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("mb", graft.functions.ChurroFunctions.md5_nibble_bits(col("w")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(expr(s"shiftright(mb, $i) & 1") === 1, 1L).otherwise(-1L)).as(s"s$i")
-    }
-    val agg = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val digits = (0 until 16).map { d =>
-      (0 until 4).map(bp => when(col(s"s${4 * d + bp}") > 0, lit(1 << bp)).otherwise(lit(0)))
-        .reduce(_ + _).as(s"d$d")
-    }
-    agg.select((col("doc_id") +: digits): _*)
+  private def simhashCore(spark: SparkSession, dir: String): DataFrame =
+    // ONE row-local pass computes the whole 16-hex signature (native
+    // simhash_hex — per word the md5 nibble bits, ±1 position sums, digit
+    // assembly; integer addition is order-independent so every hex char
+    // matches the DuckDB oracle's 64-term construction). The round-3 plan
+    // exploded every word through 64 sum-aggregations with an Exchange;
+    // the signature stage is now a pure projection.
+    docsWithDups(spark, dir)
       .select(col("doc_id"),
-        concat((0 until 16).map(d => lower(conv(col(s"d$d"), 10, 16))): _*).as("simhash"))
-  }
+        graft.functions.ChurroFunctions.simhash_hex(split(col("text"), " ")).as("simhash"))
 
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashCore(spark, dir).orderBy("doc_id")
