@@ -117,13 +117,15 @@ object ExprImpl {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** The two 56-bit halves of md5(s) as [h1, h2] — numerically identical to
+  /** The two 56-bit halves of md5(s) into a caller-provided scratch (no
+    * per-call allocation) — numerically identical to
     * `conv(substring(md5(s), 1, 14), 16, 10)` / `(15, 14)` (14 hex digits =
     * 7 digest bytes, big-endian) but computed straight from the digest
-    * bytes: one MessageDigest call, no hex-string render, no conv parse.
-    * The Kirsch–Mitzenmacher base hashes of the minhash family.
+    * bytes. The Kirsch–Mitzenmacher base hashes of the minhash family, and
+    * the ONE definition of the split both [[md5Split56]] and
+    * [[minhashSigs]] share; parity-critical.
     */
-  def md5Split56(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+  private def md5Split56Into(s: UTF8String, out: Array[Long]): Unit = {
     val md = md5Local.get()
     md.reset()
     val d = md.digest(s.getBytes)
@@ -132,7 +134,14 @@ object ExprImpl {
     while (i < 7) { h1 = (h1 << 8) | (d(i) & 0xffL); i += 1 }
     var h2 = 0L
     while (i < 14) { h2 = (h2 << 8) | (d(i) & 0xffL); i += 1 }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(h1, h2))
+    out(0) = h1
+    out(1) = h2
+  }
+
+  def md5Split56(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val hh = new Array[Long](2)
+    md5Split56Into(s, hh)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(hh(0), hh(1)))
   }
 
   /** The first 16 hex digits of md5(s) packed as a long whose bit
@@ -191,50 +200,51 @@ object ExprImpl {
                   hashes: Int, mod: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
     val sigs = new Array[Long](hashes)
     java.util.Arrays.fill(sigs, Long.MaxValue)
-    val md = md5Local.get()
+    val hh = new Array[Long](2)
     val n = grams.numElements()
+    var nonNull = 0
     var g = 0
     while (g < n) {
-      if (grams.isNullAt(g)) { g += 1 } else {
-      md.reset()
-      val d = md.digest(grams.getUTF8String(g).getBytes)
-      var h1 = 0L
-      var i = 0
-      while (i < 7) { h1 = (h1 << 8) | (d(i) & 0xffL); i += 1 }
-      var h2 = 0L
-      while (i < 14) { h2 = (h2 << 8) | (d(i) & 0xffL); i += 1 }
-      var j = 0
-      while (j < hashes) {
-        val v = (h1 + j * h2) % mod
-        if (v < sigs(j)) sigs(j) = v
-        j += 1
+      if (!grams.isNullAt(g)) {
+        nonNull += 1
+        md5Split56Into(grams.getUTF8String(g), hh) // the shared split — parity with md5Split56
+        val h1 = hh(0)
+        val h2 = hh(1)
+        var j = 0
+        while (j < hashes) {
+          val v = (h1 + j * h2) % mod
+          if (v < sigs(j)) sigs(j) = v
+          j += 1
+        }
       }
       g += 1
-      }
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+    // no usable gram → NULL: the exploded twin's min over only-null hashes
+    // was NULL per signature column, never a fabricated Long.MaxValue
+    if (nonNull == 0) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
   }
 
   /** The full 64-bit SimHash of a word array as 16 lowercase hex chars in
     * ONE row-local pass: per word the [[md5NibbleBits]] packed bits, each
     * bit contributing ±1 to its position sum (duplicates kept — integer
     * addition is order-independent, so the result is bit-identical to the
-    * explode → 64 sum-aggregations plan this replaces), then digit d =
-    * Σ_p (sum[4d+p] > 0) << p. Split arrays never contain nulls; a null
-    * element would simply be skipped.
+    * explode → 64 sum-aggregations plan this replaces, including for null
+    * elements: the replaced `when(...).otherwise(-1)` counted a null word
+    * as −1 on every position, which is exactly a zero-bit word — split()
+    * never yields nulls, but the Column surface keeps the twin's rule),
+    * then digit d = Σ_p (sum[4d+p] > 0) << p.
     */
   def simhashHex(words: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
     val sums = new Array[Int](64)
     val n = words.numElements()
     var w = 0
     while (w < n) {
-      if (!words.isNullAt(w)) {
-        val mb = md5NibbleBits(words.getUTF8String(w))
-        var i = 0
-        while (i < 64) {
-          sums(i) += (if (((mb >>> i) & 1L) == 1L) 1 else -1)
-          i += 1
-        }
+      val mb = if (words.isNullAt(w)) 0L else md5NibbleBits(words.getUTF8String(w))
+      var i = 0
+      while (i < 64) {
+        sums(i) += (if (((mb >>> i) & 1L) == 1L) 1 else -1)
+        i += 1
       }
       w += 1
     }
@@ -427,9 +437,10 @@ case class HexHamming(left: Expression, right: Expression) extends BinaryExpress
 /** `minhash_sigs(grams, hashes, mod)` — all MinHash signature minima of a
   * distinct-gram array in one row-local pass (see [[ExprImpl.minhashSigs]]):
   * the signature stage becomes a pure projection with no gram explode, no
-  * hash aggregate and no Exchange. NULL for an empty/all-null gram array —
-  * the exploded plan produced no row for such a document, so callers filter
-  * empties to keep semantics identical.
+  * hash aggregate and no Exchange. NULL when the array holds no usable
+  * gram (empty or all-null) — the exploded twin produced no row for an
+  * empty array (callers filter those) and NULL sig columns for all-null
+  * grams, never fabricated values.
   */
 case class MinhashSigsExpr(child: Expression, hashes: Int, mod: Long) extends UnaryExpression {
   require(hashes > 0, s"hashes must be positive: $hashes")
@@ -441,8 +452,10 @@ case class MinhashSigsExpr(child: Expression, hashes: Int, mod: Long) extends Un
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      s"""if ($c.numElements() == 0) { ${ev.isNull} = true; }
-         |else { ${ev.value} = graft.functions.ExprImpl.minhashSigs($c, $hashes, ${mod}L); }""".stripMargin
+      val res = ctx.freshName("sigs")
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $res = ($c.numElements() == 0)
+         |  ? null : graft.functions.ExprImpl.minhashSigs($c, $hashes, ${mod}L);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }""".stripMargin
     })
   override protected def withNewChildInternal(newChild: Expression): MinhashSigsExpr =
     copy(child = newChild)

@@ -375,9 +375,10 @@ object Queries {
       .select(col("doc_id"), col("grams"))
 
   /** MinHash signatures over word 3-gram shingles (one md5 per gram, 64
-    * derived hashes — see [[MinhashHashes]]): explode grams → groupBy doc →
-    * partial-aggregated minima. Map-side combine means no wide shuffle of the
-    * text itself, and the signature is 64 BIGINTs, not hex strings.
+    * derived hashes — see [[MinhashHashes]]): a pure PROJECTION — the
+    * native one-pass `minhash_sigs` expression computes all minima
+    * row-locally, no explode, no aggregate, no shuffle of anything. The
+    * signature is 64 BIGINTs, not hex strings.
     */
   private def minhashSigCore(spark: SparkSession, dir: String): DataFrame =
     minhashSigCoreFrom(shingled(spark, dir))
@@ -474,7 +475,8 @@ object Queries {
     * Portable by construction: bit i of word w's hash is bit (i mod 4) of hex
     * digit i/4 of md5(w), so DuckDB computes the identical signature — the
     * round-1 xxhash64 variant was unverifiable (engine-specific hash).
-    * Single groupBy with map-side partial aggregation; scales like any hash agg.
+    * A pure PROJECTION (native one-pass `simhash_hex`); no aggregate, no
+    * shuffle.
     */
   private def simhashCore(spark: SparkSession, dir: String): DataFrame =
     // ONE row-local pass computes the whole 16-hex signature (native
@@ -484,6 +486,9 @@ object Queries {
     // exploded every word through 64 sum-aggregations with an Exchange;
     // the signature stage is now a pure projection.
     docsWithDups(spark, dir)
+      // null text produced NO row in the exploded plan (and produces none
+      // in the DuckDB oracle) — filter keeps the row sets identical
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         graft.functions.ChurroFunctions.simhash_hex(split(col("text"), " ")).as("simhash"))
 

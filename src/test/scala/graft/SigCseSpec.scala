@@ -1,12 +1,13 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The 64 element_at projections over one minhash_sigs call must be
   * subexpression-eliminated in codegen — one digest pass per row, not 64.
   */
-class SigCseSpec extends AnyFunSuite {
+class SigCseSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[2]")
     .config("spark.sql.shuffle.partitions", "2")
@@ -34,6 +35,7 @@ class SigCseSpec extends AnyFunSuite {
     val calls = "graft\\.functions\\.ExprImpl\\.minhashSigs".r.findAllIn(source.body).size
     // CSE: the call appears in ONE subexpression function, not 64 inline copies
     assert(calls <= 2, s"minhashSigs appears $calls times in generated code — CSE failed")
-    spark.stop()
   }
+
+  override def afterAll(): Unit = spark.stop()
 }
