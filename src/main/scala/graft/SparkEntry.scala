@@ -81,6 +81,7 @@ object SparkEntry {
     "q_token_rarity" -> (Queries.tokenRarity(_, _)),
     "q_boilerplate_strip" -> (Queries.boilerplateStrip(_, _)),
     "q_decontaminate" -> (Queries.decontaminate(_, _)),
+    "q_chunk_windows" -> (Queries.chunkWindows(_, _)),
     "q_stratified_sample" -> (Queries.stratifiedSample(_, _)),
     "q_token_count" -> (Queries.tokenCount(_, _)),
     "q_token_count_bpe" -> (Queries.tokenCountBpe(_, _)),
@@ -268,6 +269,21 @@ object SparkEntry {
         |  md5(string_agg(sent, '. ' ORDER BY pos)) AS clean_sha
         |FROM s ANTI JOIN common USING (sent)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // zipped unnests pair chunk_idx with its slice; list_slice end is
+    // inclusive and clamps at the list end like Spark's slice length cap
+    "q_chunk_windows" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |c AS (SELECT doc_id, len(words) AS n_words,
+        |    unnest(range(0, CAST(greatest(len(words) - 1, 0) AS BIGINT) // ${Queries.ChunkStride} + 1)) AS chunk_idx,
+        |    unnest(list_transform(range(0, CAST(greatest(len(words) - 1, 0) AS BIGINT) // ${Queries.ChunkStride} + 1),
+        |      k -> list_slice(words, k * ${Queries.ChunkStride} + 1,
+        |                      k * ${Queries.ChunkStride} + ${Queries.ChunkWindow}))) AS cw
+        |  FROM w)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, CAST(n_words AS INT) AS n_words,
+        |  CAST(chunk_idx * ${Queries.ChunkStride} AS INT) AS start_token,
+        |  CAST(len(cw) AS INT) AS chunk_tokens,
+        |  md5(array_to_string(cw, ' ')) AS chunk_sha
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_decontaminate" ->
       s"""WITH docs0 AS (SELECT doc_id, text FROM documents),
         |ev AS (SELECT doc_id, text FROM docs0 WHERE doc_id % 97 = 0),

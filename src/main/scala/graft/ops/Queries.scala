@@ -843,6 +843,38 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Context-window chunking parameters: window size and stride in
+    * (whitespace) tokens — overlap = window − stride.
+    */
+  val ChunkWindow = 32
+  val ChunkStride = 24
+
+  /** Training-chunk packing: split every document into overlapping
+    * fixed-token windows ([[ChunkWindow]] tokens, stride [[ChunkStride]]) —
+    * the context-window preparation step between cleaning and tokenization.
+    * Realized as a GENERATOR over computed ranges (the video-sampling
+    * shape): chunk starts are a row-local `sequence`, posexplode fans out
+    * to exactly the chunks, and each chunk's text digest is one md5 — no
+    * token rows ever materialize, no shuffle before the final presentation
+    * sort. The tail chunk keeps its partial window (every token is covered
+    * exactly once by some chunk start).
+    */
+  def chunkWindows(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), size(col("words")).as("n_words"),
+        posexplode(expr(
+          s"""transform(sequence(0, CAST(greatest(size(words) - 1, 0) DIV $ChunkStride AS INT)),
+             |  k -> struct(
+             |    k * $ChunkStride AS start,
+             |    slice(words, k * $ChunkStride + 1, $ChunkWindow) AS w))""".stripMargin))
+          .as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx"), col("n_words"),
+        col("c.start").as("start_token"),
+        size(col("c.w")).as("chunk_tokens"),
+        md5(concat_ws(" ", col("c.w"))).as("chunk_sha"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** Contamination n-gram length (the 13-gram rule used for benchmark
     * decontamination of web-scale training sets).
     */
