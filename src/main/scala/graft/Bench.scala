@@ -23,16 +23,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // Warm the session (JIT + codegen + parquet footer cache) on a cheap query.
-    try SparkEntry.queries("q_scan_prune")(spark, sfDir).count()
-    catch { case _: Throwable => }
-
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      finally graft.ops.Queries.releaseCaches() // no storage residue between queries
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // Full warm pass first: one untimed-for-the-headline run of the WHOLE
+    // catalog so JIT + codegen + parquet-footer-cache cost stops landing on
+    // whichever queries sort first alphabetically (round-4 driver window:
+    // the same extraction plan read 23.2 s at the front of the run and
+    // 1.3 s at the end of the same JVM). The reported per-query times are
+    // the SECOND pass; the first pass's total is published as cold_total so
+    // the first-vs-repeat spread stays observable.
+    def runCatalog(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        finally graft.ops.Queries.releaseCaches() // no storage residue between queries
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val cold = runCatalog()
+    val results = runCatalog()
 
     // Headline: end-to-end extraction throughput on the synthesized docs table.
     val nDocs = SparkEntry.docsTier(sfDir)
@@ -47,8 +53,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val coldTotal = cold.map(_._2).sum
+    val stray = graft.ops.CacheTracker.sweepStray() // teardown backstop: must be 0
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$nDocs,"extract_sec":$extractSec%.3f,"docs_per_sec":$docsPerSec%.1f,"spans_per_sec":$spansPerSec%.1f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":$coldTotal%.3f,"stray_caches":$stray,"extract_docs":$nDocs,"extract_sec":$extractSec%.3f,"docs_per_sec":$docsPerSec%.1f,"spans_per_sec":$spansPerSec%.1f}""")
     spark.stop()
   }
 }

@@ -92,9 +92,14 @@ object AnnScaleBench {
     val bfSec = (System.nanoTime() - t2) / 1e9
 
     val recall = (ivf3 & bf3).size.toDouble / bf3.size
-    val scanned = probePairs
+    // SUM over zero rows is NULL (empty probePairs / no assigned vectors
+    // in any probed centroid) — guard instead of NPE-ing after all the
+    // timed work has finished
+    val scannedRow = probePairs
       .join(assigned.groupBy("cent_id").agg(count(lit(1)).as("csz")), "cent_id")
-      .agg(sum("csz")).collect()(0).getLong(0).toDouble / (nq.toLong * n)
+      .agg(sum("csz")).collect()(0)
+    val scanned =
+      (if (scannedRow.isNullAt(0)) 0.0 else scannedRow.getLong(0).toDouble) / (nq.toLong * n)
     CacheTracker.releaseAll()
 
     println(s"""{"job":"ann_scale","n":$n,"clusters":$clusters,"queries":$nq,""" +

@@ -272,9 +272,25 @@ object PdfPages {
           .map(mm => mm.group(1) -> mm.group(2).toInt).toMap)
         .getOrElse(Map.empty)
       require(xmap.nonEmpty, s"page $pageNum: no image XObject")
+      def xobj(ref: Int): PdfObject = objs.getOrElse(ref,
+        throw new IllegalArgumentException(
+          s"page $pageNum: XObject ref $ref R is dangling (no such object)"))
       val orderedDraws: Vector[Draw] =
-        if (xmap.size == 1) Vector.empty
-        else {
+        if (xmap.size == 1) {
+          // single-strip pages get the SAME cm validation as multi-strip
+          // ones when a content stream exists — previously they bypassed it
+          // entirely, so a rotated/mirrored/scaled single placement
+          // composited silently while the identical matrix on a multi-strip
+          // page was rejected loudly. No /Contents (or no parsable draw) →
+          // decode the lone XObject directly, as before.
+          val draws = contentDraws(pdfBytes, page, objs)
+          require(draws.length <= 1,
+            s"page $pageNum: 1 XObject but ${draws.length} placements (repeated draws unsupported)")
+          draws.foreach { d =>
+            require(xmap.contains(d.name), s"page $pageNum: draw of unknown XObject /${d.name}")
+          }
+          draws
+        } else {
           val draws = contentDraws(pdfBytes, page, objs)
           require(draws.nonEmpty,
             s"page $pageNum: ${xmap.size} XObjects but no parsable content-stream placements")
@@ -289,14 +305,14 @@ object PdfPages {
           draws.sortBy(d => (-d.ty, d.tx, d.name))
         }
       val strips =
-        if (orderedDraws.isEmpty) Vector(decodeImageObject(pdfBytes, objs(xmap.values.head), objs))
-        else orderedDraws.map(d => decodeImageObject(pdfBytes, objs(xmap(d.name)), objs))
+        if (orderedDraws.isEmpty) Vector(decodeImageObject(pdfBytes, xobj(xmap.values.head), objs))
+        else orderedDraws.map(d => decodeImageObject(pdfBytes, xobj(xmap(d.name)), objs))
       // the stack composite is only valid for AXIS-ALIGNED 1:1 strip
       // placements that tile the page contiguously — a rotated / mirrored /
       // re-scaled cm matrix, or gaps/overlaps between strips, would match
       // DrawRe but render differently; reject them loudly rather than
       // composite wrong pixels
-      if (orderedDraws.length > 1) {
+      if (orderedDraws.nonEmpty) {
         val eps = 1e-6
         orderedDraws.zip(strips).foreach { case (d, s) =>
           require(math.abs(d.b) < eps && math.abs(d.c) < eps,
@@ -307,12 +323,14 @@ object PdfPages {
             s"page $pageNum: /${d.name} placed at ${d.a}x${d.d} user units but decodes to " +
               s"${s.width}x${s.height} px — non-1:1 strip scaling unsupported")
         }
-        orderedDraws.sliding(2).foreach { case Seq(upper, lower) =>
-          require(math.abs(upper.ty - (lower.ty + lower.d)) < eps,
-            s"page $pageNum: strips /${upper.name} (ty=${upper.ty}) and /${lower.name} " +
-              s"(ty=${lower.ty}, h=${lower.d}) do not tile contiguously — gap/overlap unsupported")
-          require(math.abs(upper.tx - lower.tx) < eps,
-            s"page $pageNum: strips /${upper.name} and /${lower.name} are not x-aligned")
+        orderedDraws.sliding(2).foreach {
+          case Seq(upper, lower) =>
+            require(math.abs(upper.ty - (lower.ty + lower.d)) < eps,
+              s"page $pageNum: strips /${upper.name} (ty=${upper.ty}) and /${lower.name} " +
+                s"(ty=${lower.ty}, h=${lower.d}) do not tile contiguously — gap/overlap unsupported")
+            require(math.abs(upper.tx - lower.tx) < eps,
+              s"page $pageNum: strips /${upper.name} and /${lower.name} are not x-aligned")
+          case _ => // single strip: no tiling relation to check
         }
       }
       PdfPage(idx, composite(pageNum, strips))

@@ -538,7 +538,12 @@ object Queries {
   // ---- similarity search -----------------------------------------------------
 
   /** Brute-force cosine top-k over the embedding column (baseline ANN).
-    * Query side is broadcast (tiny); ranking via row_number with id tiebreak.
+    * Query side is broadcast (tiny); ranking via the two-phase bounded-heap
+    * [[TopM]] — a `Window.partitionBy(q_id)` rank here would funnel EVERY
+    * candidate row for a query through one task's sort (at 10^9 candidates
+    * that single task sorts the whole corpus); TopM keeps O(k) state per
+    * (partition, query) and shuffles only partitions×k survivors. Same
+    * total order (cos desc, vec_id asc), so the result is unchanged.
     */
   def embedTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
@@ -549,11 +554,10 @@ object Queries {
     // native codegen'd cosine (one static call per pair; the interpreted
     // zip_with/aggregate form it replaces ran ~3·dims lambda frames) —
     // identical fold order, so the rounded cos4 values are unchanged
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    cand.crossJoin(broadcast(q))
+    val scored = cand.crossJoin(broadcast(q))
       .withColumn("cos", graft.functions.ChurroFunctions.cosine_sim(col("qv"), col("v")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("vec_id"), col("cos"))
+    TopM.topM(scored, "q_id", Seq(("cos", false), ("vec_id", true)), 3, "rn")
       .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos4"), col("rn"))
       .orderBy("q_id", "rn")
   }
@@ -587,9 +591,14 @@ object Queries {
   def embedLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
       .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
-    emb.select(col("vec_id"), signBitsExpr.as("bits"))
+    val sigs = emb.select(col("vec_id"), signBitsExpr.as("bits"))
       .withColumn("bucket", expr("aggregate(slice(bits, 1, 8), 0, (acc, b) -> acc * 2 + b)"))
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+    // occupancy via partial-aggregated groupBy + broadcast join back — a
+    // count().over(Window.partitionBy(bucket)) here shuffles the WHOLE
+    // corpus by ~256 skewed bucket keys and sorts each bucket in one task
+    // just to attach a count; the aggregate side is ≤2^8 rows at any scale
+    val occ = sigs.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_n"))
+    sigs.join(broadcast(occ), Seq("bucket"))
       .select(col("vec_id"), col("bucket"), col("bucket_n"),
         expr("array_join(transform(bits, b -> cast(b as string)), '')").as("sig"))
       .orderBy("vec_id")
@@ -1225,6 +1234,33 @@ object Queries {
       }
       .toDF("name", "page_index", "line_index", "y", "text")
       .orderBy("name", "page_index", "line_index")
+  }
+
+  /** Subset rasterization of VECTOR/TEXT PDF pages ([[graft.media.PdfRaster]]):
+    * binaryFile scan → per-page content-stream rendering (axis-aligned re+f
+    * rectangle fills, rg/g fill color, q/Q state, translation-only cm, text
+    * via the built-in GlyphFont bitmaps at dpi 144) → one row per page with
+    * the pixel digest. This narrows the one pdfium-blocked reference
+    * capability (`_internal/pdf.py:20-54` renders ANY page) to the
+    * deterministic subset, with curves/stroking/clipping/shading rejected
+    * loudly. Oracle: pixel digests computed by the independent pure-Python
+    * renderer twin (tools/gen_pdfraster_fixture.py) under the same
+    * documented pixel rules.
+    */
+  def pdfRaster(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .load(s"$mediaDir/rasterpdf/*.pdf")
+      .withColumn("name", element_at(split(col("path"), "/"), -1))
+      .select(col("name"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (n, bytes) =>
+        graft.media.PdfRaster.rasterize(bytes, dpi = 144).map { p =>
+          (n, p.pageIndex, p.image.width, p.image.height,
+            graft.media.ImageDecode.sha256Hex(p.image.rgb))
+        }
+      }
+      .toDF("name", "page_index", "width", "height", "pixel_sha")
+      .orderBy("name", "page_index")
   }
 
   /** Batched multimodal feature extraction — the Spark-native shape of the

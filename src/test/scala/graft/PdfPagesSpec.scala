@@ -169,4 +169,48 @@ class PdfPagesSpec extends AnyFunSuite {
     val ex2 = intercept[IllegalArgumentException](PdfPages.pages(b2.build()))
     assert(ex2.getMessage.contains("overruns"))
   }
+
+  test("single-XObject pages validate the cm placement too") {
+    // round-4 gap: xmap.size == 1 skipped contentDraws entirely, so a
+    // mirrored/scaled single-strip placement composited silently while the
+    // same matrix on a multi-strip page was rejected loudly
+    val raw = pattern(4, 4, 3)
+    val flate = {
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val out = new Array[Byte](256); val n = d.deflate(out); d.end()
+      java.util.Arrays.copyOf(out, n)
+    }
+    def onePage(cm: String): Array[Byte] = {
+      val content = s"q $cm cm /Im0 Do Q".getBytes("ISO-8859-1")
+      val b = new PdfBuilder
+      b.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+      b.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+      b.obj(3, "<< /Type /Page /Parent 2 0 R /Contents 5 0 R " +
+        "/Resources << /XObject << /Im0 4 0 R >> >> >>")
+      b.obj(4, "<< /Type /XObject /Subtype /Image /Width 4 /Height 4 " +
+        s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode /Length ${flate.length} >>",
+        stream = Some(flate))
+      b.obj(5, s"<< /Length ${content.length} >>", stream = Some(content))
+      b.build()
+    }
+    // 1:1 axis-aligned placement still decodes
+    val ok = PdfPages.pages(onePage("4 0 0 4 0 0"))
+    assert(ok.head.image.rgb.toSeq == raw.toSeq)
+    // rotated single placement: now rejected, not silently composited
+    val rot = intercept[IllegalArgumentException](PdfPages.pages(onePage("4 1 0 4 0 0")))
+    assert(rot.getMessage.contains("rotated/skewed"))
+    // non-1:1 scale
+    val scaled = intercept[IllegalArgumentException](PdfPages.pages(onePage("9 0 0 4 0 0")))
+    assert(scaled.getMessage.contains("non-1:1"))
+    // mirrored
+    val mir = intercept[IllegalArgumentException](PdfPages.pages(onePage("-4 0 0 4 4 0")))
+    assert(mir.getMessage.contains("mirrored"))
+    // dangling XObject ref: contextual error, not a bare NoSuchElement
+    val b3 = new PdfBuilder
+    b3.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b3.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b3.obj(3, "<< /Type /Page /Parent 2 0 R /Resources << /XObject << /Im0 9 0 R >> >> >>")
+    val dangling = intercept[IllegalArgumentException](PdfPages.pages(b3.build()))
+    assert(dangling.getMessage.contains("dangling"))
+  }
 }
