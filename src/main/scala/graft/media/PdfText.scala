@@ -22,8 +22,13 @@ import scala.collection.mutable
   *    need font metrics, out of scope offline);
   *  - strings: literal `(...)` with nesting, all PDF escapes (\n \r \t \b
   *    \f \( \) \\, octal \ddd, backslash-newline continuation) and hex
-  *    `<...>`, both decoded as Latin-1 (the fixture subset's
-  *    StandardEncoding/WinAnsi intersection);
+  *    `<...>`. Decoding is per-font: a font with a /ToUnicode CMap
+  *    (bfchar + bfrange incl. array form; 1- and 2-byte codespaces;
+  *    multi-unit destinations — ligatures, surrogate pairs) decodes its
+  *    show bytes as CMap codes with LOUD failure on unmapped codes; other
+  *    fonts decode Latin-1 (the fixture subset's StandardEncoding/WinAnsi
+  *    intersection), except a leading FE FF BOM switches that string to
+  *    UTF-16BE (the PDF text-string rule);
   *  - graphics/font state operators (q/Q/cm/Tf/Tc/Tw/Tz/Ts/Tr/rg/...) are
   *    consumed and ignored — they do not affect extracted text order.
   *
@@ -43,13 +48,13 @@ object PdfText {
 
   // ---- content-stream tokenizer ---------------------------------------------
 
-  private sealed trait Tok
-  private final case class TNum(v: Double) extends Tok
-  private final case class TStr(s: String) extends Tok
-  private final case class TName(n: String) extends Tok
-  private final case class TOp(op: String) extends Tok
-  private case object TArrOpen extends Tok
-  private case object TArrClose extends Tok
+  private[media] sealed trait Tok
+  private[media] final case class TNum(v: Double) extends Tok
+  private[media] final case class TStr(s: String) extends Tok
+  private[media] final case class TName(n: String) extends Tok
+  private[media] final case class TOp(op: String) extends Tok
+  private[media] case object TArrOpen extends Tok
+  private[media] case object TArrClose extends Tok
 
   private def isWs(c: Char) = c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
   private def isDelim(c: Char) = "()<>[]{}/%".indexOf(c) >= 0
@@ -107,7 +112,7 @@ object PdfText {
     (out.toString, end + 1)
   }
 
-  private def tokenize(s: String): Vector[Tok] = {
+  private[media] def tokenize(s: String): Vector[Tok] = {
     val toks = Vector.newBuilder[Tok]
     var i = 0
     while (i < s.length) {
@@ -155,6 +160,163 @@ object PdfText {
     toks.result()
   }
 
+  // ---- /ToUnicode CMap decoding ---------------------------------------------
+
+  /** A parsed /ToUnicode CMap. Show-string bytes for a font carrying one are
+    * CODES (1- or 2-byte per the codespace ranges), not Latin-1 characters;
+    * bfchar/bfrange entries map each code to a UTF-16BE Unicode string
+    * (possibly multi-unit — ligatures, surrogate pairs). Both lookup
+    * failures are LOUD: a byte run outside every codespace range and a code
+    * with no bfchar/bfrange mapping throw — silently-partial text is the
+    * failure mode this module exists to avoid.
+    */
+  private[media] final case class CMapFont(
+      spaces: Vector[(Int, Long, Long)], // (codeBytes, lo, hi)
+      chars: Map[(Int, Long), String], // (codeBytes, code) -> unicode
+      rangesInc: Vector[(Int, Long, Long, Vector[Int])], // lo..hi -> base units, last unit += code-lo
+      rangesArr: Vector[(Int, Long, Long, Vector[String])]) { // lo..hi -> explicit dst per code
+
+    private def lookup(n: Int, code: Long): String =
+      chars.getOrElse((n, code), {
+        val inc = rangesInc.collectFirst {
+          case (len, lo, hi, units) if len == n && code >= lo && code <= hi =>
+            unitsToString(units.init :+ (units.last + (code - lo).toInt))
+        }
+        inc.orElse(rangesArr.collectFirst {
+          case (len, lo, hi, dsts) if len == n && code >= lo && code <= hi =>
+            dsts((code - lo).toInt)
+        }).getOrElse(throw new IllegalArgumentException(
+          f"CMap: code 0x$code%04X ($n-byte) has no bfchar/bfrange mapping"))
+      })
+
+    /** Decode a raw show string (Latin-1 chars = bytes) through the CMap. */
+    def decode(raw: String): String = {
+      val out = new StringBuilder
+      var i = 0
+      while (i < raw.length) {
+        var matched = false
+        var k = 0
+        while (k < spaces.length && !matched) {
+          val (n, lo, hi) = spaces(k)
+          if (i + n <= raw.length) {
+            var code = 0L
+            var j = 0
+            while (j < n) { code = (code << 8) | (raw.charAt(i + j) & 0xFF); j += 1 }
+            if (code >= lo && code <= hi) {
+              out ++= lookup(n, code)
+              i += n
+              matched = true
+            }
+          }
+          k += 1
+        }
+        require(matched,
+          f"CMap: byte 0x${raw.charAt(i).toInt & 0xFF}%02X at offset $i outside every codespace range")
+      }
+      out.toString
+    }
+  }
+
+  private def hexDigits(h: String): String = h.filterNot(isWs)
+
+  private def hexToUnits(h: String): Vector[Int] = {
+    val d = hexDigits(h)
+    require(d.nonEmpty && d.length % 4 == 0,
+      s"CMap destination <$d> is not whole UTF-16BE code units")
+    d.grouped(4).map(Integer.parseInt(_, 16)).toVector
+  }
+
+  private def unitsToString(units: Vector[Int]): String =
+    units.map { u =>
+      require(u >= 0 && u <= 0xFFFF, f"CMap bfrange increment overflows a UTF-16 unit: 0x$u%X")
+      u.toChar
+    }.mkString
+
+  private def hexToCode(h: String): (Int, Long) = {
+    val d = hexDigits(h)
+    require(d.nonEmpty && d.length % 2 == 0, s"CMap code <$d> has a partial byte")
+    require(d.length <= 8, s"CMap code <$d> longer than 4 bytes (unsupported)")
+    (d.length / 2, java.lang.Long.parseLong(d, 16))
+  }
+
+  private[media] val FontMapRe = """/Font\s*<<([^>]*)>>""".r
+  private[media] val FontEntryRe = """/(\w+)\s+(\d+)\s+0\s+R""".r
+  private[media] val ToUnicodeRe = """/ToUnicode\s+(\d+)\s+0\s+R""".r
+
+  private val CodespaceRe = """(?s)begincodespacerange(.*?)endcodespacerange""".r
+  private val BfCharRe = """(?s)beginbfchar(.*?)endbfchar""".r
+  private val BfRangeRe = """(?s)beginbfrange(.*?)endbfrange""".r
+  private val CMapTokRe = """<[0-9A-Fa-f\s]*>|\[|\]""".r
+  private val HexBodyRe = """<([0-9A-Fa-f\s]*)>""".r
+
+  private def hexToks(body: String): Vector[String] =
+    HexBodyRe.findAllMatchIn(body).map(_.group(1)).toVector
+
+  /** Parse a /ToUnicode CMap stream's decoded text. Only the mapping
+    * sections are interpreted; the surrounding PostScript scaffolding
+    * (CIDSystemInfo, usecmap-free simple CMaps) is ignored.
+    */
+  private[media] def parseCMap(text: String): CMapFont = {
+    val spaces = CodespaceRe.findAllMatchIn(text).toVector.flatMap { m =>
+      val toks = hexToks(m.group(1))
+      require(toks.length % 2 == 0, "codespacerange needs <lo> <hi> pairs")
+      toks.grouped(2).map { pair =>
+        val (nl, vl) = hexToCode(pair(0))
+        val (nh, vh) = hexToCode(pair(1))
+        val (lo, hi) = (pair(0), pair(1))
+        require(nl == nh, s"codespacerange <$lo> <$hi> mixes code widths")
+        require(vl <= vh, s"codespacerange <$lo> <$hi> is inverted")
+        (nl, vl, vh)
+      }
+    }
+    require(spaces.nonEmpty, "CMap has no codespacerange")
+    val chars = BfCharRe.findAllMatchIn(text).toVector.flatMap { m =>
+      val toks = hexToks(m.group(1))
+      require(toks.length % 2 == 0, "bfchar needs <src> <dst> pairs")
+      toks.grouped(2).map { pair =>
+        hexToCode(pair(0)) -> unitsToString(hexToUnits(pair(1)))
+      }
+    }.toMap
+    val rInc = Vector.newBuilder[(Int, Long, Long, Vector[Int])]
+    val rArr = Vector.newBuilder[(Int, Long, Long, Vector[String])]
+    BfRangeRe.findAllMatchIn(text).foreach { m =>
+      val toks = CMapTokRe.findAllIn(m.group(1)).toVector
+      var i = 0
+      while (i < toks.length) {
+        require(i + 2 < toks.length, "bfrange needs <lo> <hi> <dst>|[...] triples")
+        val (nl, lo) = hexToCode(toks(i).stripPrefix("<").stripSuffix(">"))
+        val (nh, hi) = hexToCode(toks(i + 1).stripPrefix("<").stripSuffix(">"))
+        require(nl == nh && lo <= hi, s"bfrange <${toks(i)}> <${toks(i + 1)}> malformed")
+        if (toks(i + 2) == "[") {
+          val close = toks.indexOf("]", i + 3)
+          require(close > i + 2, "bfrange array not closed")
+          val dsts = toks.slice(i + 3, close)
+            .map(t => unitsToString(hexToUnits(t.stripPrefix("<").stripSuffix(">"))))
+          require(dsts.length == (hi - lo + 1),
+            s"bfrange array has ${dsts.length} entries for ${hi - lo + 1} codes")
+          rArr += ((nl, lo, hi, dsts))
+          i = close + 1
+        } else {
+          rInc += ((nl, lo, hi,
+            hexToUnits(toks(i + 2).stripPrefix("<").stripSuffix(">"))))
+          i += 3
+        }
+      }
+    }
+    CMapFont(spaces, chars, rInc.result(), rArr.result())
+  }
+
+  /** UTF-16BE text string (leading BOM FE FF): the PDF text-string rule,
+    * applied to show strings of fonts WITHOUT a /ToUnicode CMap.
+    */
+  private[media] def decodeBomUtf16(raw: String): String = {
+    require((raw.length - 2) % 2 == 0, "UTF-16BE string with a partial code unit")
+    val bytes = new Array[Byte](raw.length - 2)
+    var i = 2
+    while (i < raw.length) { bytes(i - 2) = (raw.charAt(i) & 0xFF).toByte; i += 1 }
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_16BE)
+  }
+
   // ---- text-state interpreter -----------------------------------------------
 
   /** Operators with NO effect on extracted text, consumed and ignored:
@@ -167,7 +329,7 @@ object PdfText {
     * content a silent skip would lose.
     */
   private val IgnoredOps: Set[String] = Set(
-    "Tf", "Tc", "Tw", "Tz", "Ts", "Tr",
+    "Tc", "Tw", "Tz", "Ts", "Tr",
     "q", "Q", "cm", "gs", "w", "J", "j", "M", "d", "ri", "i",
     "g", "G", "rg", "RG", "k", "K", "cs", "CS", "sc", "scn", "SC", "SCN",
     "m", "l", "c", "v", "y", "h", "re", "S", "s", "f", "F", "f*", "B", "B*", "b", "b*", "n", "W", "W*",
@@ -175,17 +337,33 @@ object PdfText {
 
   private final case class Show(y: Double, x: Double, seq: Int, text: String)
 
-  /** Interpret one page's content stream; returns all text shows. */
-  private def interpret(content: String): Vector[Show] = {
+  /** Interpret one page's content stream; returns all text shows.
+    *
+    * String decoding is per-FONT: a font with a /ToUnicode CMap decodes its
+    * show bytes as CMap codes; any other font decodes Latin-1, except that
+    * a leading UTF-16BE BOM (FE FF) switches that one string to UTF-16BE
+    * (the PDF text-string rule). `Tf` therefore participates in the
+    * interpretation (it selects the active decoder) instead of being an
+    * ignored state op.
+    */
+  private def interpret(content: String, fonts: Map[String, CMapFont]): Vector[Show] = {
     val toks = tokenize(content)
     val shows = Vector.newBuilder[Show]
     var lineX = 0.0; var lineY = 0.0 // line-start (the PDF line matrix origin)
     var leading = 0.0
     var inText = false
     var seq = 0
+    var curCMap: Option[CMapFont] = None
     val operands = mutable.ArrayBuffer.empty[Tok]
     var arr: mutable.ArrayBuffer[Tok] = null // open TJ array, if any
     var arrDone: Vector[Tok] = null // most recent completed array
+
+    def decodeShow(raw: String): String = curCMap match {
+      case Some(cm) => cm.decode(raw)
+      case None if raw.length >= 2 && raw.charAt(0) == 0xFE.toChar && raw.charAt(1) == 0xFF.toChar =>
+        decodeBomUtf16(raw)
+      case None => raw
+    }
 
     def num(t: Tok): Double = t match {
       case TNum(v) => v
@@ -195,8 +373,9 @@ object PdfText {
       require(operands.nonEmpty, s"$op with no operand")
       operands.last
     }
-    def show(text: String): Unit = {
+    def show(raw: String): Unit = {
       require(inText, "text-show operator outside BT/ET")
+      val text = decodeShow(raw)
       if (text.nonEmpty) { shows += Show(lineY, lineX, seq, text); seq += 1 }
     }
     def nextLine(): Unit = { lineY -= leading }
@@ -226,8 +405,12 @@ object PdfText {
           case "Tm" =>
             require(operands.length >= 6, "Tm needs 6 operands")
             val Seq(a, b, c, d, e, f) = operands.takeRight(6).map(num).toSeq
-            require(b == 0.0 && c == 0.0 && a > 0 && d > 0,
-              s"rotated/skewed text matrix unsupported (a=$a b=$b c=$c d=$d)")
+            // translation-ONLY: a scaled matrix (a=d=S≠1, the common
+            // "S 0 0 S x y Tm" with a size-1 font) would pass an a>0,d>0
+            // check yet leave subsequent Td/TD/TL displacements unscaled —
+            // lines merge under the y-rounding or misgroup silently
+            require(b == 0.0 && c == 0.0 && a == 1.0 && d == 1.0,
+              s"scaled/rotated/skewed text matrix unsupported (a=$a b=$b c=$c d=$d)")
             lineX = e; lineY = f
           case "T*" => nextLine()
           case "TL" => leading = num(lastOperand("TL"))
@@ -251,14 +434,26 @@ object PdfText {
             }
           case "TJ" =>
             require(operands.lastOption.contains(TArrOpen) && arrDone != null, "TJ without array")
+            // decode each segment SEPARATELY before joining — a kern-space
+            // inserted between two CMap-coded segments must not land inside
+            // a byte-code sequence
             val sb = new StringBuilder
             arrDone.foreach {
-              case TStr(s) => sb ++= s
+              case TStr(s) => sb ++= decodeShow(s)
               case TNum(v) => if (v <= KernSpaceThreshold) sb += ' '
               case other => throw new IllegalArgumentException(s"TJ array element $other")
             }
             arrDone = null
-            show(sb.toString)
+            val text = sb.toString
+            require(inText, "text-show operator outside BT/ET")
+            if (text.nonEmpty) { shows += Show(lineY, lineX, seq, text); seq += 1 }
+          case "Tf" =>
+            // font selection drives string decoding (CMap vs Latin-1)
+            require(operands.length >= 2, "Tf needs /Name size")
+            operands(operands.length - 2) match {
+              case TName(n) => curCMap = fonts.get(n)
+              case other => throw new IllegalArgumentException(s"Tf on $other")
+            }
           case known if IgnoredOps(known) => // graphics/font/path state: no effect on text
           case unknown =>
             // LOUD contract: an operator outside the subset may carry text
@@ -277,6 +472,33 @@ object PdfText {
 
   // ---- page assembly --------------------------------------------------------
 
+  /** Resolve a page's /Font resources to CMap decoders (fonts without a
+    * /ToUnicode entry are simply absent — their strings decode Latin-1 /
+    * UTF-16BE-BOM). Shared with [[PdfRaster]].
+    */
+  private[media] def pageFonts(pdfBytes: Array[Byte], page: PdfPages.PdfObject,
+                               objs: Map[Int, PdfPages.PdfObject],
+                               pageNum: Int): Map[String, CMapFont] = {
+    import PdfPages.{inflate, streamData}
+    FontMapRe.findFirstMatchIn(page.dict)
+      .map(m => FontEntryRe.findAllMatchIn(m.group(1))
+        .map(mm => mm.group(1) -> mm.group(2).toInt).toMap)
+      .getOrElse(Map.empty)
+      .flatMap { case (name, ref) =>
+        val fobj = objs.getOrElse(ref,
+          throw new IllegalArgumentException(s"page $pageNum: font /$name $ref R is dangling"))
+        ToUnicodeRe.findFirstMatchIn(fobj.dict).map { tu =>
+          val tuObj = objs.getOrElse(tu.group(1).toInt,
+            throw new IllegalArgumentException(
+              s"page $pageNum: /ToUnicode ${tu.group(1)} R is dangling"))
+          val raw = streamData(pdfBytes, tuObj, objs)
+          name -> parseCMap(new String(
+            if (tuObj.dict.contains("/FlateDecode")) inflate(raw) else raw,
+            java.nio.charset.StandardCharsets.ISO_8859_1))
+        }
+      }
+  }
+
   /** Extract the text lines of every page, in /Kids order. */
   def lines(pdfBytes: Array[Byte]): Vector[TextLine] = {
     import PdfPages._
@@ -293,10 +515,14 @@ object PdfText {
     kids.zipWithIndex.flatMap { case (pageNum, pageIdx) =>
       val page = objs.getOrElse(pageNum,
         throw new IllegalArgumentException(s"missing page object $pageNum"))
+      // font resources: a font carrying /ToUnicode gets a CMap decoder for
+      // its show strings (2-byte CID codes, ligature/surrogate targets);
+      // fonts without one keep the Latin-1 + UTF-16BE-BOM rules
+      val fonts = pageFonts(pdfBytes, page, objs, pageNum)
       // /Contents may be one indirect ref or an ARRAY of refs whose decoded
       // streams concatenate into the page's content — shared resolution
       // (incl. residue/generation validation) lives in PdfPages.contentText
-      val shows = interpret(contentText(pdfBytes, page, objs))
+      val shows = interpret(contentText(pdfBytes, page, objs), fonts)
       // group by rounded baseline (math.rint = half-even, matching the
       // Python twin's round() — math.round's half-up would diverge at
       // exact .05 baselines), top-down; runs join left-to-right, one space

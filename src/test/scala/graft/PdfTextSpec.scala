@@ -38,6 +38,61 @@ class PdfTextSpec extends AnyFunSuite {
     assert(got.count(_.pageIndex == 1) == 6)
   }
 
+  test("CMap fixture: 1/2-byte codes, ligatures, astral chars, BOM strings") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/media/textpdf/text_01.pdf"))
+    val texts = PdfText.lines(bytes).map(l => (l.pageIndex, l.lineIndex) -> l.text).toMap
+    assert(texts((0, 0)) == "He") // hex string of 1-byte codes
+    assert(texts((0, 1)) == "He") // literal string bytes are CODES too
+    assert(texts((0, 2)) == "abcd") // incrementing bfrange
+    assert(texts((0, 3)) == "ffi") // ligature: one code, three chars
+    assert(texts((0, 4)) == "𝄞") // surrogate-pair destination
+    assert(texts((0, 5)) == "XYZ") // array bfrange
+    assert(texts((0, 6)) == "H e") // TJ kern lands BETWEEN codes
+    assert(texts((0, 7)) == "effiH") // mixed 1- and 2-byte codes in one string
+    assert(texts((0, 8)) == "plain again") // Tf back to the simple font
+    assert(texts((1, 0)) == "Hi") // UTF-16BE BOM hex string (no CMap font)
+    assert(texts((1, 1)) == "Yo") // UTF-16BE BOM literal via octal escapes
+    assert(texts((1, 2)) == "latin")
+  }
+
+  test("CMap failures are loud: unmapped code, byte outside every codespace") {
+    def pdfWithFont(content: String, cmap: String): Array[Byte] = {
+      val objs = Seq(
+        1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3 -> ("<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+          "/Resources << /Font << /F2 5 0 R >> >> >>"),
+        4 -> s"<< /Length ${content.length} >>\nstream\n$content\nendstream",
+        5 -> "<< /Type /Font /Subtype /Type0 /BaseFont /Synth /ToUnicode 6 0 R >>",
+        6 -> s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream")
+      val out = new StringBuilder("%PDF-1.4\n")
+      val offsets = objs.map { case (n, body) =>
+        val off = out.length
+        out ++= s"$n 0 obj\n$body\nendobj\n"
+        n -> off
+      }.toMap
+      val xrefAt = out.length
+      out ++= s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n"
+      (1 to objs.length).foreach(n => out ++= f"${offsets(n)}%010d 00000 n \n")
+      out ++= s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n"
+      out.toString.getBytes(ISO_8859_1)
+    }
+    val cmap = "1 begincodespacerange\n<00> <7F>\nendcodespacerange\n" +
+      "1 beginbfchar\n<41> <0048>\nendbfchar\n"
+    // mapped code decodes
+    assert(PdfText.lines(pdfWithFont("BT /F2 12 Tf 72 700 Td <41> Tj ET", cmap))
+      .map(_.text) == Vector("H"))
+    // in-codespace code with no mapping: loud
+    val unmapped = intercept[IllegalArgumentException](
+      PdfText.lines(pdfWithFont("BT /F2 12 Tf 72 700 Td <42> Tj ET", cmap)))
+    assert(unmapped.getMessage.contains("no bfchar/bfrange mapping"))
+    // byte outside every codespace range: loud
+    val stray = intercept[IllegalArgumentException](
+      PdfText.lines(pdfWithFont("BT /F2 12 Tf 72 700 Td <FF> Tj ET", cmap)))
+    assert(stray.getMessage.contains("outside every codespace range"))
+  }
+
   test("a /Contents ARRAY concatenates its streams into one page") {
     // text state set in stream 1 (incl. the open BT block and line
     // position) carries into stream 2 — the spec's concatenation
@@ -93,6 +148,11 @@ class PdfTextSpec extends AnyFunSuite {
     val rot = intercept[IllegalArgumentException](
       PdfText.lines(tinyPdf("BT 0 1 -1 0 72 700 Tm (x) Tj ET")))
     assert(rot.getMessage.contains("rotated/skewed"))
+    // scaled Tm ("S 0 0 S x y Tm" with a size-1 font): would pass an
+    // a>0,d>0 check but leave Td/TD/TL displacements unscaled — reject
+    val scaledTm = intercept[IllegalArgumentException](
+      PdfText.lines(tinyPdf("BT 12 0 0 12 72 700 Tm (x) Tj ET")))
+    assert(scaledTm.getMessage.contains("scaled/rotated"))
     // show outside BT
     val outside = intercept[IllegalArgumentException](
       PdfText.lines(tinyPdf("(x) Tj")))

@@ -28,19 +28,25 @@ EXPECTED = 'src/test/resources/expected/pdf_text.parquet'
 KERN_SPACE = -180.0
 
 
-def build_pdf(page_contents, compress_mask):
+def build_pdf(page_contents, compress_mask, cmap=None):
+    # cmap: optional /ToUnicode CMap text; when given, every page's resources
+    # also expose /F2, a Type0 font whose show strings decode through it
     objs = {}
     n = len(page_contents)
     page_nums = list(range(3, 3 + n))
     content_nums = list(range(3 + n, 3 + 2 * n))
     font_num = 3 + 2 * n
+    f2_num, tounicode_num = font_num + 1, font_num + 2
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     kids = " ".join(f"{p} 0 R" for p in page_nums)
     objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()
+    font_res = f"/F1 {font_num} 0 R"
+    if cmap is not None:
+        font_res += f" /F2 {f2_num} 0 R"
     for i, content in enumerate(page_contents):
         objs[page_nums[i]] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+            f"/Resources << /Font << {font_res} >> >> "
             f"/Contents {content_nums[i]} 0 R >>").encode()
         data = content.encode('latin-1')
         if compress_mask[i]:
@@ -52,6 +58,13 @@ def build_pdf(page_contents, compress_mask):
             objs[content_nums[i]] = (
                 f"<< /Length {len(data)} >>\nstream\n".encode() + data + b"\nendstream")
     objs[font_num] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    if cmap is not None:
+        objs[f2_num] = (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID "
+            f"/Encoding /Identity-H /ToUnicode {tounicode_num} 0 R >>").encode()
+        cdata = cmap.encode('latin-1')
+        objs[tounicode_num] = (
+            f"<< /Length {len(cdata)} >>\nstream\n".encode() + cdata + b"\nendstream")
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}
     for num in sorted(objs):
@@ -66,6 +79,87 @@ def build_pdf(page_contents, compress_mask):
     out += (f"trailer\n<< /Size {maxnum + 1} /Root 1 0 R >>\n"
             f"startxref\n{xref_at}\n%%EOF\n").encode()
     return bytes(out)
+
+
+# ---- /ToUnicode CMap twin ---------------------------------------------------
+
+def cmap_decoder(cmap_text):
+    """Parse a /ToUnicode CMap and return decode(raw_latin1_str) -> unicode.
+    Same subset and same LOUD failure contract as the Scala side: codespace
+    ranges fix the code width, bfchar/bfrange (incrementing and array forms)
+    map codes to UTF-16BE destinations, anything unmapped raises."""
+    def hexclean(h):
+        return re.sub(r'\s', '', h)
+
+    def units(h):
+        h = hexclean(h)
+        assert h and len(h) % 4 == 0, f'CMap destination <{h}> not whole UTF-16BE units'
+        return [int(h[k:k + 4], 16) for k in range(0, len(h), 4)]
+
+    def units_str(us):
+        bs = b''.join(u.to_bytes(2, 'big') for u in us)
+        return bs.decode('utf-16-be')  # combines surrogate pairs like the JVM
+
+    spaces, chars, rinc, rarr = [], {}, [], []
+    for m in re.finditer(r'begincodespacerange(.*?)endcodespacerange', cmap_text, re.S):
+        toks = [hexclean(t) for t in re.findall(r'<([0-9A-Fa-f\s]*)>', m.group(1))]
+        for lo, hi in zip(toks[::2], toks[1::2]):
+            assert len(lo) == len(hi) and len(lo) % 2 == 0 and int(lo, 16) <= int(hi, 16)
+            spaces.append((len(lo) // 2, int(lo, 16), int(hi, 16)))
+    assert spaces, 'CMap has no codespacerange'
+    for m in re.finditer(r'beginbfchar(.*?)endbfchar', cmap_text, re.S):
+        toks = re.findall(r'<([0-9A-Fa-f\s]*)>', m.group(1))
+        for src, dst in zip(toks[::2], toks[1::2]):
+            src = hexclean(src)
+            chars[(len(src) // 2, int(src, 16))] = units_str(units(dst))
+    for m in re.finditer(r'beginbfrange(.*?)endbfrange', cmap_text, re.S):
+        toks = re.findall(r'<[0-9A-Fa-f\s]*>|\[|\]', m.group(1))
+        i = 0
+        while i < len(toks):
+            lo, hi = hexclean(toks[i].strip('<>')), hexclean(toks[i + 1].strip('<>'))
+            nb = len(lo) // 2
+            assert len(lo) == len(hi) and int(lo, 16) <= int(hi, 16)
+            if toks[i + 2] == '[':
+                close = toks.index(']', i + 3)
+                dsts = [units_str(units(t.strip('<>'))) for t in toks[i + 3:close]]
+                assert len(dsts) == int(hi, 16) - int(lo, 16) + 1
+                rarr.append((nb, int(lo, 16), int(hi, 16), dsts))
+                i = close + 1
+            else:
+                rinc.append((nb, int(lo, 16), int(hi, 16), units(toks[i + 2].strip('<>'))))
+                i += 3
+
+    def lookup(nb, code):
+        if (nb, code) in chars:
+            return chars[(nb, code)]
+        for (n2, lo, hi, base) in rinc:
+            if n2 == nb and lo <= code <= hi:
+                us = base[:-1] + [base[-1] + (code - lo)]
+                assert 0 <= us[-1] <= 0xFFFF
+                return b''.join(u.to_bytes(2, 'big') for u in us).decode('utf-16-be')
+        for (n2, lo, hi, dsts) in rarr:
+            if n2 == nb and lo <= code <= hi:
+                return dsts[code - lo]
+        raise AssertionError(f'CMap: code 0x{code:04X} ({nb}-byte) unmapped')
+
+    def decode(raw):
+        out, i = [], 0
+        while i < len(raw):
+            for (nb, lo, hi) in spaces:
+                if i + nb <= len(raw):
+                    code = 0
+                    for j in range(nb):
+                        code = (code << 8) | ord(raw[i + j])
+                    if lo <= code <= hi:
+                        out.append(lookup(nb, code))
+                        i += nb
+                        break
+            else:
+                raise AssertionError(
+                    f'CMap: byte 0x{ord(raw[i]):02X} at {i} outside every codespace range')
+        return ''.join(out)
+
+    return decode
 
 
 # ---- independent interpreter (the documented extraction rules) -------------
@@ -147,7 +241,7 @@ def _tokens(s):
             yield ('op', s[i:j]); i = j
 
 
-def interpret(content):
+def interpret(content, fonts=None):
     # mirrors the Scala interpreter's validity contract too (rotated Tm,
     # shows outside BT, nested arrays all rejected) so a fixture the JVM
     # side would refuse fails HERE, at generation time
@@ -155,7 +249,19 @@ def interpret(content):
     lx = ly = leading = 0.0
     seq = 0
     in_text = False
+    cur_decoder = None  # active font's CMap decoder, if any
     operands, arr, arr_done = [], None, None
+
+    def dec(raw):
+        # per-font decoding: CMap codes for /ToUnicode fonts; else Latin-1
+        # with the UTF-16BE BOM (FE FF) text-string rule
+        if cur_decoder is not None:
+            return cur_decoder(raw)
+        if len(raw) >= 2 and raw[0] == '\xfe' and raw[1] == '\xff':
+            bs = bytes(ord(c) for c in raw[2:])
+            assert len(bs) % 2 == 0, 'UTF-16BE string with a partial code unit'
+            return bs.decode('utf-16-be')
+        return raw
     for kind, val in _tokens(content):
         if kind == 'arr_open':
             assert arr is None, 'nested array in content stream'
@@ -179,26 +285,31 @@ def interpret(content):
             elif val == 'Tm':
                 a, b, c, d = (operands[-6][1], operands[-5][1],
                               operands[-4][1], operands[-3][1])
-                assert b == 0.0 and c == 0.0 and a > 0 and d > 0, \
-                    f'rotated/skewed text matrix unsupported (a={a} b={b} c={c} d={d})'
+                assert b == 0.0 and c == 0.0 and a == 1.0 and d == 1.0, \
+                    f'scaled/rotated/skewed text matrix unsupported (a={a} b={b} c={c} d={d})'
                 lx, ly = operands[-2][1], operands[-1][1]
             elif val == 'T*':
                 ly -= leading
             elif val == 'TL':
                 leading = operands[-1][1]
+            elif val == 'Tf':
+                assert operands[-2][0] == 'name', 'Tf needs /Name size'
+                cur_decoder = (fonts or {}).get(operands[-2][1])
             elif val in ('Tj', "'", '"'):
                 assert in_text, 'text-show operator outside BT/ET'
                 if val in ("'", '"'):
                     ly -= leading
-                text = operands[-1][1]
+                text = dec(operands[-1][1])
                 if text:
                     shows.append((ly, lx, seq, text)); seq += 1
             elif val == 'TJ':
                 assert in_text, 'text-show operator outside BT/ET'
+                # decode each segment SEPARATELY (a kern space must not land
+                # inside a CMap byte-code sequence)
                 buf = []
                 for k, v in arr_done:
                     if k == 'str':
-                        buf.append(v)
+                        buf.append(dec(v))
                     elif k == 'num' and v <= KERN_SPACE:
                         buf.append(' ')
                 arr_done = None
@@ -249,6 +360,51 @@ def main():
     for pi, content in enumerate(pages):
         for (li, y, text) in interpret(content):
             rows.append(dict(name=name, page_index=pi, line_index=li, y=y, text=text))
+
+    # text_01.pdf: multi-byte encodings — a Type0 font with a /ToUnicode CMap
+    # (1- and 2-byte codespaces, bfchar incl. ligature + surrogate-pair
+    # destinations, incrementing and array bfranges) plus the UTF-16BE BOM
+    # text-string rule for the plain font
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n"
+        "12 dict begin begincmap\n"
+        "/CMapName /Synth-CID-UCS2 def /CMapType 2 def\n"
+        "2 begincodespacerange\n<00> <7F>\n<8000> <FFFF>\nendcodespacerange\n"
+        "4 beginbfchar\n"
+        "<41> <0048>\n"            # 0x41 -> 'H'
+        "<42> <0065>\n"            # 0x42 -> 'e'
+        "<8001> <006600660069>\n"  # ligature: one code -> 'ffi'
+        "<8002> <D834DD1E>\n"      # surrogate pair -> U+1D11E
+        "endbfchar\n"
+        "2 beginbfrange\n"
+        "<50> <59> <0061>\n"       # 0x50..0x59 -> 'a'..'j' (incrementing)
+        "<8010> <8012> [<0058> <0059> <005A>]\n"  # array form -> X Y Z
+        "endbfrange\n"
+        "endcmap CMapName currentdict /CMap defineresource pop end end\n")
+    c1 = (
+        "BT /F2 12 Tf 72 700 Td <4142> Tj ET "              # hex codes -> 'He'
+        "BT /F2 12 Tf 72 680 Td (AB) Tj ET "                # literal bytes are CODES too -> 'He'
+        "BT /F2 12 Tf 72 660 Td <50515253> Tj ET "          # bfrange inc -> 'abcd'
+        "BT /F2 12 Tf 72 640 Td <80 01> Tj ET "             # ligature -> 'ffi'
+        "BT /F2 12 Tf 72 620 Td <8002> Tj ET "              # astral char
+        "BT /F2 12 Tf 72 600 Td <801080118012> Tj ET "      # array bfrange -> 'XYZ'
+        "BT /F2 12 Tf 72 580 Td [ <41> -250 <42> ] TJ ET "  # kern BETWEEN codes -> 'H e'
+        "BT /F2 12 Tf 72 560 Td <42800141> Tj ET "          # mixed widths -> 'effiH'
+        # font switch back to the simple font mid-page: Latin-1 again
+        "BT /F1 12 Tf 72 540 Td (plain again) Tj ET")
+    c2 = (
+        "BT /F1 12 Tf 72 700 Td <FEFF00480069> Tj ET "      # BOM hex -> 'Hi'
+        "BT /F1 12 Tf 72 680 Td (\\376\\377\\000Y\\000o) Tj ET "  # BOM literal -> 'Yo'
+        "BT /F1 12 Tf 72 660 Td (latin) Tj ET")
+    cpages = [c1, c2]
+    cpdf = build_pdf(cpages, compress_mask=[True, False], cmap=cmap)
+    cname = 'text_01.pdf'
+    with open(f'{OUTDIR}/{cname}', 'wb') as f:
+        f.write(cpdf)
+    fonts = {'F2': cmap_decoder(cmap)}
+    for pi, content in enumerate(cpages):
+        for (li, y, text) in interpret(content, fonts):
+            rows.append(dict(name=cname, page_index=pi, line_index=li, y=y, text=text))
     import duckdb
     import pandas as pd
     df = pd.DataFrame(rows)
