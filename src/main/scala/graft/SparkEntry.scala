@@ -99,6 +99,7 @@ object SparkEntry {
     "q_image_features" -> (Queries.imageFeatures(_, _)),
     "q_pdf_pages" -> (Queries.pdfPages(_, _)),
     "q_pdf_text" -> (Queries.pdfText(_, _)),
+    "q_pdf_raster" -> (Queries.pdfRaster(_, _)),
     "q_video_frames" -> (Queries.videoFrames(_, _)),
     "q_video_decode" -> (Queries.videoDecode(_, _)),
     // the extraction pipeline + evaluation harness
@@ -381,6 +382,12 @@ object SparkEntry {
       """SELECT name, page_index, line_index, y, text
         |FROM read_parquet('/root/repo/src/test/resources/expected/pdf_text.parquet')
         |ORDER BY name, page_index, line_index""".stripMargin,
+    // subset vector-PDF rasterization: expected pixel digests rendered by
+    // the independent pure-Python twin (tools/gen_pdfraster_fixture.py)
+    "q_pdf_raster" ->
+      """SELECT name, page_index, width, height, pixel_sha
+        |FROM read_parquet('/root/repo/src/test/resources/expected/pdf_raster.parquet')
+        |ORDER BY name, page_index""".stripMargin,
     // real per-frame decode: expectations computed by the independent
     // pure-Python writer (tools/gen_video_fixture.py) from the raw pattern
     // arrays BEFORE PNG encoding — a green row proves the JVM decoded the

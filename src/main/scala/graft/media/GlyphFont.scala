@@ -41,7 +41,34 @@ object GlyphFont {
     '5' -> Seq(0x1F, 0x10, 0x1E, 0x01, 0x01, 0x11, 0x0E),
     '6' -> Seq(0x06, 0x08, 0x10, 0x1E, 0x11, 0x11, 0x0E),
     '7' -> Seq(0x1F, 0x01, 0x02, 0x04, 0x08, 0x08, 0x08),
-    '8' -> Seq(0x0E, 0x11, 0x11, 0x0E, 0x11, 0x11, 0x0E))
+    '8' -> Seq(0x0E, 0x11, 0x11, 0x0E, 0x11, 0x11, 0x0E),
+    // round-5 extension for the subset PDF rasterizer (PdfRaster): the rest
+    // of the uppercase alphabet, remaining digits and basic punctuation —
+    // classic HD44780-style 5×7 shapes. Additions only; the token-alphabet
+    // bitmaps above are unchanged, so the glyph goldens stay valid.
+    'B' -> Seq(0x1E, 0x11, 0x11, 0x1E, 0x11, 0x11, 0x1E),
+    'E' -> Seq(0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x1F),
+    'F' -> Seq(0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x10),
+    'I' -> Seq(0x0E, 0x04, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    'J' -> Seq(0x07, 0x02, 0x02, 0x02, 0x02, 0x12, 0x0C),
+    'L' -> Seq(0x10, 0x10, 0x10, 0x10, 0x10, 0x10, 0x1F),
+    'M' -> Seq(0x11, 0x1B, 0x15, 0x15, 0x11, 0x11, 0x11),
+    'N' -> Seq(0x11, 0x11, 0x19, 0x15, 0x13, 0x11, 0x11),
+    'O' -> Seq(0x0E, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E),
+    'P' -> Seq(0x1E, 0x11, 0x11, 0x1E, 0x10, 0x10, 0x10),
+    'Q' -> Seq(0x0E, 0x11, 0x11, 0x11, 0x15, 0x12, 0x0D),
+    'R' -> Seq(0x1E, 0x11, 0x11, 0x1E, 0x14, 0x12, 0x11),
+    'S' -> Seq(0x0F, 0x10, 0x10, 0x0E, 0x01, 0x01, 0x1E),
+    'U' -> Seq(0x11, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E),
+    'V' -> Seq(0x11, 0x11, 0x11, 0x11, 0x11, 0x0A, 0x04),
+    '0' -> Seq(0x0E, 0x11, 0x13, 0x15, 0x19, 0x11, 0x0E),
+    '1' -> Seq(0x04, 0x0C, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    '9' -> Seq(0x0E, 0x11, 0x11, 0x0F, 0x01, 0x02, 0x0C),
+    '.' -> Seq(0x00, 0x00, 0x00, 0x00, 0x00, 0x0C, 0x0C),
+    ',' -> Seq(0x00, 0x00, 0x00, 0x00, 0x0C, 0x04, 0x08),
+    '-' -> Seq(0x00, 0x00, 0x00, 0x1F, 0x00, 0x00, 0x00),
+    ':' -> Seq(0x00, 0x0C, 0x0C, 0x00, 0x0C, 0x0C, 0x00),
+    '!' -> Seq(0x04, 0x04, 0x04, 0x04, 0x04, 0x00, 0x04))
 
   def textWidth(len: Int, scale: Int): Int = (len * (GlyphW + Spacing) - Spacing) * scale
   def textHeight(scale: Int): Int = GlyphH * scale

@@ -1,0 +1,351 @@
+"""Generate vector/text PDF fixtures + independent expected raster pixels for
+graft.media.PdfRaster (the subset rasterizer: axis-aligned re+f rectangle
+fills, rg/g fill color, q/Q state, translation-only cm, GlyphFont text).
+
+Each PDF is built in pure Python (classic xref, /Kids tree, custom MediaBox)
+and rendered HERE with an independent implementation of the documented pixel
+rules — scale s = dpi/72, W×H = round(mb·s) white canvas, all user→device
+rounding via Python round() (half-even = the JVM's math.rint), y flipped
+device-down, rects covering [round(x·s), round((x+w)·s)) ×
+[H−round((y+h)·s), H−round(y·s)), glyph runs at
+(round(tx·s), H−round(ty·s)−7·iscale) with iscale = max(1, round(size·s/7))
+and a pixel-space pen advancing 6·iscale per cell. The glyph table is a
+deliberate duplicate of GlyphFont's (token alphabet + the round-5 full
+uppercase/digit/punctuation extension): any transcription drift between the
+twins fails PdfRasterSpec / the q_pdf_raster oracle.
+
+Outputs: src/test/resources/media/rasterpdf/raster_00.pdf
+         src/test/resources/expected/pdf_raster.parquet
+         src/test/resources/goldens/pdfraster_goldens.json
+
+Run from the repo root with PYTHONPATH=tools (imports the pdftext twin's
+tokenizer + CMap decoder).
+"""
+import hashlib
+import json
+import zlib
+
+from gen_pdftext_fixture import _tokens, cmap_decoder
+
+OUTDIR = 'src/test/resources/media/rasterpdf'
+EXPECTED = 'src/test/resources/expected/pdf_raster.parquet'
+GOLDENS = 'src/test/resources/goldens/pdfraster_goldens.json'
+KERN_SPACE = -180.0
+GLYPH_W, GLYPH_H, SPACING = 5, 7, 1
+
+FONT = {
+    '[': [0x0E, 0x08, 0x08, 0x08, 0x08, 0x08, 0x0E],
+    ']': [0x0E, 0x02, 0x02, 0x02, 0x02, 0x02, 0x0E],
+    'A': [0x0E, 0x11, 0x11, 0x1F, 0x11, 0x11, 0x11],
+    'C': [0x0E, 0x11, 0x10, 0x10, 0x10, 0x11, 0x0E],
+    'D': [0x1E, 0x11, 0x11, 0x11, 0x11, 0x11, 0x1E],
+    'G': [0x0E, 0x11, 0x10, 0x17, 0x11, 0x11, 0x0F],
+    'H': [0x11, 0x11, 0x11, 0x1F, 0x11, 0x11, 0x11],
+    'K': [0x11, 0x12, 0x14, 0x18, 0x14, 0x12, 0x11],
+    'T': [0x1F, 0x04, 0x04, 0x04, 0x04, 0x04, 0x04],
+    'W': [0x11, 0x11, 0x11, 0x15, 0x15, 0x15, 0x0A],
+    'X': [0x11, 0x11, 0x0A, 0x04, 0x0A, 0x11, 0x11],
+    'Y': [0x11, 0x11, 0x0A, 0x04, 0x04, 0x04, 0x04],
+    'Z': [0x1F, 0x01, 0x02, 0x04, 0x08, 0x10, 0x1F],
+    '2': [0x0E, 0x11, 0x01, 0x02, 0x04, 0x08, 0x1F],
+    '3': [0x1F, 0x02, 0x04, 0x02, 0x01, 0x11, 0x0E],
+    '4': [0x02, 0x06, 0x0A, 0x12, 0x1F, 0x02, 0x02],
+    '5': [0x1F, 0x10, 0x1E, 0x01, 0x01, 0x11, 0x0E],
+    '6': [0x06, 0x08, 0x10, 0x1E, 0x11, 0x11, 0x0E],
+    '7': [0x1F, 0x01, 0x02, 0x04, 0x08, 0x08, 0x08],
+    '8': [0x0E, 0x11, 0x11, 0x0E, 0x11, 0x11, 0x0E],
+    'B': [0x1E, 0x11, 0x11, 0x1E, 0x11, 0x11, 0x1E],
+    'E': [0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x1F],
+    'F': [0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x10],
+    'I': [0x0E, 0x04, 0x04, 0x04, 0x04, 0x04, 0x0E],
+    'J': [0x07, 0x02, 0x02, 0x02, 0x02, 0x12, 0x0C],
+    'L': [0x10, 0x10, 0x10, 0x10, 0x10, 0x10, 0x1F],
+    'M': [0x11, 0x1B, 0x15, 0x15, 0x11, 0x11, 0x11],
+    'N': [0x11, 0x11, 0x19, 0x15, 0x13, 0x11, 0x11],
+    'O': [0x0E, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E],
+    'P': [0x1E, 0x11, 0x11, 0x1E, 0x10, 0x10, 0x10],
+    'Q': [0x0E, 0x11, 0x11, 0x11, 0x15, 0x12, 0x0D],
+    'R': [0x1E, 0x11, 0x11, 0x1E, 0x14, 0x12, 0x11],
+    'S': [0x0F, 0x10, 0x10, 0x0E, 0x01, 0x01, 0x1E],
+    'U': [0x11, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E],
+    'V': [0x11, 0x11, 0x11, 0x11, 0x11, 0x0A, 0x04],
+    '0': [0x0E, 0x11, 0x13, 0x15, 0x19, 0x11, 0x0E],
+    '1': [0x04, 0x0C, 0x04, 0x04, 0x04, 0x04, 0x0E],
+    '9': [0x0E, 0x11, 0x11, 0x0F, 0x01, 0x02, 0x0C],
+    '.': [0x00, 0x00, 0x00, 0x00, 0x00, 0x0C, 0x0C],
+    ',': [0x00, 0x00, 0x00, 0x00, 0x0C, 0x04, 0x08],
+    '-': [0x00, 0x00, 0x00, 0x1F, 0x00, 0x00, 0x00],
+    ':': [0x00, 0x0C, 0x0C, 0x00, 0x0C, 0x0C, 0x00],
+    '!': [0x04, 0x04, 0x04, 0x04, 0x04, 0x00, 0x04],
+}
+
+IGNORED = {'RG', 'G', 'K', 'gs', 'w', 'J', 'j', 'M', 'd', 'ri', 'i',
+           'Tc', 'Tw', 'Tz', 'Ts', 'Tr', 'BMC', 'BDC', 'EMC', 'MP', 'DP'}
+
+
+def build_pdf(pages, cmap=None):
+    """pages: list of (content, mbw, mbh, compress). Fonts: /F1 plain; /F2
+    (Type0 + /ToUnicode) when cmap is given."""
+    objs = {}
+    n = len(pages)
+    page_nums = list(range(3, 3 + n))
+    content_nums = list(range(3 + n, 3 + 2 * n))
+    font_num = 3 + 2 * n
+    f2_num, tounicode_num = font_num + 1, font_num + 2
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    kids = " ".join(f"{p} 0 R" for p in page_nums)
+    objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()
+    font_res = f"/F1 {font_num} 0 R"
+    if cmap is not None:
+        font_res += f" /F2 {f2_num} 0 R"
+    for i, (content, mbw, mbh, compress) in enumerate(pages):
+        objs[page_nums[i]] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {mbw} {mbh}] "
+            f"/Resources << /Font << {font_res} >> >> "
+            f"/Contents {content_nums[i]} 0 R >>").encode()
+        data = content.encode('latin-1')
+        if compress:
+            data = zlib.compress(data, 9)
+            objs[content_nums[i]] = (
+                f"<< /Length {len(data)} /Filter /FlateDecode >>\nstream\n".encode()
+                + data + b"\nendstream")
+        else:
+            objs[content_nums[i]] = (
+                f"<< /Length {len(data)} >>\nstream\n".encode() + data + b"\nendstream")
+    objs[font_num] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    if cmap is not None:
+        objs[f2_num] = (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID "
+            f"/Encoding /Identity-H /ToUnicode {tounicode_num} 0 R >>").encode()
+        cdata = cmap.encode('latin-1')
+        objs[tounicode_num] = (
+            f"<< /Length {len(cdata)} >>\nstream\n".encode() + cdata + b"\nendstream")
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    maxnum = max(objs)
+    out += f"xref\n0 {maxnum + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, maxnum + 1):
+        out += (f"{offsets.get(num, 0):010d} 00000 n \n").encode()
+    out += (f"trailer\n<< /Size {maxnum + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+def render(content, fonts, mbw, mbh, dpi):
+    s = dpi / 72.0
+    W, H = int(round(mbw * s)), int(round(mbh * s))
+    assert W > 0 and H > 0
+    rgb = bytearray(b'\xff' * (W * H * 3))
+
+    def px(u):
+        return int(round(u * s))
+
+    def fill_rect(x, y, w, h, c):
+        cx0, cx1 = max(0, px(x)), min(W, px(x + w))
+        ry0, ry1 = max(0, H - px(y + h)), min(H, H - px(y))
+        for yy in range(ry0, ry1):
+            for xx in range(cx0, cx1):
+                o = (yy * W + xx) * 3
+                rgb[o:o + 3] = bytes(c)
+
+    def draw_cells(text, x_px, top_px, isc, c):
+        pen = 0
+        for ch in text:
+            up = ch.upper() if 'a' <= ch <= 'z' else ch
+            if up != ' ':
+                glyph = FONT[up]  # KeyError = generation-time loud failure
+                for r in range(GLYPH_H):
+                    bits = glyph[r]
+                    for gc in range(GLYPH_W):
+                        if bits & (1 << (GLYPH_W - 1 - gc)):
+                            for by in range(isc):
+                                yy = top_px + r * isc + by
+                                if 0 <= yy < H:
+                                    for bx in range(isc):
+                                        xx = x_px + pen + gc * isc + bx
+                                        if 0 <= xx < W:
+                                            o = (yy * W + xx) * 3
+                                            rgb[o:o + 3] = bytes(c)
+            pen += (GLYPH_W + SPACING) * isc
+        return pen
+
+    fill = (0, 0, 0)
+    tx = ty = 0.0
+    stack = []
+    rects = []
+    in_text = False
+    lx = ly = leading = 0.0
+    font_size = 0.0
+    pen_px = 0
+    cur_dec = None
+    operands, arr, arr_done = [], None, None
+
+    def color_byte(v):
+        assert 0.0 <= v <= 1.0
+        return int(round(v * 255))
+
+    def dec(raw):
+        if cur_dec is not None:
+            return cur_dec(raw)
+        if len(raw) >= 2 and raw[0] == '\xfe' and raw[1] == '\xff':
+            return bytes(ord(c) for c in raw[2:]).decode('utf-16-be')
+        return raw
+
+    def iscale():
+        assert font_size > 0
+        return max(1, int(round(font_size * s / GLYPH_H)))
+
+    def show(text):
+        nonlocal pen_px
+        assert in_text, 'text-show operator outside BT/ET'
+        if text:
+            isc = iscale()
+            top_px = H - px(ly + ty) - GLYPH_H * isc
+            pen_px += draw_cells(text, px(lx + tx) + pen_px, top_px, isc, fill)
+
+    for kind, val in _tokens(content):
+        if kind == 'arr_open':
+            assert arr is None
+            arr = []
+        elif kind == 'arr_close':
+            arr_done, arr = arr, None
+            operands.append(('arr', None))
+        elif arr is not None:
+            arr.append((kind, val))
+        elif kind == 'op':
+            if val == 'q':
+                stack.append((fill, tx, ty))
+            elif val == 'Q':
+                fill, tx, ty = stack.pop()
+            elif val == 'cm':
+                a, b, c, d = (operands[-6][1], operands[-5][1],
+                              operands[-4][1], operands[-3][1])
+                assert a == 1.0 and b == 0.0 and c == 0.0 and d == 1.0
+                tx += operands[-2][1]; ty += operands[-1][1]
+            elif val == 'rg':
+                fill = (color_byte(operands[-3][1]), color_byte(operands[-2][1]),
+                        color_byte(operands[-1][1]))
+            elif val == 'g':
+                v = color_byte(operands[-1][1])
+                fill = (v, v, v)
+            elif val == 're':
+                x, y, w2, h2 = (operands[-4][1], operands[-3][1],
+                                operands[-2][1], operands[-1][1])
+                assert w2 > 0 and h2 > 0
+                rects.append((x + tx, y + ty, w2, h2))
+            elif val in ('f', 'F'):
+                for (x, y, w2, h2) in rects:
+                    fill_rect(x, y, w2, h2, fill)
+                rects = []
+            elif val == 'n':
+                rects = []
+            elif val == 'BT':
+                in_text = True
+                lx = ly = 0.0
+                pen_px = 0
+            elif val == 'ET':
+                in_text = False
+            elif val == 'Tf':
+                assert operands[-2][0] == 'name'
+                cur_dec = (fonts or {}).get(operands[-2][1])
+                font_size = operands[-1][1]
+                assert font_size > 0
+            elif val == 'Td':
+                lx += operands[-2][1]; ly += operands[-1][1]
+                pen_px = 0
+            elif val == 'TD':
+                leading = -operands[-1][1]
+                lx += operands[-2][1]; ly += operands[-1][1]
+                pen_px = 0
+            elif val == 'Tm':
+                a, b, c, d = (operands[-6][1], operands[-5][1],
+                              operands[-4][1], operands[-3][1])
+                assert b == 0.0 and c == 0.0 and a == 1.0 and d == 1.0
+                lx, ly = operands[-2][1], operands[-1][1]
+                pen_px = 0
+            elif val == 'T*':
+                ly -= leading
+                pen_px = 0
+            elif val == 'TL':
+                leading = operands[-1][1]
+            elif val in ('Tj', "'", '"'):
+                if val in ("'", '"'):
+                    ly -= leading
+                    pen_px = 0
+                show(dec(operands[-1][1]))
+            elif val == 'TJ':
+                buf = []
+                for k, v in arr_done:
+                    if k == 'str':
+                        buf.append(dec(v))
+                    elif k == 'num' and v <= KERN_SPACE:
+                        buf.append(' ')
+                arr_done = None
+                show(''.join(buf))
+            elif val in IGNORED:
+                pass
+            else:
+                raise AssertionError(f"operator '{val}' outside the raster subset")
+            operands = []
+        else:
+            operands.append((kind, val))
+    assert arr is None and not rects
+    return W, H, bytes(rgb)
+
+
+def main():
+    import os
+    os.makedirs(OUTDIR, exist_ok=True)
+    dpi = 144
+    cmap = (
+        "1 begincodespacerange\n<00> <7F>\nendcodespacerange\n"
+        "2 beginbfchar\n<41> <0048>\n<42> <0045>\nendbfchar\n")  # A->H, B->E
+    # page 1: rectangle scene — overlap order, q/Q color restore, translated
+    # frame, multi-rect path, gray fill, constructed-but-unpainted path via n
+    p1 = (
+        "1 0 0 rg 10 10 60 30 re f "
+        "0 0.5 0 rg 40 25 90 50 re f "
+        "q 0.25 0.25 0.8 rg 1 0 0 1 120 40 cm 0 0 30 30 re f Q "
+        "0 0 0 rg 5 100 12 8 re 180 100 15 10 re f "
+        "0.5 g 60 5 20 6 re f "
+        "150 5 10 5 re n")
+    # page 2: text scene — sizes/iscale, colors, Tm/TL/T*, TJ kern, pen
+    # advance over consecutive Tj, lowercase upcasing, CMap font codes
+    p2 = (
+        "0 0 0 rg BT /F1 12 Tf 10 90 Td (HELLO 42!) Tj ET "
+        "1 0 0 rg BT /F1 8 Tf 1 0 0 1 10 60 Tm 12 TL (RED: A-B.) Tj T* (NEXT, LINE) Tj ET "
+        "0 0 0.8 rg BT /F1 10 Tf 10 20 Td [ (AB) -250 (CD) ] TJ ET "
+        "0 g BT /F1 6 Tf 120 90 Td (small) Tj (more) Tj ET "
+        "0 0 0 rg BT /F2 10 Tf 120 20 Td <4142> Tj ET")
+    pages = [(p1, 200.0, 120.0, False), (p2, 200.0, 120.0, True)]
+    pdf = build_pdf(pages, cmap=cmap)
+    name = 'raster_00.pdf'
+    with open(f'{OUTDIR}/{name}', 'wb') as f:
+        f.write(pdf)
+    fonts = {'F2': cmap_decoder(cmap)}
+    rows = []
+    for pi, (content, mbw, mbh, _) in enumerate(pages):
+        W, H, rgb = render(content, fonts, mbw, mbh, dpi)
+        rows.append(dict(name=name, page_index=pi, width=W, height=H,
+                         pixel_sha=hashlib.sha256(rgb).hexdigest()))
+    import duckdb
+    import pandas as pd
+    df = pd.DataFrame(rows)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT name, CAST(page_index AS INT) page_index, "
+                "CAST(width AS INT) width, CAST(height AS INT) height, pixel_sha FROM df")
+    con.execute(f"COPY t TO '{EXPECTED}' (FORMAT PARQUET)")
+    with open(GOLDENS, 'w') as f:
+        json.dump(dict(dpi=dpi, pages=rows), f, indent=1)
+    for r in rows:
+        print(r)
+    print(f"wrote {name} + goldens to {GOLDENS}")
+
+
+if __name__ == '__main__':
+    main()
