@@ -82,6 +82,8 @@ object SparkEntry {
     "q_boilerplate_strip" -> (Queries.boilerplateStrip(_, _)),
     "q_decontaminate" -> (Queries.decontaminate(_, _)),
     "q_chunk_windows" -> (Queries.chunkWindows(_, _)),
+    "pipeline_dataprep" -> (Queries.dataprepPipeline(_, _)),
+    "q_stream_neardup" -> ((s, d) => graft.streaming.StreamOps.streamNearDupQuery(s, d)),
     "q_stratified_sample" -> (Queries.stratifiedSample(_, _)),
     "q_token_count" -> (Queries.tokenCount(_, _)),
     "q_token_count_bpe" -> (Queries.tokenCountBpe(_, _)),
@@ -117,9 +119,12 @@ object SparkEntry {
 
   /** MinHash CTEs generated from the same (hashes, bands, rows, cap) constants
     * as [[Queries.minhashSig]]/[[Queries.minhashPairs]] — the SQL and the
-    * DataFrame plan cannot drift apart.
+    * DataFrame plan cannot drift apart. Parameterized on the source CTE so
+    * the composed pipeline can run the same chain over its deduped docs.
     */
-  private val minhashCtes: String = {
+  private val minhashCtes: String = minhashCtesFrom("all_docs")
+
+  private def minhashCtesFrom(src: String): String = {
     val sigCols = (0 until Queries.MinhashHashes)
       .map(j => s"MIN((h1 + $j * h2) % ${Queries.MinhashMod}) AS sig$j").mkString(", ")
     val bandCols = (0 until Queries.MinhashBands).map { b =>
@@ -133,7 +138,7 @@ object SparkEntry {
        |  SELECT doc_id, unnest(list_distinct(list_transform(
        |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
        |    i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' ')))) AS g
-       |  FROM all_docs),
+       |  FROM $src),
        |hb AS (SELECT doc_id, CAST('0x' || substring(md5(g), 1, 14) AS BIGINT) AS h1,
        |              CAST('0x' || substring(md5(g), 15, 14) AS BIGINT) AS h2 FROM grams),
        |sigs AS (SELECT doc_id, $sigCols FROM hb GROUP BY doc_id),
@@ -220,6 +225,19 @@ object SparkEntry {
     // so the deduped stream equals the original events table
     "q_stream_dedup" ->
       "SELECT event_id, ts, event_type, value FROM events ORDER BY event_id",
+    // streaming NEAR-dup: a doc is flagged when some bucket of its banded
+    // MinHash signature already held an earlier (ts, doc_id) member — the
+    // oracle recomputes bucket-minimum membership over the same signatures
+    "q_stream_neardup" -> (
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 200000, replace(text, 'the', 'teh') FROM documents WHERE doc_id % 10 = 1)""".stripMargin +
+      minhashCtesFrom("src") +
+      """, b2 AS (SELECT doc_id, doc_id % 100000 AS ts, band_id, bv FROM bands),
+        |dups AS (SELECT DISTINCT x.doc_id FROM b2 x JOIN b2 y
+        |  ON x.band_id = y.band_id AND x.bv = y.bv
+        |  AND (y.ts < x.ts OR (y.ts = x.ts AND y.doc_id < x.doc_id)))
+        |SELECT doc_id AS dup_id FROM dups ORDER BY dup_id""".stripMargin),
     "q_dedup_exact" -> (dupsCte +
       """ SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM all_docs GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin),
@@ -301,6 +319,59 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_shared_grams
         |FROM tg JOIN eg USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the COMPOSED five-stage data-prep chain: boilerplate strip → exact
+    // dedup → near-dup CC (WITH RECURSIVE fixpoint) → decontaminate →
+    // chunk windows — one hash-green row proves the whole flow end to end
+    "pipeline_dataprep" -> (dupsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", planted AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 5 = 0 THEN 'Cookie notice: this site uses cookies. ' ELSE '' END)
+        |    || text ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '. Subscribe to our newsletter for updates' ELSE '' END) AS text
+        |  FROM all_docs),
+        |s AS (SELECT doc_id,
+        |    unnest(range(len(string_split(text, '. ')))) AS pos,
+        |    unnest(string_split(text, '. ')) AS sent
+        |  FROM planted),
+        |common AS (SELECT sent FROM (
+        |    SELECT sent, count(DISTINCT doc_id) AS nd FROM s GROUP BY sent)
+        |  WHERE nd >= ${Queries.BoilerplateMinDocs}),
+        |clean AS (SELECT doc_id, string_agg(sent, '. ' ORDER BY pos) AS text
+        |  FROM s ANTI JOIN common USING (sent) GROUP BY doc_id),
+        |exact AS (SELECT min(doc_id) AS doc_id, min(text) AS text
+        |  FROM clean GROUP BY md5(text))""".stripMargin +
+      minhashCtesFrom("exact") +
+      s""", edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT a AS id, a AS lab FROM edges
+        |  UNION
+        |  SELECT e.a AS id, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+        |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+        |noncanon AS (SELECT id AS doc_id FROM comp WHERE id <> component),
+        |nearkept AS (SELECT doc_id, text FROM exact ANTI JOIN noncanon USING (doc_id)),
+        |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        |eg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - ${Queries.DecontaminateGramLen}, 0) + 1),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + ${Queries.DecontaminateGramLen}), ' ')))) AS g
+        |  FROM ev),
+        |tg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - ${Queries.DecontaminateGramLen}, 0) + 1),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + ${Queries.DecontaminateGramLen}), ' ')))) AS g
+        |  FROM nearkept),
+        |contaminated AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (g)),
+        |kept AS (SELECT doc_id, text FROM nearkept
+        |  WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM kept),
+        |c AS (SELECT doc_id, len(words) AS n_words,
+        |    unnest(range(0, CAST(greatest(len(words) - 1, 0) AS BIGINT) // ${Queries.ChunkStride} + 1)) AS chunk_idx,
+        |    unnest(list_transform(range(0, CAST(greatest(len(words) - 1, 0) AS BIGINT) // ${Queries.ChunkStride} + 1),
+        |      k -> list_slice(words, k * ${Queries.ChunkStride} + 1,
+        |                      k * ${Queries.ChunkStride} + ${Queries.ChunkWindow}))) AS cw
+        |  FROM w)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, CAST(n_words AS INT) AS n_words,
+        |  CAST(chunk_idx * ${Queries.ChunkStride} AS INT) AS start_token,
+        |  CAST(len(cw) AS INT) AS chunk_tokens,
+        |  md5(array_to_string(cw, ' ')) AS chunk_sha
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
     "q_stratified_sample" ->
       s"""WITH r AS (SELECT lang, doc_id,
         |  md5('strat:' || CAST(doc_id AS VARCHAR)) AS h FROM documents)

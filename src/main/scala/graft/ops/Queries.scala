@@ -220,7 +220,7 @@ object Queries {
   /** Documents plus deterministic near-duplicate copies — the dedup testbed
     * (both engines construct the same union).
     */
-  private def docsWithDups(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def docsWithDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = resplitForCpu(spark,
       t(spark, dir, "documents").select(col("doc_id"), col("text"), col("lang")))
     val exact = docs.filter(col("doc_id") % 10 === 0)
@@ -800,11 +800,60 @@ object Queries {
     * division, so the oracle is hash-exact — a log-domain perplexity would
     * differ from DuckDB's libm in final ulps and is deliberately avoided.
     */
-  def tokenRarity(spark: SparkSession, dir: String): DataFrame = {
-    val toks = t(spark, dir, "documents")
+  def tokenRarity(spark: SparkSession, dir: String): DataFrame =
+    tokenRarityFrom(t(spark, dir, "documents"))
+
+  /** The catalog plan: ONE hash join keyed on the token. The Zipf head
+    * ("the" ≈ 5% of English instances) skews the probe side of the shuffle,
+    * and the MEASURED adjudication (TokenScaleBench, BENCH.md §8: 500k
+    * docs / 20M tokens, 50% of instances on four tokens, broadcast
+    * disabled) is that AQE's skew-partition splitting handles it — the
+    * naive join beat the belt-and-braces head/tail split by ~40% BECAUSE
+    * the split pays an extra broadcast exchange and union for a skew AQE
+    * was already absorbing. Kept naive on evidence; the split form stays
+    * available below for the regime AQE cannot save (a single probe key
+    * larger than executor spill capacity).
+    */
+  private[graft] def tokenRarityFrom(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("wc"))
     toks.join(freq, "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("wc")).as("freq_sum"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("freq_sum"), col("n_tokens"),
+        (col("freq_sum").cast("double") / col("n_tokens")).as("mean_token_freq"))
+      .orderBy("doc_id")
+  }
+
+  /** Zipf-head size for [[tokenRaritySplitFrom]]: 1024 head rows broadcast
+    * is trivially small at any corpus scale.
+    */
+  val TokenRarityHeadN = 1024
+
+  /** The head/tail SKEW-SPLIT variant of the rarity aggregation: the top-N
+    * tokens by count join via broadcast (map-side — no shuffle key can
+    * skew), only the misses (tail tokens, bounded counts) go through the
+    * shuffling hash join. Identical result to [[tokenRarityFrom]]
+    * (asserted every TokenScaleBench run). NOT the catalog plan: measured
+    * ~40% slower at the 500k tier because AQE already absorbs the head
+    * (BENCH.md §8) — this form is the escape hatch for a corpus whose
+    * single hottest key exceeds what one task can spill.
+    */
+  private[graft] def tokenRaritySplitFrom(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    // tracked: the frequency table feeds the head derivation AND the tail
+    // join (released by the caller after the action)
+    val freq = tracked(toks.groupBy(col("w")).agg(count(lit(1)).as("wc")))
+    // deterministic head: top-N by count (token tiebreak) — a bounded
+    // TakeOrderedAndProject, never a full sort
+    val head = freq.orderBy(col("wc").desc, col("w").asc).limit(TokenRarityHeadN)
+    val withHead = toks.join(broadcast(head), Seq("w"), "left_outer")
+    val headHits = withHead.filter(col("wc").isNotNull).select(col("doc_id"), col("wc"))
+    val tailHits = withHead.filter(col("wc").isNull).select(col("doc_id"), col("w"))
+      .join(freq, "w").select(col("doc_id"), col("wc"))
+    headHits.unionAll(tailHits)
       .groupBy(col("doc_id"))
       .agg(sum(col("wc")).as("freq_sum"), count(lit(1)).as("n_tokens"))
       .select(col("doc_id"), col("freq_sum"), col("n_tokens"),
@@ -829,8 +878,20 @@ object Queries {
     * structs — collect order is nondeterministic, position is data). The
     * per-doc collect buffer is bounded by the document's own length.
     */
-  def boilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
-    val planted = t(spark, dir, "documents").select(col("doc_id"),
+  def boilerplateStrip(spark: SparkSession, dir: String): DataFrame =
+    boilerplateCleaned(t(spark, dir, "documents").select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("n_kept"), md5(col("text")).as("clean_sha"))
+      .orderBy("doc_id")
+
+  /** The strip itself, from any (doc_id, text) frame, returning the
+    * reassembled CLEAN text (plus the kept-sentence count) so downstream
+    * stages can consume it — shared by [[boilerplateStrip]] (which hashes
+    * it for the catalog row) and the composed [[dataprepPipeline]].
+    * A document whose every sentence is boilerplate disappears (no rows
+    * survive the anti join) — identical in the DuckDB twin.
+    */
+  private[graft] def boilerplateCleaned(docs: DataFrame): DataFrame = {
+    val planted = docs.select(col("doc_id"),
       concat(
         when(col("doc_id") % 5 === 0, lit("Cookie notice: this site uses cookies. "))
           .otherwise(lit("")),
@@ -846,10 +907,9 @@ object Queries {
     sents.join(common, Seq("sent"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
-        md5(array_join(
+        array_join(
           expr("transform(array_sort(collect_list(struct(pos, sent))), x -> x.sent)"),
-          ". ")).as("clean_sha"))
-      .orderBy("doc_id")
+          ". ").as("text"))
   }
 
   /** Context-window chunking parameters: window size and stride in
@@ -869,7 +929,13 @@ object Queries {
     * exactly once by some chunk start).
     */
   def chunkWindows(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    chunkWindowsFrom(t(spark, dir, "documents")).orderBy("doc_id", "chunk_idx")
+
+  /** The chunking generator from any (doc_id, text) frame (no presentation
+    * sort) — shared by the catalog query and [[dataprepPipeline]].
+    */
+  private[graft] def chunkWindowsFrom(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), size(col("words")).as("n_words"),
         posexplode(expr(
@@ -882,7 +948,6 @@ object Queries {
         col("c.start").as("start_token"),
         size(col("c.w")).as("chunk_tokens"),
         md5(concat_ws(" ", col("c.w"))).as("chunk_sha"))
-      .orderBy("doc_id", "chunk_idx")
 
   /** Contamination n-gram length (the 13-gram rule used for benchmark
     * decontamination of web-scale training sets).
@@ -900,6 +965,17 @@ object Queries {
     * corpus-side grams never shuffle), then a partial-aggregated count per
     * contaminated document.
     */
+  /** Distinct [[DecontaminateGramLen]]-word shingle rows of a (doc_id, text)
+    * frame — shared by [[decontaminate]] and [[dataprepPipeline]].
+    */
+  private def gramRows8(df: DataFrame): DataFrame = df
+    .withColumn("words", split(col("text"), " "))
+    .select(col("doc_id"), explode(expr(
+      s"""array_distinct(transform(
+         |  sequence(0, greatest(size(words) - $DecontaminateGramLen, 0)),
+         |  i -> concat_ws(' ', slice(words, i + 1, $DecontaminateGramLen))))""".stripMargin))
+      .as("g"))
+
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
     val evalSet = docs.filter(col("doc_id") % 97 === 0)
@@ -910,15 +986,8 @@ object Queries {
     val train = docs.filter(col("doc_id") % 97 =!= 0)
       .unionAll(evalSet.select((col("doc_id") + 300000).as("doc_id"),
         concat(lit("copied into the training set: "), col("text")).as("text")))
-    def grams(df: DataFrame): DataFrame = df
-      .withColumn("words", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(
-        s"""array_distinct(transform(
-           |  sequence(0, greatest(size(words) - $DecontaminateGramLen, 0)),
-           |  i -> concat_ws(' ', slice(words, i + 1, $DecontaminateGramLen))))""".stripMargin))
-        .as("g"))
-    val evalGrams = grams(evalSet).select(col("g")).distinct()
-    grams(train)
+    val evalGrams = gramRows8(evalSet).select(col("g")).distinct()
+    gramRows8(train)
       // EXPLICIT broadcast: the eval side is benchmark-sized at any corpus
       // scale, but Catalyst cannot estimate that through explode+distinct —
       // without the hint the size estimate tracks the documents scan and a
@@ -927,6 +996,62 @@ object Queries {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_grams"))
       .orderBy("doc_id")
+  }
+
+  // ---- composed data-prep flagship ------------------------------------------
+
+  /** Stage 2 of [[dataprepPipeline]]: exact dedup that KEEPS — one canonical
+    * (smallest doc_id) row per distinct cleaned text. min(text) is
+    * deterministic and every member of a group carries the same text.
+    */
+  private[graft] def exactDedupKeep(clean: DataFrame): DataFrame =
+    clean.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
+      .select(col("doc_id"), col("text"))
+
+  /** Stage 3: near-dup canonical selection — MinHash+LSH candidate pairs →
+    * connected components (pointer-jumped min-label propagation) → drop
+    * every member whose id is not its component's label. Docs that never
+    * paired keep themselves (they are absent from the component table).
+    */
+  private[graft] def nearDupKeep(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val pairs = minhashPairsCore(minhashSigCoreFrom(shingledFrom(docs)))
+    val comp = dedupComponentsFrom(spark, pairs.select(col("a"), col("b")))
+    val nonCanon = comp.filter(col("doc_id") =!= col("component")).select(col("doc_id"))
+    docs.join(nonCanon, Seq("doc_id"), "left_anti")
+  }
+
+  /** Stage 4: decontamination — drop the held-out benchmark slice itself
+    * (doc_id % 97 == 0 of the BASE corpus) and every surviving document
+    * sharing an [[DecontaminateGramLen]]-gram with it (e.g. a near-copy of
+    * an eval doc that slipped past dedup). Eval grams broadcast: the eval
+    * side stays benchmark-sized at any corpus scale.
+    */
+  private[graft] def decontaminateKeep(spark: SparkSession, dir: String,
+                                       docs: DataFrame): DataFrame = {
+    val evalDocs = t(spark, dir, "documents")
+      .filter(col("doc_id") % 97 === 0).select(col("doc_id"), col("text"))
+    val evalGrams = gramRows8(evalDocs).select(col("g")).distinct()
+    val contaminated = gramRows8(docs).join(broadcast(evalGrams), "g")
+      .select(col("doc_id")).distinct()
+    docs.filter(col("doc_id") % 97 =!= 0).join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** The COMPOSED training-data pipeline over the dup-planted corpus:
+    * boilerplate strip → exact dedup → near-dup CC canonical selection →
+    * benchmark decontamination → context-window chunking — every stage the
+    * catalog verifies individually, chained into the end-to-end data-prep
+    * flow a training pipeline actually runs. The resumable, per-stage
+    * lineage-committed job twin is [[graft.jobs.DataPrepJob]]; the DuckDB
+    * oracle recomputes the whole chain (incl. the CC fixpoint via WITH
+    * RECURSIVE), so a hash-green row proves five composed stages end to end.
+    */
+  def dataprepPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val clean = boilerplateCleaned(
+      docsWithDups(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("text"))
+    val kept = decontaminateKeep(spark, dir, nearDupKeep(spark, exactDedupKeep(clean)))
+    chunkWindowsFrom(kept).orderBy("doc_id", "chunk_idx")
   }
 
   /** Per-group quota for [[stratifiedSample]]. */

@@ -114,6 +114,120 @@ object StreamOps {
       .orderBy("event_id")
   }
 
+  // ---- streaming near-dup dedup ---------------------------------------------
+
+  final case class BandRow(doc_id: Long, ts: java.sql.Timestamp, band_id: Int, bv: String)
+  final case class BucketFirst(ts: Long, docId: Long)
+  final case class DupEvidence(doc_id: Long, band_id: Int)
+
+  /** Per-(band, bucket) state function: O(1) state — only the EARLIEST
+    * (ts, doc_id) member ever seen — and one dup-evidence row for every
+    * later arrival. Event-time timeout drops a bucket's state once the
+    * watermark passes its last activity + the gap, so the store stays
+    * bounded on an infinite stream (the same watermark-scoped contract as
+    * `dropDuplicatesWithinWatermark`: a near-dup arriving after the state
+    * expired is treated as new, by design).
+    */
+  def nearDupBucketFn(gapMs: Long)(
+      key: (Int, String),
+      rows: Iterator[BandRow],
+      state: GroupState[BucketFirst]): Iterator[DupEvidence] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      // iterator order across partitions is nondeterministic — sort by the
+      // deterministic arrival key (ts, doc_id) so "first in bucket" is
+      // well-defined within a batch too
+      val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+      var first = state.getOption
+      val out = Vector.newBuilder[DupEvidence]
+      sorted.foreach { r =>
+        first match {
+          case None => first = Some(BucketFirst(r.ts.getTime, r.doc_id))
+          case Some(f) if r.ts.getTime < f.ts ||
+              (r.ts.getTime == f.ts && r.doc_id < f.docId) =>
+            // an out-of-order EARLIER row: the old first becomes evidence
+            out += DupEvidence(f.docId, key._1)
+            first = Some(BucketFirst(r.ts.getTime, r.doc_id))
+          case Some(_) => out += DupEvidence(r.doc_id, key._1)
+        }
+      }
+      first.foreach { f =>
+        state.update(f)
+        state.setTimeoutTimestamp(sorted.map(_.ts.getTime).max + gapMs)
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Streaming NEAR-dup dedup — the ingest-time twin of the batch
+    * MinHash+LSH chain (`q_minhash_pairs`/`q_dedup_components`): near-copies
+    * are planted INSIDE the stream (every doc_id % 10 == 1 document arrives
+    * again with "the"→"teh" under id + 200000, at the SAME event time), the
+    * 64-hash MinHash signature is computed per row by the native one-pass
+    * `minhash_sigs` expression (a pure projection — it streams), each row
+    * fans out to its [[graft.ops.Queries.MinhashBands]] band buckets, and
+    * [[nearDupBucketFn]] keeps one O(1) first-member state per bucket within
+    * the watermark. Output: the distinct flagged duplicates (batch-side
+    * presentation over the memory sink, like the other stream twins). The
+    * DuckDB oracle recomputes bucket-minimum membership over the same
+    * banded signatures.
+    */
+  def streamNearDupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Queries
+    import spark.implicits._
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("doc_id"), col("text"))
+    // in-stream planted near-copies; event time keys arrival order and the
+    // copy shares its base doc's timestamp (doc_id % 100000), so the base
+    // is always "first in bucket" by the (ts, doc_id) order
+    val dupped = docs
+      .select(explode(when(col("doc_id") % 10 === 1,
+        array(
+          struct(col("doc_id"), col("text")),
+          struct((col("doc_id") + 200000).as("doc_id"),
+            regexp_replace(col("text"), "the", "teh").as("text"))))
+        .otherwise(array(struct(col("doc_id"), col("text"))))).as("d"))
+      .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
+      .withColumn("ts",
+        (lit(1704067200L) + col("doc_id") % 100000).cast("timestamp"))
+    // signature + banding: pure projections (the batch chain's exact
+    // arithmetic — same grams, same Kirsch–Mitzenmacher family, same band
+    // keys — so the oracle's bucket view is identical)
+    val sigs = dupped
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("grams", expr(
+        "array_distinct(transform(sequence(0, greatest(size(words) - 3, 0)), i -> concat_ws(' ', slice(words, i + 1, 3))))"))
+      .withColumn("sigs", graft.functions.ChurroFunctions.minhash_sigs(
+        col("grams"), Queries.MinhashHashes, Queries.MinhashMod))
+    val bandCols = (0 until Queries.MinhashBands).map { b =>
+      concat_ws("|", (0 until Queries.MinhashBandRows)
+        .map(r => element_at(col("sigs"), b * Queries.MinhashBandRows + r + 1)): _*)
+    }
+    val bands = sigs
+      .select(col("doc_id"), col("ts"), posexplode(array(bandCols: _*)).as(Seq("band_id", "bv")))
+      .as[BandRow]
+    val evidence = bands
+      .withWatermark("ts", "2 hours")
+      .groupByKey(r => (r.band_id, r.bv))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        nearDupBucketFn(2 * 3600 * 1000L))
+    val queryName = "graft_stream_neardup"
+    val q = evidence.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+      .select(col("doc_id").as("dup_id")).distinct()
+      .orderBy("dup_id")
+  }
+
   /** One closed user session: the custom-state shape the brief calls for
     * (`flatMapGroupsWithState` + event-time timeout). Gap-based
     * sessionization: events of one user belong to one session while they

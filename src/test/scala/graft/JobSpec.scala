@@ -185,4 +185,43 @@ class JobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.span_count).sum == 300)
     assert(Lineage.committedPartitions(spark, root) == Set(0, 1))
   }
+
+  test("dataprep job: kill-resume skips committed stages; final chunks equal the lazy pipeline") {
+    import graft.jobs.DataPrepJob
+    val sfDir = "/root/testdata/sf0.001"
+    val outA = tmpDir() // crash + resume
+    val base = DataPrepJob.Args(sfDir = sfDir, out = outA, clock = () => 1000L)
+
+    // crashing run: stages 0-1 commit, stage 2 never starts
+    val crashed = intercept[RuntimeException](
+      DataPrepJob.run(spark, base.copy(failAfterStages = 2)))
+    assert(crashed.getMessage.contains("injected failure"))
+    assert(Lineage.committedPartitions(spark, outA) == Set(0, 1))
+
+    // resume: executes ONLY the remaining three stages
+    val resumed = DataPrepJob.run(spark, base.copy(clock = () => 2000L))
+    assert(resumed == 3, s"resume must run exactly the uncommitted stages, ran $resumed")
+    assert(Lineage.committedPartitions(spark, outA) == Set(0, 1, 2, 3, 4))
+    // committed_at proves stages 0-1 were NOT recomputed on resume
+    val byClock = Lineage.read(spark, outA).collect().groupBy(_.committed_at)
+    assert(byClock(1000L).map(_.partition_id).toSet == Set(0, 1))
+    assert(byClock(2000L).map(_.partition_id).toSet == Set(2, 3, 4))
+    // a third run is a no-op
+    assert(DataPrepJob.run(spark, base) == 0)
+
+    // per-stage monotonic shrink: every dedup/filter stage keeps ≤ its input
+    val lin = Lineage.read(spark, outA).collect().sortBy(_.partition_id)
+    lin.take(4).foreach(r =>
+      assert(r.span_count <= r.doc_count || r.partition_id == 0,
+        s"stage ${r.partition_id} grew: ${r.doc_count} -> ${r.span_count}"))
+
+    // the job's final snapshot equals the lazy composed query (same rows)
+    val fromJob = spark.read.parquet(s"$outA/stage_4")
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(_.toSeq).toSeq
+    val fromQuery = graft.ops.Queries.dataprepPipeline(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    graft.ops.Queries.releaseCaches()
+    assert(fromJob == fromQuery, "resumed job output diverges from the lazy pipeline")
+  }
 }
