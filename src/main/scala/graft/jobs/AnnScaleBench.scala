@@ -42,46 +42,59 @@ object AnnScaleBench {
       .repartition(spark.sparkContext.defaultParallelism))
     cands.count() // materialize the corpus outside the timed sections
 
+    // INDEX BUILD: train the quantizer and snapshot-commit the PERSISTED
+    // index (centroid table + cent_id-partitioned posting lists) — the
+    // production shape: built once, served to many query batches. The
+    // timed section includes the snapshot writes; search below reads ONLY
+    // the committed files, never the in-memory frames.
+    val indexDir = java.nio.file.Files.createTempDirectory("ann_scale_index").toString
     val t0 = System.nanoTime()
-    val cents = AnnKMeans.trainCentroidsFor(cands, clusters, TrainSampleN)
-    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
-    // zero-Exchange assignment + posting-list materialization = the index
-    val assigned = CacheTracker.track(
-      cands.withColumn("cent_id",
-        graft.functions.ChurroFunctions.argmax_cosine(col("v"), centsLit)))
-    assigned.count()
+    AnnKMeans.buildIndex(spark, cands, indexDir, clusters, TrainSampleN)
     val indexSec = (System.nanoTime() - t0) / 1e9
 
-    import spark.implicits._
     val qs = CacheTracker.track(AnnKMeans.queries(spark, nq))
-    val centsDf = cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
-      .toDF("cent_id", "cv")
     def cosC(a: String, b: String) =
       graft.functions.ChurroFunctions.cosine_sim(col(a), col(b))
 
+    // SEARCH-ONLY latency: probe selection from the centroid snapshot and
+    // a partition-PRUNED read of the probed posting directories (at 16/256
+    // probes, 93.75% of the index files are never opened), then the
+    // vector-free-broadcast re-rank (probe pairs without qv; the naive
+    // qv-carrying probe table measured 4.5 s vs 3.9 s at 1000 queries by
+    // forcing a 41M-row vector shuffle over 256 skewed keys - BENCH.md §7)
+    val tc = System.nanoTime()
+    val ivf3 = AnnKMeans.searchIndex(spark, indexDir, qs, probes, TopK)
+      .select(col("q_id"), col("vec_id")).collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val searchColdSec = (System.nanoTime() - tc) / 1e9
+    CacheTracker.releaseAll()
     val t1 = System.nanoTime()
-    // probe pairs (q_id, cent_id) are broadcast WITHOUT the query vectors
-    // (nq × probes × 8B — tiny at any query volume), and the vectors
-    // attach through a second broadcast of the query table: the CORPUS
-    // side never shuffles. The naive `probeLists.join(assigned)` — probe
-    // rows carrying qv — exceeded the broadcast threshold at 1000 queries
-    // and fell back to a shuffle join that exchanged 41M vector-carrying
-    // rows across only 256 join keys (measured: 4.5 s naive vs 3.9 s
-    // broadcast at the same 25% scan — BENCH.md §7). Tracked: the pairs
-    // also feed the scanned-fraction audit after the timed section.
-    val probePairs = CacheTracker.track(TopM.topM(
-      qs.crossJoin(broadcast(centsDf)).withColumn("qcos", cosC("qv", "cv"))
+    val ivf3w = AnnKMeans.searchIndex(spark, indexDir, qs, probes, TopK)
+      .select(col("q_id"), col("vec_id")).collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val searchSec = (System.nanoTime() - t1) / 1e9
+    assert(ivf3w == ivf3, "warm search diverged from cold search")
+
+    // the apples-to-apples pruning comparison: the SAME rank over the FULL
+    // index (no partition filter) — what the search would cost without the
+    // posting-list layout. Dynamic partition pruning is disabled for this
+    // measurement: the probe join is exactly the broadcast-against-a-
+    // partition-column shape DPP optimizes, so with it on the "unpruned"
+    // baseline silently prunes anyway and measures nothing
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+    val t3 = System.nanoTime()
+    val prbAll = CacheTracker.track(TopM.topM(
+      qs.crossJoin(broadcast(graft.storage.Snapshots.read(spark, s"$indexDir/centroids", 1L)))
+        .withColumn("qcos", cosC("qv", "cv"))
         .select(col("q_id"), col("cent_id"), col("qcos")),
       "q_id", Seq(("qcos", false), ("cent_id", true)), probes, "prn")
       .select(col("q_id"), col("cent_id")))
-    val ivf3 = TopM.topM(
-      assigned.join(broadcast(probePairs), "cent_id")
-        .join(broadcast(qs), "q_id")
-        .withColumn("c", cosC("qv", "v"))
-        .select(col("q_id"), col("vec_id"), col("c")),
-      "q_id", Seq(("c", false), ("vec_id", true)), TopK, "rn")
-      .select(col("q_id"), col("vec_id")).collect().map(r => (r.getInt(0), r.getInt(1))).toSet
-    val searchSec = (System.nanoTime() - t1) / 1e9
+    val fullScan = graft.storage.Snapshots.read(spark, s"$indexDir/postings", 1L)
+      .join(broadcast(prbAll), "cent_id")
+      .join(broadcast(qs), "q_id")
+      .withColumn("c", cosC("qv", "v"))
+      .select(col("q_id"), col("vec_id"), col("c"))
+    TopM.topM(fullScan, "q_id", Seq(("c", false), ("vec_id", true)), TopK, "rn").count()
+    val fullScanSec = (System.nanoTime() - t3) / 1e9
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
 
     val t2 = System.nanoTime()
     val bf3 = TopM.topM(
@@ -92,11 +105,19 @@ object AnnScaleBench {
     val bfSec = (System.nanoTime() - t2) / 1e9
 
     val recall = (ivf3 & bf3).size.toDouble / bf3.size
-    // SUM over zero rows is NULL (empty probePairs / no assigned vectors
-    // in any probed centroid) — guard instead of NPE-ing after all the
-    // timed work has finished
+    // scanned fraction audited from the COMMITTED index: per-centroid
+    // posting sizes joined to the same probe selection the search used.
+    // SUM over zero rows is NULL (empty probe set) — guard instead of
+    // NPE-ing after all the timed work has finished
+    val centsDf = graft.storage.Snapshots.read(spark, s"$indexDir/centroids", 1L)
+    val postings = graft.storage.Snapshots.read(spark, s"$indexDir/postings", 1L)
+    val probePairs = TopM.topM(
+      qs.crossJoin(broadcast(centsDf)).withColumn("qcos", cosC("qv", "cv"))
+        .select(col("q_id"), col("cent_id"), col("qcos")),
+      "q_id", Seq(("qcos", false), ("cent_id", true)), probes, "prn")
+      .select(col("q_id"), col("cent_id"))
     val scannedRow = probePairs
-      .join(assigned.groupBy("cent_id").agg(count(lit(1)).as("csz")), "cent_id")
+      .join(postings.groupBy("cent_id").agg(count(lit(1)).as("csz")), "cent_id")
       .agg(sum("csz")).collect()(0)
     val scanned =
       (if (scannedRow.isNullAt(0)) 0.0 else scannedRow.getLong(0).toDouble) / (nq.toLong * n)
@@ -105,6 +126,8 @@ object AnnScaleBench {
     println(s"""{"job":"ann_scale","n":$n,"clusters":$clusters,"queries":$nq,""" +
       s""""probes":$probes,"index_sec":${math.round(indexSec * 1000) / 1000.0},""" +
       s""""search_sec":${math.round(searchSec * 1000) / 1000.0},""" +
+      s""""search_cold_sec":${math.round(searchColdSec * 1000) / 1000.0},""" +
+      s""""unpruned_search_sec":${math.round(fullScanSec * 1000) / 1000.0},""" +
       s""""bf_sec":${math.round(bfSec * 1000) / 1000.0},""" +
       s""""recall3":$recall,"scanned_frac":${math.round(scanned * 10000) / 10000.0}}""")
     spark.stop()

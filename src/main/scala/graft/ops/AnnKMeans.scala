@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.storage.Snapshots
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -199,7 +200,8 @@ object AnnKMeans {
   /** Top-[[Probes]] centroid lists per query (TopM keeps the whole search
     * plan free of per-query window sorts).
     */
-  private def probes(spark: SparkSession, qs: DataFrame, cents: DataFrame): DataFrame = {
+  private def probes(spark: SparkSession, qs: DataFrame, cents: DataFrame,
+                     nProbes: Int = Probes): DataFrame = {
     // VECTOR-FREE (q_id, cent_id) pairs — broadcast-sized at any query
     // volume. AnnScaleBench (BENCH.md §7) measured why qv must not ride
     // along: at 1,000 queries a vector-carrying probe table exceeded the
@@ -208,7 +210,7 @@ object AnnKMeans {
     val scored = qs.crossJoin(broadcast(cents))
       .withColumn("qcos", cosExpr("qv", "cv"))
       .select(col("q_id"), col("cent_id"), col("qcos"))
-    TopM.topM(scored, "q_id", Seq(("qcos", false), ("cent_id", true)), Probes, "prn")
+    TopM.topM(scored, "q_id", Seq(("qcos", false), ("cent_id", true)), nProbes, "prn")
       .select(col("q_id"), col("cent_id"))
   }
 
@@ -222,19 +224,85 @@ object AnnKMeans {
       .withColumn("c", cosExpr("qv", "v"))
       .select(col("q_id"), col("vec_id"), col("c"))
 
-  /** q_embed_ivf_kmeans: the full trained-quantizer IVF search, top-3 per
-    * query via the two-phase TopM. Oracle: expected/ivf_kmeans.parquet from
-    * the independent pure-Python twin (tools/gen_ivf_fixture.py).
+  // ---- persisted IVF index --------------------------------------------------
+
+  /** Build + snapshot-commit the IVF index for a candidate corpus: the
+    * trained centroid table (`<root>/centroids`) and the posting lists
+    * (`<root>/postings`, PARTITIONED by cent_id so a probe read scans only
+    * the probed centroids' directories). A production pipeline builds this
+    * once and serves many query batches against it — round 4 rebuilt the
+    * quantizer inside every search. Returns the trained centroids.
     */
-  def ivfTopK(spark: SparkSession): DataFrame = {
-    val cands = candidates(spark)
-    val cents = centroidsDF(spark)
-    val ranked = probedRanked(spark,
-      assigned(spark, cands), probes(spark, queries(spark), cents))
-    TopM.topM(ranked, "q_id", Seq(("c", false), ("vec_id", true)), TopK, "rn")
+  def buildIndex(spark: SparkSession, cands: DataFrame, root: String,
+                 k: Int = Clusters, sampleN: Int = TrainSampleN): Array[Array[Double]] = {
+    import spark.implicits._
+    val cents = trainCentroidsFor(cands, k, sampleN)
+    Snapshots.commit(
+      cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cent_id", "cv"),
+      s"$root/centroids", 1L)
+    // zero-Exchange assignment (argmax against the centroid literal), then
+    // ONE shuffle keyed on the partition column so each centroid directory
+    // gets a single file — without it every write task emits a file into
+    // every directory it touches (measured: 32 tasks × 256 dirs ≈ 8k tiny
+    // files, and the probe read's 14 s was file-listing/open overhead, 4×
+    // slower than brute force; with one file per posting list the pruned
+    // read opens exactly `probes` files)
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    Snapshots.commit(
+      cands.withColumn("cent_id",
+        graft.functions.ChurroFunctions.argmax_cosine(col("v"), centsLit))
+        .select(col("cent_id"), col("vec_id"), col("v"))
+        .repartition(col("cent_id")),
+      s"$root/postings", 1L, partitionBy = Seq("cent_id"))
+    cents
+  }
+
+  /** IVF search against a committed index: probe selection from the (tiny)
+    * centroid snapshot, then a PARTITION-PRUNED read of only the probed
+    * posting lists — at a 1.6% scan fraction the other 98.4% of the index
+    * is never read from storage — and the vector-free-broadcast re-rank
+    * through TopM. Returns (q_id, vec_id, c, rn).
+    */
+  def searchIndex(spark: SparkSession, root: String, qs: DataFrame,
+                  nProbes: Int = Probes, topK: Int = TopK): DataFrame = {
+    val centsDf = Snapshots.read(spark, s"$root/centroids", 1L)
+    val prb = CacheTracker.track(probes(spark, qs, centsDf, nProbes))
+    val probedCents = prb.select(col("cent_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val postings = Snapshots.read(spark, s"$root/postings", 1L)
+      .filter(col("cent_id").isInCollection(probedCents)) // partition-pruned
+    val ranked = postings.join(broadcast(prb), "cent_id")
+      .join(broadcast(qs), "q_id")
+      .withColumn("c", cosExpr("qv", "v"))
+      .select(col("q_id"), col("vec_id"), col("c"))
+    TopM.topM(ranked, "q_id", Seq(("c", false), ("vec_id", true)), topK, "rn")
+  }
+
+  /** Per-JVM index location for the frozen oracle fixture: built once
+    * (deterministic content), then every [[ivfTopK]] call is search-only.
+    */
+  @volatile private var indexRootCache: String = _
+
+  private def indexRoot(spark: SparkSession): String = synchronized {
+    if (indexRootCache == null) {
+      val root = java.nio.file.Files.createTempDirectory("graft_ivf_index").toString
+      buildIndex(spark, candidates(spark), root)
+      indexRootCache = root
+    }
+    indexRootCache
+  }
+
+  /** q_embed_ivf_kmeans: the full trained-quantizer IVF search, top-3 per
+    * query via the two-phase TopM — READING the committed snapshot index
+    * (centroids + partition-pruned posting lists) instead of retraining
+    * per query; the math is identical, so the oracle is unchanged:
+    * expected/ivf_kmeans.parquet from the independent pure-Python twin
+    * (tools/gen_ivf_fixture.py).
+    */
+  def ivfTopK(spark: SparkSession): DataFrame =
+    searchIndex(spark, indexRoot(spark), queries(spark))
       .select(col("q_id"), col("vec_id"), round(col("c"), 4).as("cos4"), col("rn"))
       .orderBy("q_id", "rn")
-  }
 
   /** Exact brute-force top-3 (the ground truth for recall). */
   private def bfTop3(spark: SparkSession, cands: DataFrame): DataFrame = {

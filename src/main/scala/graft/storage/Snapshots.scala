@@ -24,10 +24,16 @@ object Snapshots {
 
   def snapshotDir(root: String, id: Long): String = s"$root/snapshot-$id"
 
-  /** Write `df` as snapshot `id` and atomically publish it. */
-  def commit(df: DataFrame, root: String, id: Long): Unit = {
+  /** Write `df` as snapshot `id` and atomically publish it. Optional
+    * `partitionBy` columns become hive-style partition directories, so a
+    * reader filtering on them gets a PRUNED scan (the IVF posting-list
+    * layout: probe reads touch only the probed centroids' directories).
+    */
+  def commit(df: DataFrame, root: String, id: Long,
+             partitionBy: Seq[String] = Nil): Unit = {
     val dir = snapshotDir(root, id)
-    df.write.mode("overwrite").parquet(dir)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
     val marker = Paths.get(s"$root/snapshot-$id.committed")
     val tmp = Paths.get(s"$root/.snapshot-$id.committing")
     Files.createDirectories(Paths.get(root))

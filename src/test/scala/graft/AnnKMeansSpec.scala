@@ -71,5 +71,33 @@ class AnnKMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     // be a window partition key anywhere
     assert(!plan.contains("windowspecdefinition(q_id"),
       s"per-query window found in:\n$plan")
+    graft.ops.Queries.releaseCaches()
+  }
+
+  test("persisted index: committed snapshots, partition-pruned search, same answer") {
+    import graft.storage.Snapshots
+    val root = java.nio.file.Files.createTempDirectory("ivf_index_spec").toString
+    AnnKMeans.buildIndex(spark, AnnKMeans.candidates(spark), root)
+    assert(Snapshots.isCommitted(s"$root/centroids", 1L))
+    assert(Snapshots.isCommitted(s"$root/postings", 1L))
+    // posting lists land as hive-style cent_id directories
+    val dirs = new java.io.File(Snapshots.snapshotDir(s"$root/postings", 1L))
+      .listFiles().filter(_.isDirectory).map(_.getName).filter(_.startsWith("cent_id="))
+    assert(dirs.length == AnnKMeans.Clusters, dirs.toSeq)
+    val res = AnnKMeans.searchIndex(spark, root, AnnKMeans.queries(spark))
+    // the probe read PRUNES partitions: the scan carries a cent_id
+    // PartitionFilter, so unprobed centroid directories are never opened
+    // (string assert — AQE wraps the plan, hiding scan nodes from collect)
+    val planStr = res.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [cent_id"),
+      s"posting scan must carry a cent_id PartitionFilter:\n${planStr.take(4000)}")
+    // same answer as the oracle-checked search path (which reads this index)
+    val viaIndex = res.select("q_id", "vec_id", "rn").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    graft.ops.Queries.releaseCaches()
+    val viaCatalog = AnnKMeans.ivfTopK(spark).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(3))).toSet
+    graft.ops.Queries.releaseCaches()
+    assert(viaIndex == viaCatalog)
   }
 }
