@@ -52,9 +52,14 @@ class GlyphSpec extends AnyFunSuite {
     }
   }
 
-  test("font covers exactly the token alphabet plus brackets") {
-    val alphabet = ("ACDGHKTWXYZ" + "2345678" + "[]").toSet
-    assert(GlyphFont.rows.keySet == alphabet)
+  test("font covers the token alphabet plus the round-5 raster extension") {
+    // the table-mask token alphabet must stay covered (its bitmaps are
+    // frozen by the goldens); round 5 extends the table with the rest of
+    // the uppercase alphabet, remaining digits and punctuation for the
+    // PDF rasterizer — additions only
+    val tokenAlphabet = ("ACDGHKTWXYZ" + "2345678" + "[]").toSet
+    val rasterExtension = ("BEFIJLMNOPQRSUV" + "019" + ".,-:!").toSet
+    assert(GlyphFont.rows.keySet == tokenAlphabet ++ rasterExtension)
     // every glyph is 7 rows of 5-bit masks
     GlyphFont.rows.values.foreach { g =>
       assert(g.length == 7 && g.forall(r => r >= 0 && r <= 0x1F))
