@@ -340,7 +340,15 @@ object SparkEntry {
         |exact AS (SELECT min(doc_id) AS doc_id, min(text) AS text
         |  FROM clean GROUP BY md5(text))""".stripMargin +
       minhashCtesFrom("exact") +
-      s""", edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+      s""", gc AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+        |inter AS (SELECT p.a, p.b, count(*) AS inter FROM pairs p
+        |  JOIN grams x ON x.doc_id = p.a
+        |  JOIN grams y ON y.doc_id = p.b AND y.g = x.g
+        |  GROUP BY p.a, p.b),
+        |vpairs AS (SELECT i.a, i.b FROM inter i
+        |  JOIN gc ca ON ca.doc_id = i.a JOIN gc cb ON cb.doc_id = i.b
+        |  WHERE CAST(i.inter AS DOUBLE) / (ca.n_grams + cb.n_grams - i.inter) >= ${Queries.NearDupJaccard}),
+        |edges AS (SELECT a, b FROM vpairs UNION ALL SELECT b, a FROM vpairs),
         |reach AS (
         |  SELECT a AS id, a AS lab FROM edges
         |  UNION

@@ -1009,14 +1009,40 @@ object Queries {
       .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
       .select(col("doc_id"), col("text"))
 
+  /** Jaccard threshold for VERIFIED near-dup pairs in the composed
+    * pipeline (same bar as [[ngramJaccard]]'s catalog query).
+    */
+  val NearDupJaccard = 0.7
+
   /** Stage 3: near-dup canonical selection — MinHash+LSH candidate pairs →
-    * connected components (pointer-jumped min-label propagation) → drop
-    * every member whose id is not its component's label. Docs that never
-    * paired keep themselves (they are absent from the component table).
+    * exact 3-gram Jaccard VERIFICATION → connected components
+    * (pointer-jumped min-label propagation) → drop every member whose id
+    * is not its component's label. Docs that never paired keep themselves
+    * (they are absent from the component table).
+    *
+    * The verify step is load-bearing, not decoration: banding alone welds
+    * vocabulary-sharing NON-duplicates into giant components (the sf0.1
+    * corpus collapses to one ~6k-doc blob, and an unverified chain then
+    * "dedups" 98% of the corpus away); verified pairs keep only true
+    * near-dups and the components stay duplicate-cluster sized. The
+    * intersection is the scale-safe exploded gram equi-join — gram arrays
+    * never ship whole to the pair join.
     */
   private[graft] def nearDupKeep(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val pairs = minhashPairsCore(minhashSigCoreFrom(shingledFrom(docs)))
-    val comp = dedupComponentsFrom(spark, pairs.select(col("a"), col("b")))
+    val grams = tracked(shingledFrom(docs))
+    val pairs = minhashPairsCore(minhashSigCoreFrom(grams))
+    val gramRows = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+    val gramCounts = grams.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+    val verified = pairs
+      .join(gramRows.select(col("doc_id").as("a"), col("g")), "a")
+      .join(gramRows.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      .join(gramCounts.select(col("doc_id").as("a"), col("n_grams").as("na")), "a")
+      .join(gramCounts.select(col("doc_id").as("b"), col("n_grams").as("nb")), "b")
+      .filter(col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
+        >= NearDupJaccard)
+      .select(col("a"), col("b"))
+    val comp = dedupComponentsFrom(spark, verified)
     val nonCanon = comp.filter(col("doc_id") =!= col("component")).select(col("doc_id"))
     docs.join(nonCanon, Seq("doc_id"), "left_anti")
   }
@@ -1050,7 +1076,14 @@ object Queries {
     val clean = boilerplateCleaned(
       docsWithDups(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("text"))
-    val kept = decontaminateKeep(spark, dir, nearDupKeep(spark, exactDedupKeep(clean)))
+    // stage-boundary caches (released by the caller): exactKept feeds the
+    // shingle chain AND the CC anti join; nearKept feeds the gram join AND
+    // the final keep filter — without the persists each consumer recomputes
+    // the whole upstream (strip + dedup) from the scan. The job twin
+    // (DataPrepJob) gets the same cut for free from its stage snapshots.
+    val exactKept = tracked(exactDedupKeep(clean))
+    val nearKept = tracked(nearDupKeep(spark, exactKept))
+    val kept = decontaminateKeep(spark, dir, nearKept)
     chunkWindowsFrom(kept).orderBy("doc_id", "chunk_idx")
   }
 
