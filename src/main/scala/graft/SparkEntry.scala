@@ -84,6 +84,10 @@ object SparkEntry {
     "q_chunk_windows" -> (Queries.chunkWindows(_, _)),
     "pipeline_dataprep" -> (Queries.dataprepPipeline(_, _)),
     "q_stream_neardup" -> ((s, d) => graft.streaming.StreamOps.streamNearDupQuery(s, d)),
+    "q_html_spans" -> (Queries.htmlSpans(_, _)),
+    "q_html_main" -> (Queries.htmlMain(_, _)),
+    "q_warc_records" -> (Queries.warcRecords(_, _)),
+    "q_warc_extract" -> (Queries.warcExtract(_, _)),
     "q_stratified_sample" -> (Queries.stratifiedSample(_, _)),
     "q_token_count" -> (Queries.tokenCount(_, _)),
     "q_token_count_bpe" -> (Queries.tokenCountBpe(_, _)),
@@ -303,6 +307,37 @@ object SparkEntry {
         |  CAST(len(cw) AS INT) AS chunk_tokens,
         |  md5(array_to_string(cw, ' ')) AS chunk_sha
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // the page wrap is deterministic, so the oracle reconstructs the
+    // extractor's expected spans from the raw text column WITHOUT parsing
+    // HTML: heading at offset 0, one text span per '. ' piece, and the
+    // planted figure at offset 2 on every HtmlImgEvery-th doc (later
+    // pieces shift by one) — any parser/heuristic/entity defect lands as
+    // a hash mismatch against this independent reconstruction
+    "q_html_spans" ->
+      s"""WITH pieces AS (SELECT doc_id,
+        |    unnest(range(len(string_split(text, '. ')))) AS i0,
+        |    unnest(string_split(text, '. ')) AS piece
+        |  FROM documents)
+        |SELECT doc_id, CAST(off AS INT) AS "offset", kind, text, media_ref FROM (
+        |  SELECT doc_id, 0 AS off, 'heading' AS kind,
+        |    'Doc ' || doc_id || ' title' AS text, '' AS media_ref FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    1 + i0 + (CASE WHEN doc_id % ${Queries.HtmlImgEvery} = 0 AND i0 >= 1 THEN 1 ELSE 0 END),
+        |    'text', piece, '' FROM pieces
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'image', 'figure for doc ' || doc_id,
+        |    'media://doc_' || doc_id || '/img_0'
+        |  FROM documents WHERE doc_id % ${Queries.HtmlImgEvery} = 0)
+        |ORDER BY doc_id, off""".stripMargin,
+    "q_html_main" ->
+      s"""SELECT doc_id, 'article' AS container,
+        |  CAST(len(string_split(text, '. ')) + 1
+        |    + (CASE WHEN doc_id % ${Queries.HtmlImgEvery} = 0 THEN 1 ELSE 0 END) AS INT) AS n_spans,
+        |  CAST(CASE WHEN doc_id % ${Queries.HtmlImgEvery} = 0 THEN 1 ELSE 0 END AS INT) AS n_images,
+        |  md5('Doc ' || doc_id || ' title' || chr(10) || chr(10)
+        |    || replace(text, '. ', chr(10) || chr(10))) AS main_sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       s"""WITH docs0 AS (SELECT doc_id, text FROM documents),
         |ev AS (SELECT doc_id, text FROM docs0 WHERE doc_id % 97 = 0),
@@ -454,6 +489,17 @@ object SparkEntry {
         |SELECT video_id, k * 500 AS ts_ms, (k * 500 * fps) // 1000 AS frame_idx,
         |       sha256(content_sha || ':' || CAST((k * 500 * fps) // 1000 AS VARCHAR)) AS frame_sha
         |FROM frames ORDER BY video_id, ts_ms""".stripMargin,
+    // WARC framing/HTTP-unwrap and the composed crawl→spans chain:
+    // expected rows computed by tools/gen_warc_fixture.py from the bytes
+    // and page structure IT assembles (never by running the Scala reader)
+    "q_warc_records" ->
+      """SELECT name, rec_idx, warc_type, uri, status, content_type, body_len, body_sha
+        |FROM read_parquet('/root/repo/src/test/resources/expected/warc_records.parquet')
+        |ORDER BY name, rec_idx""".stripMargin,
+    "q_warc_extract" ->
+      """SELECT name, uri, "offset", kind, text, media_ref
+        |FROM read_parquet('/root/repo/src/test/resources/expected/warc_extract.parquet')
+        |ORDER BY name, uri, "offset"""".stripMargin,
     // born-digital text extraction: expected lines computed by the
     // independent pure-Python content-stream interpreter twin
     // (tools/gen_pdftext_fixture.py) under the same documented line rules

@@ -998,6 +998,105 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // ---- HTML main-content extraction (DOM heuristics) ------------------------
+
+  /** Every HtmlImgEvery-th synthesized page carries an inline figure. */
+  val HtmlImgEvery = 4
+
+  /** Deterministic full-page HTML around a document's text — the harness
+    * for [[htmlSpans]]/[[htmlMain]] (the corpus has no HTML column, so the
+    * page is synthesized in-query, the planted-structure pattern the dedup
+    * family uses). The page exercises the whole chrome taxonomy the
+    * extractor must strip: head with style+script raw text (the script
+    * body contains a bare `<`), header/nav link lists, a class-hinted
+    * sidebar, the `&lt;article&gt;` with heading + one `<p>` per `'. '`
+    * sentence piece (entity-escaped; every HtmlImgEvery-th doc gets an
+    * `<img>` after the first paragraph), a class-hinted comments block,
+    * and a link-bearing footer. The extractor must return EXACTLY the
+    * article's interleaved spans — which the DuckDB oracle reconstructs
+    * from the raw text column without parsing any HTML.
+    */
+  private[graft] def htmlPageFor(docId: Long, text: String): String = {
+    val pieces = text.split("\\. ", -1)
+    val sb = new java.lang.StringBuilder(text.length + 1200)
+    sb.append("<!DOCTYPE html>\n<html><head><title>Doc ").append(docId)
+      .append("</title><style>article{margin:0 auto}</style>")
+      .append("<script>var graftPage = 1 < 2;</script></head>\n<body>\n")
+      .append("<header><nav><ul><li><a href=\"/\">Home</a></li>")
+      .append("<li><a href=\"/archive\">Archive</a></li>")
+      .append("<li><a href=\"/about\">About us</a></li></ul></nav></header>\n")
+      .append("<aside class=\"sidebar\"><h3>Related posts</h3><ul>")
+      .append("<li><a href=\"/p/1\">a related piece about table scan merge order in long form</a></li>")
+      .append("<li><a href=\"/p/2\">another related article on hash join windows and streams</a></li>")
+      .append("<li><a href=\"/p/3\">further reading on batch vectors and partition pruning</a></li>")
+      .append("</ul></aside>\n<article><h1>Doc ").append(docId).append(" title</h1>")
+    var i = 0
+    while (i < pieces.length) {
+      sb.append("<p>").append(graft.text.HtmlEntities.escape(pieces(i))).append("</p>")
+      if (i == 0 && docId % HtmlImgEvery == 0)
+        sb.append("<img src=\"media://doc_").append(docId)
+          .append("/img_0\" alt=\"figure for doc ").append(docId).append("\">")
+      i += 1
+    }
+    sb.append("</article>\n<div class=\"comments\"><h3>Comments</h3>")
+      .append("<p>first comment nice post thanks for sharing this with us</p>")
+      .append("<p>second comment totally agree with the points the author makes here</p></div>\n")
+      .append("<footer><p>copyright 2026 example corp all rights reserved ")
+      .append("<a href=\"/privacy\">privacy</a> <a href=\"/terms\">terms</a></p></footer>\n")
+      .append("</body></html>")
+    sb.toString
+  }
+
+  /** HTML main-content extraction to INTERLEAVED SPANS — the north rule's
+    * "HTML boilerplate strip … DOM heuristics" capability over the
+    * input_hint span model: per row, parse the synthesized page
+    * ([[graft.text.HtmlDom]]), score candidate containers by
+    * text-mass × (1 − link density) × tag/class weights
+    * ([[graft.text.MainContent]]), and emit the winner's
+    * `(kind, text, media_ref, offset)` spans (heading | text | image).
+    * Plan shape: one narrow per-row flatMap over the documents scan — no
+    * shuffle before the presentation sort; [[resplitForCpu]] spreads the
+    * parse across cores when the scan is a single split. The oracle
+    * reconstructs the expected spans directly from the text column (the
+    * page is a deterministic wrap), so a parser that mis-nests, an
+    * entity that fails to round-trip, or a heuristic that picks the
+    * sidebar all hash-mismatch.
+    */
+  def htmlSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = resplitForCpu(spark,
+      t(spark, dir, "documents").select(col("doc_id"), col("text")))
+    docs.as[(Long, String)]
+      .flatMap { case (d, txt) =>
+        graft.text.MainContent.extractHtml(htmlPageFor(d, txt)).spans
+          .map(s => (d, s.offset, s.kind, s.text, s.media_ref))
+      }
+      .toDF("doc_id", "offset", "kind", "text", "media_ref")
+      .orderBy("doc_id", "offset")
+  }
+
+  /** Document-level view of [[htmlSpans]]: the winning container tag, span
+    * counts, and the md5 of the reassembled main text (non-image spans
+    * joined by blank lines) — the "clean article text" a training-data
+    * pipeline feeds to tokenization. The md5 runs in Spark on the
+    * extractor's output so both engines hash identical bytes.
+    */
+  def htmlMain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = resplitForCpu(spark,
+      t(spark, dir, "documents").select(col("doc_id"), col("text")))
+    docs.as[(Long, String)]
+      .map { case (d, txt) =>
+        val ex = graft.text.MainContent.extractHtml(htmlPageFor(d, txt))
+        (d, ex.containerTag, ex.spans.length,
+          ex.spans.count(_.kind == "image"), ex.mainText)
+      }
+      .toDF("doc_id", "container", "n_spans", "n_images", "main_text")
+      .select(col("doc_id"), col("container"), col("n_spans"), col("n_images"),
+        md5(col("main_text")).as("main_sha"))
+      .orderBy("doc_id")
+  }
+
   // ---- composed data-prep flagship ------------------------------------------
 
   /** Stage 2 of [[dataprepPipeline]]: exact dedup that KEEPS — one canonical
@@ -1419,6 +1518,56 @@ object Queries {
       }
       .toDF("name", "page_index", "width", "height", "pixel_sha")
       .orderBy("name", "page_index")
+  }
+
+  /** WARC record inventory over the committed fixture captures (one plain
+    * file, one gzip-member-per-record file — the Common Crawl layout):
+    * every record's framing fields plus a sha256 of its (HTTP-unwrapped)
+    * body. The oracle is the independent expected table
+    * `tools/gen_warc_fixture.py` computes from the bytes it assembles —
+    * any drift in record framing, gzip-member concatenation, or HTTP
+    * header parsing lands as a hash mismatch.
+    */
+  def warcRecords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .load(s"$mediaDir/warc/*")
+      .withColumn("name", element_at(split(col("path"), "/"), -1))
+      .select(col("name"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (n, bytes) =>
+        graft.sources.Warc.records(bytes).map { r =>
+          (n, r.recIdx, r.warcType, r.targetUri, r.httpStatus,
+            r.httpContentType, r.body.length,
+            graft.media.ImageDecode.sha256Hex(r.body))
+        }
+      }
+      .toDF("name", "rec_idx", "warc_type", "uri", "status", "content_type",
+        "body_len", "body_sha")
+      .orderBy("name", "rec_idx")
+  }
+
+  /** The composed from-the-crawl chain: WARC member → HTTP unwrap →
+    * charset decode → [[graft.text.HtmlDom]] parse →
+    * [[graft.text.MainContent]] spans — one narrow flatMap per capture
+    * file, the full ingestion path of the north rule starting from the
+    * crawl container instead of a pre-extracted text column. Only 200
+    * `text/html` responses extract (a crawl always carries request/
+    * metadata records and non-HTML bodies alongside).
+    */
+  def warcExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .load(s"$mediaDir/warc/*")
+      .withColumn("name", element_at(split(col("path"), "/"), -1))
+      .select(col("name"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (n, bytes) =>
+        graft.sources.Warc.htmlPages(bytes).flatMap { case (uri, html) =>
+          graft.text.MainContent.extractHtml(html).spans
+            .map(s => (n, uri, s.offset, s.kind, s.text, s.media_ref))
+        }
+      }
+      .toDF("name", "uri", "offset", "kind", "text", "media_ref")
+      .orderBy("name", "uri", "offset")
   }
 
   /** Batched multimodal feature extraction — the Spark-native shape of the

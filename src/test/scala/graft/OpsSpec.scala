@@ -53,6 +53,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("html main-content extraction is a narrow per-row plan: no hash shuffle, no window") {
+    // parse + DOM heuristics run row-local inside one flatMap/map stage;
+    // the only exchange either query may plan is the presentation sort's
+    // rangepartitioning — a hash shuffle or a WindowExec would mean the
+    // extraction itself stopped being embarrassingly parallel
+    Seq(graft.ops.Queries.htmlSpans(spark, dir),
+        graft.ops.Queries.htmlMain(spark, dir)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"html extraction must not hash-shuffle:\n${plan.take(2000)}")
+      assert(!plan.contains("WindowExec"),
+        s"html extraction must not plan a window:\n${plan.take(2000)}")
+    }
+  }
+
   test("IVF centroid assignment is a zero-Exchange projection in both quantizer paths") {
     import org.apache.spark.sql.functions.{col, expr}
     // round-3 defect: crossJoin(broadcast(cents)) + Window.partitionBy(vec_id)

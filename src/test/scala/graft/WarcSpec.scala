@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.charset.StandardCharsets.{ISO_8859_1, US_ASCII}
+
+import graft.sources.Warc
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC source: the committed fixtures differentially vs the independent
+  * expected tables `tools/gen_warc_fixture.py` computes from the bytes it
+  * assembles, plus the loud-rejection contract for captures outside the
+  * supported subset (framing, HTTP, charset).
+  */
+class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ---- differential vs the generator's expected tables ----------------------
+
+  test("record inventory matches the generator's expected table (both layouts)") {
+    val got = graft.ops.Queries.warcRecords(spark, "").collect().map(_.toSeq).toVector
+    val exp = spark.read
+      .parquet("src/test/resources/expected/warc_records.parquet")
+      .select("name", "rec_idx", "warc_type", "uri", "status", "content_type",
+        "body_len", "body_sha")
+      .orderBy("name", "rec_idx").collect().map(_.toSeq).toVector
+    assert(exp.size == 7)
+    assert(got == exp)
+    // both physical layouts are present and read identically
+    assert(got.count(_.head == "sample_00.warc") == 4)
+    assert(got.count(_.head == "sample_01.warc.gz") == 3)
+  }
+
+  test("composed crawl→spans chain matches the generator's expected spans") {
+    val got = graft.ops.Queries.warcExtract(spark, "").collect().map(_.toSeq).toVector
+    val exp = spark.read
+      .parquet("src/test/resources/expected/warc_extract.parquet")
+      .select("name", "uri", "offset", "kind", "text", "media_ref")
+      .orderBy("name", "uri", "offset").collect().map(_.toSeq).toVector
+    assert(exp.size == 8)
+    assert(got == exp)
+    // the latin-1 page's accents survived the charset decode
+    assert(got.exists(_.exists(v => v == "café détail with accents à la carte")))
+    // the 404 page and the JSON response were filtered, not extracted
+    assert(!got.exists(_.exists(v => v.toString.contains("not found"))))
+  }
+
+  // ---- framing rejections ----------------------------------------------------
+
+  private def rec(headers: String, payload: Array[Byte], sep: String = "\r\n\r\n"): Array[Byte] =
+    headers.getBytes(US_ASCII) ++ payload ++ sep.getBytes(US_ASCII)
+
+  private def mk(version: String, payload: String,
+      extra: String = "", wtype: String = "metadata",
+      lenOverride: Option[Int] = None, sep: String = "\r\n\r\n"): Array[Byte] = {
+    val p = payload.getBytes(US_ASCII)
+    val len = lenOverride.getOrElse(p.length)
+    rec(s"$version\r\nWARC-Type: $wtype\r\n${extra}Content-Length: $len\r\n\r\n", p, sep)
+  }
+
+  test("unsupported version, missing Content-Length, bad separator, truncated payload all throw") {
+    val e1 = intercept[IllegalArgumentException](
+      Warc.records(mk("WARC/0.18", "x")).toVector)
+    assert(e1.getMessage.contains("version"))
+    val noLen = "WARC/1.0\r\nWARC-Type: metadata\r\n\r\n".getBytes(US_ASCII)
+    val e2 = intercept[IllegalArgumentException](Warc.records(noLen).toVector)
+    assert(e2.getMessage.contains("Content-Length"))
+    val e3 = intercept[IllegalArgumentException](
+      Warc.records(mk("WARC/1.0", "x", sep = "\n\n\r\n")).toVector)
+    assert(e3.getMessage.contains("CRLF"))
+    // Content-Length says 10, only 1 byte present → EOF inside payload/separator
+    intercept[Exception](Warc.records(mk("WARC/1.0", "x", lenOverride = Some(10))).toVector)
+  }
+
+  test("LF-only header lines and malformed header lines throw with record context") {
+    val lfOnly = "WARC/1.0\nWARC-Type: metadata\nContent-Length: 0\n\n\r\n\r\n".getBytes(US_ASCII)
+    val e1 = intercept[IllegalArgumentException](Warc.records(lfOnly).toVector)
+    assert(e1.getMessage.contains("CRLF-terminated"))
+    val bad = "WARC/1.0\r\nNoColonHere\r\nContent-Length: 0\r\n\r\n\r\n\r\n".getBytes(US_ASCII)
+    val e2 = intercept[IllegalArgumentException](Warc.records(bad).toVector)
+    assert(e2.getMessage.contains("malformed header"))
+    assert(e2.getMessage.contains("record 0"))
+  }
+
+  // ---- HTTP unwrap -----------------------------------------------------------
+
+  private def httpRec(http: String): Array[Byte] =
+    mk("WARC/1.0", http, extra = "Content-Type: application/http;msgtype=response\r\n",
+      wtype = "response")
+
+  test("chunked transfer encoding and a bad status line are rejected loudly") {
+    val chunked = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n0\r\n\r\n"
+    val e1 = intercept[IllegalArgumentException](Warc.records(httpRec(chunked)).toVector)
+    assert(e1.getMessage.contains("chunked"))
+    val e2 = intercept[IllegalArgumentException](
+      Warc.records(httpRec("ICY 200 OK\r\n\r\nbody")).toVector)
+    assert(e2.getMessage.contains("status line"))
+  }
+
+  test("non-HTTP records keep their raw payload; HTTP responses unwrap the body") {
+    val recs = Warc.records(mk("WARC/1.1", "raw bytes") ++
+      httpRec("HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\nnope")).toVector
+    assert(recs.map(_.warcType) == Vector("metadata", "response"))
+    assert(new String(recs(0).body, US_ASCII) == "raw bytes" && recs(0).httpStatus == 0)
+    assert(new String(recs(1).body, US_ASCII) == "nope")
+    assert(recs(1).httpStatus == 404 && recs(1).httpContentType == "text/plain")
+  }
+
+  // ---- charset handling ------------------------------------------------------
+
+  test("charset parameter parses (quoted, defaulted); unsupported charsets throw") {
+    def cap(ct: String, body: Array[Byte]): Array[Byte] = {
+      val http = s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\nContent-Length: ${body.length}\r\n\r\n"
+        .getBytes(US_ASCII) ++ body
+      rec("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://x/\r\n" +
+        s"Content-Type: application/http;msgtype=response\r\nContent-Length: ${http.length}\r\n\r\n",
+        http)
+    }
+    val html = "<body><p>café page body with words enough</p></body>"
+    // quoted latin-1 decodes the accent correctly
+    val got = Warc.htmlPages(cap("text/html; charset=\"iso-8859-1\"", html.getBytes(ISO_8859_1)))
+      .toVector
+    assert(got.size == 1 && got.head._2.contains("café"))
+    // no charset parameter → utf-8 default
+    val got2 = Warc.htmlPages(cap("text/html",
+      html.getBytes(java.nio.charset.StandardCharsets.UTF_8))).toVector
+    assert(got2.head._2.contains("café"))
+    // unsupported charset throws with the record's uri
+    val e = intercept[IllegalArgumentException](
+      Warc.htmlPages(cap("text/html; charset=shift_jis", html.getBytes(US_ASCII))).toVector)
+    assert(e.getMessage.contains("shift_jis") && e.getMessage.contains("https://x/"))
+  }
+}

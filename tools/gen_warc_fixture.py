@@ -1,0 +1,212 @@
+"""Generate WARC fixtures + independent expected rows for graft.sources.Warc
+and the composed WARC -> HTML main-content extraction chain.
+
+Two files exercise both physical layouts the reader supports:
+  sample_00.warc     plain: warcinfo, request, a utf-8 HTML response, a JSON
+                     response (records-visible, extraction-skipped)
+  sample_01.warc.gz  one gzip MEMBER per record (the Common Crawl layout):
+                     a latin-1 HTML response whose main content lives in a
+                     hinted <div class="post-content"> (not <article>), a 404
+                     HTML response (extraction-skipped), a metadata record
+
+Expected rows are computed HERE from the construction, not by running the
+Scala code: record rows from the bytes this script assembles (sha256 of the
+HTTP body / raw payload), extraction rows from the page structure this
+script plants (heading + sentence paragraphs + planted figure — the same
+deterministic-wrap trick the q_html_spans oracle uses). Any drift in the
+record framing, gzip-member handling, charset decode, DOM parse, or
+container heuristics fails WarcSpec / the q_warc_* oracles.
+
+Outputs: src/test/resources/media/warc/sample_00.warc
+         src/test/resources/media/warc/sample_01.warc.gz
+         src/test/resources/expected/warc_records.parquet
+         src/test/resources/expected/warc_extract.parquet
+"""
+import gzip
+import hashlib
+import html as htmlmod
+import io
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+OUTDIR = 'src/test/resources/media/warc'
+EXP_RECORDS = 'src/test/resources/expected/warc_records.parquet'
+EXP_EXTRACT = 'src/test/resources/expected/warc_extract.parquet'
+
+IMG_EVERY = 4  # must match Queries.HtmlImgEvery
+
+
+def page_for(doc_id, text):
+    """Python mirror of Queries.htmlPageFor (the deterministic article wrap)."""
+    pieces = text.split('. ')
+    out = io.StringIO()
+    out.write(f'<!DOCTYPE html>\n<html><head><title>Doc {doc_id}</title>'
+              '<style>article{margin:0 auto}</style>'
+              '<script>var graftPage = 1 < 2;</script></head>\n<body>\n'
+              '<header><nav><ul><li><a href="/">Home</a></li>'
+              '<li><a href="/archive">Archive</a></li>'
+              '<li><a href="/about">About us</a></li></ul></nav></header>\n'
+              '<aside class="sidebar"><h3>Related posts</h3><ul>'
+              '<li><a href="/p/1">a related piece about table scan merge order in long form</a></li>'
+              '<li><a href="/p/2">another related article on hash join windows and streams</a></li>'
+              '<li><a href="/p/3">further reading on batch vectors and partition pruning</a></li>'
+              f'</ul></aside>\n<article><h1>Doc {doc_id} title</h1>')
+    for i, p in enumerate(pieces):
+        out.write('<p>' + htmlmod.escape(p, quote=True) + '</p>')
+        if i == 0 and doc_id % IMG_EVERY == 0:
+            out.write(f'<img src="media://doc_{doc_id}/img_0" alt="figure for doc {doc_id}">')
+    out.write('</article>\n<div class="comments"><h3>Comments</h3>'
+              '<p>first comment nice post thanks for sharing this with us</p>'
+              '<p>second comment totally agree with the points the author makes here</p></div>\n'
+              '<footer><p>copyright 2026 example corp all rights reserved '
+              '<a href="/privacy">privacy</a> <a href="/terms">terms</a></p></footer>\n'
+              '</body></html>')
+    return out.getvalue()
+
+
+def page_spans(doc_id, text):
+    """Expected spans for page_for (same rule as the q_html_spans oracle)."""
+    pieces = text.split('. ')
+    spans = [('heading', f'Doc {doc_id} title', '', 0)]
+    off = 1
+    for i, p in enumerate(pieces):
+        spans.append(('text', p, '', off))
+        off += 1
+        if i == 0 and doc_id % IMG_EVERY == 0:
+            spans.append(('image', f'figure for doc {doc_id}',
+                          f'media://doc_{doc_id}/img_0', off))
+            off += 1
+    spans.sort(key=lambda s: s[3])
+    return spans
+
+
+# page B: main content in a HINTED div, not <article>; latin-1 charset
+B_PARAS = ['caf\xe9 d\xe9tail with accents \xe0 la carte',
+           'second paragraph of the latin section']
+PAGE_B = ('<html><head><title>Latin page</title></head><body>'
+          '<div class="sidebar"><ul>'
+          '<li><a href="/x">sidebar link one with plenty of words</a></li>'
+          '<li><a href="/y">sidebar link two with plenty more words</a></li></ul></div>'
+          '<div class="post-content"><h2>Latin Section</h2>'
+          + ''.join(f'<p>{p}</p>' for p in B_PARAS) +
+          '</div>'
+          '<div class="comments"><p>a comment thread that is quite long and full of '
+          'repeated opinions replies and yet more replies</p></div>'
+          '<footer><p>footer text <a href="/t">terms</a></p></footer>'
+          '</body></html>')
+B_SPANS = [('heading', 'Latin Section', '', 0)] + \
+          [('text', p, '', i + 1) for i, p in enumerate(B_PARAS)]
+
+
+def http_response(status, reason, ctype, body_bytes):
+    head = (f'HTTP/1.1 {status} {reason}\r\n'
+            f'Content-Type: {ctype}\r\n'
+            f'Content-Length: {len(body_bytes)}\r\n\r\n').encode('ascii')
+    return head + body_bytes
+
+
+def warc_record(wtype, rec_id, uri, payload, ctype):
+    h = f'WARC/1.0\r\nWARC-Type: {wtype}\r\nWARC-Record-ID: <urn:uuid:{rec_id}>\r\n'
+    h += 'WARC-Date: 2026-08-17T00:00:00Z\r\n'
+    if uri:
+        h += f'WARC-Target-URI: {uri}\r\n'
+    h += f'Content-Type: {ctype}\r\nContent-Length: {len(payload)}\r\n\r\n'
+    return h.encode('ascii') + payload + b'\r\n\r\n'
+
+
+def main():
+    os.makedirs(OUTDIR, exist_ok=True)
+    os.makedirs(os.path.dirname(EXP_RECORDS), exist_ok=True)
+
+    rec_rows = []   # (name, rec_idx, warc_type, uri, status, content_type, body_len, body_sha)
+    ext_rows = []   # (name, uri, offset, kind, text, media_ref)
+
+    def add_rec(name, idx, wtype, uri, status, ctype, body):
+        rec_rows.append((name, idx, wtype, uri, status, ctype, len(body),
+                         hashlib.sha256(body).hexdigest()))
+
+    # ---- sample_00.warc (plain) --------------------------------------------
+    name0 = 'sample_00.warc'
+    a_text = 'caf\xe9 first sentence with 中文 words. second sentence & more. third'
+    a_doc = 9000  # % 4 == 0 -> planted figure
+    a_html = page_for(a_doc, a_text).encode('utf-8')
+    a_uri = 'https://example.org/a'
+    c_body = b'{"not": "html"}'
+    c_uri = 'https://example.org/api'
+    info_payload = b'software: graft-gen 1.0\r\nformat: WARC File Format 1.0\r\n'
+    req_payload = (b'GET /a HTTP/1.1\r\nHost: example.org\r\n'
+                   b'User-Agent: graft-gen\r\n\r\n')
+
+    recs0 = [
+        ('warcinfo', 'w0', '', info_payload, 'application/warc-fields'),
+        ('request', 'q0', a_uri, req_payload, 'application/http;msgtype=request'),
+        ('response', 'r0', a_uri,
+         http_response(200, 'OK', 'text/html; charset=utf-8', a_html),
+         'application/http;msgtype=response'),
+        ('response', 'r1', c_uri,
+         http_response(200, 'OK', 'application/json', c_body),
+         'application/http;msgtype=response'),
+    ]
+    with open(os.path.join(OUTDIR, name0), 'wb') as f:
+        for wtype, rid, uri, payload, ctype in recs0:
+            f.write(warc_record(wtype, rid, uri, payload, ctype))
+    add_rec(name0, 0, 'warcinfo', '', 0, '', info_payload)
+    add_rec(name0, 1, 'request', a_uri, 0, '', req_payload)
+    add_rec(name0, 2, 'response', a_uri, 200, 'text/html; charset=utf-8', a_html)
+    add_rec(name0, 3, 'response', c_uri, 200, 'application/json', c_body)
+    for kind, text, media_ref, off in page_spans(a_doc, a_text):
+        ext_rows.append((name0, a_uri, off, kind, text, media_ref))
+
+    # ---- sample_01.warc.gz (one gzip member per record) --------------------
+    name1 = 'sample_01.warc.gz'
+    b_html = PAGE_B.encode('iso-8859-1')
+    b_uri = 'https://example.org/latin'
+    d_html = b'<html><body><main><p>not found page body text here</p></main></body></html>'
+    d_uri = 'https://example.org/missing'
+    meta_payload = b'fetchTimeMs: 12\r\n'
+
+    recs1 = [
+        ('response', 'r2', b_uri,
+         http_response(200, 'OK', 'text/html; charset=iso-8859-1', b_html),
+         'application/http;msgtype=response'),
+        ('response', 'r3', d_uri,
+         http_response(404, 'Not Found', 'text/html; charset=utf-8', d_html),
+         'application/http;msgtype=response'),
+        ('metadata', 'm0', b_uri, meta_payload, 'application/warc-fields'),
+    ]
+    with open(os.path.join(OUTDIR, name1), 'wb') as f:
+        for wtype, rid, uri, payload, ctype in recs1:
+            rec = warc_record(wtype, rid, uri, payload, ctype)
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode='wb', mtime=0) as g:
+                g.write(rec)
+            f.write(buf.getvalue())
+    add_rec(name1, 0, 'response', b_uri, 200, 'text/html; charset=iso-8859-1', b_html)
+    add_rec(name1, 1, 'response', d_uri, 404, 'text/html; charset=utf-8', d_html)
+    add_rec(name1, 2, 'metadata', b_uri, 0, '', meta_payload)
+    for kind, text, media_ref, off in B_SPANS:
+        ext_rows.append((name1, b_uri, off, kind, text, media_ref))
+
+    # ---- expected parquet (int32 to match the Scala Int columns) -----------
+    rec_schema = pa.schema([
+        ('name', pa.string()), ('rec_idx', pa.int32()), ('warc_type', pa.string()),
+        ('uri', pa.string()), ('status', pa.int32()), ('content_type', pa.string()),
+        ('body_len', pa.int32()), ('body_sha', pa.string())])
+    pq.write_table(pa.Table.from_pylist(
+        [dict(zip(rec_schema.names, r)) for r in rec_rows], schema=rec_schema),
+        EXP_RECORDS)
+
+    ext_schema = pa.schema([
+        ('name', pa.string()), ('uri', pa.string()), ('offset', pa.int32()),
+        ('kind', pa.string()), ('text', pa.string()), ('media_ref', pa.string())])
+    pq.write_table(pa.Table.from_pylist(
+        [dict(zip(ext_schema.names, r)) for r in ext_rows], schema=ext_schema),
+        EXP_EXTRACT)
+
+    print(f'wrote {len(rec_rows)} record rows, {len(ext_rows)} extract rows')
+
+
+if __name__ == '__main__':
+    main()
