@@ -1,0 +1,160 @@
+package graft.jobs
+
+import graft.model.LineageRow
+import graft.sources.{Warc, WarcGen}
+import graft.storage.Lineage
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Resumable crawl ingestion: WARC files → HTTP unwrap → charset decode →
+  * DOM parse → main-content spans, with per-FILE lineage commits — the
+  * north rule's checkpoint/resume shape applied at the crawl container
+  * boundary (the [[ExtractJob]] pattern one source earlier).
+  *
+  * The WARC FILE is the resume unit because it is the atomic unit of crawl
+  * ingest: a gzip member stream has no safe split point, so a task owns a
+  * whole file and `partition_id` = file index. Files process in groups; each
+  * group's spans write via dynamic partition overwrite (bucket = file
+  * index) and its lineage rows commit atomically after, so a kill loses at
+  * most one group and a rerun anti-joins committed files — identical
+  * semantics to ExtractJob's bucket groups, proven by the same
+  * crash/resume/no-op spec shape.
+  *
+  * Input synthesis ([[WarcGen]]) is itself resumable and idempotent: each
+  * missing file writes via tmp + atomic rename, derived only from (seed,
+  * file index), so a crashed materialization just fills the gaps on rerun.
+  *
+  * At production scale the same plan holds: the `binaryFile` scan of one
+  * group reads exactly that group's paths (pruning by construction), each
+  * 1 GiB segment parses STREAMING inside its task (peak memory one record,
+  * see [[Warc]]), and per-file skew — one segment with huge pages — is
+  * bounded by the crawl's own file-size cap, the property that makes
+  * file-granular scheduling safe on a 1000-executor cluster.
+  */
+object WarcIngestJob {
+
+  final case class Args(
+      files: Int = 48,
+      pagesPerFile: Int = 40,
+      seed: Long = 42L,
+      out: String = "/tmp/graft_warc",
+      groupSize: Int = 16,
+      cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      failAfterGroups: Int = -1, // test hook: crash BEFORE a group's write
+      clock: () => Long = () => System.currentTimeMillis())
+
+  def crawlDir(out: String): String = s"$out/crawl"
+
+  def filePath(out: String, fileIdx: Int): String =
+    f"${crawlDir(out)}/part-$fileIdx%05d.warc.gz"
+
+  /** Idempotent distributed materialization of the synthetic crawl: every
+    * missing file is generated from (seed, file index) and lands via
+    * tmp + atomic rename, so concurrent tasks and rerun-after-crash both
+    * converge on the same bytes.
+    */
+  def materializeCrawl(spark: SparkSession, args: Args): Unit = {
+    import spark.implicits._
+    new java.io.File(crawlDir(args.out)).mkdirs()
+    val (out, pages, seed) = (args.out, args.pagesPerFile, args.seed)
+    spark.range(args.files).as[Long].foreachPartition { it: Iterator[Long] =>
+      it.foreach { f =>
+        val target = java.nio.file.Paths.get(filePath(out, f.toInt))
+        if (!java.nio.file.Files.exists(target)) {
+          val tmp = java.nio.file.Paths.get(
+            s"${target.toString}.tmp-${java.util.UUID.randomUUID()}")
+          java.nio.file.Files.write(tmp, WarcGen.fileBytes(f.toInt, pages, seed))
+          try java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { // another attempt won the rename race: its bytes are identical
+            case _: java.nio.file.FileAlreadyExistsException =>
+              java.nio.file.Files.deleteIfExists(tmp)
+          }
+        }
+      }
+    }
+  }
+
+  /** One resumable run. Returns (processedFiles, extractedPages). */
+  def run(spark: SparkSession, args: Args): (Int, Long) = {
+    import spark.implicits._
+    materializeCrawl(spark, args)
+    val committed = Lineage.committedPartitions(spark, args.out)
+    val todo = (0 until args.files).filterNot(committed.contains)
+    var pagesDone = 0L
+    var groupsDone = 0
+    todo.grouped(args.groupSize).foreach { group =>
+      if (args.failAfterGroups >= 0 && groupsDone >= args.failAfterGroups)
+        throw new RuntimeException(s"injected failure after $groupsDone groups")
+      // the scan reads EXACTLY this group's files — path-list pruning,
+      // one row (file) per task after the repartition below
+      val paths = group.map(f => filePath(args.out, f))
+      val bytes = spark.read.format("binaryFile").load(paths: _*)
+        .withColumn("name", element_at(split(col("path"), "/"), -1))
+        .select(col("name"), col("content"))
+        .repartition(group.size) // one file per task: the file IS the unit
+        .as[(String, Array[Byte])]
+      val spans = bytes.flatMap { case (name, b) =>
+        val fileIdx = name.stripPrefix("part-").stripSuffix(".warc.gz").toInt
+        Warc.htmlPages(b).flatMap { case (uri, html) =>
+          graft.text.MainContent.extractHtml(html).spans
+            .map(s => (fileIdx, uri, s.offset, s.kind, s.text, s.media_ref))
+        }
+      }.toDF("bucket", "uri", "offset", "kind", "text", "media_ref")
+
+      val obs = org.apache.spark.sql.Observation(s"warc_stats_$groupsDone")
+      val statCols: Seq[org.apache.spark.sql.Column] = group.toSeq.flatMap { f =>
+        Seq(
+          sum(when(col("bucket") === f, 1L).otherwise(0L)).as(s"spans_$f"),
+          sum(when(col("bucket") === f && col("offset") === 0, 1L).otherwise(0L)).as(s"pages_$f"),
+          expr(s"bit_xor(CASE WHEN bucket = $f AND offset = 0 THEN xxhash64(uri) END)").as(s"hash_$f"))
+      }
+      val out = spans.observe(obs, statCols.head, statCols.tail: _*)
+      // idempotent group write: dynamic overwrite replaces exactly this
+      // group's file-partitions, so a crash between write and lineage
+      // commit cannot duplicate rows on resume
+      out.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(s"${args.out}/data")
+      val observed: Map[String, Any] = obs.get
+
+      val now = args.clock()
+      val rows = group.map { f =>
+        val hash = observed.get(s"hash_$f").collect { case l: java.lang.Long => l.longValue() }
+        LineageRow(
+          snapshot_id = args.seed,
+          partition_id = f,
+          partition_hash = hash.map(java.lang.Long.toHexString).getOrElse("0"),
+          doc_count = observed(s"pages_$f").asInstanceOf[Long],
+          span_count = observed(s"spans_$f").asInstanceOf[Long],
+          divergence = 0.0,
+          committed_at = now)
+      }
+      Lineage.append(spark, args.out, rows)
+      pagesDone += rows.map(_.doc_count).sum
+      groupsDone += 1
+    }
+    (todo.size, pagesDone)
+  }
+
+  def main(argv: Array[String]): Unit = {
+    var args = Args()
+    argv.sliding(2, 2).foreach {
+      case Array("--files", v) => args = args.copy(files = v.toInt)
+      case Array("--pages-per-file", v) => args = args.copy(pagesPerFile = v.toInt)
+      case Array("--seed", v) => args = args.copy(seed = v.toLong)
+      case Array("--out", v) => args = args.copy(out = v)
+      case Array("--group-size", v) => args = args.copy(groupSize = v.toInt)
+      case Array("--cores", v) => args = args.copy(cores = v)
+      case Array("--fail-after", v) => args = args.copy(failAfterGroups = v.toInt)
+      case other => throw new IllegalArgumentException(other.mkString(" "))
+    }
+    val spark = ExtractJob.session(args.cores)
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val (files, pages) = run(spark, args)
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"job":"warcingest","files":$files,"pages":$pages,"sec":$sec%.3f,"pages_per_sec":${pages / math.max(sec, 1e-9)}%.1f}""")
+    spark.stop()
+  }
+}

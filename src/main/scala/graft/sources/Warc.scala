@@ -171,27 +171,62 @@ object Warc {
     (status, h.getOrElse("content-type", ""), body)
   }
 
-  /** The `charset=` parameter of a Content-Type value (lowercased),
-    * defaulting to utf-8 (the HTML5 default for captures without one).
+  /** The `charset=` parameter of a Content-Type value (lowercased), or
+    * None when the value carries no parameter (then the body prescan and
+    * finally the HTML5 utf-8 default decide — see [[htmlPages]]).
     */
-  private[sources] def charsetOf(contentType: String): String = {
+  private[sources] def charsetOf(contentType: String): Option[String] = {
     val lower = contentType.toLowerCase(java.util.Locale.ROOT)
     val at = lower.indexOf("charset=")
-    if (at < 0) "utf-8"
-    else lower.substring(at + 8).takeWhile(c => c != ';' && c != ' ').stripPrefix("\"")
-      .stripSuffix("\"")
+    if (at < 0) None
+    else Some(lower.substring(at + 8).takeWhile(c => c != ';' && c != ' ')
+      .stripPrefix("\"").stripSuffix("\""))
+  }
+
+  /** `<meta>` tags in the first 1024 bytes, for [[metaCharset]]'s prescan. */
+  private val MetaTagRe = "(?is)<meta\\b[^>]*".r
+
+  /** `charset = value` inside a meta tag — covers both declaration forms
+    * (`<meta charset=…>` and `http-equiv` with `content="text/html;
+    * charset=…"`, where the pattern matches inside the content value).
+    */
+  private val CharsetAttrRe = "(?i)charset\\s*=\\s*[\"']?\\s*([A-Za-z0-9_][A-Za-z0-9._\\-]*)".r
+
+  /** HTML5 "prescan a byte stream to determine its encoding"
+    * (§13.2.3.2), reduced to the subset a crawl extractor needs: look at
+    * the first 1024 BYTES only (the spec's window — a capture must
+    * declare its encoding early to count), decode them as Latin-1 (every
+    * byte maps, and both declaration forms are ASCII), and take the first
+    * `charset=` inside a `<meta…>` tag — which covers `<meta charset=…>`
+    * and the legacy `<meta http-equiv="Content-Type" content="text/html;
+    * charset=…">` in one rule, quoted or unquoted. Returns the lowercased
+    * label; None when the window declares nothing. Only consulted when
+    * the HTTP header carries no charset parameter (header wins, per the
+    * spec's precedence).
+    */
+  private[graft] def metaCharset(body: Array[Byte]): Option[String] = {
+    val window = new String(body, 0, math.min(body.length, 1024),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    MetaTagRe.findAllIn(window).matchData
+      .flatMap(m => CharsetAttrRe.findFirstMatchIn(m.matched))
+      .map(_.group(1).toLowerCase(java.util.Locale.ROOT))
+      .nextOption()
   }
 
   /** Decoded HTML pages: (targetUri, html) for every 200 `text/html`
-    * response. Unknown charsets throw; non-HTML and non-200 responses are
-    * filtered, not errors (a crawl always carries both).
+    * response. Charset precedence: HTTP header parameter, else the
+    * [[metaCharset]] body prescan, else the HTML5 utf-8 default. Unknown
+    * charsets throw; non-HTML and non-200 responses are filtered, not
+    * errors (a crawl always carries both).
     */
   def htmlPages(bytes: Array[Byte]): Iterator[(String, String)] =
     records(bytes)
       .filter(r => r.warcType == "response" && r.httpStatus == 200 &&
         r.httpContentType.toLowerCase(java.util.Locale.ROOT).startsWith("text/html"))
       .map { r =>
-        val cs = charsetOf(r.httpContentType) match {
+        val label = charsetOf(r.httpContentType)
+          .orElse(metaCharset(r.body)).getOrElse("utf-8")
+        val cs = label match {
           case "utf-8" | "utf8" => java.nio.charset.StandardCharsets.UTF_8
           case "iso-8859-1" | "latin-1" | "latin1" => java.nio.charset.StandardCharsets.ISO_8859_1
           case "us-ascii" | "ascii" => java.nio.charset.StandardCharsets.US_ASCII

@@ -1,0 +1,164 @@
+package graft.sources
+
+import graft.model.Span
+import graft.pipeline.DocsGen.Rng
+
+/** Deterministic synthetic crawl — WARC files for [[graft.jobs.WarcIngestJob]]
+  * and the crawl-chain scale bench, with NO external data (the brief's
+  * synthesize-at-small-scale rule, the DocsGen pattern applied one container
+  * level up).
+  *
+  * Each file is the Common Crawl physical layout the reader supports: one
+  * gzip MEMBER per record — a `warcinfo`, then per page a `request` record
+  * and a `response` record. Page payloads are full chrome-wrapped HTML
+  * articles (header/nav, hinted sidebar, `<article>` with heading +
+  * sentence paragraphs + a planted figure every 4th page, comments,
+  * footer) so the ingest job exercises the REAL extraction heuristics, not
+  * a toy page. Two planted non-extractable shapes keep the filter path
+  * honest: every 13th page is an `application/json` response and every
+  * 17th a 404.
+  *
+  * Everything derives from splitmix64 streams seeded by (seed, global page
+  * index): files are identical at any parallelism and safe under task
+  * retry, and [[expectedSpans]] computes the extraction expectation from
+  * the construction — not by running the extractor — so job tests are
+  * differential against an independent derivation.
+  */
+object WarcGen {
+
+  private val words = Vector(
+    "crawl", "segment", "anchor", "render", "script", "domain", "header",
+    "market", "signal", "packet", "binary", "stream", "bundle", "portal",
+    "record", "branch", "august", "window", "样本", "página")
+
+  /** Sentence pieces of page (global) `pageId` — the article's paragraphs. */
+  def pieces(pageId: Long, seed: Long): Vector[String] = {
+    val rng = new Rng(seed ^ (pageId * 0x9E3779B97F4A7C15L) ^ 0x57A7C0DEL)
+    val n = 2 + rng.nextInt(5)
+    Vector.tabulate(n) { _ =>
+      val len = 4 + rng.nextInt(9)
+      (0 until len).map(_ => words(rng.nextInt(words.length))).mkString(" ")
+    }
+  }
+
+  def uriOf(pageId: Long): String = s"https://crawl.example/$pageId"
+
+  /** Planted-figure rule (same cadence as the catalog's article wrap). */
+  def hasFigure(pageId: Long): Boolean = pageId % 4 == 0
+
+  /** The chrome-wrapped article page (utf-8). */
+  def pageHtml(pageId: Long, ps: Vector[String]): String = {
+    val sb = new java.lang.StringBuilder(1400)
+    sb.append("<!DOCTYPE html>\n<html><head><title>Page ").append(pageId)
+      .append("</title><style>article{margin:0}</style>")
+      .append("<script>var x = 1 < 2;</script></head>\n<body>\n")
+      .append("<header><nav><ul><li><a href=\"/\">Home</a></li>")
+      .append("<li><a href=\"/map\">Sitemap</a></li></ul></nav></header>\n")
+      .append("<aside class=\"sidebar\"><ul>")
+      .append("<li><a href=\"/s/1\">a sidebar teaser with a pile of extra words in it</a></li>")
+      .append("<li><a href=\"/s/2\">another teaser that is also mostly link text</a></li>")
+      .append("</ul></aside>\n<article><h1>Page ").append(pageId).append(" headline</h1>")
+    var i = 0
+    while (i < ps.length) {
+      sb.append("<p>").append(graft.text.HtmlEntities.escape(ps(i))).append("</p>")
+      if (i == 0 && hasFigure(pageId))
+        sb.append("<img src=\"media://page_").append(pageId)
+          .append("/img\" alt=\"figure ").append(pageId).append("\">")
+      i += 1
+    }
+    sb.append("</article>\n<div class=\"comments\"><p>short comment thread body ")
+      .append("with opinions and replies</p></div>\n")
+      .append("<footer><p>footer <a href=\"/legal\">legal</a></p></footer>\n")
+      .append("</body></html>")
+    sb.toString
+  }
+
+  /** The spans [[graft.text.MainContent]] must extract from
+    * [[pageHtml]] — derived from the construction, not the extractor.
+    */
+  def expectedSpans(pageId: Long, seed: Long): Vector[Span] = {
+    val ps = pieces(pageId, seed)
+    val out = Vector.newBuilder[Span]
+    out += Span("heading", s"Page $pageId headline", "", 0)
+    var off = 1
+    var i = 0
+    while (i < ps.length) {
+      out += Span("text", ps(i), "", off); off += 1
+      if (i == 0 && hasFigure(pageId)) {
+        out += Span("image", s"figure $pageId", s"media://page_$pageId/img", off)
+        off += 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Page classes planted besides the extractable article. */
+  def isJson(pageId: Long): Boolean = pageId % 13 == 5
+  def is404(pageId: Long): Boolean = !isJson(pageId) && pageId % 17 == 9
+
+  /** Global page ids of one file. */
+  def pageIds(fileIdx: Int, pagesPerFile: Int): Range = {
+    val base = fileIdx * pagesPerFile
+    base until base + pagesPerFile
+  }
+
+  /** Extractable (200 text/html) page ids of one file. */
+  def htmlPageIds(fileIdx: Int, pagesPerFile: Int): Seq[Long] =
+    pageIds(fileIdx, pagesPerFile).map(_.toLong).filterNot(p => isJson(p) || is404(p))
+
+  private def crlf(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def httpResponse(status: Int, reason: String, ctype: String,
+      body: Array[Byte]): Array[Byte] =
+    crlf(s"HTTP/1.1 $status $reason\r\nContent-Type: $ctype\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n") ++ body
+
+  private def warcRecord(wtype: String, recId: String, uri: String,
+      payload: Array[Byte], ctype: String): Array[Byte] = {
+    val h = new StringBuilder(256)
+    h ++= s"WARC/1.0\r\nWARC-Type: $wtype\r\nWARC-Record-ID: <urn:uuid:$recId>\r\n"
+    h ++= "WARC-Date: 2026-08-17T00:00:00Z\r\n"
+    if (uri.nonEmpty) h ++= s"WARC-Target-URI: $uri\r\n"
+    h ++= s"Content-Type: $ctype\r\nContent-Length: ${payload.length}\r\n\r\n"
+    crlf(h.result()) ++ payload ++ crlf("\r\n\r\n")
+  }
+
+  private def gzipMember(rec: Array[Byte]): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream(rec.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(buf, 1 << 14)
+    gz.write(rec); gz.close() // Java writes MTIME=0: byte-deterministic
+    buf.toByteArray
+  }
+
+  /** One complete crawl file (gzip member per record). */
+  def fileBytes(fileIdx: Int, pagesPerFile: Int, seed: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(pagesPerFile * 700)
+    out.write(gzipMember(warcRecord("warcinfo", s"info-$fileIdx", "",
+      crlf(s"software: graft-warcgen\r\nfile: $fileIdx\r\n"),
+      "application/warc-fields")))
+    pageIds(fileIdx, pagesPerFile).foreach { p0 =>
+      val p = p0.toLong
+      val uri = uriOf(p)
+      out.write(gzipMember(warcRecord("request", s"req-$p", uri,
+        crlf(s"GET /$p HTTP/1.1\r\nHost: crawl.example\r\n\r\n"),
+        "application/http;msgtype=request")))
+      val http =
+        if (isJson(p))
+          httpResponse(200, "OK", "application/json",
+            crlf(s"""{"page":$p}"""))
+        else if (is404(p))
+          httpResponse(404, "Not Found", "text/html; charset=utf-8",
+            "<html><body><main><p>gone</p></main></body></html>"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        else
+          httpResponse(200, "OK", "text/html; charset=utf-8",
+            pageHtml(p, pieces(p, seed))
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.write(gzipMember(warcRecord("response", s"resp-$p", uri, http,
+        "application/http;msgtype=response")))
+    }
+    out.toByteArray
+  }
+}

@@ -32,11 +32,11 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("name", "rec_idx", "warc_type", "uri", "status", "content_type",
         "body_len", "body_sha")
       .orderBy("name", "rec_idx").collect().map(_.toSeq).toVector
-    assert(exp.size == 7)
+    assert(exp.size == 8)
     assert(got == exp)
     // both physical layouts are present and read identically
     assert(got.count(_.head == "sample_00.warc") == 4)
-    assert(got.count(_.head == "sample_01.warc.gz") == 3)
+    assert(got.count(_.head == "sample_01.warc.gz") == 4)
   }
 
   test("composed crawl→spans chain matches the generator's expected spans") {
@@ -45,10 +45,12 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       .parquet("src/test/resources/expected/warc_extract.parquet")
       .select("name", "uri", "offset", "kind", "text", "media_ref")
       .orderBy("name", "uri", "offset").collect().map(_.toSeq).toVector
-    assert(exp.size == 8)
+    assert(exp.size == 11)
     assert(got == exp)
     // the latin-1 page's accents survived the charset decode
     assert(got.exists(_.exists(v => v == "café détail with accents à la carte")))
+    // the meta-declared (http-equiv prescan) page decoded as latin-1 too
+    assert(got.exists(_.exists(v => v == "précis of the meta declared page über all")))
     // the 404 page and the JSON response were filtered, not extracted
     assert(!got.exists(_.exists(v => v.toString.contains("not found"))))
   }
@@ -137,5 +139,34 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[IllegalArgumentException](
       Warc.htmlPages(cap("text/html; charset=shift_jis", html.getBytes(US_ASCII))).toVector)
     assert(e.getMessage.contains("shift_jis") && e.getMessage.contains("https://x/"))
+  }
+
+  test("meta-charset prescan: both declaration forms, 1024-byte window, header precedence") {
+    def b(s: String) = s.getBytes(ISO_8859_1)
+    // modern form, unquoted
+    assert(Warc.metaCharset(b("<html><head><meta charset=ISO-8859-1></head>"))
+      == Some("iso-8859-1"))
+    // legacy http-equiv form, charset inside the content value
+    assert(Warc.metaCharset(b("<head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=UTF-8\"></head>")) == Some("utf-8"))
+    // no declaration in the window
+    assert(Warc.metaCharset(b("<html><head><title>x</title></head>")) == None)
+    // a declaration past the first 1024 bytes is OUTSIDE the prescan window
+    val late = b("<html><head>" + ("<!-- pad -->" * 100) + "<meta charset=utf-8>")
+    assert(late.length > 1024 && Warc.metaCharset(late) == None)
+    // a stray "charset=" outside any meta tag is not a declaration
+    assert(Warc.metaCharset(b("<p>set charset=latin-1 in your config</p>")) == None)
+    // header parameter WINS over a conflicting meta declaration
+    def cap(ct: String, body: Array[Byte]): Array[Byte] = {
+      val http = s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\nContent-Length: ${body.length}\r\n\r\n"
+        .getBytes(US_ASCII) ++ body
+      rec("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://x/\r\n" +
+        s"Content-Type: application/http;msgtype=response\r\nContent-Length: ${http.length}\r\n\r\n",
+        http)
+    }
+    val conflicted = "<head><meta charset=us-ascii></head><body><p>café body</p></body>"
+    val got = Warc.htmlPages(cap("text/html; charset=iso-8859-1",
+      conflicted.getBytes(ISO_8859_1))).toVector
+    assert(got.head._2.contains("café")) // decoded latin-1 per header, not ascii per meta
   }
 }

@@ -7,7 +7,10 @@ Two files exercise both physical layouts the reader supports:
   sample_01.warc.gz  one gzip MEMBER per record (the Common Crawl layout):
                      a latin-1 HTML response whose main content lives in a
                      hinted <div class="post-content"> (not <article>), a 404
-                     HTML response (extraction-skipped), a metadata record
+                     HTML response (extraction-skipped), a latin-1 response
+                     whose charset is declared ONLY by a legacy http-equiv
+                     <meta> in the body (bare text/html HTTP header — the
+                     reader must prescan), a metadata record
 
 Expected rows are computed HERE from the construction, not by running the
 Scala code: record rows from the bytes this script assembles (sha256 of the
@@ -99,6 +102,24 @@ PAGE_B = ('<html><head><title>Latin page</title></head><body>'
 B_SPANS = [('heading', 'Latin Section', '', 0)] + \
           [('text', p, '', i + 1) for i, p in enumerate(B_PARAS)]
 
+# page E: charset declared ONLY via the legacy http-equiv <meta> (the HTTP
+# header is bare text/html) — a reader without the HTML5 prescan decodes
+# the latin-1 accent bytes as broken utf-8 and hash-mismatches
+E_PARAS = ['pr\xe9cis of the meta declared page \xfcber all',
+           'plain second paragraph keeps the block count honest']
+PAGE_E = ('<html><head>'
+          '<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1">'
+          '<title>Meta page</title></head><body>'
+          '<nav><a href="/h">home link text</a></nav>'
+          '<main>'
+          '<h2>Meta Declared</h2>'
+          + ''.join(f'<p>{p}</p>' for p in E_PARAS) +
+          '</main>'
+          '<footer><p>footer words <a href="/c">contact</a></p></footer>'
+          '</body></html>')
+E_SPANS = [('heading', 'Meta Declared', '', 0)] + \
+          [('text', p, '', i + 1) for i, p in enumerate(E_PARAS)]
+
 
 def http_response(status, reason, ctype, body_bytes):
     head = (f'HTTP/1.1 {status} {reason}\r\n'
@@ -165,6 +186,8 @@ def main():
     b_uri = 'https://example.org/latin'
     d_html = b'<html><body><main><p>not found page body text here</p></main></body></html>'
     d_uri = 'https://example.org/missing'
+    e_html = PAGE_E.encode('iso-8859-1')
+    e_uri = 'https://example.org/meta'
     meta_payload = b'fetchTimeMs: 12\r\n'
 
     recs1 = [
@@ -173,6 +196,9 @@ def main():
          'application/http;msgtype=response'),
         ('response', 'r3', d_uri,
          http_response(404, 'Not Found', 'text/html; charset=utf-8', d_html),
+         'application/http;msgtype=response'),
+        ('response', 'r4', e_uri,
+         http_response(200, 'OK', 'text/html', e_html),
          'application/http;msgtype=response'),
         ('metadata', 'm0', b_uri, meta_payload, 'application/warc-fields'),
     ]
@@ -185,9 +211,12 @@ def main():
             f.write(buf.getvalue())
     add_rec(name1, 0, 'response', b_uri, 200, 'text/html; charset=iso-8859-1', b_html)
     add_rec(name1, 1, 'response', d_uri, 404, 'text/html; charset=utf-8', d_html)
-    add_rec(name1, 2, 'metadata', b_uri, 0, '', meta_payload)
+    add_rec(name1, 2, 'response', e_uri, 200, 'text/html', e_html)
+    add_rec(name1, 3, 'metadata', b_uri, 0, '', meta_payload)
     for kind, text, media_ref, off in B_SPANS:
         ext_rows.append((name1, b_uri, off, kind, text, media_ref))
+    for kind, text, media_ref, off in E_SPANS:
+        ext_rows.append((name1, e_uri, off, kind, text, media_ref))
 
     # ---- expected parquet (int32 to match the Scala Int columns) -----------
     rec_schema = pa.schema([
