@@ -7,9 +7,11 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Resumable crawl ingestion: WARC files → HTTP unwrap → charset decode →
-  * DOM parse → main-content spans, with per-FILE lineage commits — the
-  * north rule's checkpoint/resume shape applied at the crawl container
-  * boundary (the [[ExtractJob]] pattern one source earlier).
+  * LENIENT DOM parse → main-content spans, with per-FILE lineage commits —
+  * the north rule's checkpoint/resume shape applied at the crawl container
+  * boundary (the [[ExtractJob]] pattern one source earlier). Pages that
+  * fail even the lenient parse are QUARANTINED per page (`kind = "error"`
+  * rows, counted in lineage `error_count`), never per file.
   *
   * The WARC FILE is the resume unit because it is the atomic unit of crawl
   * ingest: a gzip member stream has no safe split point, so a task owns a
@@ -75,13 +77,14 @@ object WarcIngestJob {
     }
   }
 
-  /** One resumable run. Returns (processedFiles, extractedPages). */
-  def run(spark: SparkSession, args: Args): (Int, Long) = {
+  /** One resumable run. Returns (processedFiles, extractedPages, quarantinedPages). */
+  def run(spark: SparkSession, args: Args): (Int, Long, Long) = {
     import spark.implicits._
     materializeCrawl(spark, args)
     val committed = Lineage.committedPartitions(spark, args.out)
     val todo = (0 until args.files).filterNot(committed.contains)
     var pagesDone = 0L
+    var errorsDone = 0L
     var groupsDone = 0
     todo.grouped(args.groupSize).foreach { group =>
       if (args.failAfterGroups >= 0 && groupsDone >= args.failAfterGroups)
@@ -94,19 +97,32 @@ object WarcIngestJob {
         .select(col("name"), col("content"))
         .repartition(group.size) // one file per task: the file IS the unit
         .as[(String, Array[Byte])]
+      // LENIENT parse (real-web html omits close tags) with a per-PAGE
+      // quarantine: a page whose decode/parse/extraction still fails emits
+      // one `kind = "error"` row (offset −1) instead of killing the file's
+      // task — at crawl scale a single broken capture must cost one row,
+      // not a job. Error rows live in the same bucket partition
+      // (downstream filters `offset >= 0`) and are counted per file in
+      // lineage `error_count`.
       val spans = bytes.flatMap { case (name, b) =>
         val fileIdx = name.stripPrefix("part-").stripSuffix(".warc.gz").toInt
-        Warc.htmlPages(b).flatMap { case (uri, html) =>
-          graft.text.MainContent.extractHtml(html).spans
-            .map(s => (fileIdx, uri, s.offset, s.kind, s.text, s.media_ref))
+        Warc.records(b).filter(Warc.isHtml200).flatMap { r =>
+          try graft.text.MainContent.extractHtmlLenient(Warc.decodeHtml(r)).spans
+            .map(s => (fileIdx, r.targetUri, s.offset, s.kind, s.text, s.media_ref))
+          catch { case scala.util.control.NonFatal(e) =>
+            Seq((fileIdx, r.targetUri, -1,
+              "error", s"${e.getClass.getSimpleName}: " +
+                Option(e.getMessage).getOrElse("").take(200), ""))
+          }
         }
       }.toDF("bucket", "uri", "offset", "kind", "text", "media_ref")
 
       val obs = org.apache.spark.sql.Observation(s"warc_stats_$groupsDone")
       val statCols: Seq[org.apache.spark.sql.Column] = group.toSeq.flatMap { f =>
         Seq(
-          sum(when(col("bucket") === f, 1L).otherwise(0L)).as(s"spans_$f"),
+          sum(when(col("bucket") === f && col("kind") =!= "error", 1L).otherwise(0L)).as(s"spans_$f"),
           sum(when(col("bucket") === f && col("offset") === 0, 1L).otherwise(0L)).as(s"pages_$f"),
+          sum(when(col("bucket") === f && col("kind") === "error", 1L).otherwise(0L)).as(s"errors_$f"),
           expr(s"bit_xor(CASE WHEN bucket = $f AND offset = 0 THEN xxhash64(uri) END)").as(s"hash_$f"))
       }
       val out = spans.observe(obs, statCols.head, statCols.tail: _*)
@@ -128,13 +144,15 @@ object WarcIngestJob {
           doc_count = observed(s"pages_$f").asInstanceOf[Long],
           span_count = observed(s"spans_$f").asInstanceOf[Long],
           divergence = 0.0,
-          committed_at = now)
+          committed_at = now,
+          error_count = observed(s"errors_$f").asInstanceOf[Long])
       }
       Lineage.append(spark, args.out, rows)
       pagesDone += rows.map(_.doc_count).sum
+      errorsDone += rows.map(_.error_count).sum
       groupsDone += 1
     }
-    (todo.size, pagesDone)
+    (todo.size, pagesDone, errorsDone)
   }
 
   def main(argv: Array[String]): Unit = {
@@ -152,9 +170,9 @@ object WarcIngestJob {
     val spark = ExtractJob.session(args.cores)
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val (files, pages) = run(spark, args)
+    val (files, pages, errors) = run(spark, args)
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"job":"warcingest","files":$files,"pages":$pages,"sec":$sec%.3f,"pages_per_sec":${pages / math.max(sec, 1e-9)}%.1f}""")
+    println(f"""{"job":"warcingest","files":$files,"pages":$pages,"quarantined":$errors,"sec":$sec%.3f,"pages_per_sec":${pages / math.max(sec, 1e-9)}%.1f}""")
     spark.stop()
   }
 }

@@ -23,4 +23,5 @@ final case class LineageRow(
     doc_count: Long,
     span_count: Long,
     divergence: Double,
-    committed_at: Long)
+    committed_at: Long,
+    error_count: Long = 0L) // quarantined per-partition inputs (e.g. unparseable crawl pages)

@@ -213,26 +213,36 @@ object Warc {
       .nextOption()
   }
 
+  /** A successfully captured HTML page — the records [[htmlPages]] and the
+    * ingest job extract from.
+    */
+  def isHtml200(r: WarcRecord): Boolean =
+    r.warcType == "response" && r.httpStatus == 200 &&
+      r.httpContentType.toLowerCase(java.util.Locale.ROOT).startsWith("text/html")
+
+  /** Decode one HTML response body. Charset precedence: HTTP header
+    * parameter, else the [[metaCharset]] body prescan, else the HTML5
+    * utf-8 default. Unknown charsets throw with record context.
+    */
+  def decodeHtml(r: WarcRecord): String = {
+    val label = charsetOf(r.httpContentType)
+      .orElse(metaCharset(r.body)).getOrElse("utf-8")
+    val cs = label match {
+      case "utf-8" | "utf8" => java.nio.charset.StandardCharsets.UTF_8
+      case "iso-8859-1" | "latin-1" | "latin1" => java.nio.charset.StandardCharsets.ISO_8859_1
+      case "us-ascii" | "ascii" => java.nio.charset.StandardCharsets.US_ASCII
+      case other => throw new IllegalArgumentException(
+        s"record ${r.recIdx} (${r.targetUri}): unsupported charset '$other'")
+    }
+    new String(r.body, cs)
+  }
+
   /** Decoded HTML pages: (targetUri, html) for every 200 `text/html`
-    * response. Charset precedence: HTTP header parameter, else the
-    * [[metaCharset]] body prescan, else the HTML5 utf-8 default. Unknown
-    * charsets throw; non-HTML and non-200 responses are filtered, not
-    * errors (a crawl always carries both).
+    * response. Non-HTML and non-200 responses are filtered, not errors (a
+    * crawl always carries both); decode failures throw ([[decodeHtml]]) —
+    * the ingest job's per-page quarantine wraps this when tolerance is
+    * wanted.
     */
   def htmlPages(bytes: Array[Byte]): Iterator[(String, String)] =
-    records(bytes)
-      .filter(r => r.warcType == "response" && r.httpStatus == 200 &&
-        r.httpContentType.toLowerCase(java.util.Locale.ROOT).startsWith("text/html"))
-      .map { r =>
-        val label = charsetOf(r.httpContentType)
-          .orElse(metaCharset(r.body)).getOrElse("utf-8")
-        val cs = label match {
-          case "utf-8" | "utf8" => java.nio.charset.StandardCharsets.UTF_8
-          case "iso-8859-1" | "latin-1" | "latin1" => java.nio.charset.StandardCharsets.ISO_8859_1
-          case "us-ascii" | "ascii" => java.nio.charset.StandardCharsets.US_ASCII
-          case other => throw new IllegalArgumentException(
-            s"record ${r.recIdx} (${r.targetUri}): unsupported charset '$other'")
-        }
-        (r.targetUri, new String(r.body, cs))
-      }
+    records(bytes).filter(isHtml200).map(r => (r.targetUri, decodeHtml(r)))
 }

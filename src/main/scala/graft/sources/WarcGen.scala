@@ -14,9 +14,12 @@ import graft.pipeline.DocsGen.Rng
   * articles (header/nav, hinted sidebar, `<article>` with heading +
   * sentence paragraphs + a planted figure every 4th page, comments,
   * footer) so the ingest job exercises the REAL extraction heuristics, not
-  * a toy page. Two planted non-extractable shapes keep the filter path
-  * honest: every 13th page is an `application/json` response and every
-  * 17th a 404.
+  * a toy page. Four planted page classes keep the non-happy paths honest:
+  * `application/json` responses and 404s (filtered, [[isJson]]/[[is404]]),
+  * lexically BROKEN html that fails both parse modes and must be
+  * quarantined per page ([[isBroken]]), and SLOPPY real-web html with
+  * unclosed `<p>` tags that only the lenient parser accepts — with
+  * identical extraction ([[isSloppy]]).
   *
   * Everything derives from splitmix64 streams seeded by (seed, global page
   * index): files are identical at any parallelism and safe under task
@@ -58,9 +61,13 @@ object WarcGen {
       .append("<li><a href=\"/s/1\">a sidebar teaser with a pile of extra words in it</a></li>")
       .append("<li><a href=\"/s/2\">another teaser that is also mostly link text</a></li>")
       .append("</ul></aside>\n<article><h1>Page ").append(pageId).append(" headline</h1>")
+    val sloppy = isSloppy(pageId)
     var i = 0
     while (i < ps.length) {
-      sb.append("<p>").append(graft.text.HtmlEntities.escape(ps(i))).append("</p>")
+      // sloppy pages never close their paragraphs (real-web style; the
+      // lenient parser's implied end tags recover the identical tree)
+      sb.append("<p>").append(graft.text.HtmlEntities.escape(ps(i)))
+      if (!sloppy) sb.append("</p>")
       if (i == 0 && hasFigure(pageId))
         sb.append("<img src=\"media://page_").append(pageId)
           .append("/img\" alt=\"figure ").append(pageId).append("\">")
@@ -97,15 +104,36 @@ object WarcGen {
   def isJson(pageId: Long): Boolean = pageId % 13 == 5
   def is404(pageId: Long): Boolean = !isJson(pageId) && pageId % 17 == 9
 
+  /** BROKEN pages: 200 text/html whose body fails even the lenient parse
+    * (an unterminated comment — a lexical error) — the ingest job must
+    * QUARANTINE these per page, not die per file.
+    */
+  def isBroken(pageId: Long): Boolean =
+    !isJson(pageId) && !is404(pageId) && pageId % 31 == 8
+
+  /** SLOPPY pages: the same article written real-web style — `<p>` tags
+    * never closed — so the strict parser rejects them but lenient implied
+    * end tags recover the IDENTICAL tree (and [[expectedSpans]] is
+    * unchanged). Excludes figure pages: an unclosed `<p>` would swallow
+    * the inline `<img>` into the paragraph.
+    */
+  def isSloppy(pageId: Long): Boolean =
+    !isJson(pageId) && !is404(pageId) && !isBroken(pageId) &&
+      !hasFigure(pageId) && pageId % 7 == 3
+
   /** Global page ids of one file. */
   def pageIds(fileIdx: Int, pagesPerFile: Int): Range = {
     val base = fileIdx * pagesPerFile
     base until base + pagesPerFile
   }
 
-  /** Extractable (200 text/html) page ids of one file. */
+  /** 200 text/html page ids of one file (broken ones included). */
   def htmlPageIds(fileIdx: Int, pagesPerFile: Int): Seq[Long] =
     pageIds(fileIdx, pagesPerFile).map(_.toLong).filterNot(p => isJson(p) || is404(p))
+
+  /** Page ids that actually EXTRACT (html minus the quarantined broken). */
+  def extractablePageIds(fileIdx: Int, pagesPerFile: Int): Seq[Long] =
+    htmlPageIds(fileIdx, pagesPerFile).filterNot(isBroken)
 
   private def crlf(s: String): Array[Byte] =
     s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
@@ -151,6 +179,11 @@ object WarcGen {
         else if (is404(p))
           httpResponse(404, "Not Found", "text/html; charset=utf-8",
             "<html><body><main><p>gone</p></main></body></html>"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        else if (isBroken(p))
+          // lexically broken (unterminated comment): fails BOTH parse modes
+          httpResponse(200, "OK", "text/html; charset=utf-8",
+            s"<html><head><!-- capture $p truncated mid-comment"
               .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         else
           httpResponse(200, "OK", "text/html; charset=utf-8",

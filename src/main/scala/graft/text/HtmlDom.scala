@@ -22,9 +22,13 @@ import scala.collection.mutable
   *  - character references via [[HtmlEntities.unescape]] in text and
   *    attribute values;
   *  - every non-void open tag must be explicitly closed by ITS name —
-  *    mis-nesting, stray close tags, and EOF inside an element throw
-  *    (no browser-style adoption-agency recovery: this parser feeds a
-  *    deterministic extraction oracle, so ambiguity is an error).
+  *    in the default STRICT mode, mis-nesting, stray close tags, and EOF
+  *    inside an element throw (this parser feeds a deterministic
+  *    extraction oracle, so ambiguity is an error there);
+  *    `parse(html, lenient = true)` — the crawl-ingest mode — instead
+  *    applies the deterministic WHATWG tree-recovery subset documented on
+  *    that overload (implied end tags, mismatched-close auto-close, EOF
+  *    auto-close). Lexical errors throw in BOTH modes.
   *
   * Text nodes keep their character data verbatim (entity-decoded);
   * whitespace-ONLY text nodes (inter-tag indentation) are dropped at tree
@@ -54,6 +58,25 @@ object HtmlDom {
   /** Raw-text elements: content is script data, not markup. */
   val RawTextTags: Set[String] = Set("script", "style")
 
+  /** Tags whose OPEN tag implies `</p>` when a `p` is open (WHATWG
+    * §13.2.6.4.7 "in body", the `<p>`-in-button-scope close list) — the
+    * single most common real-web omission (`<p>one<p>two<div>`).
+    */
+  val PClosingTags: Set[String] = Set(
+    "address", "article", "aside", "blockquote", "details", "div", "dl",
+    "fieldset", "figcaption", "figure", "footer", "form", "h1", "h2", "h3",
+    "h4", "h5", "h6", "header", "hr", "main", "menu", "nav", "ol", "p",
+    "pre", "section", "table", "ul")
+
+  /** Sibling-implied end tags (WHATWG "generate implied end tags"): opening
+    * the KEY tag closes an open element in the VALUE set sitting on top of
+    * the stack (`<li>a<li>b`, `<tr>..<tr>`, `<dt>..<dd>`).
+    */
+  val SiblingClosers: Map[String, Set[String]] = Map(
+    "li" -> Set("li"), "dt" -> Set("dt", "dd"), "dd" -> Set("dt", "dd"),
+    "tr" -> Set("tr", "td", "th"), "td" -> Set("td", "th"),
+    "th" -> Set("td", "th"), "option" -> Set("option"))
+
   private def fail(html: String, pos: Int, msg: String): Nothing = {
     val ctx = html.substring(math.max(0, pos - 20), math.min(html.length, pos + 20))
       .replace("\n", "\\n")
@@ -70,7 +93,31 @@ object HtmlDom {
     * `#root` element, so fragments without a single `<html>` envelope
     * parse too.
     */
-  def parse(html: String): Elem = {
+  def parse(html: String): Elem = parse(html, lenient = false)
+
+  /** Parse with an optional LENIENT tree-recovery mode — the crawl-ingest
+    * path's parser (real-web HTML omits close tags constantly; an ingest
+    * job that dies on the first `<p>a<p>b` cannot process a crawl). The
+    * recovery rules are the deterministic core of the WHATWG tree builder:
+    *
+    *  - IMPLIED END TAGS: opening a [[PClosingTags]] member while `p` is
+    *    the innermost open element closes the `p` ([`<p>one<p>two<div>`]);
+    *    opening a [[SiblingClosers]] key closes a matching open sibling on
+    *    top of the stack (`<li>a<li>b`, `<tr>…<tr>`, `<dt>…<dd>`) —
+    *    applied repeatedly, so `<li><p>text<li>` closes both.
+    *  - MISMATCHED CLOSE TAG `</x>`: when `x` is open somewhere on the
+    *    stack, every deeper unclosed element is auto-closed first (the
+    *    `<b><i>t</b>` shape closes the `i`); a close tag for a tag that
+    *    is NOT open is ignored (HTML5 parse error → ignore-token path).
+    *  - EOF auto-closes all open elements.
+    *
+    * Recovery is TREE-level only: lexical errors (CDATA, processing
+    * instructions, unterminated comments / raw text / attribute values)
+    * still throw in both modes — a page broken at the byte level is
+    * quarantine data, not a tree to guess at (WarcIngestJob's error
+    * channel catches these per page).
+    */
+  def parse(html: String, lenient: Boolean): Elem = {
     var i = if (html.nonEmpty && html.charAt(0) == '\uFEFF') 1 else 0
     val n = html.length
     // (tag, attrs, children-so-far) frames; root frame has tag "#root"
@@ -79,6 +126,13 @@ object HtmlDom {
 
     def addText(raw: String): Unit =
       if (raw.nonEmpty && !raw.forall(isWs)) stack.last._3 += Text(HtmlEntities.unescape(raw))
+
+    // pop the innermost open element and graft it into its parent (the
+    // shared step of explicit closes and every lenient auto-close)
+    def closeTop(): Unit = {
+      val (openTag, openAttrs, kids) = stack.remove(stack.length - 1)
+      stack.last._3 += Elem(openTag, openAttrs, kids.toVector)
+    }
 
     def readName(at: Int): (String, Int) = {
       if (at >= n || !isNameStart(html.charAt(at))) fail(html, at, "expected tag name")
@@ -153,15 +207,37 @@ object HtmlDom {
             val (name, afterName) = readName(lt + 2)
             val gt = skipWs(afterName)
             if (gt >= n || html.charAt(gt) != '>') fail(html, gt, s"malformed close tag </$name")
-            if (stack.length == 1) fail(html, lt, s"stray close tag </$name> at top level")
-            val (openTag, openAttrs, kids) = stack.remove(stack.length - 1)
-            if (openTag != name)
-              fail(html, lt, s"mis-nested close tag: </$name> closes <$openTag>")
-            stack.last._3 += Elem(openTag, openAttrs, kids.toVector)
+            if (lenient) {
+              // auto-close deeper unclosed elements down to the matching
+              // open tag; ignore a close tag for a tag that is not open
+              val at = stack.lastIndexWhere(_._1 == name)
+              if (at >= 1) { // 0 is the synthetic #root frame
+                while (stack.length > at) closeTop()
+              }
+            } else {
+              if (stack.length == 1) fail(html, lt, s"stray close tag </$name> at top level")
+              if (stack.last._1 != name)
+                fail(html, lt, s"mis-nested close tag: </$name> closes <${stack.last._1}>")
+              closeTop()
+            }
             i = gt + 1
           case _ =>
             val (name, afterName) = readName(lt + 1)
             val (attrs, selfClosed, afterGt) = readAttrs(afterName)
+            if (lenient) {
+              // implied end tags (before ANY open, void ones included —
+              // `<p>text<hr>` closes the p): </p> before a p-closing
+              // block, sibling closes for li/dt/dd/tr/td/th/option —
+              // repeatedly, so `<li><p>text<li>` closes the p then the li
+              val sib = SiblingClosers.getOrElse(name, Set.empty)
+              var closing = true
+              while (closing && stack.length > 1) {
+                val top = stack.last._1
+                if ((top == "p" && PClosingTags.contains(name)) || sib.contains(top))
+                  closeTop()
+                else closing = false
+              }
+            }
             if (VoidTags.contains(name) || selfClosed) {
               stack.last._3 += Elem(name, attrs, Vector.empty)
               i = afterGt
@@ -192,8 +268,11 @@ object HtmlDom {
       }
     }
     if (stack.length != 1) {
-      val open = stack.drop(1).map(_._1).mkString("<", ">, <", ">")
-      fail(html, n, s"EOF with unclosed elements: $open")
+      if (lenient) while (stack.length > 1) closeTop() // EOF auto-close
+      else {
+        val open = stack.drop(1).map(_._1).mkString("<", ">, <", ">")
+        fail(html, n, s"EOF with unclosed elements: $open")
+      }
     }
     val (_, _, kids) = stack.head
     Elem("#root", Vector.empty, kids.toVector)

@@ -208,4 +208,11 @@ object MainContent {
 
   /** Parse + extract in one step (the per-row pipeline form). */
   def extractHtml(html: String): Extraction = extract(HtmlDom.parse(html))
+
+  /** Parse + extract with [[HtmlDom]]'s lenient tree recovery — the
+    * crawl-ingest form (real-web pages omit close tags; the strict form
+    * stays on the oracle path where ambiguity must be an error).
+    */
+  def extractHtmlLenient(html: String): Extraction =
+    extract(HtmlDom.parse(html, lenient = true))
 }

@@ -162,4 +162,60 @@ class HtmlSpec extends AnyFunSuite {
       Vector(("heading", 0), ("text", 1), ("text", 2)))
     assert(ex.mainText == "Doc 7 title\n\none\n\ntwo")
   }
+
+  // ---- lenient tree recovery (the crawl-ingest mode) -------------------------
+
+  private def leaves(e: HtmlDom.Elem): Vector[String] = e.children.flatMap {
+    case HtmlDom.Text(d) => Vector(d)
+    case c: HtmlDom.Elem => leaves(c)
+  }
+
+  test("lenient: unclosed <p> chain — implied end tags before blocks and EOF") {
+    // strict rejects it, lenient yields three sibling paragraphs
+    intercept[IllegalArgumentException](HtmlDom.parse("<div><p>one<p>two<p>three</div>"))
+    val root = HtmlDom.parse("<div><p>one<p>two<p>three</div>", lenient = true)
+    val div = root.children.head.asInstanceOf[HtmlDom.Elem]
+    assert(div.children.map { case e: HtmlDom.Elem => (e.tag, leaves(e).mkString) } ==
+      Vector(("p", "one"), ("p", "two"), ("p", "three")))
+    // EOF auto-close: no close tags at all
+    val r2 = HtmlDom.parse("<article><p>alpha<p>beta", lenient = true)
+    val art = r2.children.head.asInstanceOf[HtmlDom.Elem]
+    assert(art.tag == "article" && art.children.length == 2)
+  }
+
+  test("lenient: sibling li/tr closes, void p-closer, mismatched and stray close tags") {
+    val ul = HtmlDom.parse("<ul><li>a<li>b<li>c</ul>", lenient = true)
+      .children.head.asInstanceOf[HtmlDom.Elem]
+    assert(ul.children.map { case e: HtmlDom.Elem => leaves(e).mkString } ==
+      Vector("a", "b", "c"))
+    // <hr> (void) closes an open p
+    val d = HtmlDom.parse("<div><p>x<hr></div>", lenient = true)
+      .children.head.asInstanceOf[HtmlDom.Elem]
+    assert(d.children.collect { case e: HtmlDom.Elem => e.tag } == Vector("p", "hr"))
+    // mismatched </b> auto-closes the deeper <i>; the stray </i> is ignored
+    val p = HtmlDom.parse("<p><b>one<i>two</b>three</i></p>", lenient = true)
+      .children.head.asInstanceOf[HtmlDom.Elem]
+    val b = p.children.head.asInstanceOf[HtmlDom.Elem]
+    assert(b.tag == "b" && leaves(b).mkString == "onetwo")
+    assert(p.children.collect { case HtmlDom.Text(t) => t } == Vector("three"))
+    // close tag for a never-opened tag is ignored entirely
+    assert(leaves(HtmlDom.parse("<div>a</span>b</div>", lenient = true)) == Vector("a", "b"))
+  }
+
+  test("lenient: lexical errors still throw; extraction works over recovered trees") {
+    intercept[IllegalArgumentException](
+      HtmlDom.parse("<div><!-- unterminated", lenient = true))
+    intercept[IllegalArgumentException](
+      HtmlDom.parse("<div><![CDATA[x]]></div>", lenient = true))
+    // a real-web-shaped page: unclosed paragraphs inside the article
+    val page = "<body><nav><a href=\"/\">home</a></nav>" +
+      "<article><h1>Title</h1><p>first para<p>second para</article>" +
+      "<footer><p>legal</footer></body>"
+    val ex = MainContent.extractHtmlLenient(page)
+    assert(ex.containerTag == "article")
+    assert(ex.spans.map(s => (s.kind, s.text)) ==
+      Vector(("heading", "Title"), ("text", "first para"), ("text", "second para")))
+    // strict mode still refuses the same page
+    intercept[IllegalArgumentException](MainContent.extractHtml(page))
+  }
 }
