@@ -85,6 +85,7 @@ object SparkEntry {
     "pipeline_dataprep" -> (Queries.dataprepPipeline(_, _)),
     "q_stream_neardup" -> ((s, d) => graft.streaming.StreamOps.streamNearDupQuery(s, d)),
     "q_html_spans" -> (Queries.htmlSpans(_, _)),
+    "q_html_sloppy" -> (Queries.htmlSpansSloppy(_, _)),
     "q_html_main" -> (Queries.htmlMain(_, _)),
     "q_warc_records" -> (Queries.warcRecords(_, _)),
     "q_warc_extract" -> (Queries.warcExtract(_, _)),
@@ -113,6 +114,30 @@ object SparkEntry {
     "pipeline_eval" -> (Eval.pipelineEval(_, _)),
     "pipeline_eval_grouped" -> (Eval.pipelineEvalGrouped(_, _))
   )
+
+  /** Span reconstruction for the synthesized article wrap — shared by
+    * `q_html_spans` (strict parse of the well-formed page) and
+    * `q_html_sloppy` (lenient parse of the unclosed-tags page): both must
+    * extract the identical spans, and the oracle derives them from the
+    * raw text column without parsing any HTML.
+    */
+  private val htmlSpansOracleSql: String =
+    s"""WITH pieces AS (SELECT doc_id,
+      |    unnest(range(len(string_split(text, '. ')))) AS i0,
+      |    unnest(string_split(text, '. ')) AS piece
+      |  FROM documents)
+      |SELECT doc_id, CAST(off AS INT) AS "offset", kind, text, media_ref FROM (
+      |  SELECT doc_id, 0 AS off, 'heading' AS kind,
+      |    'Doc ' || doc_id || ' title' AS text, '' AS media_ref FROM documents
+      |  UNION ALL
+      |  SELECT doc_id,
+      |    1 + i0 + (CASE WHEN doc_id % ${Queries.HtmlImgEvery} = 0 AND i0 >= 1 THEN 1 ELSE 0 END),
+      |    'text', piece, '' FROM pieces
+      |  UNION ALL
+      |  SELECT doc_id, 2, 'image', 'figure for doc ' || doc_id,
+      |    'media://doc_' || doc_id || '/img_0'
+      |  FROM documents WHERE doc_id % ${Queries.HtmlImgEvery} = 0)
+      |ORDER BY doc_id, off""".stripMargin
 
   private val dupsCte: String =
     """WITH all_docs AS (
@@ -313,23 +338,11 @@ object SparkEntry {
     // planted figure at offset 2 on every HtmlImgEvery-th doc (later
     // pieces shift by one) — any parser/heuristic/entity defect lands as
     // a hash mismatch against this independent reconstruction
-    "q_html_spans" ->
-      s"""WITH pieces AS (SELECT doc_id,
-        |    unnest(range(len(string_split(text, '. ')))) AS i0,
-        |    unnest(string_split(text, '. ')) AS piece
-        |  FROM documents)
-        |SELECT doc_id, CAST(off AS INT) AS "offset", kind, text, media_ref FROM (
-        |  SELECT doc_id, 0 AS off, 'heading' AS kind,
-        |    'Doc ' || doc_id || ' title' AS text, '' AS media_ref FROM documents
-        |  UNION ALL
-        |  SELECT doc_id,
-        |    1 + i0 + (CASE WHEN doc_id % ${Queries.HtmlImgEvery} = 0 AND i0 >= 1 THEN 1 ELSE 0 END),
-        |    'text', piece, '' FROM pieces
-        |  UNION ALL
-        |  SELECT doc_id, 2, 'image', 'figure for doc ' || doc_id,
-        |    'media://doc_' || doc_id || '/img_0'
-        |  FROM documents WHERE doc_id % ${Queries.HtmlImgEvery} = 0)
-        |ORDER BY doc_id, off""".stripMargin,
+    "q_html_spans" -> htmlSpansOracleSql,
+    // the sloppy (real-web, unclosed-tags) page recovers to the IDENTICAL
+    // tree under the lenient parser, so its oracle is the SAME
+    // reconstruction — verbatim
+    "q_html_sloppy" -> htmlSpansOracleSql,
     "q_html_main" ->
       s"""SELECT doc_id, 'article' AS container,
         |  CAST(len(string_split(text, '. ')) + 1

@@ -43,6 +43,7 @@ object WarcIngestJob {
       groupSize: Int = 16,
       cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       failAfterGroups: Int = -1, // test hook: crash BEFORE a group's write
+      nest: Boolean = true, // publish the docs-shaped snapshot once complete
       clock: () => Long = () => System.currentTimeMillis())
 
   def crawlDir(out: String): String = s"$out/crawl"
@@ -152,7 +153,38 @@ object WarcIngestJob {
       errorsDone += rows.map(_.error_count).sum
       groupsDone += 1
     }
+    // once EVERY file is committed, publish the docs-shaped snapshot
+    // (skipped when a prior run already published it and nothing changed)
+    if (args.nest &&
+        Lineage.committedPartitions(spark, args.out).size == args.files &&
+        (todo.nonEmpty ||
+          !graft.storage.Snapshots.isCommitted(s"${args.out}/docs", args.seed)))
+      nestDocs(spark, args.out, args.seed)
     (todo.size, pagesDone, errorsDone)
+  }
+
+  /** Bridge the committed flat span table into the input_hint DOCS shape —
+    * `(doc_id: string, spans: array<struct<kind,text,media_ref,offset>>)`
+    * with doc_id = page uri and spans in offset order — committed as a
+    * [[Snapshots]] snapshot, so the crawl output IS a valid input table
+    * for every docs-shaped consumer (the extraction flagship's contract).
+    * Quarantined `kind = "error"` rows are excluded. One shuffle, keyed by
+    * uri — the grouping is per page, so skew is bounded by the largest
+    * single page, and the nested row's size by that page's span count.
+    */
+  def nestDocs(spark: SparkSession, out: String, snapshotId: Long): Unit = {
+    val flat = spark.read.parquet(s"$out/data").filter(col("offset") >= 0)
+    val docs = flat
+      .groupBy(col("uri").as("doc_id"))
+      // array_sort on the struct sorts by its FIRST field — offset — which
+      // is why the collect struct leads with it; the transform then
+      // reorders fields to the input_hint's (kind, text, media_ref, offset)
+      .agg(array_sort(collect_list(struct(
+        col("offset"), col("kind"), col("text"), col("media_ref")))).as("s0"))
+      .select(col("doc_id"),
+        expr("transform(s0, x -> struct(x.kind AS kind, x.text AS text, " +
+          "x.media_ref AS media_ref, x.offset AS offset))").as("spans"))
+    graft.storage.Snapshots.commit(docs, s"$out/docs", snapshotId)
   }
 
   def main(argv: Array[String]): Unit = {
@@ -165,6 +197,7 @@ object WarcIngestJob {
       case Array("--group-size", v) => args = args.copy(groupSize = v.toInt)
       case Array("--cores", v) => args = args.copy(cores = v)
       case Array("--fail-after", v) => args = args.copy(failAfterGroups = v.toInt)
+      case Array("--nest", v) => args = args.copy(nest = v.toBoolean)
       case other => throw new IllegalArgumentException(other.mkString(" "))
     }
     val spark = ExtractJob.session(args.cores)

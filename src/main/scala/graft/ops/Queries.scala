@@ -1047,6 +1047,47 @@ object Queries {
     sb.toString
   }
 
+  /** The SAME page written real-web style: no `</p>` close tags (except
+    * before a planted inline `<img>`, which an open `<p>` would swallow),
+    * unclosed `<li>`s in the nav/sidebar lists, and no `</body></html>`
+    * envelope closes — every omission is one [[graft.text.HtmlDom]]
+    * lenient-recovery rule (implied `</p>`/`</li>`, mismatched-close
+    * auto-close at `</ul>`/`</article>`, EOF auto-close), and the
+    * recovered tree is IDENTICAL to [[htmlPageFor]]'s, so
+    * [[htmlSpansSloppy]] shares `q_html_spans`' oracle verbatim.
+    */
+  private[graft] def htmlPageSloppyFor(docId: Long, text: String): String = {
+    val pieces = text.split("\\. ", -1)
+    val sb = new java.lang.StringBuilder(text.length + 1100)
+    sb.append("<!DOCTYPE html>\n<html><head><title>Doc ").append(docId)
+      .append("</title><style>article{margin:0 auto}</style>")
+      .append("<script>var graftPage = 1 < 2;</script></head>\n<body>\n")
+      .append("<header><nav><ul><li><a href=\"/\">Home</a>")
+      .append("<li><a href=\"/archive\">Archive</a>")
+      .append("<li><a href=\"/about\">About us</a></ul></nav></header>\n")
+      .append("<aside class=\"sidebar\"><h3>Related posts</h3><ul>")
+      .append("<li><a href=\"/p/1\">a related piece about table scan merge order in long form</a>")
+      .append("<li><a href=\"/p/2\">another related article on hash join windows and streams</a>")
+      .append("<li><a href=\"/p/3\">further reading on batch vectors and partition pruning</a>")
+      .append("</ul></aside>\n<article><h1>Doc ").append(docId).append(" title</h1>")
+    var i = 0
+    while (i < pieces.length) {
+      sb.append("<p>").append(graft.text.HtmlEntities.escape(pieces(i)))
+      if (i == 0 && docId % HtmlImgEvery == 0) {
+        sb.append("</p>") // an open <p> would swallow the inline figure
+        sb.append("<img src=\"media://doc_").append(docId)
+          .append("/img_0\" alt=\"figure for doc ").append(docId).append("\">")
+      }
+      i += 1
+    }
+    sb.append("</article>\n<div class=\"comments\"><h3>Comments</h3>")
+      .append("<p>first comment nice post thanks for sharing this with us")
+      .append("<p>second comment totally agree with the points the author makes here</div>\n")
+      .append("<footer><p>copyright 2026 example corp all rights reserved ")
+      .append("<a href=\"/privacy\">privacy</a> <a href=\"/terms\">terms</a></footer>\n")
+    sb.toString
+  }
+
   /** HTML main-content extraction to INTERLEAVED SPANS — the north rule's
     * "HTML boilerplate strip … DOM heuristics" capability over the
     * input_hint span model: per row, parse the synthesized page
@@ -1095,6 +1136,29 @@ object Queries {
       .select(col("doc_id"), col("container"), col("n_spans"), col("n_images"),
         md5(col("main_text")).as("main_sha"))
       .orderBy("doc_id")
+  }
+
+  /** [[htmlSpans]] over the REAL-WEB form of the same page
+    * ([[htmlPageSloppyFor]]: unclosed `<p>`/`<li>`, no envelope closes)
+    * through [[graft.text.MainContent.extractHtmlLenient]] — the
+    * oracle-gate for the lenient parser's recovery rules: the recovered
+    * tree must be identical to the well-formed page's, so this query
+    * shares `q_html_spans`' SQL reconstruction VERBATIM, and any recovery
+    * rule that drifts (a paragraph swallowed, a list flattened wrong, an
+    * EOF close misplaced) lands as a hash mismatch. Same narrow
+    * zero-shuffle plan shape.
+    */
+  def htmlSpansSloppy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = resplitForCpu(spark,
+      t(spark, dir, "documents").select(col("doc_id"), col("text")))
+    docs.as[(Long, String)]
+      .flatMap { case (d, txt) =>
+        graft.text.MainContent.extractHtmlLenient(htmlPageSloppyFor(d, txt)).spans
+          .map(s => (d, s.offset, s.kind, s.text, s.media_ref))
+      }
+      .toDF("doc_id", "offset", "kind", "text", "media_ref")
+      .orderBy("doc_id", "offset")
   }
 
   // ---- composed data-prep flagship ------------------------------------------

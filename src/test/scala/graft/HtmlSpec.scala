@@ -163,6 +163,19 @@ class HtmlSpec extends AnyFunSuite {
     assert(ex.mainText == "Doc 7 title\n\none\n\ntwo")
   }
 
+  test("sloppy page wrap recovers to the identical extraction; strict rejects it") {
+    for (docId <- Seq(7L, 8L)) { // with and without the planted figure
+      val text = "a & b < c. second piece. third"
+      val clean = MainContent.extractHtml(graft.ops.Queries.htmlPageFor(docId, text))
+      val sloppy = MainContent.extractHtmlLenient(
+        graft.ops.Queries.htmlPageSloppyFor(docId, text))
+      assert(sloppy.containerTag == clean.containerTag)
+      assert(sloppy.spans == clean.spans)
+      intercept[IllegalArgumentException](
+        MainContent.extractHtml(graft.ops.Queries.htmlPageSloppyFor(docId, text)))
+    }
+  }
+
   // ---- lenient tree recovery (the crawl-ingest mode) -------------------------
 
   private def leaves(e: HtmlDom.Elem): Vector[String] = e.children.flatMap {

@@ -59,6 +59,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // rangepartitioning — a hash shuffle or a WindowExec would mean the
     // extraction itself stopped being embarrassingly parallel
     Seq(graft.ops.Queries.htmlSpans(spark, dir),
+        graft.ops.Queries.htmlSpansSloppy(spark, dir),
         graft.ops.Queries.htmlMain(spark, dir)).foreach { df =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange hashpartitioning"),
