@@ -87,8 +87,10 @@ object SparkEntry {
     "q_html_spans" -> (Queries.htmlSpans(_, _)),
     "q_html_sloppy" -> (Queries.htmlSpansSloppy(_, _)),
     "q_html_main" -> (Queries.htmlMain(_, _)),
+    "q_html_meta" -> (Queries.htmlMeta(_, _)),
     "q_warc_records" -> (Queries.warcRecords(_, _)),
     "q_warc_extract" -> (Queries.warcExtract(_, _)),
+    "q_warc_links" -> (Queries.warcLinks(_, _)),
     "q_stratified_sample" -> (Queries.stratifiedSample(_, _)),
     "q_token_count" -> (Queries.tokenCount(_, _)),
     "q_token_count_bpe" -> (Queries.tokenCountBpe(_, _)),
@@ -351,6 +353,15 @@ object SparkEntry {
         |  md5('Doc ' || doc_id || ' title' || chr(10) || chr(10)
         |    || replace(text, '. ', chr(10) || chr(10))) AS main_sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // every metadata field reconstructs from the documents table (the page
+    // plants title/description/canonical from doc_id, lang from the lang
+    // column, and exactly 8 chrome anchors)
+    "q_html_meta" ->
+      """SELECT doc_id, 'Doc ' || doc_id AS title, lang,
+        |  'About doc ' || doc_id AS description,
+        |  'https://docs.example/' || doc_id AS canonical,
+        |  CAST(8 AS INT) AS n_links
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       s"""WITH docs0 AS (SELECT doc_id, text FROM documents),
         |ev AS (SELECT doc_id, text FROM docs0 WHERE doc_id % 97 = 0),
@@ -513,6 +524,10 @@ object SparkEntry {
       """SELECT name, uri, "offset", kind, text, media_ref
         |FROM read_parquet('/root/repo/src/test/resources/expected/warc_extract.parquet')
         |ORDER BY name, uri, "offset"""".stripMargin,
+    "q_warc_links" ->
+      """SELECT name, uri, link_idx, href, anchor, rel
+        |FROM read_parquet('/root/repo/src/test/resources/expected/warc_links.parquet')
+        |ORDER BY name, uri, link_idx""".stripMargin,
     // born-digital text extraction: expected lines computed by the
     // independent pure-Python content-stream interpreter twin
     // (tools/gen_pdftext_fixture.py) under the same documented line rules

@@ -87,16 +87,28 @@ object WarcIngestJob {
     var pagesDone = 0L
     var errorsDone = 0L
     var groupsDone = 0
-    todo.grouped(args.groupSize).foreach { group =>
+    // one crawl file per task WITHOUT a repartition: a repartition would
+    // shuffle the file BYTES (gigabytes per group at production segment
+    // sizes); instead, with maxPartitionBytes below the 4 MiB open cost
+    // the scan planner refuses to pack two files into one split, so each
+    // task owns one whole file with zero data movement (the conf must be
+    // live at ACTION time — physical scan planning — hence run-scoped)
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", s"${1 << 20}")
+    try todo.grouped(args.groupSize).foreach { group =>
       if (args.failAfterGroups >= 0 && groupsDone >= args.failAfterGroups)
         throw new RuntimeException(s"injected failure after $groupsDone groups")
-      // the scan reads EXACTLY this group's files — path-list pruning,
-      // one row (file) per task after the repartition below
+      // the scan reads EXACTLY this group's files — path-list pruning.
+      // One file per PARTITION comes from the packing confs, NOT a
+      // repartition: repartition would shuffle the file BYTES (gigabytes
+      // per group at production segment sizes); with maxPartitionBytes
+      // below the open cost the scan planner simply refuses to pack two
+      // files into one split, so each task owns one whole file with zero
+      // data movement.
       val paths = group.map(f => filePath(args.out, f))
       val bytes = spark.read.format("binaryFile").load(paths: _*)
         .withColumn("name", element_at(split(col("path"), "/"), -1))
         .select(col("name"), col("content"))
-        .repartition(group.size) // one file per task: the file IS the unit
         .as[(String, Array[Byte])]
       // LENIENT parse (real-web html omits close tags) with a per-PAGE
       // quarantine: a page whose decode/parse/extraction still fails emits
@@ -152,7 +164,7 @@ object WarcIngestJob {
       pagesDone += rows.map(_.doc_count).sum
       errorsDone += rows.map(_.error_count).sum
       groupsDone += 1
-    }
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
     // once EVERY file is committed, publish the docs-shaped snapshot
     // (skipped when a prior run already published it and nothing changed)
     if (args.nest &&

@@ -1016,18 +1016,23 @@ object Queries {
     * article's interleaved spans — which the DuckDB oracle reconstructs
     * from the raw text column without parsing any HTML.
     */
-  private[graft] def htmlPageFor(docId: Long, text: String): String = {
+  private[graft] def htmlPageFor(docId: Long, text: String, lang: String = "en"): String = {
     val pieces = text.split("\\. ", -1)
     val sb = new java.lang.StringBuilder(text.length + 1200)
-    sb.append("<!DOCTYPE html>\n<html><head><title>Doc ").append(docId)
-      .append("</title><style>article{margin:0 auto}</style>")
+    sb.append("<!DOCTYPE html>\n<html lang=\"").append(lang)
+      .append("\"><head><title>Doc ").append(docId)
+      .append("</title><meta name=\"description\" content=\"About doc ")
+      .append(docId).append("\">")
+      .append("<link rel=\"canonical\" href=\"https://docs.example/")
+      .append(docId).append("\">")
+      .append("<style>article{margin:0 auto}</style>")
       .append("<script>var graftPage = 1 < 2;</script></head>\n<body>\n")
       .append("<header><nav><ul><li><a href=\"/\">Home</a></li>")
       .append("<li><a href=\"/archive\">Archive</a></li>")
       .append("<li><a href=\"/about\">About us</a></li></ul></nav></header>\n")
       .append("<aside class=\"sidebar\"><h3>Related posts</h3><ul>")
       .append("<li><a href=\"/p/1\">a related piece about table scan merge order in long form</a></li>")
-      .append("<li><a href=\"/p/2\">another related article on hash join windows and streams</a></li>")
+      .append("<li><a href=\"/p/2\" rel=\"nofollow\">another related article on hash join windows and streams</a></li>")
       .append("<li><a href=\"/p/3\">further reading on batch vectors and partition pruning</a></li>")
       .append("</ul></aside>\n<article><h1>Doc ").append(docId).append(" title</h1>")
     var i = 0
@@ -1056,18 +1061,23 @@ object Queries {
     * recovered tree is IDENTICAL to [[htmlPageFor]]'s, so
     * [[htmlSpansSloppy]] shares `q_html_spans`' oracle verbatim.
     */
-  private[graft] def htmlPageSloppyFor(docId: Long, text: String): String = {
+  private[graft] def htmlPageSloppyFor(docId: Long, text: String, lang: String = "en"): String = {
     val pieces = text.split("\\. ", -1)
     val sb = new java.lang.StringBuilder(text.length + 1100)
-    sb.append("<!DOCTYPE html>\n<html><head><title>Doc ").append(docId)
-      .append("</title><style>article{margin:0 auto}</style>")
+    sb.append("<!DOCTYPE html>\n<html lang=\"").append(lang)
+      .append("\"><head><title>Doc ").append(docId)
+      .append("</title><meta name=\"description\" content=\"About doc ")
+      .append(docId).append("\">")
+      .append("<link rel=\"canonical\" href=\"https://docs.example/")
+      .append(docId).append("\">")
+      .append("<style>article{margin:0 auto}</style>")
       .append("<script>var graftPage = 1 < 2;</script></head>\n<body>\n")
       .append("<header><nav><ul><li><a href=\"/\">Home</a>")
       .append("<li><a href=\"/archive\">Archive</a>")
       .append("<li><a href=\"/about\">About us</a></ul></nav></header>\n")
       .append("<aside class=\"sidebar\"><h3>Related posts</h3><ul>")
       .append("<li><a href=\"/p/1\">a related piece about table scan merge order in long form</a>")
-      .append("<li><a href=\"/p/2\">another related article on hash join windows and streams</a>")
+      .append("<li><a href=\"/p/2\" rel=\"nofollow\">another related article on hash join windows and streams</a>")
       .append("<li><a href=\"/p/3\">further reading on batch vectors and partition pruning</a>")
       .append("</ul></aside>\n<article><h1>Doc ").append(docId).append(" title</h1>")
     var i = 0
@@ -1159,6 +1169,26 @@ object Queries {
       }
       .toDF("doc_id", "offset", "kind", "text", "media_ref")
       .orderBy("doc_id", "offset")
+  }
+
+  /** Page METADATA extraction ([[graft.text.PageMeta]]) over the
+    * synthesized wrap: `<title>`, `<html lang>` (planted from the corpus
+    * `lang` column — data-driven, not a constant), the description meta,
+    * the canonical link, and the outlink count (the page plants exactly 8
+    * chrome anchors). Same narrow zero-shuffle plan; the oracle
+    * reconstructs every field from the documents table.
+    */
+  def htmlMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = resplitForCpu(spark,
+      t(spark, dir, "documents").select(col("doc_id"), col("text"), col("lang")))
+    docs.as[(Long, String, String)]
+      .map { case (d, txt, lg) =>
+        val m = graft.text.PageMeta.ofHtml(htmlPageFor(d, txt, lg))
+        (d, m.title, m.lang, m.description, m.canonical, m.links.length)
+      }
+      .toDF("doc_id", "title", "lang", "description", "canonical", "n_links")
+      .orderBy("doc_id")
   }
 
   // ---- composed data-prep flagship ------------------------------------------
@@ -1632,6 +1662,29 @@ object Queries {
       }
       .toDF("name", "uri", "offset", "kind", "text", "media_ref")
       .orderBy("name", "uri", "offset")
+  }
+
+  /** Crawl-FRONTIER extraction over the committed captures: every anchor
+    * of every 200 `text/html` page in document order — href, flattened
+    * anchor text, and `rel` (the nofollow signal a crawler honors) — via
+    * [[graft.text.PageMeta]]. The oracle is the independent expected
+    * table the fixture generator computes from the links it plants.
+    */
+  def warcLinks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .load(s"$mediaDir/warc/*")
+      .withColumn("name", element_at(split(col("path"), "/"), -1))
+      .select(col("name"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (n, bytes) =>
+        graft.sources.Warc.htmlPages(bytes).flatMap { case (uri, html) =>
+          graft.text.PageMeta.ofHtml(html).links.zipWithIndex.map {
+            case (l, i) => (n, uri, i, l.href, l.anchor, l.rel)
+          }
+        }
+      }
+      .toDF("name", "uri", "link_idx", "href", "anchor", "rel")
+      .orderBy("name", "uri", "link_idx")
   }
 
   /** Batched multimodal feature extraction — the Spark-native shape of the

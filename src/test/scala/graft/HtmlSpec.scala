@@ -176,6 +176,27 @@ class HtmlSpec extends AnyFunSuite {
     }
   }
 
+  test("PageMeta: title/lang/description/canonical first-match, links in document order") {
+    val m = graft.text.PageMeta.ofHtml(
+      "<html lang=\"fr\"><head><title>One</title><title>Two</title>" +
+        "<meta name=\"description\" content=\"d1\">" +
+        "<meta name=\"description\" content=\"d2\">" +
+        "<link rel=\"canonical\" href=\"https://c/1\">" +
+        "<link rel=\"stylesheet\" href=\"/s.css\"></head>" +
+        "<body><a href=\"/a\">first <b>bold</b></a>" +
+        "<p>x <a href=\"/b\" rel=\"nofollow\">second</a></p>" +
+        "<a name=\"no-href\">not a link</a></body></html>")
+    assert(m.title == "One" && m.lang == "fr")
+    assert(m.description == "d1" && m.canonical == "https://c/1")
+    assert(m.links == Vector(
+      graft.text.PageMeta.Link("/a", "first bold", ""),
+      graft.text.PageMeta.Link("/b", "second", "nofollow")))
+    // absent fields default to ""
+    val e = graft.text.PageMeta.ofHtml("<body><p>plain</p></body>")
+    assert(e.title == "" && e.lang == "" && e.description == "" &&
+      e.canonical == "" && e.links.isEmpty)
+  }
+
   // ---- lenient tree recovery (the crawl-ingest mode) -------------------------
 
   private def leaves(e: HtmlDom.Elem): Vector[String] = e.children.flatMap {

@@ -55,6 +55,18 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.exists(_.exists(v => v.toString.contains("not found"))))
   }
 
+  test("crawl-frontier links match the generator's expected table") {
+    val got = graft.ops.Queries.warcLinks(spark, "").collect().map(_.toSeq).toVector
+    val exp = spark.read
+      .parquet("src/test/resources/expected/warc_links.parquet")
+      .select("name", "uri", "link_idx", "href", "anchor", "rel")
+      .orderBy("name", "uri", "link_idx").collect().map(_.toSeq).toVector
+    assert(exp.size == 13)
+    assert(got == exp)
+    // the planted nofollow is carried through
+    assert(got.exists(r => r(3) == "/p/2" && r(5) == "nofollow"))
+  }
+
   // ---- framing rejections ----------------------------------------------------
 
   private def rec(headers: String, payload: Array[Byte], sep: String = "\r\n\r\n"): Array[Byte] =

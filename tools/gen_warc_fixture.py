@@ -37,6 +37,7 @@ import pyarrow.parquet as pq
 OUTDIR = 'src/test/resources/media/warc'
 EXP_RECORDS = 'src/test/resources/expected/warc_records.parquet'
 EXP_EXTRACT = 'src/test/resources/expected/warc_extract.parquet'
+EXP_LINKS = 'src/test/resources/expected/warc_links.parquet'
 
 IMG_EVERY = 4  # must match Queries.HtmlImgEvery
 
@@ -45,7 +46,9 @@ def page_for(doc_id, text):
     """Python mirror of Queries.htmlPageFor (the deterministic article wrap)."""
     pieces = text.split('. ')
     out = io.StringIO()
-    out.write(f'<!DOCTYPE html>\n<html><head><title>Doc {doc_id}</title>'
+    out.write(f'<!DOCTYPE html>\n<html lang="en"><head><title>Doc {doc_id}</title>'
+              f'<meta name="description" content="About doc {doc_id}">'
+              f'<link rel="canonical" href="https://docs.example/{doc_id}">'
               '<style>article{margin:0 auto}</style>'
               '<script>var graftPage = 1 < 2;</script></head>\n<body>\n'
               '<header><nav><ul><li><a href="/">Home</a></li>'
@@ -53,7 +56,7 @@ def page_for(doc_id, text):
               '<li><a href="/about">About us</a></li></ul></nav></header>\n'
               '<aside class="sidebar"><h3>Related posts</h3><ul>'
               '<li><a href="/p/1">a related piece about table scan merge order in long form</a></li>'
-              '<li><a href="/p/2">another related article on hash join windows and streams</a></li>'
+              '<li><a href="/p/2" rel="nofollow">another related article on hash join windows and streams</a></li>'
               '<li><a href="/p/3">further reading on batch vectors and partition pruning</a></li>'
               f'</ul></aside>\n<article><h1>Doc {doc_id} title</h1>')
     for i, p in enumerate(pieces):
@@ -143,6 +146,25 @@ def main():
 
     rec_rows = []   # (name, rec_idx, warc_type, uri, status, content_type, body_len, body_sha)
     ext_rows = []   # (name, uri, offset, kind, text, media_ref)
+    link_rows = []  # (name, uri, link_idx, href, anchor, rel)
+
+    # anchors of each 200 text/html page IN DOCUMENT ORDER, enumerated from
+    # the construction (the independent expectation for q_warc_links)
+    PAGE_A_LINKS = [
+        ('/', 'Home', ''), ('/archive', 'Archive', ''), ('/about', 'About us', ''),
+        ('/p/1', 'a related piece about table scan merge order in long form', ''),
+        ('/p/2', 'another related article on hash join windows and streams', 'nofollow'),
+        ('/p/3', 'further reading on batch vectors and partition pruning', ''),
+        ('/privacy', 'privacy', ''), ('/terms', 'terms', '')]
+    PAGE_B_LINKS = [
+        ('/x', 'sidebar link one with plenty of words', ''),
+        ('/y', 'sidebar link two with plenty more words', ''),
+        ('/t', 'terms', '')]
+    PAGE_E_LINKS = [('/h', 'home link text', ''), ('/c', 'contact', '')]
+
+    def add_links(name, uri, links):
+        for i, (href, anchor, rel) in enumerate(links):
+            link_rows.append((name, uri, i, href, anchor, rel))
 
     def add_rec(name, idx, wtype, uri, status, ctype, body):
         rec_rows.append((name, idx, wtype, uri, status, ctype, len(body),
@@ -179,6 +201,7 @@ def main():
     add_rec(name0, 3, 'response', c_uri, 200, 'application/json', c_body)
     for kind, text, media_ref, off in page_spans(a_doc, a_text):
         ext_rows.append((name0, a_uri, off, kind, text, media_ref))
+    add_links(name0, a_uri, PAGE_A_LINKS)
 
     # ---- sample_01.warc.gz (one gzip member per record) --------------------
     name1 = 'sample_01.warc.gz'
@@ -217,6 +240,8 @@ def main():
         ext_rows.append((name1, b_uri, off, kind, text, media_ref))
     for kind, text, media_ref, off in E_SPANS:
         ext_rows.append((name1, e_uri, off, kind, text, media_ref))
+    add_links(name1, b_uri, PAGE_B_LINKS)
+    add_links(name1, e_uri, PAGE_E_LINKS)
 
     # ---- expected parquet (int32 to match the Scala Int columns) -----------
     rec_schema = pa.schema([
@@ -234,7 +259,15 @@ def main():
         [dict(zip(ext_schema.names, r)) for r in ext_rows], schema=ext_schema),
         EXP_EXTRACT)
 
-    print(f'wrote {len(rec_rows)} record rows, {len(ext_rows)} extract rows')
+    links_schema = pa.schema([
+        ('name', pa.string()), ('uri', pa.string()), ('link_idx', pa.int32()),
+        ('href', pa.string()), ('anchor', pa.string()), ('rel', pa.string())])
+    pq.write_table(pa.Table.from_pylist(
+        [dict(zip(links_schema.names, r)) for r in link_rows], schema=links_schema),
+        EXP_LINKS)
+
+    print(f'wrote {len(rec_rows)} record rows, {len(ext_rows)} extract rows, '
+          f'{len(link_rows)} link rows')
 
 
 if __name__ == '__main__':
