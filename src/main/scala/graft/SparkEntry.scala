@@ -91,6 +91,7 @@ object SparkEntry {
     "q_warc_records" -> (Queries.warcRecords(_, _)),
     "q_warc_extract" -> (Queries.warcExtract(_, _)),
     "q_warc_links" -> (Queries.warcLinks(_, _)),
+    "q_warc_frontier" -> (Queries.warcFrontier(_, _)),
     "q_stratified_sample" -> (Queries.stratifiedSample(_, _)),
     "q_token_count" -> (Queries.tokenCount(_, _)),
     "q_token_count_bpe" -> (Queries.tokenCountBpe(_, _)),
@@ -528,6 +529,12 @@ object SparkEntry {
       """SELECT name, uri, link_idx, href, anchor, rel
         |FROM read_parquet('/root/repo/src/test/resources/expected/warc_links.parquet')
         |ORDER BY name, uri, link_idx""".stripMargin,
+    // frontier expectation computed by the generator with Python's urllib
+    // (an independent RFC 3986 resolver) + the normalize twin
+    "q_warc_frontier" ->
+      """SELECT url, host, n_refs
+        |FROM read_parquet('/root/repo/src/test/resources/expected/warc_frontier.parquet')
+        |ORDER BY url""".stripMargin,
     // born-digital text extraction: expected lines computed by the
     // independent pure-Python content-stream interpreter twin
     // (tools/gen_pdftext_fixture.py) under the same documented line rules

@@ -1687,6 +1687,39 @@ object Queries {
       .orderBy("name", "uri", "link_idx")
   }
 
+  /** Crawl-frontier BUILD over the committed captures: every followable
+    * outlink resolved against its page URI (RFC 3986 §5.2 via
+    * [[graft.text.UrlResolve]]), canonicalized (case-folded scheme/host,
+    * default port dropped, fragment stripped, non-http(s) schemes and
+    * `rel` token lists containing `nofollow` excluded), then deduped with
+    * a per-URL reference count. Resolution + normalization are pure
+    * per-row projections, so the only shuffle is the terminal hash-agg on
+    * the canonical URL — the minimal frontier-dedup shuffle; at crawl
+    * scale the next hop repartitions BY HOST for politeness scheduling,
+    * which this host column feeds. Oracle: the expected table the fixture
+    * generator computes with Python's urllib (an independent RFC 3986
+    * implementation) over the links it plants.
+    */
+  def warcFrontier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .load(s"$mediaDir/warc/*")
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        graft.sources.Warc.htmlPages(bytes).flatMap { case (uri, html) =>
+          graft.text.PageMeta.ofHtml(html).links.iterator
+            .filterNot(_.rel.split(' ').contains("nofollow"))
+            .flatMap(l => graft.text.UrlResolve.normalizeHttp(
+              graft.text.UrlResolve.resolve(uri, l.href)))
+            .map(u => (u, graft.text.UrlResolve.hostOf(u)))
+        }
+      }
+      .toDF("url", "host")
+      .groupBy("url", "host").agg(count(lit(1)).as("n_refs"))
+      .select("url", "host", "n_refs")
+      .orderBy("url")
+  }
+
   /** Batched multimodal feature extraction — the Spark-native shape of the
     * brief's `mapInPandas` decode/feature step: a binaryFile scan feeds
     * `mapPartitions` where [[graft.pipeline.Batching.mapBatched]] groups

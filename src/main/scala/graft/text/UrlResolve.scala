@@ -1,0 +1,161 @@
+package graft.text
+
+/** RFC 3986 reference resolution + crawl-frontier normalization — the step
+  * between [[PageMeta]]'s raw hrefs and a crawl frontier: every outlink is
+  * relative to the page that carried it, and a frontier dedups on the
+  * RESOLVED, NORMALIZED form. Implemented from the published spec (RFC
+  * 3986 §5.2, the algorithm the reference's crawl tooling relies on via
+  * its HTTP stack):
+  *
+  *   - [[parse]]: the §B regex split into (scheme, authority, path,
+  *     query, fragment), each optional.
+  *   - [[resolve]]: the §5.2.2 transform — STRICT form: a reference with
+  *     its own scheme is absolute even when the scheme equals the base's
+  *     (so `http:g` resolves to `http:g`, not merged; Python's urljoin
+  *     applies the §5.2.2 backward-compat option there — the one
+  *     documented divergence from the fixture twin, which therefore never
+  *     plants same-scheme-relative refs).
+  *   - §5.2.3 merge and §5.2.4 remove_dot_segments verbatim.
+  *   - [[normalizeHttp]]: the frontier canonical form for http(s) URLs —
+  *     lowercase scheme + host (§6.2.2.1), drop the default port (80/443,
+  *     §6.2.3), empty path → "/", strip the fragment (a fragment never
+  *     reaches the server); returns None for any other scheme (mailto:,
+  *     javascript:, data: — not crawlable).
+  *
+  * Pure string functions — the distributed form is a projection, so the
+  * frontier build stays shuffle-free until its terminal dedup.
+  */
+object UrlResolve {
+
+  /** One parsed URI reference; None = component ABSENT (distinct from
+    * empty, which RFC 3986 preserves — `?` keeps an empty query).
+    */
+  final case class Uri(
+      scheme: Option[String],
+      authority: Option[String],
+      path: String,
+      query: Option[String],
+      fragment: Option[String]) {
+
+    /** §5.3 component recomposition. */
+    def recompose: String = {
+      val sb = new java.lang.StringBuilder
+      scheme.foreach(s => sb.append(s).append(':'))
+      authority.foreach(a => sb.append("//").append(a))
+      sb.append(path)
+      query.foreach(q => sb.append('?').append(q))
+      fragment.foreach(f => sb.append('#').append(f))
+      sb.toString
+    }
+  }
+
+  // RFC 3986 appendix B: ^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\?([^#]*))?(#(.*))?
+  private val UriRe =
+    """^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\?([^#]*))?(#(.*))?""".r
+
+  def parse(s: String): Uri = {
+    val m = UriRe.findFirstMatchIn(s).get // the regex matches every string
+    Uri(
+      scheme = Option(m.group(2)),
+      authority = Option(m.group(4)),
+      path = Option(m.group(5)).getOrElse(""),
+      query = Option(m.group(7)),
+      fragment = Option(m.group(9)))
+  }
+
+  /** §5.2.4 remove_dot_segments. */
+  private[text] def removeDotSegments(path: String): String = {
+    val out = new java.lang.StringBuilder
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = in.substring(2)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../") || in == "/..") {
+        in = if (in == "/..") "/" else in.substring(3)
+        val i = out.lastIndexOf("/")
+        out.setLength(if (i < 0) 0 else i)
+      } else if (in == "." || in == "..") in = ""
+      else {
+        // move the first segment (through the NEXT "/", not any leading one)
+        val from = if (in.startsWith("/")) 1 else 0
+        val i = in.indexOf('/', from)
+        val cut = if (i < 0) in.length else i
+        out.append(in, 0, cut)
+        in = in.substring(cut)
+      }
+    }
+    out.toString
+  }
+
+  /** §5.2.3 merge. */
+  private def merge(base: Uri, refPath: String): String =
+    if (base.authority.isDefined && base.path.isEmpty) "/" + refPath
+    else {
+      val i = base.path.lastIndexOf('/')
+      if (i < 0) refPath else base.path.substring(0, i + 1) + refPath
+    }
+
+  /** §5.2.2 transform references (strict). */
+  def resolve(base: Uri, ref: Uri): Uri =
+    if (ref.scheme.isDefined)
+      ref.copy(path = removeDotSegments(ref.path))
+    else if (ref.authority.isDefined)
+      ref.copy(scheme = base.scheme, path = removeDotSegments(ref.path))
+    else if (ref.path.isEmpty)
+      Uri(base.scheme, base.authority, base.path,
+        if (ref.query.isDefined) ref.query else base.query, ref.fragment)
+    else {
+      val p =
+        if (ref.path.startsWith("/")) removeDotSegments(ref.path)
+        else removeDotSegments(merge(base, ref.path))
+      Uri(base.scheme, base.authority, p, ref.query, ref.fragment)
+    }
+
+  def resolve(base: String, ref: String): String =
+    resolve(parse(base), parse(ref)).recompose
+
+  /** Frontier canonical form; None = not a crawlable http(s) URL. */
+  def normalizeHttp(url: String): Option[String] = {
+    val u = parse(url)
+    u.scheme.map(_.toLowerCase) match {
+      case Some(sch @ ("http" | "https")) =>
+        u.authority.map { auth =>
+          // authority = [userinfo@]host[:port]; host case-folds, the
+          // default port drops, userinfo is preserved as-is
+          val at = auth.lastIndexOf('@')
+          val (userinfo, hostport) =
+            if (at < 0) ("", auth) else (auth.substring(0, at + 1), auth.substring(at + 1))
+          val ci = hostport.lastIndexOf(':')
+          val (host, port) =
+            if (ci < 0 || hostport.lastIndexOf(']') > ci) (hostport, "")
+            else (hostport.substring(0, ci), hostport.substring(ci + 1))
+          val defPort = if (sch == "http") "80" else "443"
+          val keepPort = port.nonEmpty && port != defPort
+          Uri(
+            scheme = Some(sch),
+            authority = Some(
+              userinfo + host.toLowerCase + (if (keepPort) ":" + port else "")),
+            path = if (u.path.isEmpty) "/" else u.path,
+            query = u.query,
+            fragment = None).recompose
+        }
+      case _ => None
+    }
+  }
+
+  /** The lowercased host of a normalized http(s) URL ("" when absent). */
+  def hostOf(url: String): String = {
+    val u = parse(url)
+    u.authority.fold("") { auth =>
+      val at = auth.lastIndexOf('@')
+      val hostport = if (at < 0) auth else auth.substring(at + 1)
+      val ci = hostport.lastIndexOf(':')
+      val host =
+        if (ci < 0 || hostport.lastIndexOf(']') > ci) hostport
+        else hostport.substring(0, ci)
+      host.toLowerCase
+    }
+  }
+}

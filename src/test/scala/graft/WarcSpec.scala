@@ -32,11 +32,11 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("name", "rec_idx", "warc_type", "uri", "status", "content_type",
         "body_len", "body_sha")
       .orderBy("name", "rec_idx").collect().map(_.toSeq).toVector
-    assert(exp.size == 8)
+    assert(exp.size == 9)
     assert(got == exp)
     // both physical layouts are present and read identically
     assert(got.count(_.head == "sample_00.warc") == 4)
-    assert(got.count(_.head == "sample_01.warc.gz") == 4)
+    assert(got.count(_.head == "sample_01.warc.gz") == 5)
   }
 
   test("composed crawl→spans chain matches the generator's expected spans") {
@@ -45,7 +45,7 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       .parquet("src/test/resources/expected/warc_extract.parquet")
       .select("name", "uri", "offset", "kind", "text", "media_ref")
       .orderBy("name", "uri", "offset").collect().map(_.toSeq).toVector
-    assert(exp.size == 11)
+    assert(exp.size == 13)
     assert(got == exp)
     // the latin-1 page's accents survived the charset decode
     assert(got.exists(_.exists(v => v == "café détail with accents à la carte")))
@@ -61,10 +61,27 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       .parquet("src/test/resources/expected/warc_links.parquet")
       .select("name", "uri", "link_idx", "href", "anchor", "rel")
       .orderBy("name", "uri", "link_idx").collect().map(_.toSeq).toVector
-    assert(exp.size == 13)
+    assert(exp.size == 26)
     assert(got == exp)
     // the planted nofollow is carried through
     assert(got.exists(r => r(3) == "/p/2" && r(5) == "nofollow"))
+  }
+
+  test("crawl frontier matches the urllib-computed expected table") {
+    val got = graft.ops.Queries.warcFrontier(spark, "").collect().map(_.toSeq).toVector
+    val exp = spark.read
+      .parquet("src/test/resources/expected/warc_frontier.parquet")
+      .select("url", "host", "n_refs")
+      .orderBy("url").collect().map(_.toSeq).toVector
+    assert(exp.size == 21)
+    assert(got == exp)
+    // the cross-page duplicate deduped with its reference count
+    assert(got.exists(r => r(0) == "https://example.org/p/1" && r(2) == 2L))
+    // canonicalization collapsed case + default port
+    assert(got.exists(_.head == "https://other.example/Case"))
+    // nofollow and non-http links never reached the frontier
+    assert(!got.exists(_.head.toString.contains("hidden")))
+    assert(!got.exists(_.head.toString.contains("mailto")))
   }
 
   // ---- framing rejections ----------------------------------------------------

@@ -30,6 +30,7 @@ import hashlib
 import html as htmlmod
 import io
 import os
+from urllib.parse import urljoin, urlsplit
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -38,6 +39,7 @@ OUTDIR = 'src/test/resources/media/warc'
 EXP_RECORDS = 'src/test/resources/expected/warc_records.parquet'
 EXP_EXTRACT = 'src/test/resources/expected/warc_extract.parquet'
 EXP_LINKS = 'src/test/resources/expected/warc_links.parquet'
+EXP_FRONTIER = 'src/test/resources/expected/warc_frontier.parquet'
 
 IMG_EVERY = 4  # must match Queries.HtmlImgEvery
 
@@ -122,6 +124,65 @@ PAGE_E = ('<html><head>'
           '</body></html>')
 E_SPANS = [('heading', 'Meta Declared', '', 0)] + \
           [('text', p, '', i + 1) for i, p in enumerate(E_PARAS)]
+
+# page F: the LINK PLAYGROUND — every href class the frontier build must
+# resolve/normalize (RFC 3986 relative forms, protocol-relative, fragment-
+# only, query-only, case + default-port canonicalization, explicit port,
+# non-http schemes, a cross-page duplicate, a nofollow). Links live in
+# <nav> (chrome — invisible to main-content extraction, visible to
+# PageMeta), main content is a minimal heading+paragraph
+F_PARA = 'frontier paragraph with enough plain words to stand alone'
+F_LINKS = [
+    ('item', 'plain relative item link', ''),
+    ('./sibling', 'dot slash sibling link', ''),
+    ('../up', 'parent directory link', ''),
+    ('/rooted', 'root absolute link', ''),
+    ('//cdn.example/lib', 'protocol relative link', ''),
+    ('#frag', 'fragment only link', ''),
+    ('?q=2', 'query only link', ''),
+    ('HTTPS://Other.EXAMPLE:443/Case', 'case and port link', ''),
+    ('http://example.org:8080/alt', 'explicit port link', ''),
+    ('mailto:team@example.org', 'mail link', ''),
+    ('javascript:void(0)', 'script link', ''),
+    ('/p/1', 'cross page duplicate link', ''),
+    ('/hidden', 'nofollowed link', 'nofollow noopener')]
+PAGE_F = ('<html><head><title>Links playground</title></head><body>'
+          '<nav><ul>'
+          + ''.join(
+              '<li><a href="%s"%s>%s</a></li>'
+              % (h, f' rel="{r}"' if r else '', a) for h, a, r in F_LINKS) +
+          '</ul></nav>'
+          '<main><h2>Frontier Cases</h2>'
+          f'<p>{F_PARA}</p></main>'
+          '</body></html>')
+F_SPANS = [('heading', 'Frontier Cases', '', 0), ('text', F_PARA, '', 1)]
+
+
+def normalize_http(url):
+    """Python twin of UrlResolve.normalizeHttp (independent impl via urlsplit):
+    lowercase scheme+host, drop default port, empty path -> '/', strip
+    fragment; None for non-http(s)."""
+    u = urlsplit(url)  # urlsplit lowercases the scheme
+    if u.scheme not in ('http', 'https'):
+        return None
+    netloc = u.netloc
+    userinfo, hostport = ('', netloc) if '@' not in netloc else \
+        (netloc[:netloc.rindex('@') + 1], netloc[netloc.rindex('@') + 1:])
+    if ':' in hostport and hostport.rindex(':') > hostport.rfind(']'):
+        host, port = hostport[:hostport.rindex(':')], hostport[hostport.rindex(':') + 1:]
+    else:
+        host, port = hostport, ''
+    default = '80' if u.scheme == 'http' else '443'
+    keep = f':{port}' if port and port != default else ''
+    return (f'{u.scheme}://{userinfo}{host.lower()}{keep}'
+            f'{u.path or "/"}' + (f'?{u.query}' if u.query else ''))
+
+
+def host_of(url):
+    hostport = urlsplit(url).netloc.rsplit('@', 1)[-1]
+    if ':' in hostport and hostport.rindex(':') > hostport.rfind(']'):
+        hostport = hostport[:hostport.rindex(':')]
+    return hostport.lower()
 
 
 def http_response(status, reason, ctype, body_bytes):
@@ -211,6 +272,8 @@ def main():
     d_uri = 'https://example.org/missing'
     e_html = PAGE_E.encode('iso-8859-1')
     e_uri = 'https://example.org/meta'
+    f_html = PAGE_F.encode('utf-8')
+    f_uri = 'https://example.org/dir/page'
     meta_payload = b'fetchTimeMs: 12\r\n'
 
     recs1 = [
@@ -222,6 +285,9 @@ def main():
          'application/http;msgtype=response'),
         ('response', 'r4', e_uri,
          http_response(200, 'OK', 'text/html', e_html),
+         'application/http;msgtype=response'),
+        ('response', 'r5', f_uri,
+         http_response(200, 'OK', 'text/html; charset=utf-8', f_html),
          'application/http;msgtype=response'),
         ('metadata', 'm0', b_uri, meta_payload, 'application/warc-fields'),
     ]
@@ -235,13 +301,33 @@ def main():
     add_rec(name1, 0, 'response', b_uri, 200, 'text/html; charset=iso-8859-1', b_html)
     add_rec(name1, 1, 'response', d_uri, 404, 'text/html; charset=utf-8', d_html)
     add_rec(name1, 2, 'response', e_uri, 200, 'text/html', e_html)
-    add_rec(name1, 3, 'metadata', b_uri, 0, '', meta_payload)
+    add_rec(name1, 3, 'response', f_uri, 200, 'text/html; charset=utf-8', f_html)
+    add_rec(name1, 4, 'metadata', b_uri, 0, '', meta_payload)
     for kind, text, media_ref, off in B_SPANS:
         ext_rows.append((name1, b_uri, off, kind, text, media_ref))
     for kind, text, media_ref, off in E_SPANS:
         ext_rows.append((name1, e_uri, off, kind, text, media_ref))
+    for kind, text, media_ref, off in F_SPANS:
+        ext_rows.append((name1, f_uri, off, kind, text, media_ref))
     add_links(name1, b_uri, PAGE_B_LINKS)
     add_links(name1, e_uri, PAGE_E_LINKS)
+    add_links(name1, f_uri, [(h, a, r) for h, a, r in F_LINKS])
+
+    # ---- frontier expectation: urljoin (stdlib) + the normalize twin -------
+    # nofollow excluded (space-separated rel token list), non-http dropped,
+    # dedup on the canonical form with a per-url reference count
+    frontier = {}
+    pages = [(a_uri, PAGE_A_LINKS), (b_uri, PAGE_B_LINKS),
+             (e_uri, PAGE_E_LINKS), (f_uri, F_LINKS)]
+    for uri, links in pages:
+        for href, _anchor, rel in links:
+            if 'nofollow' in rel.split():
+                continue
+            norm = normalize_http(urljoin(uri, href))
+            if norm is not None:
+                frontier[norm] = frontier.get(norm, 0) + 1
+    frontier_rows = sorted(
+        (url, host_of(url), n) for url, n in frontier.items())
 
     # ---- expected parquet (int32 to match the Scala Int columns) -----------
     rec_schema = pa.schema([
@@ -266,8 +352,14 @@ def main():
         [dict(zip(links_schema.names, r)) for r in link_rows], schema=links_schema),
         EXP_LINKS)
 
+    frontier_schema = pa.schema([
+        ('url', pa.string()), ('host', pa.string()), ('n_refs', pa.int64())])
+    pq.write_table(pa.Table.from_pylist(
+        [dict(zip(frontier_schema.names, r)) for r in frontier_rows],
+        schema=frontier_schema), EXP_FRONTIER)
+
     print(f'wrote {len(rec_rows)} record rows, {len(ext_rows)} extract rows, '
-          f'{len(link_rows)} link rows')
+          f'{len(link_rows)} link rows, {len(frontier_rows)} frontier rows')
 
 
 if __name__ == '__main__':
