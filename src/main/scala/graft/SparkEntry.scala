@@ -92,6 +92,7 @@ object SparkEntry {
     "q_warc_extract" -> (Queries.warcExtract(_, _)),
     "q_warc_links" -> (Queries.warcLinks(_, _)),
     "q_warc_frontier" -> (Queries.warcFrontier(_, _)),
+    "q_warc_robots" -> (Queries.warcRobots(_, _)),
     "q_stratified_sample" -> (Queries.stratifiedSample(_, _)),
     "q_token_count" -> (Queries.tokenCount(_, _)),
     "q_token_count_bpe" -> (Queries.tokenCountBpe(_, _)),
@@ -534,6 +535,12 @@ object SparkEntry {
     "q_warc_frontier" ->
       """SELECT url, host, n_refs
         |FROM read_parquet('/root/repo/src/test/resources/expected/warc_frontier.parquet')
+        |ORDER BY url""".stripMargin,
+    // politeness verdicts computed by the generator's independent Python
+    // RFC 9309 twin over the robots.txt it plants
+    "q_warc_robots" ->
+      """SELECT url, host, n_refs, allowed
+        |FROM read_parquet('/root/repo/src/test/resources/expected/warc_robots.parquet')
         |ORDER BY url""".stripMargin,
     // born-digital text extraction: expected lines computed by the
     // independent pure-Python content-stream interpreter twin

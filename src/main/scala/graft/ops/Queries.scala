@@ -1720,6 +1720,50 @@ object Queries {
       .orderBy("url")
   }
 
+  /** Politeness gate over the frontier ([[graft.text.Robots]], RFC 9309):
+    * robots.txt captures in the same crawl are keyed by ORIGIN
+    * (scheme://host[:port], the §2.3 scope — the :8080 origin does NOT
+    * inherit the :443 rules), broadcast-joined against the frontier (the
+    * per-origin rule table is tiny at any crawl scale), and each URL's
+    * path?query target is evaluated under the longest-match/allow-ties
+    * precedence for the crawling agent. Origins without a captured
+    * robots.txt default to allowed. Oracle: the fixture generator's
+    * independent Python RFC 9309 twin over the rules it plants.
+    */
+  def warcRobots(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bytes = spark.read.format("binaryFile")
+      .load(s"$mediaDir/warc/*")
+      .select(col("content")).as[Array[Byte]]
+    val robots = bytes.flatMap { b =>
+      graft.sources.Warc.records(b)
+        .filter(r => r.warcType == "response" && r.httpStatus == 200 &&
+          graft.text.UrlResolve.parse(r.targetUri).path == "/robots.txt")
+        .flatMap(r => graft.text.UrlResolve.originOf(r.targetUri).map(o =>
+          (o, new String(r.body, java.nio.charset.StandardCharsets.UTF_8))))
+        .toSeq
+    }.toDF("origin", "robots_body")
+    val frontier = bytes.flatMap { b =>
+      graft.sources.Warc.htmlPages(b).flatMap { case (uri, html) =>
+        graft.text.PageMeta.ofHtml(html).links.iterator
+          .filterNot(_.rel.split(' ').contains("nofollow"))
+          .flatMap(l => graft.text.UrlResolve.normalizeHttp(
+            graft.text.UrlResolve.resolve(uri, l.href)))
+          .map(u => (u, graft.text.UrlResolve.hostOf(u),
+            graft.text.UrlResolve.originOf(u).get))
+      }
+    }.toDF("url", "host", "origin")
+      .groupBy("url", "host", "origin").agg(count(lit(1)).as("n_refs"))
+    frontier.join(broadcast(robots), Seq("origin"), "left")
+      .as[(String, String, String, Long, Option[String])]
+      .map { case (_, url, host, n, body) =>
+        (url, host, n,
+          body.forall(graft.text.Robots.urlAllowed(_, "graftbot", url)))
+      }
+      .toDF("url", "host", "n_refs", "allowed")
+      .orderBy("url")
+  }
+
   /** Batched multimodal feature extraction — the Spark-native shape of the
     * brief's `mapInPandas` decode/feature step: a binaryFile scan feeds
     * `mapPartitions` where [[graft.pipeline.Batching.mapBatched]] groups

@@ -145,6 +145,15 @@ object UrlResolve {
     }
   }
 
+  /** The canonical ORIGIN (scheme://host[:non-default-port]) of an http(s)
+    * URL — the scope a robots.txt governs (RFC 9309 §2.3); None for
+    * non-http(s).
+    */
+  def originOf(url: String): Option[String] =
+    normalizeHttp(url).map { n =>
+      n.substring(0, n.indexOf('/', n.indexOf("//") + 2))
+    }
+
   /** The lowercased host of a normalized http(s) URL ("" when absent). */
   def hostOf(url: String): String = {
     val u = parse(url)

@@ -32,10 +32,10 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("name", "rec_idx", "warc_type", "uri", "status", "content_type",
         "body_len", "body_sha")
       .orderBy("name", "rec_idx").collect().map(_.toSeq).toVector
-    assert(exp.size == 9)
+    assert(exp.size == 10)
     assert(got == exp)
     // both physical layouts are present and read identically
-    assert(got.count(_.head == "sample_00.warc") == 4)
+    assert(got.count(_.head == "sample_00.warc") == 5)
     assert(got.count(_.head == "sample_01.warc.gz") == 5)
   }
 
@@ -82,6 +82,27 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     // nofollow and non-http links never reached the frontier
     assert(!got.exists(_.head.toString.contains("hidden")))
     assert(!got.exists(_.head.toString.contains("mailto")))
+  }
+
+  test("robots politeness verdicts match the generator's RFC 9309 twin") {
+    val got = graft.ops.Queries.warcRobots(spark, "").collect().map(_.toSeq).toVector
+    val exp = spark.read
+      .parquet("src/test/resources/expected/warc_robots.parquet")
+      .select("url", "host", "n_refs", "allowed")
+      .orderBy("url").collect().map(_.toSeq).toVector
+    assert(exp.size == 21)
+    assert(got == exp)
+    def verdict(url: String) = got.find(_.head == url).map(_(3)).get
+    // the Allow carve-out beats the /p/ Disallow by length
+    assert(verdict("https://example.org/p/1") == true)
+    assert(verdict("https://example.org/p/3") == false)
+    // query-wildcard and $-anchored rules
+    assert(verdict("https://example.org/dir/page?q=2") == false)
+    assert(verdict("https://example.org/terms") == false)
+    // robots scope is the ORIGIN: the :8080 origin has no robots.txt
+    assert(verdict("http://example.org:8080/alt") == true)
+    // hosts without a captured robots.txt default to allowed
+    assert(verdict("https://cdn.example/lib") == true)
   }
 
   // ---- framing rejections ----------------------------------------------------

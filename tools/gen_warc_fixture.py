@@ -40,6 +40,7 @@ EXP_RECORDS = 'src/test/resources/expected/warc_records.parquet'
 EXP_EXTRACT = 'src/test/resources/expected/warc_extract.parquet'
 EXP_LINKS = 'src/test/resources/expected/warc_links.parquet'
 EXP_FRONTIER = 'src/test/resources/expected/warc_frontier.parquet'
+EXP_ROBOTS = 'src/test/resources/expected/warc_robots.parquet'
 
 IMG_EVERY = 4  # must match Queries.HtmlImgEvery
 
@@ -185,6 +186,77 @@ def host_of(url):
     return hostport.lower()
 
 
+# ---- robots (RFC 9309) Python twin ----------------------------------------
+# the politeness rules planted for example.org: longest-match precedence
+# (/p/1 carve-out beats /p/), a query-string wildcard, a $-anchored rule,
+# and a closed * group the graftbot agent must NOT fall into
+ROBOTS_BODY = (
+    '# graft politeness rules\n'
+    'User-agent: graftbot\n'
+    'Disallow: /p/\n'
+    'Allow: /p/1\n'
+    'Disallow: /*?q=\n'
+    'Disallow: /terms$\n'
+    '\n'
+    'User-agent: *\n'
+    'Disallow: /\n')
+ROBOTS_AGENT = 'graftbot'
+
+
+def robots_groups(body):
+    groups, agents, rules, in_rules = [], [], [], False
+    for raw in body.splitlines():
+        line = raw.split('#', 1)[0].strip()
+        if ':' not in line:
+            continue
+        key, value = line.split(':', 1)
+        key, value = key.strip().lower(), value.strip()
+        if key == 'user-agent':
+            if in_rules:
+                groups.append((agents, rules))
+                agents, rules, in_rules = [], [], False
+            agents.append(value.lower())
+        elif key in ('allow', 'disallow') and agents:
+            in_rules = True
+            rules.append((key == 'allow', value))
+    if agents:
+        groups.append((agents, rules))
+    return groups
+
+
+def robots_matches(pattern, target):
+    if not pattern:
+        return False
+    anchored = len(pattern) > 1 and pattern.endswith('$')
+    p = pattern[:-1] if anchored else pattern
+    import re
+    rx = '.*'.join(re.escape(s) for s in p.split('*'))
+    rx = '^' + rx + ('$' if anchored else '')
+    return re.search(rx, target) is not None
+
+
+def robots_allowed(body, agent, url):
+    groups = robots_groups(body)
+    exact = [g for g in groups if agent.lower() in g[0]]
+    chosen = exact if exact else [g for g in groups if '*' in g[0]]
+    rules = [r for g in chosen for r in g[1]]
+    u = urlsplit(url)
+    target = (u.path or '/') + (f'?{u.query}' if u.query else '')
+    best_len, best_allow = -1, True
+    for allow, pattern in rules:
+        if robots_matches(pattern, target):
+            ln = len(pattern)
+            if ln > best_len or (ln == best_len and allow):
+                best_len, best_allow = ln, allow
+    return best_allow
+
+
+def origin_of(url):
+    u = urlsplit(url)
+    rest = normalize_http(url)
+    return rest[:rest.index('/', len(u.scheme) + 3)]
+
+
 def http_response(status, reason, ctype, body_bytes):
     head = (f'HTTP/1.1 {status} {reason}\r\n'
             f'Content-Type: {ctype}\r\n'
@@ -239,6 +311,8 @@ def main():
     a_uri = 'https://example.org/a'
     c_body = b'{"not": "html"}'
     c_uri = 'https://example.org/api'
+    r_body = ROBOTS_BODY.encode('utf-8')
+    r_uri = 'https://example.org/robots.txt'
     info_payload = b'software: graft-gen 1.0\r\nformat: WARC File Format 1.0\r\n'
     req_payload = (b'GET /a HTTP/1.1\r\nHost: example.org\r\n'
                    b'User-Agent: graft-gen\r\n\r\n')
@@ -252,6 +326,9 @@ def main():
         ('response', 'r1', c_uri,
          http_response(200, 'OK', 'application/json', c_body),
          'application/http;msgtype=response'),
+        ('response', 'rb', r_uri,
+         http_response(200, 'OK', 'text/plain', r_body),
+         'application/http;msgtype=response'),
     ]
     with open(os.path.join(OUTDIR, name0), 'wb') as f:
         for wtype, rid, uri, payload, ctype in recs0:
@@ -260,6 +337,7 @@ def main():
     add_rec(name0, 1, 'request', a_uri, 0, '', req_payload)
     add_rec(name0, 2, 'response', a_uri, 200, 'text/html; charset=utf-8', a_html)
     add_rec(name0, 3, 'response', c_uri, 200, 'application/json', c_body)
+    add_rec(name0, 4, 'response', r_uri, 200, 'text/plain', r_body)
     for kind, text, media_ref, off in page_spans(a_doc, a_text):
         ext_rows.append((name0, a_uri, off, kind, text, media_ref))
     add_links(name0, a_uri, PAGE_A_LINKS)
@@ -329,6 +407,17 @@ def main():
     frontier_rows = sorted(
         (url, host_of(url), n) for url, n in frontier.items())
 
+    # ---- politeness expectation: the frontier through the robots twin ------
+    # robots scope is the ORIGIN (scheme://host[:port]); only example.org's
+    # https origin has a planted robots.txt, every other origin defaults to
+    # allowed
+    robots_by_origin = {origin_of(r_uri): ROBOTS_BODY}
+    robots_rows = [
+        (url, host, n,
+         robots_allowed(robots_by_origin[origin_of(url)], ROBOTS_AGENT, url)
+         if origin_of(url) in robots_by_origin else True)
+        for url, host, n in frontier_rows]
+
     # ---- expected parquet (int32 to match the Scala Int columns) -----------
     rec_schema = pa.schema([
         ('name', pa.string()), ('rec_idx', pa.int32()), ('warc_type', pa.string()),
@@ -358,8 +447,16 @@ def main():
         [dict(zip(frontier_schema.names, r)) for r in frontier_rows],
         schema=frontier_schema), EXP_FRONTIER)
 
+    robots_schema = pa.schema([
+        ('url', pa.string()), ('host', pa.string()), ('n_refs', pa.int64()),
+        ('allowed', pa.bool_())])
+    pq.write_table(pa.Table.from_pylist(
+        [dict(zip(robots_schema.names, r)) for r in robots_rows],
+        schema=robots_schema), EXP_ROBOTS)
+
     print(f'wrote {len(rec_rows)} record rows, {len(ext_rows)} extract rows, '
-          f'{len(link_rows)} link rows, {len(frontier_rows)} frontier rows')
+          f'{len(link_rows)} link rows, {len(frontier_rows)} frontier rows, '
+          f'{sum(1 for r in robots_rows if not r[3])} robots-blocked')
 
 
 if __name__ == '__main__':
