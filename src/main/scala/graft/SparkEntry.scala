@@ -93,6 +93,8 @@ object SparkEntry {
     "q_warc_links" -> (Queries.warcLinks(_, _)),
     "q_warc_frontier" -> (Queries.warcFrontier(_, _)),
     "q_warc_robots" -> (Queries.warcRobots(_, _)),
+    "q_warc_schedule" -> (Queries.warcSchedule(_, _)),
+    "q_warc_rank" -> (Queries.warcLinkRank(_, _)),
     "q_stratified_sample" -> (Queries.stratifiedSample(_, _)),
     "q_token_count" -> (Queries.tokenCount(_, _)),
     "q_token_count_bpe" -> (Queries.tokenCountBpe(_, _)),
@@ -155,6 +157,33 @@ object SparkEntry {
     * DataFrame plan cannot drift apart. Parameterized on the source CTE so
     * the composed pipeline can run the same chain over its deduped docs.
     */
+  /** The ten PageRank iterations of `q_warc_rank` unrolled as chained CTEs
+    * r1..rN, each computing `0.15·base + 0.85·Σ(rank div outdeg)` in the
+    * same integer micro-units as the Spark loop and the Python twin.
+    */
+  private val warcRankSql: String = {
+    val base = graft.ops.Queries.RankBase
+    val edges =
+      "'/root/repo/src/test/resources/expected/warc_edges.parquet'"
+    val iters = (1 to graft.ops.Queries.RankIters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.host,
+         |         CAST(${base * 15L / 100L} + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS host, CAST(SUM(r.rank // o.deg) AS BIGINT) AS contrib
+         |    FROM edges e JOIN r${i - 1} r ON e.src = r.host
+         |                 JOIN outdeg o ON e.src = o.src
+         |    GROUP BY e.dst) c ON n.host = c.host)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (SELECT src, dst FROM read_parquet($edges)),
+       |nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+       |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT host, CAST($base AS BIGINT) AS rank FROM nodes),
+       |$iters
+       |SELECT host, rank FROM r${graft.ops.Queries.RankIters}
+       |ORDER BY host""".stripMargin
+  }
+
   private val minhashCtes: String = minhashCtesFrom("all_docs")
 
   private def minhashCtesFrom(src: String): String = {
@@ -542,6 +571,22 @@ object SparkEntry {
       """SELECT url, host, n_refs, allowed
         |FROM read_parquet('/root/repo/src/test/resources/expected/warc_robots.parquet')
         |ORDER BY url""".stripMargin,
+    // the scheduler's TopM selection recomputed as the equivalent
+    // row_number() window over the gated frontier
+    "q_warc_schedule" ->
+      s"""SELECT host, url, n_refs, CAST(wave AS INT) AS wave FROM (
+        |  SELECT host, url, n_refs,
+        |         row_number() OVER (PARTITION BY host
+        |                            ORDER BY n_refs DESC, url) AS wave
+        |  FROM read_parquet('/root/repo/src/test/resources/expected/warc_robots.parquet')
+        |  WHERE allowed)
+        |WHERE wave <= ${graft.ops.Queries.ScheduleBudget}
+        |ORDER BY host, wave""".stripMargin,
+    // all ten integer power iterations RECOMPUTED in SQL from the expected
+    // edge table — same micro-unit arithmetic (// is DuckDB integer
+    // division; SUM casts back from HUGEINT), so the oracle verifies the
+    // iteration itself, not a dumped fixture
+    "q_warc_rank" -> warcRankSql,
     // born-digital text extraction: expected lines computed by the
     // independent pure-Python content-stream interpreter twin
     // (tools/gen_pdftext_fixture.py) under the same documented line rules

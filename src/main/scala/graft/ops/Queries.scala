@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -1702,6 +1702,21 @@ object Queries {
     */
   def warcFrontier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    warcOutlinks(spark)
+      .map { case (_, u) => (u, graft.text.UrlResolve.hostOf(u)) }
+      .toDF("url", "host")
+      .groupBy("url", "host").agg(count(lit(1)).as("n_refs"))
+      .select("url", "host", "n_refs")
+      .orderBy("url")
+  }
+
+  /** The followable-outlink stream every frontier-family query starts from:
+    * (page_uri, resolved_url) pairs — `rel=nofollow` dropped, RFC 3986
+    * resolution against the page URI, canonical http(s) form. A pure
+    * per-page projection: no shuffle until the consumer aggregates.
+    */
+  private def warcOutlinks(spark: SparkSession): Dataset[(String, String)] = {
+    import spark.implicits._
     spark.read.format("binaryFile")
       .load(s"$mediaDir/warc/*")
       .select(col("content")).as[Array[Byte]]
@@ -1711,13 +1726,9 @@ object Queries {
             .filterNot(_.rel.split(' ').contains("nofollow"))
             .flatMap(l => graft.text.UrlResolve.normalizeHttp(
               graft.text.UrlResolve.resolve(uri, l.href)))
-            .map(u => (u, graft.text.UrlResolve.hostOf(u)))
+            .map(u => (uri, u))
         }
       }
-      .toDF("url", "host")
-      .groupBy("url", "host").agg(count(lit(1)).as("n_refs"))
-      .select("url", "host", "n_refs")
-      .orderBy("url")
   }
 
   /** Politeness gate over the frontier ([[graft.text.Robots]], RFC 9309):
@@ -1730,29 +1741,31 @@ object Queries {
     * robots.txt default to allowed. Oracle: the fixture generator's
     * independent Python RFC 9309 twin over the rules it plants.
     */
-  def warcRobots(spark: SparkSession, dir: String): DataFrame = {
+  def warcRobots(spark: SparkSession, dir: String): DataFrame =
+    warcRobotsCore(spark).orderBy("url")
+
+  /** (url, host, n_refs, allowed) without the presentation sort — shared by
+    * the catalog query and the scheduler that consumes it unordered.
+    */
+  private def warcRobotsCore(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val bytes = spark.read.format("binaryFile")
+    val robots = spark.read.format("binaryFile")
       .load(s"$mediaDir/warc/*")
       .select(col("content")).as[Array[Byte]]
-    val robots = bytes.flatMap { b =>
-      graft.sources.Warc.records(b)
-        .filter(r => r.warcType == "response" && r.httpStatus == 200 &&
-          graft.text.UrlResolve.parse(r.targetUri).path == "/robots.txt")
-        .flatMap(r => graft.text.UrlResolve.originOf(r.targetUri).map(o =>
-          (o, new String(r.body, java.nio.charset.StandardCharsets.UTF_8))))
-        .toSeq
-    }.toDF("origin", "robots_body")
-    val frontier = bytes.flatMap { b =>
-      graft.sources.Warc.htmlPages(b).flatMap { case (uri, html) =>
-        graft.text.PageMeta.ofHtml(html).links.iterator
-          .filterNot(_.rel.split(' ').contains("nofollow"))
-          .flatMap(l => graft.text.UrlResolve.normalizeHttp(
-            graft.text.UrlResolve.resolve(uri, l.href)))
-          .map(u => (u, graft.text.UrlResolve.hostOf(u),
-            graft.text.UrlResolve.originOf(u).get))
+      .flatMap { b =>
+        graft.sources.Warc.records(b)
+          .filter(r => r.warcType == "response" && r.httpStatus == 200 &&
+            graft.text.UrlResolve.parse(r.targetUri).path == "/robots.txt")
+          .flatMap(r => graft.text.UrlResolve.originOf(r.targetUri).map(o =>
+            (o, new String(r.body, java.nio.charset.StandardCharsets.UTF_8))))
+          .toSeq
+      }.toDF("origin", "robots_body")
+    val frontier = warcOutlinks(spark)
+      .map { case (_, u) =>
+        (u, graft.text.UrlResolve.hostOf(u),
+          graft.text.UrlResolve.originOf(u).get)
       }
-    }.toDF("url", "host", "origin")
+      .toDF("url", "host", "origin")
       .groupBy("url", "host", "origin").agg(count(lit(1)).as("n_refs"))
     frontier.join(broadcast(robots), Seq("origin"), "left")
       .as[(String, String, String, Long, Option[String])]
@@ -1761,7 +1774,78 @@ object Queries {
           body.forall(graft.text.Robots.urlAllowed(_, "graftbot", url)))
       }
       .toDF("url", "host", "n_refs", "allowed")
-      .orderBy("url")
+  }
+
+  /** Per-host fetch budget for this wave. */
+  private[graft] val ScheduleBudget = 2
+
+  /** Politeness SCHEDULER over the gated frontier: each host contributes at
+    * most [[ScheduleBudget]] URLs to the next fetch wave (most-referenced
+    * first, URL as the total tiebreak), because a polite crawler fetches a
+    * bounded number of pages per host per wave regardless of how big the
+    * host's frontier backlog is. Selection runs through [[TopM]] — per-key
+    * bounded heaps with map-side partial selection — so a mega-host with a
+    * 10^8-URL backlog costs O(budget) state per partition instead of one
+    * task sorting the whole backlog (the WindowExec funnel); the heap map's
+    * footprint at high host cardinality is the same as a partial hash-agg
+    * buffer. Oracle: the equivalent `row_number()` window in DuckDB over
+    * the expected robots table.
+    */
+  def warcSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val allowed = warcRobotsCore(spark).where(col("allowed")).drop("allowed")
+    TopM.topM(allowed, "host", Seq(("n_refs", false), ("url", true)),
+        ScheduleBudget, "wave")
+      .select(col("host"), col("url"), col("n_refs"), col("wave"))
+      .orderBy("host", "wave")
+  }
+
+  private[graft] val RankIters = 10
+  private[graft] val RankBase = 1000000000L // 1e9 micro-units seeded per host
+
+  /** Link-graph authority scoring: PageRank (damping 0.85) over the HOST
+    * graph of the crawl, [[RankIters]] fixed power iterations in integer
+    * micro-units so the result is exactly reproducible across engines —
+    * each host seeds [[RankBase]], a round sends `rank div out_degree` down
+    * every distinct out-edge (self-edges dropped), and
+    * `rank' = 0.15·base + 0.85·Σ contributions` evaluated as
+    * `(85 · Σc) div 100` (sums of longs are order-independent, unlike float
+    * PageRank whose result depends on partitioning). Mass reaching a
+    * dangling host (no out-edges) leaves the system — the standard
+    * simplification, mirrored in both oracles. Per iteration the only
+    * shuffle is the contribution hash-agg keyed by target host
+    * (map-side-combined); edges / out-degrees / the node list are computed
+    * once and cache-reused across all rounds, and the rank lineage is a
+    * linear [[RankIters]]-deep plan (each round references the previous
+    * exactly once — no exponential nesting, so no per-round cut is needed;
+    * at 10^9-node scale each round's ranks would be checkpointed like the
+    * dedup-CC loop's label table). Verified two independent ways: the
+    * DuckDB oracle RECOMPUTES all ten iterations from the expected edge
+    * table with the same integer arithmetic, and WarcSpec compares against
+    * the fixture generator's independent Python twin.
+    */
+  def warcLinkRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = tracked(warcOutlinks(spark)
+      .map { case (p, u) =>
+        (graft.text.UrlResolve.hostOf(p), graft.text.UrlResolve.hostOf(u))
+      }
+      .toDF("src", "dst").where(col("src") =!= col("dst")).distinct())
+    val nodes = tracked(edges.select(col("src").as("host"))
+      .unionAll(edges.select(col("dst").as("host"))).distinct())
+    val outdeg = tracked(edges.groupBy("src").agg(count(lit(1)).as("deg")))
+    var ranks = nodes.withColumn("rank", lit(RankBase))
+    for (_ <- 1 to RankIters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("host", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("host"), expr("rank div deg").as("c"))
+        .groupBy("host").agg(sum(col("c")).as("contrib"))
+      ranks = nodes.join(contrib, Seq("host"), "left")
+        .select(col("host"),
+          expr(s"${RankBase * 15L / 100L} + (85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100")
+            .as("rank"))
+    }
+    ranks.orderBy("host")
   }
 
   /** Batched multimodal feature extraction — the Spark-native shape of the

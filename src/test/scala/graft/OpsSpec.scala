@@ -104,7 +104,10 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // attached bucket occupancy via a full-corpus window over ~256 skewed
     // bucket keys. Both now use bounded machinery (TopM / groupBy+broadcast
     // join back) — no WindowExec may appear in either physical plan.
-    for (name <- Seq("q_embed_topk", "q_embed_lsh")) {
+    // q_warc_schedule joined round 5: per-host top-budget selection through
+    // the same TopM machinery — a window would funnel a mega-host's whole
+    // frontier backlog through one task
+    for (name <- Seq("q_embed_topk", "q_embed_lsh", "q_warc_schedule")) {
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.sparkPlan.toString
       assert(!plan.contains("Window"), s"$name must not plan a window:\n${plan.take(2000)}")

@@ -32,11 +32,11 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("name", "rec_idx", "warc_type", "uri", "status", "content_type",
         "body_len", "body_sha")
       .orderBy("name", "rec_idx").collect().map(_.toSeq).toVector
-    assert(exp.size == 10)
+    assert(exp.size == 11)
     assert(got == exp)
     // both physical layouts are present and read identically
     assert(got.count(_.head == "sample_00.warc") == 5)
-    assert(got.count(_.head == "sample_01.warc.gz") == 5)
+    assert(got.count(_.head == "sample_01.warc.gz") == 6)
   }
 
   test("composed crawl→spans chain matches the generator's expected spans") {
@@ -45,7 +45,7 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       .parquet("src/test/resources/expected/warc_extract.parquet")
       .select("name", "uri", "offset", "kind", "text", "media_ref")
       .orderBy("name", "uri", "offset").collect().map(_.toSeq).toVector
-    assert(exp.size == 13)
+    assert(exp.size == 15)
     assert(got == exp)
     // the latin-1 page's accents survived the charset decode
     assert(got.exists(_.exists(v => v == "café détail with accents à la carte")))
@@ -61,7 +61,7 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       .parquet("src/test/resources/expected/warc_links.parquet")
       .select("name", "uri", "link_idx", "href", "anchor", "rel")
       .orderBy("name", "uri", "link_idx").collect().map(_.toSeq).toVector
-    assert(exp.size == 26)
+    assert(exp.size == 30)
     assert(got == exp)
     // the planted nofollow is carried through
     assert(got.exists(r => r(3) == "/p/2" && r(5) == "nofollow"))
@@ -73,7 +73,7 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       .parquet("src/test/resources/expected/warc_frontier.parquet")
       .select("url", "host", "n_refs")
       .orderBy("url").collect().map(_.toSeq).toVector
-    assert(exp.size == 21)
+    assert(exp.size == 24)
     assert(got == exp)
     // the cross-page duplicate deduped with its reference count
     assert(got.exists(r => r(0) == "https://example.org/p/1" && r(2) == 2L))
@@ -90,7 +90,7 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       .parquet("src/test/resources/expected/warc_robots.parquet")
       .select("url", "host", "n_refs", "allowed")
       .orderBy("url").collect().map(_.toSeq).toVector
-    assert(exp.size == 21)
+    assert(exp.size == 24)
     assert(got == exp)
     def verdict(url: String) = got.find(_.head == url).map(_(3)).get
     // the Allow carve-out beats the /p/ Disallow by length
@@ -103,6 +103,51 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(verdict("http://example.org:8080/alt") == true)
     // hosts without a captured robots.txt default to allowed
     assert(verdict("https://cdn.example/lib") == true)
+  }
+
+  test("fetch schedule equals the window form and caps each host at the budget") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.Queries.warcSchedule(spark, "").collect().map(_.toSeq).toVector
+    // differential: the identical selection through the funnel-free TopM and
+    // through the window rank it replaces, over the committed robots table
+    val w = Window.partitionBy("host").orderBy(col("n_refs").desc, col("url"))
+    val exp = spark.read
+      .parquet("src/test/resources/expected/warc_robots.parquet")
+      .where(col("allowed"))
+      .withColumn("wave", row_number().over(w))
+      .where(col("wave") <= graft.ops.Queries.ScheduleBudget)
+      .select("host", "url", "n_refs", "wave")
+      .orderBy("host", "wave").collect().map(_.toSeq).toVector
+    assert(got == exp)
+    // example.org has 16 allowed frontier URLs; the budget admits exactly 2,
+    // most-referenced first — the two n_refs=2 URLs ("/" from pages A+G,
+    // "/p/1" from pages A+F), tie broken by URL
+    assert(got.count(_.head == "example.org") == graft.ops.Queries.ScheduleBudget)
+    assert(got.exists(r => r(1) == "https://example.org/" && r(3) == 1))
+    assert(got.exists(r => r(1) == "https://example.org/p/1" && r(3) == 2))
+    // a host with fewer URLs than the budget contributes all of them
+    assert(got.count(_.head == "static.example") == 1)
+    // nothing disallowed was scheduled
+    assert(!got.exists(_(1).toString.contains("/terms")))
+  }
+
+  test("integer PageRank matches the generator's Python twin") {
+    val got = graft.ops.Queries.warcLinkRank(spark, "").collect().map(_.toSeq).toVector
+    val exp = spark.read
+      .parquet("src/test/resources/expected/warc_rank.parquet")
+      .select("host", "rank")
+      .orderBy("host").collect().map(_.toSeq).toVector
+    assert(exp.size == 4)
+    assert(got == exp)
+    val rank = got.map(r => r(0).toString -> r(1).asInstanceOf[Long]).toMap
+    // cdn.example is referenced by BOTH crawled hosts — highest authority
+    assert(rank("cdn.example") == got.map(_(1).asInstanceOf[Long]).max)
+    // the dangling sink and the hub sit below it but above the floor
+    assert(rank("static.example") > graft.ops.Queries.RankBase * 15L / 100L)
+    // total mass never exceeds the seed (floor division + dangling leakage)
+    assert(got.map(_(1).asInstanceOf[Long]).sum <=
+      graft.ops.Queries.RankBase * got.size)
   }
 
   // ---- framing rejections ----------------------------------------------------

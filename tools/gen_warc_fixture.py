@@ -41,6 +41,8 @@ EXP_EXTRACT = 'src/test/resources/expected/warc_extract.parquet'
 EXP_LINKS = 'src/test/resources/expected/warc_links.parquet'
 EXP_FRONTIER = 'src/test/resources/expected/warc_frontier.parquet'
 EXP_ROBOTS = 'src/test/resources/expected/warc_robots.parquet'
+EXP_EDGES = 'src/test/resources/expected/warc_edges.parquet'
+EXP_RANK = 'src/test/resources/expected/warc_rank.parquet'
 
 IMG_EVERY = 4  # must match Queries.HtmlImgEvery
 
@@ -157,6 +159,29 @@ PAGE_F = ('<html><head><title>Links playground</title></head><body>'
           f'<p>{F_PARA}</p></main>'
           '</body></html>')
 F_SPANS = [('heading', 'Frontier Cases', '', 0), ('text', F_PARA, '', 1)]
+
+# page G: a SECOND-HOST page (other.example) so the host link graph has a
+# cycle (example.org <-> other.example via F's Case link and G's hub link),
+# a two-in-degree node (cdn.example referenced from both hosts) and a
+# dangling sink (static.example, never crawled) — the structure the
+# PageRank query needs to show real iteration dynamics instead of a
+# one-hop star
+G_PARA = 'second host paragraph with plenty of plain standalone words'
+G_LINKS = [
+    ('https://example.org/', 'back to the hub', ''),
+    ('//cdn.example/app.js', 'shared script bundle', ''),
+    ('https://static.example/logo.png', 'logo asset link', ''),
+    ('/local', 'local page on this host', '')]
+PAGE_G = ('<html><head><title>Second host</title></head><body>'
+          '<nav><ul>'
+          + ''.join(
+              '<li><a href="%s"%s>%s</a></li>'
+              % (h, f' rel="{r}"' if r else '', a) for h, a, r in G_LINKS) +
+          '</ul></nav>'
+          '<main><h2>Other Host</h2>'
+          f'<p>{G_PARA}</p></main>'
+          '</body></html>')
+G_SPANS = [('heading', 'Other Host', '', 0), ('text', G_PARA, '', 1)]
 
 
 def normalize_http(url):
@@ -352,6 +377,8 @@ def main():
     e_uri = 'https://example.org/meta'
     f_html = PAGE_F.encode('utf-8')
     f_uri = 'https://example.org/dir/page'
+    g_html = PAGE_G.encode('utf-8')
+    g_uri = 'https://other.example/hub'
     meta_payload = b'fetchTimeMs: 12\r\n'
 
     recs1 = [
@@ -368,6 +395,9 @@ def main():
          http_response(200, 'OK', 'text/html; charset=utf-8', f_html),
          'application/http;msgtype=response'),
         ('metadata', 'm0', b_uri, meta_payload, 'application/warc-fields'),
+        ('response', 'r6', g_uri,
+         http_response(200, 'OK', 'text/html; charset=utf-8', g_html),
+         'application/http;msgtype=response'),
     ]
     with open(os.path.join(OUTDIR, name1), 'wb') as f:
         for wtype, rid, uri, payload, ctype in recs1:
@@ -381,22 +411,26 @@ def main():
     add_rec(name1, 2, 'response', e_uri, 200, 'text/html', e_html)
     add_rec(name1, 3, 'response', f_uri, 200, 'text/html; charset=utf-8', f_html)
     add_rec(name1, 4, 'metadata', b_uri, 0, '', meta_payload)
+    add_rec(name1, 5, 'response', g_uri, 200, 'text/html; charset=utf-8', g_html)
     for kind, text, media_ref, off in B_SPANS:
         ext_rows.append((name1, b_uri, off, kind, text, media_ref))
     for kind, text, media_ref, off in E_SPANS:
         ext_rows.append((name1, e_uri, off, kind, text, media_ref))
     for kind, text, media_ref, off in F_SPANS:
         ext_rows.append((name1, f_uri, off, kind, text, media_ref))
+    for kind, text, media_ref, off in G_SPANS:
+        ext_rows.append((name1, g_uri, off, kind, text, media_ref))
     add_links(name1, b_uri, PAGE_B_LINKS)
     add_links(name1, e_uri, PAGE_E_LINKS)
     add_links(name1, f_uri, [(h, a, r) for h, a, r in F_LINKS])
+    add_links(name1, g_uri, G_LINKS)
 
     # ---- frontier expectation: urljoin (stdlib) + the normalize twin -------
     # nofollow excluded (space-separated rel token list), non-http dropped,
     # dedup on the canonical form with a per-url reference count
     frontier = {}
     pages = [(a_uri, PAGE_A_LINKS), (b_uri, PAGE_B_LINKS),
-             (e_uri, PAGE_E_LINKS), (f_uri, F_LINKS)]
+             (e_uri, PAGE_E_LINKS), (f_uri, F_LINKS), (g_uri, G_LINKS)]
     for uri, links in pages:
         for href, _anchor, rel in links:
             if 'nofollow' in rel.split():
@@ -417,6 +451,35 @@ def main():
          robots_allowed(robots_by_origin[origin_of(url)], ROBOTS_AGENT, url)
          if origin_of(url) in robots_by_origin else True)
         for url, host, n in frontier_rows]
+
+    # ---- host link graph + integer PageRank twin ----------------------------
+    # distinct (src_host -> dst_host) edges from the same followable-link set
+    # the frontier uses, self-edges dropped; rank = 10 power iterations in
+    # integer micro-units (rank//outdeg contributions, 0.15*base + (85*sum)//100,
+    # dangling mass leaves the system) — exactly the arithmetic of the Scala
+    # query AND the DuckDB oracle, so all three engines agree bit-for-bit
+    edges = set()
+    for uri, links in pages:
+        for href, _anchor, rel in links:
+            if 'nofollow' in rel.split():
+                continue
+            norm = normalize_http(urljoin(uri, href))
+            if norm is not None and host_of(uri) != host_of(norm):
+                edges.add((host_of(uri), host_of(norm)))
+    edge_rows = sorted(edges)
+    nodes = sorted({h for e in edge_rows for h in e})
+    outdeg = {}
+    for s, _d in edge_rows:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank_base = 1_000_000_000
+    ranks = {h: rank_base for h in nodes}
+    for _ in range(10):
+        contrib = {}
+        for s, d in edge_rows:
+            contrib[d] = contrib.get(d, 0) + ranks[s] // outdeg[s]
+        ranks = {h: rank_base * 15 // 100 + (85 * contrib.get(h, 0)) // 100
+                 for h in nodes}
+    rank_rows = sorted(ranks.items())
 
     # ---- expected parquet (int32 to match the Scala Int columns) -----------
     rec_schema = pa.schema([
@@ -454,9 +517,20 @@ def main():
         [dict(zip(robots_schema.names, r)) for r in robots_rows],
         schema=robots_schema), EXP_ROBOTS)
 
+    edges_schema = pa.schema([('src', pa.string()), ('dst', pa.string())])
+    pq.write_table(pa.Table.from_pylist(
+        [dict(zip(edges_schema.names, r)) for r in edge_rows],
+        schema=edges_schema), EXP_EDGES)
+
+    rank_schema = pa.schema([('host', pa.string()), ('rank', pa.int64())])
+    pq.write_table(pa.Table.from_pylist(
+        [dict(zip(rank_schema.names, r)) for r in rank_rows],
+        schema=rank_schema), EXP_RANK)
+
     print(f'wrote {len(rec_rows)} record rows, {len(ext_rows)} extract rows, '
           f'{len(link_rows)} link rows, {len(frontier_rows)} frontier rows, '
-          f'{sum(1 for r in robots_rows if not r[3])} robots-blocked')
+          f'{sum(1 for r in robots_rows if not r[3])} robots-blocked, '
+          f'{len(edge_rows)} host edges / {len(nodes)} hosts ranked')
 
 
 if __name__ == '__main__':
