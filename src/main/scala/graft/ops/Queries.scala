@@ -1825,19 +1825,34 @@ object Queries {
     */
   def warcLinkRank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val edges = tracked(warcOutlinks(spark)
+    val edges = warcOutlinks(spark)
       .map { case (p, u) =>
         (graft.text.UrlResolve.hostOf(p), graft.text.UrlResolve.hostOf(u))
       }
-      .toDF("src", "dst").where(col("src") =!= col("dst")).distinct())
+      .toDF("src", "dst").where(col("src") =!= col("dst")).distinct()
+    linkRankFrom(spark, edges).orderBy("host")
+  }
+
+  /** The power-iteration loop from any (src, dst) edge frame — shared by the
+    * catalog query and [[graft.jobs.RankScaleBench]]. Out-degree is
+    * loop-invariant, so it is joined into the edge table ONCE and the result
+    * cached partitioned by `src`: across all [[RankIters]] rounds the (big)
+    * edge table never reshuffles — each round moves only the (node-sized)
+    * rank table to src partitioning (shuffle-hash-joined against the cached
+    * edges) and hash-aggregates contributions by target, both map-side
+    * combined. That is the 10^10-edge shape: per-round network cost is
+    * O(nodes + edges-partial-aggregated), not O(edges).
+    */
+  private[graft] def linkRankFrom(spark: SparkSession, edgesIn: DataFrame): DataFrame = {
+    val outdeg = edgesIn.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edges = tracked(
+      edgesIn.join(outdeg, "src").repartition(col("src")))
     val nodes = tracked(edges.select(col("src").as("host"))
       .unionAll(edges.select(col("dst").as("host"))).distinct())
-    val outdeg = tracked(edges.groupBy("src").agg(count(lit(1)).as("deg")))
     var ranks = nodes.withColumn("rank", lit(RankBase))
     for (_ <- 1 to RankIters) {
       val contrib = edges
-        .join(ranks.withColumnRenamed("host", "src"), "src")
-        .join(outdeg, "src")
+        .join(ranks.withColumnRenamed("host", "src").hint("shuffle_hash"), "src")
         .select(col("dst").as("host"), expr("rank div deg").as("c"))
         .groupBy("host").agg(sum(col("c")).as("contrib"))
       ranks = nodes.join(contrib, Seq("host"), "left")
@@ -1845,7 +1860,7 @@ object Queries {
           expr(s"${RankBase * 15L / 100L} + (85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100")
             .as("rank"))
     }
-    ranks.orderBy("host")
+    ranks
   }
 
   /** Batched multimodal feature extraction — the Spark-native shape of the
