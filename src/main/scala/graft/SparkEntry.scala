@@ -95,6 +95,8 @@ object SparkEntry {
     "q_warc_robots" -> (Queries.warcRobots(_, _)),
     "q_warc_schedule" -> (Queries.warcSchedule(_, _)),
     "q_warc_rank" -> (Queries.warcLinkRank(_, _)),
+    "q_warc_redirects" -> (Queries.warcRedirects(_, _)),
+    "q_warc_redirect_chains" -> (Queries.warcRedirectChains(_, _)),
     "q_stratified_sample" -> (Queries.stratifiedSample(_, _)),
     "q_token_count" -> (Queries.tokenCount(_, _)),
     "q_token_count_bpe" -> (Queries.tokenCountBpe(_, _)),
@@ -587,6 +589,32 @@ object SparkEntry {
     // division; SUM casts back from HUGEINT), so the oracle verifies the
     // iteration itself, not a dumped fixture
     "q_warc_rank" -> warcRankSql,
+    "q_warc_redirects" ->
+      """SELECT from_url, to_url, status
+        |FROM read_parquet('/root/repo/src/test/resources/expected/warc_redirects.parquet')
+        |ORDER BY from_url""".stripMargin,
+    // the bounded chain-follow RECOMPUTED as a recursive CTE over the
+    // expected redirect map — same hop cap, same terminal rule (a head
+    // that is no redirect source), loops come back unresolved
+    "q_warc_redirect_chains" ->
+      s"""WITH RECURSIVE r AS (
+        |  SELECT DISTINCT from_url, to_url
+        |  FROM read_parquet('/root/repo/src/test/resources/expected/warc_redirects.parquet')),
+        |chain(src, cur, hops) AS (
+        |  SELECT from_url, to_url, 1 FROM r
+        |  UNION ALL
+        |  SELECT c.src, r.to_url, c.hops + 1
+        |  FROM chain c JOIN r ON c.cur = r.from_url
+        |  WHERE c.hops < ${graft.ops.Queries.RedirectMaxHops}),
+        |terminal AS (
+        |  SELECT src, cur, hops FROM chain
+        |  WHERE cur NOT IN (SELECT from_url FROM r))
+        |SELECT u.url, COALESCE(t.cur, '') AS final_url,
+        |       CAST(COALESCE(t.hops, 0) AS INT) AS hops,
+        |       t.cur IS NULL AS unresolved
+        |FROM (SELECT DISTINCT from_url AS url FROM r) u
+        |LEFT JOIN terminal t ON u.url = t.src
+        |ORDER BY url""".stripMargin,
     // born-digital text extraction: expected lines computed by the
     // independent pure-Python content-stream interpreter twin
     // (tools/gen_pdftext_fixture.py) under the same documented line rules

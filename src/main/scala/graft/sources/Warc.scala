@@ -50,6 +50,7 @@ object Warc {
       date: String,
       httpStatus: Int,
       httpContentType: String,
+      httpLocation: String,
       body: Array[Byte])
 
   private def isGzip(bytes: Array[Byte]): Boolean =
@@ -128,13 +129,13 @@ object Warc {
             val wtype = h.getOrElse("warc-type",
               throw new IllegalArgumentException(s"$ctx: missing WARC-Type"))
             val uri = h.getOrElse("warc-target-uri", "")
-            val (status, httpCt, body) =
+            val (status, httpCt, httpLoc, body) =
               if (wtype == "response" &&
                   h.getOrElse("content-type", "").startsWith("application/http"))
                 parseHttpResponse(payload, ctx)
-              else (0, "", payload)
+              else (0, "", "", payload)
             nextRec = WarcRecord(idx, wtype, h.getOrElse("warc-record-id", ""),
-              uri, h.getOrElse("warc-date", ""), status, httpCt, body)
+              uri, h.getOrElse("warc-date", ""), status, httpCt, httpLoc, body)
             idx += 1
         }
       }
@@ -150,9 +151,9 @@ object Warc {
     }
 
   /** Split an `application/http;msgtype=response` payload into
-    * (status, content-type, body).
+    * (status, content-type, location, body).
     */
-  private def parseHttpResponse(payload: Array[Byte], ctx: String): (Int, String, Array[Byte]) = {
+  private def parseHttpResponse(payload: Array[Byte], ctx: String): (Int, String, String, Array[Byte]) = {
     val in = new ByteArrayInputStream(payload)
     val statusLine = readLine(in, ctx).getOrElse(
       throw new IllegalArgumentException(s"$ctx: empty HTTP payload"))
@@ -168,7 +169,7 @@ object Warc {
       throw new IllegalArgumentException(
         s"$ctx: chunked transfer encoding is not in the supported subset")
     val body = in.readAllBytes()
-    (status, h.getOrElse("content-type", ""), body)
+    (status, h.getOrElse("content-type", ""), h.getOrElse("location", ""), body)
   }
 
   /** The `charset=` parameter of a Content-Type value (lowercased), or

@@ -32,10 +32,10 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("name", "rec_idx", "warc_type", "uri", "status", "content_type",
         "body_len", "body_sha")
       .orderBy("name", "rec_idx").collect().map(_.toSeq).toVector
-    assert(exp.size == 11)
+    assert(exp.size == 16)
     assert(got == exp)
     // both physical layouts are present and read identically
-    assert(got.count(_.head == "sample_00.warc") == 5)
+    assert(got.count(_.head == "sample_00.warc") == 10)
     assert(got.count(_.head == "sample_01.warc.gz") == 6)
   }
 
@@ -130,6 +130,32 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count(_.head == "static.example") == 1)
     // nothing disallowed was scheduled
     assert(!got.exists(_(1).toString.contains("/terms")))
+  }
+
+  test("redirect map and chain resolution match the generator's twin") {
+    val gotMap = graft.ops.Queries.warcRedirects(spark, "").collect().map(_.toSeq).toVector
+    val expMap = spark.read
+      .parquet("src/test/resources/expected/warc_redirects.parquet")
+      .select("from_url", "to_url", "status")
+      .orderBy("from_url").collect().map(_.toSeq).toVector
+    assert(expMap.size == 5)
+    assert(gotMap == expMap)
+    // the relative Location resolved against the redirecting URI
+    assert(gotMap.exists(r => r(0) == "https://example.org/old" &&
+      r(1) == "https://example.org/a" && r(2) == 301))
+
+    val got = graft.ops.Queries.warcRedirectChains(spark, "").collect().map(_.toSeq).toVector
+    val exp = spark.read
+      .parquet("src/test/resources/expected/warc_redirect_chains.parquet")
+      .select("url", "final_url", "hops", "unresolved")
+      .orderBy("url").collect().map(_.toSeq).toVector
+    assert(got == exp)
+    // the two-hop 308->301 chain lands on the live page
+    assert(got.exists(r => r(0) == "https://example.org/older" &&
+      r(1) == "https://example.org/a" && r(2) == 2 && r(3) == false))
+    // the planted 302 loop is refused, not followed forever
+    assert(got.count(_(3) == true) == 2)
+    assert(got.filter(_(3) == true).forall(r => r(1) == "" && r(2) == 0))
   }
 
   test("integer PageRank matches the generator's Python twin") {

@@ -42,6 +42,8 @@ EXP_LINKS = 'src/test/resources/expected/warc_links.parquet'
 EXP_FRONTIER = 'src/test/resources/expected/warc_frontier.parquet'
 EXP_ROBOTS = 'src/test/resources/expected/warc_robots.parquet'
 EXP_EDGES = 'src/test/resources/expected/warc_edges.parquet'
+EXP_REDIRECTS = 'src/test/resources/expected/warc_redirects.parquet'
+EXP_CHAINS = 'src/test/resources/expected/warc_redirect_chains.parquet'
 EXP_RANK = 'src/test/resources/expected/warc_rank.parquet'
 
 IMG_EVERY = 4  # must match Queries.HtmlImgEvery
@@ -227,6 +229,17 @@ ROBOTS_BODY = (
     'Disallow: /\n')
 ROBOTS_AGENT = 'graftbot'
 
+# (record_id, redirecting uri, status, reason, Location header value)
+REDIRECT_RECS = [
+    ('rd1', 'https://example.org/old', 301, 'Moved Permanently', '/a'),
+    ('rd2', 'https://example.org/older', 308, 'Permanent Redirect', '/old'),
+    ('rd3', 'https://example.org/tmp', 302, 'Found',
+     'https://other.example/hub'),
+    ('rd4', 'https://example.org/loop1', 302, 'Found', '/loop2'),
+    ('rd5', 'https://example.org/loop2', 302, 'Found', '/loop1'),
+]
+REDIRECT_MAX_HOPS = 8
+
 
 def robots_groups(body):
     groups, agents, rules, in_rules = [], [], [], False
@@ -282,9 +295,10 @@ def origin_of(url):
     return rest[:rest.index('/', len(u.scheme) + 3)]
 
 
-def http_response(status, reason, ctype, body_bytes):
+def http_response(status, reason, ctype, body_bytes, location=None):
     head = (f'HTTP/1.1 {status} {reason}\r\n'
-            f'Content-Type: {ctype}\r\n'
+            + (f'Location: {location}\r\n' if location else '')
+            + f'Content-Type: {ctype}\r\n'
             f'Content-Length: {len(body_bytes)}\r\n\r\n').encode('ascii')
     return head + body_bytes
 
@@ -354,6 +368,15 @@ def main():
         ('response', 'rb', r_uri,
          http_response(200, 'OK', 'text/plain', r_body),
          'application/http;msgtype=response'),
+    ] + [
+        # the redirect family: a permanent hop to a live page (relative
+        # Location), a two-hop 308->301 chain, a temporary cross-host hop,
+        # and a 302 loop pair the chain resolver must refuse to follow
+        # forever
+        ('response', rid, uri,
+         http_response(status, reason, 'text/html', b'', location=loc),
+         'application/http;msgtype=response')
+        for rid, uri, status, reason, loc in REDIRECT_RECS
     ]
     with open(os.path.join(OUTDIR, name0), 'wb') as f:
         for wtype, rid, uri, payload, ctype in recs0:
@@ -363,6 +386,8 @@ def main():
     add_rec(name0, 2, 'response', a_uri, 200, 'text/html; charset=utf-8', a_html)
     add_rec(name0, 3, 'response', c_uri, 200, 'application/json', c_body)
     add_rec(name0, 4, 'response', r_uri, 200, 'text/plain', r_body)
+    for i, (_rid, uri, status, _reason, _loc) in enumerate(REDIRECT_RECS):
+        add_rec(name0, 5 + i, 'response', uri, status, 'text/html', b'')
     for kind, text, media_ref, off in page_spans(a_doc, a_text):
         ext_rows.append((name0, a_uri, off, kind, text, media_ref))
     add_links(name0, a_uri, PAGE_A_LINKS)
@@ -452,6 +477,26 @@ def main():
          if origin_of(url) in robots_by_origin else True)
         for url, host, n in frontier_rows]
 
+    # ---- redirect map + chain-resolution twin -------------------------------
+    # from/to both canonicalized; Location may be relative (RFC 7231), so it
+    # resolves against the redirecting URI like any frontier href. The chain
+    # twin follows the map to a terminal with the same hop cap as the Scala
+    # query and the DuckDB recursive CTE; a chain still pointing at a
+    # redirect source at the cap (the planted 302 loop) is unresolved.
+    redirect_rows = sorted(
+        (normalize_http(uri), normalize_http(urljoin(uri, loc)), status)
+        for _rid, uri, status, _reason, loc in REDIRECT_RECS)
+    rmap = {f: t for f, t, _s in redirect_rows}
+    chain_rows = []
+    for f in sorted(rmap):
+        cur, hops = rmap[f], 1
+        while cur in rmap and hops < REDIRECT_MAX_HOPS:
+            cur, hops = rmap[cur], hops + 1
+        if cur in rmap:
+            chain_rows.append((f, '', 0, True))
+        else:
+            chain_rows.append((f, cur, hops, False))
+
     # ---- host link graph + integer PageRank twin ----------------------------
     # distinct (src_host -> dst_host) edges from the same followable-link set
     # the frontier uses, self-edges dropped; rank = 10 power iterations in
@@ -516,6 +561,20 @@ def main():
     pq.write_table(pa.Table.from_pylist(
         [dict(zip(robots_schema.names, r)) for r in robots_rows],
         schema=robots_schema), EXP_ROBOTS)
+
+    redir_schema = pa.schema([
+        ('from_url', pa.string()), ('to_url', pa.string()),
+        ('status', pa.int32())])
+    pq.write_table(pa.Table.from_pylist(
+        [dict(zip(redir_schema.names, r)) for r in redirect_rows],
+        schema=redir_schema), EXP_REDIRECTS)
+
+    chain_schema = pa.schema([
+        ('url', pa.string()), ('final_url', pa.string()),
+        ('hops', pa.int32()), ('unresolved', pa.bool_())])
+    pq.write_table(pa.Table.from_pylist(
+        [dict(zip(chain_schema.names, r)) for r in chain_rows],
+        schema=chain_schema), EXP_CHAINS)
 
     edges_schema = pa.schema([('src', pa.string()), ('dst', pa.string())])
     pq.write_table(pa.Table.from_pylist(
