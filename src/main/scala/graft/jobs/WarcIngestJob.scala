@@ -117,12 +117,29 @@ object WarcIngestJob {
       // not a job. Error rows live in the same bucket partition
       // (downstream filters `offset >= 0`) and are counted per file in
       // lineage `error_count`.
+      // ONE parse per page feeds BOTH outputs: main-content spans and the
+      // page's followable outlinks (resolved + canonicalized here, where
+      // the page URI is in hand). Link rows share the span table —
+      // `kind = "link"`, text = the canonical target, media_ref = its host
+      // — so the crawl is read and parsed exactly once; the frontier
+      // publish below is a pure aggregation over committed rows.
       val spans = bytes.flatMap { case (name, b) =>
         val fileIdx = name.stripPrefix("part-").stripSuffix(".warc.gz").toInt
         Warc.records(b).filter(Warc.isHtml200).flatMap { r =>
-          try graft.text.MainContent.extractHtmlLenient(Warc.decodeHtml(r)).spans
-            .map(s => (fileIdx, r.targetUri, s.offset, s.kind, s.text, s.media_ref))
-          catch { case scala.util.control.NonFatal(e) =>
+          try {
+            val dom = graft.text.HtmlDom.parse(Warc.decodeHtml(r), lenient = true)
+            val spanRows = graft.text.MainContent.extract(dom).spans
+              .map(s => (fileIdx, r.targetUri, s.offset, s.kind, s.text, s.media_ref))
+            val linkRows = graft.text.PageMeta.of(dom).links.iterator
+              .filterNot(_.rel.split(' ').contains("nofollow"))
+              .flatMap(l => graft.text.UrlResolve.normalizeHttp(
+                graft.text.UrlResolve.resolve(r.targetUri, l.href)))
+              .zipWithIndex
+              .map { case (u, i) =>
+                (fileIdx, r.targetUri, i, "link", u, graft.text.UrlResolve.hostOf(u))
+              }
+            spanRows ++ linkRows
+          } catch { case scala.util.control.NonFatal(e) =>
             Seq((fileIdx, r.targetUri, -1,
               "error", s"${e.getClass.getSimpleName}: " +
                 Option(e.getMessage).getOrElse("").take(200), ""))
@@ -133,10 +150,10 @@ object WarcIngestJob {
       val obs = org.apache.spark.sql.Observation(s"warc_stats_$groupsDone")
       val statCols: Seq[org.apache.spark.sql.Column] = group.toSeq.flatMap { f =>
         Seq(
-          sum(when(col("bucket") === f && col("kind") =!= "error", 1L).otherwise(0L)).as(s"spans_$f"),
-          sum(when(col("bucket") === f && col("offset") === 0, 1L).otherwise(0L)).as(s"pages_$f"),
+          sum(when(col("bucket") === f && !col("kind").isin("error", "link"), 1L).otherwise(0L)).as(s"spans_$f"),
+          sum(when(col("bucket") === f && col("offset") === 0 && col("kind") =!= "link", 1L).otherwise(0L)).as(s"pages_$f"),
           sum(when(col("bucket") === f && col("kind") === "error", 1L).otherwise(0L)).as(s"errors_$f"),
-          expr(s"bit_xor(CASE WHEN bucket = $f AND offset = 0 THEN xxhash64(uri) END)").as(s"hash_$f"))
+          expr(s"bit_xor(CASE WHEN bucket = $f AND offset = 0 AND kind <> 'link' THEN xxhash64(uri) END)").as(s"hash_$f"))
       }
       val out = spans.observe(obs, statCols.head, statCols.tail: _*)
       // idempotent group write: dynamic overwrite replaces exactly this
@@ -165,13 +182,18 @@ object WarcIngestJob {
       errorsDone += rows.map(_.error_count).sum
       groupsDone += 1
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
-    // once EVERY file is committed, publish the docs-shaped snapshot
-    // (skipped when a prior run already published it and nothing changed)
+    // once EVERY file is committed, publish the docs-shaped snapshot AND
+    // the crawl frontier for the next fetch wave (both skipped when a
+    // prior run already published them and nothing changed)
     if (args.nest &&
-        Lineage.committedPartitions(spark, args.out).size == args.files &&
-        (todo.nonEmpty ||
-          !graft.storage.Snapshots.isCommitted(s"${args.out}/docs", args.seed)))
-      nestDocs(spark, args.out, args.seed)
+        Lineage.committedPartitions(spark, args.out).size == args.files) {
+      if (todo.nonEmpty ||
+          !graft.storage.Snapshots.isCommitted(s"${args.out}/docs", args.seed))
+        nestDocs(spark, args.out, args.seed)
+      if (todo.nonEmpty ||
+          !graft.storage.Snapshots.isCommitted(s"${args.out}/frontier", args.seed))
+        publishFrontier(spark, args.out, args.seed)
+    }
     (todo.size, pagesDone, errorsDone)
   }
 
@@ -184,8 +206,25 @@ object WarcIngestJob {
     * uri — the grouping is per page, so skew is bounded by the largest
     * single page, and the nested row's size by that page's span count.
     */
+  /** Publish the next fetch wave's input: every followable outlink the
+    * ingest pass emitted, deduped with a reference count — `(url, host,
+    * n_refs)`, the same shape the catalog's `q_warc_frontier` builds and
+    * `q_warc_schedule`/`q_warc_robots` consume. Link extraction happened
+    * inside the (resumable, committed) ingest pass, so this is one
+    * hash-agg over committed rows — the crawl is never re-read or
+    * re-parsed to build its own continuation.
+    */
+  def publishFrontier(spark: SparkSession, out: String, snapshotId: Long): Unit = {
+    val frontier = spark.read.parquet(s"$out/data")
+      .filter(col("kind") === "link")
+      .groupBy(col("text").as("url"), col("media_ref").as("host"))
+      .agg(count(lit(1)).as("n_refs"))
+    graft.storage.Snapshots.commit(frontier, s"$out/frontier", snapshotId)
+  }
+
   def nestDocs(spark: SparkSession, out: String, snapshotId: Long): Unit = {
-    val flat = spark.read.parquet(s"$out/data").filter(col("offset") >= 0)
+    val flat = spark.read.parquet(s"$out/data")
+      .filter(col("offset") >= 0 && col("kind") =!= "link")
     val docs = flat
       .groupBy(col("uri").as("doc_id"))
       // array_sort on the struct sorts by its FIRST field — offset — which

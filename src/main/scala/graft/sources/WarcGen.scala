@@ -46,11 +46,38 @@ object WarcGen {
 
   def uriOf(pageId: Long): String = s"https://crawl.example/$pageId"
 
+  /** Static chrome hrefs every article page carries (header/sidebar/footer). */
+  val ChromeHrefs: Vector[String] =
+    Vector("/", "/map", "/s/1", "/s/2", "/legal")
+
+  /** Deterministic per-page RELATED hrefs (footer chrome): two forward
+    * same-host article links — targets past the crawl edge are exactly what
+    * a real frontier contains, uncrawled URLs — plus a partner-host link on
+    * a fixed cadence, so the job's published frontier has cross-host rows.
+    */
+  def relatedHrefs(pageId: Long, seed: Long): Vector[String] = {
+    val rng = new Rng(seed ^ (pageId * 0x9E3779B97F4A7C15L) ^ 0x11ABCDEFL)
+    val base = Vector.tabulate(2)(_ => s"/${pageId + 1 + rng.nextInt(97)}")
+    if (pageId % 7 == 2)
+      base :+ s"https://partner-${pageId % 5}.example/ref/$pageId"
+    else base
+  }
+
+  /** The job's per-page outlink expectation — every chrome + related href
+    * resolved/canonicalized like the ingest path does (same-host hrefs are
+    * root-relative, so resolution is plain prefixing; the construction
+    * stays an independent derivation, not a call into UrlResolve).
+    */
+  def expectedOutlinks(pageId: Long, seed: Long): Vector[String] =
+    (ChromeHrefs ++ relatedHrefs(pageId, seed)).map { h =>
+      if (h.startsWith("https://")) h else s"https://crawl.example$h"
+    }
+
   /** Planted-figure rule (same cadence as the catalog's article wrap). */
   def hasFigure(pageId: Long): Boolean = pageId % 4 == 0
 
   /** The chrome-wrapped article page (utf-8). */
-  def pageHtml(pageId: Long, ps: Vector[String]): String = {
+  def pageHtml(pageId: Long, ps: Vector[String], seed: Long = 42L): String = {
     val sb = new java.lang.StringBuilder(1400)
     sb.append("<!DOCTYPE html>\n<html><head><title>Page ").append(pageId)
       .append("</title><style>article{margin:0}</style>")
@@ -75,8 +102,13 @@ object WarcGen {
     }
     sb.append("</article>\n<div class=\"comments\"><p>short comment thread body ")
       .append("with opinions and replies</p></div>\n")
-      .append("<footer><p>footer <a href=\"/legal\">legal</a></p></footer>\n")
-      .append("</body></html>")
+      .append("<footer><p>footer <a href=\"/legal\">legal</a></p>")
+    // related-link block: footer CHROME (invisible to extraction, visible
+    // to the link pass) — the per-page outlinks the frontier is built from
+    relatedHrefs(pageId, seed).foreach { h =>
+      sb.append("<a href=\"").append(h).append("\">related</a>")
+    }
+    sb.append("</footer>\n</body></html>")
     sb.toString
   }
 
@@ -187,7 +219,7 @@ object WarcGen {
               .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         else
           httpResponse(200, "OK", "text/html; charset=utf-8",
-            pageHtml(p, pieces(p, seed))
+            pageHtml(p, pieces(p, seed), seed)
               .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.write(gzipMember(warcRecord("response", s"resp-$p", uri, http,
         "application/http;msgtype=response")))
