@@ -97,6 +97,7 @@ object SparkEntry {
     "q_warc_rank" -> (Queries.warcLinkRank(_, _)),
     "q_warc_redirects" -> (Queries.warcRedirects(_, _)),
     "q_warc_redirect_chains" -> (Queries.warcRedirectChains(_, _)),
+    "q_warc_sitemap" -> (Queries.warcSitemap(_, _)),
     "q_stratified_sample" -> (Queries.stratifiedSample(_, _)),
     "q_token_count" -> (Queries.tokenCount(_, _)),
     "q_token_count_bpe" -> (Queries.tokenCountBpe(_, _)),
@@ -589,6 +590,12 @@ object SparkEntry {
     // division; SUM casts back from HUGEINT), so the oracle verifies the
     // iteration itself, not a dumped fixture
     "q_warc_rank" -> warcRankSql,
+    // sitemap seeds computed by the generator's independent ElementTree
+    // twin over the planted index + urlsets (incl. the origin-guard drops)
+    "q_warc_sitemap" ->
+      """SELECT url, host, lastmod, sitemap_url
+        |FROM read_parquet('/root/repo/src/test/resources/expected/warc_sitemap.parquet')
+        |ORDER BY sitemap_url, url""".stripMargin,
     "q_warc_redirects" ->
       """SELECT from_url, to_url, status
         |FROM read_parquet('/root/repo/src/test/resources/expected/warc_redirects.parquet')

@@ -1833,6 +1833,81 @@ object Queries {
     linkRankFrom(spark, edges).orderBy("host")
   }
 
+  /** Sitemap SEED extraction — the crawl's third URL source besides
+    * outlinks and redirects: robots.txt `Sitemap:` announcements joined
+    * against the XML captures in the same crawl, `<sitemapindex>` files
+    * expanded ONE level (the protocol forbids nested indexes — a deeper
+    * one throws), `<urlset>` entries canonicalized and passed through the
+    * protocol's CROSS-ORIGIN guard (an entry outside its sitemap's origin
+    * is ignored — the rule that stops a sitemap from injecting foreign
+    * URLs into the frontier). Every sitemap document is parsed exactly
+    * once: level-0 classification emits entries and child references in
+    * the same pass, children join back against the (cached) XML captures.
+    * Output: (url, host, lastmod, sitemap_url); lastmod is empty when the
+    * sitemap carries none. Oracle: the fixture generator's independent
+    * ElementTree twin over the sitemaps it plants.
+    */
+  def warcSitemap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bytes = spark.read.format("binaryFile")
+      .load(s"$mediaDir/warc/*")
+      .select(col("content")).as[Array[Byte]]
+    val xmlDocs = tracked(bytes.flatMap { b =>
+      graft.sources.Warc.records(b)
+        .filter(r => r.warcType == "response" && r.httpStatus == 200 &&
+          (r.httpContentType.startsWith("application/xml") ||
+            r.httpContentType.startsWith("text/xml")))
+        .flatMap(r => graft.text.UrlResolve.normalizeHttp(r.targetUri)
+          .map(u => (u, new String(r.body, java.nio.charset.StandardCharsets.UTF_8))))
+        .toSeq
+    }.toDF("sm_url", "xml"))
+    val announced = bytes.flatMap { b =>
+      graft.sources.Warc.records(b)
+        .filter(r => r.warcType == "response" && r.httpStatus == 200 &&
+          graft.text.UrlResolve.parse(r.targetUri).path == "/robots.txt")
+        .flatMap { r =>
+          graft.text.Robots.sitemapsOf(
+              new String(r.body, java.nio.charset.StandardCharsets.UTF_8))
+            .flatMap(graft.text.UrlResolve.normalizeHttp)
+        }.toSeq
+    }.toDF("sm_url").distinct()
+
+    def urlsetRows(u: String, es: Vector[graft.text.Sitemaps.Entry]) = {
+      val org = graft.text.UrlResolve.originOf(u)
+      es.iterator
+        .flatMap(e => graft.text.UrlResolve.normalizeHttp(e.loc).map((_, e.lastmod)))
+        .filter { case (loc, _) => graft.text.UrlResolve.originOf(loc) == org }
+        .map { case (loc, lm) =>
+          ("entry", loc, graft.text.UrlResolve.hostOf(loc), lm, u)
+        }
+    }
+    // level 0: announced AND captured; one parse classifies and emits
+    val l0 = announced.join(xmlDocs, "sm_url").as[(String, String)]
+      .flatMap { case (u, x) =>
+        graft.text.Sitemaps.parse(x, u) match {
+          case graft.text.Sitemaps.UrlSet(es) => urlsetRows(u, es)
+          case graft.text.Sitemaps.Index(children) =>
+            children.iterator.flatMap(graft.text.UrlResolve.normalizeHttp)
+              .map(c => ("child", c, "", "", u))
+        }
+      }.toDF("kind", "url", "host", "lastmod", "sitemap_url")
+    val l1 = l0.filter(col("kind") === "child")
+      .select(col("url").as("sm_url")).distinct()
+      .join(xmlDocs, "sm_url").as[(String, String)]
+      .flatMap { case (u, x) =>
+        graft.text.Sitemaps.parse(x, u) match {
+          case graft.text.Sitemaps.UrlSet(es) => urlsetRows(u, es)
+          case _: graft.text.Sitemaps.Index =>
+            throw new IllegalArgumentException(
+              s"$u: nested sitemap index (the protocol forbids index-in-index)")
+        }
+      }.toDF("kind", "url", "host", "lastmod", "sitemap_url")
+    l0.filter(col("kind") === "entry").unionAll(l1)
+      .select("url", "host", "lastmod", "sitemap_url")
+      .distinct()
+      .orderBy("sitemap_url", "url")
+  }
+
   /** Redirect map of the crawl: every 3xx response with a `Location`
     * header, the target resolved against the redirecting URI (RFC 7231
     * allows relative Location values) and canonicalized like any frontier

@@ -66,6 +66,22 @@ object Robots {
     groups.result()
   }
 
+  /** `Sitemap:` directive values — a group-independent extension every
+    * major crawler honors (RFC 9309 §2.2.4 files these under "other
+    * records"; the value is an absolute sitemap URL).
+    */
+  def sitemapsOf(body: String): Vector[String] =
+    body.linesIterator.flatMap { raw =>
+      val line = raw.indexOf('#') match {
+        case -1 => raw.trim
+        case i  => raw.substring(0, i).trim
+      }
+      val ci = line.indexOf(':')
+      if (ci > 0 && line.substring(0, ci).trim.equalsIgnoreCase("sitemap"))
+        Some(line.substring(ci + 1).trim).filter(_.nonEmpty)
+      else None
+    }.toVector
+
   /** The merged rule list governing `agent` (§2.2.1). */
   def rulesFor(groups: Vector[Group], agent: String): Vector[Rule] = {
     val a = agent.toLowerCase

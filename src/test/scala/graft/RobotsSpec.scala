@@ -121,4 +121,23 @@ class RobotsSpec extends AnyFunSuite {
     assert(!Robots.urlAllowed(rootOnly, "bot", "https://h"))
     assert(Robots.urlAllowed(rootOnly, "bot", "https://h/x"))
   }
+
+  test("sitemap announcements extract group-independently and never leak into rules") {
+    val body =
+      """Sitemap: https://h/a.xml  # top-level, before any group
+        |User-agent: bot
+        |Disallow: /x
+        |SITEMAP: https://h/b.xml
+        |Sitemap:
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin
+    // both directives found (case-insensitive key), empty value dropped,
+    // document order kept
+    assert(Robots.sitemapsOf(body) ==
+      Vector("https://h/a.xml", "https://h/b.xml"))
+    // the in-group Sitemap line did not terminate or pollute bot's rules
+    assert(!Robots.urlAllowed(body, "bot", "https://h/x"))
+    assert(Robots.urlAllowed(body, "bot", "https://h/y"))
+  }
 }

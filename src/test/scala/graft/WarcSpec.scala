@@ -32,10 +32,10 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("name", "rec_idx", "warc_type", "uri", "status", "content_type",
         "body_len", "body_sha")
       .orderBy("name", "rec_idx").collect().map(_.toSeq).toVector
-    assert(exp.size == 16)
+    assert(exp.size == 19)
     assert(got == exp)
     // both physical layouts are present and read identically
-    assert(got.count(_.head == "sample_00.warc") == 10)
+    assert(got.count(_.head == "sample_00.warc") == 13)
     assert(got.count(_.head == "sample_01.warc.gz") == 6)
   }
 
@@ -130,6 +130,26 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count(_.head == "static.example") == 1)
     // nothing disallowed was scheduled
     assert(!got.exists(_(1).toString.contains("/terms")))
+  }
+
+  test("sitemap seeds match the generator's ElementTree twin") {
+    val got = graft.ops.Queries.warcSitemap(spark, "").collect().map(_.toSeq).toVector
+    val exp = spark.read
+      .parquet("src/test/resources/expected/warc_sitemap.parquet")
+      .select("url", "host", "lastmod", "sitemap_url")
+      .orderBy("sitemap_url", "url").collect().map(_.toSeq).toVector
+    assert(exp.size == 4)
+    assert(got == exp)
+    // the index expanded to BOTH announced urlsets
+    assert(got.map(_(3)).distinct.size == 2)
+    // the uppercase loc canonicalized
+    assert(got.exists(_.head == "https://example.org/news?id=4"))
+    // the origin guard dropped the cross-host injection AND the
+    // http-scheme entry on the https origin
+    assert(!got.exists(_.head.toString.contains("evil")))
+    assert(!got.exists(_.head.toString.startsWith("http://")))
+    // lastmod is empty when the sitemap carries none
+    assert(got.exists(r => r(0) == "https://example.org/archive" && r(2) == ""))
   }
 
   test("redirect map and chain resolution match the generator's twin") {

@@ -44,6 +44,7 @@ EXP_ROBOTS = 'src/test/resources/expected/warc_robots.parquet'
 EXP_EDGES = 'src/test/resources/expected/warc_edges.parquet'
 EXP_REDIRECTS = 'src/test/resources/expected/warc_redirects.parquet'
 EXP_CHAINS = 'src/test/resources/expected/warc_redirect_chains.parquet'
+EXP_SITEMAP = 'src/test/resources/expected/warc_sitemap.parquet'
 EXP_RANK = 'src/test/resources/expected/warc_rank.parquet'
 
 IMG_EVERY = 4  # must match Queries.HtmlImgEvery
@@ -219,6 +220,7 @@ def host_of(url):
 # and a closed * group the graftbot agent must NOT fall into
 ROBOTS_BODY = (
     '# graft politeness rules\n'
+    'Sitemap: https://example.org/sitemap_index.xml\n'
     'User-agent: graftbot\n'
     'Disallow: /p/\n'
     'Allow: /p/1\n'
@@ -228,6 +230,100 @@ ROBOTS_BODY = (
     'User-agent: *\n'
     'Disallow: /\n')
 ROBOTS_AGENT = 'graftbot'
+
+# the sitemap family: robots.txt announces an INDEX, the index names two
+# urlsets (one consumer indirection level, the protocol's maximum), and
+# urlset B plants a cross-origin entry (evil.example) plus an http-scheme
+# entry on the https origin — both must be DROPPED by the protocol's
+# same-origin guard; sitemap A's uppercase loc exercises canonicalization
+SM_NS = 'http://www.sitemaps.org/schemas/sitemap/0.9'
+SITEMAP_INDEX = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    f'<sitemapindex xmlns="{SM_NS}">'
+    '<sitemap><loc>https://example.org/sitemap_a.xml</loc></sitemap>'
+    '<sitemap><loc>https://example.org/sitemap_b.xml</loc>'
+    '<lastmod>2026-08-01</lastmod></sitemap>'
+    '</sitemapindex>')
+SITEMAP_A = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    f'<urlset xmlns="{SM_NS}">'
+    '<url><loc>https://example.org/p/9</loc><lastmod>2026-07-01</lastmod></url>'
+    '<url><loc>https://example.org/archive</loc></url>'
+    '<url><loc>HTTPS://EXAMPLE.ORG/news?id=4</loc>'
+    '<lastmod>2026-08-15T10:00:00Z</lastmod></url>'
+    '</urlset>')
+SITEMAP_B = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    f'<urlset xmlns="{SM_NS}">'
+    '<url><loc>https://example.org/p/1</loc><lastmod>2026-06-20</lastmod></url>'
+    '<url><loc>https://evil.example/injected</loc></url>'
+    '<url><loc>http://example.org/insecure</loc></url>'
+    '</urlset>')
+SITEMAP_DOCS = {
+    'https://example.org/sitemap_index.xml': SITEMAP_INDEX,
+    'https://example.org/sitemap_a.xml': SITEMAP_A,
+    'https://example.org/sitemap_b.xml': SITEMAP_B,
+}
+
+
+def sitemap_rows():
+    """ElementTree twin of text.Sitemaps + the query's origin guard."""
+    import xml.etree.ElementTree as ET
+
+    def ln(tag):
+        return tag.rsplit('}', 1)[-1]
+
+    rows = set()
+
+    def handle_urlset(u, root):
+        org = origin_of(u)
+        for url_el in root:
+            if ln(url_el.tag) != 'url':
+                continue
+            loc = lastmod = None
+            for c in url_el:
+                if ln(c.tag) == 'loc':
+                    loc = (c.text or '').strip()
+                elif ln(c.tag) == 'lastmod':
+                    lastmod = (c.text or '').strip()
+            if not loc:
+                continue
+            norm = normalize_http(loc)
+            if norm is None or origin_of(norm) != org:
+                continue
+            rows.add((norm, host_of(norm), lastmod or '', u))
+
+    announced = [u for u in robots_sitemaps(ROBOTS_BODY)]
+    for u in announced:
+        nu = normalize_http(u)
+        if nu not in SITEMAP_DOCS:
+            continue
+        root = ET.fromstring(SITEMAP_DOCS[nu])
+        if ln(root.tag) == 'sitemapindex':
+            for sm in root:
+                if ln(sm.tag) != 'sitemap':
+                    continue
+                loc = next(((c.text or '').strip() for c in sm
+                            if ln(c.tag) == 'loc'), None)
+                cu = normalize_http(loc) if loc else None
+                if cu in SITEMAP_DOCS:
+                    handle_urlset(cu, ET.fromstring(SITEMAP_DOCS[cu]))
+        else:
+            handle_urlset(nu, root)
+    return sorted(rows, key=lambda r: (r[3], r[0]))
+
+
+def robots_sitemaps(body):
+    out = []
+    for raw in body.splitlines():
+        line = raw.split('#', 1)[0].strip()
+        if ':' not in line:
+            continue
+        key, value = line.split(':', 1)
+        if key.strip().lower() == 'sitemap' and value.strip():
+            out.append(value.strip())
+    return out
+
 
 # (record_id, redirecting uri, status, reason, Location header value)
 REDIRECT_RECS = [
@@ -377,6 +473,11 @@ def main():
          http_response(status, reason, 'text/html', b'', location=loc),
          'application/http;msgtype=response')
         for rid, uri, status, reason, loc in REDIRECT_RECS
+    ] + [
+        ('response', f'sm{i}', uri,
+         http_response(200, 'OK', 'application/xml', body.encode('utf-8')),
+         'application/http;msgtype=response')
+        for i, (uri, body) in enumerate(sorted(SITEMAP_DOCS.items()))
     ]
     with open(os.path.join(OUTDIR, name0), 'wb') as f:
         for wtype, rid, uri, payload, ctype in recs0:
@@ -388,6 +489,9 @@ def main():
     add_rec(name0, 4, 'response', r_uri, 200, 'text/plain', r_body)
     for i, (_rid, uri, status, _reason, _loc) in enumerate(REDIRECT_RECS):
         add_rec(name0, 5 + i, 'response', uri, status, 'text/html', b'')
+    for i, (uri, body) in enumerate(sorted(SITEMAP_DOCS.items())):
+        add_rec(name0, 5 + len(REDIRECT_RECS) + i, 'response', uri, 200,
+                'application/xml', body.encode('utf-8'))
     for kind, text, media_ref, off in page_spans(a_doc, a_text):
         ext_rows.append((name0, a_uri, off, kind, text, media_ref))
     add_links(name0, a_uri, PAGE_A_LINKS)
@@ -561,6 +665,13 @@ def main():
     pq.write_table(pa.Table.from_pylist(
         [dict(zip(robots_schema.names, r)) for r in robots_rows],
         schema=robots_schema), EXP_ROBOTS)
+
+    sm_schema = pa.schema([
+        ('url', pa.string()), ('host', pa.string()),
+        ('lastmod', pa.string()), ('sitemap_url', pa.string())])
+    pq.write_table(pa.Table.from_pylist(
+        [dict(zip(sm_schema.names, r)) for r in sitemap_rows()],
+        schema=sm_schema), EXP_SITEMAP)
 
     redir_schema = pa.schema([
         ('from_url', pa.string()), ('to_url', pa.string()),
