@@ -98,6 +98,7 @@ object SparkEntry {
     "q_warc_redirects" -> (Queries.warcRedirects(_, _)),
     "q_warc_redirect_chains" -> (Queries.warcRedirectChains(_, _)),
     "q_warc_sitemap" -> (Queries.warcSitemap(_, _)),
+    "q_warc_mirrors" -> (Queries.warcMirrors(_, _)),
     "q_stratified_sample" -> (Queries.stratifiedSample(_, _)),
     "q_token_count" -> (Queries.tokenCount(_, _)),
     "q_token_count_bpe" -> (Queries.tokenCountBpe(_, _)),
@@ -590,6 +591,19 @@ object SparkEntry {
     // division; SUM casts back from HUGEINT), so the oracle verifies the
     // iteration itself, not a dumped fixture
     "q_warc_rank" -> warcRankSql,
+    // mirror groups RECOMPUTED in SQL from the expected records table's
+    // body_sha column — the oracle redoes the digest grouping, not a dump
+    "q_warc_mirrors" ->
+      """WITH h AS (
+        |  SELECT uri, body_sha
+        |  FROM read_parquet('/root/repo/src/test/resources/expected/warc_records.parquet')
+        |  WHERE status = 200 AND content_type LIKE 'text/html%'),
+        |g AS (SELECT body_sha, min(uri) AS canonical_url, count(*) AS n_copies
+        |      FROM h GROUP BY body_sha)
+        |SELECT h.body_sha, h.uri AS url, g.canonical_url, g.n_copies
+        |FROM h JOIN g USING (body_sha)
+        |WHERE g.n_copies >= 2
+        |ORDER BY body_sha, url""".stripMargin,
     // sitemap seeds computed by the generator's independent ElementTree
     // twin over the planted index + urlsets (incl. the origin-guard drops)
     "q_warc_sitemap" ->

@@ -1833,6 +1833,41 @@ object Queries {
     linkRankFrom(spark, edges).orderBy("host")
   }
 
+  /** MIRROR detection — exact content dedup at the CAPTURE layer: html 200
+    * payloads grouped by their sha-256 digest; every digest shared by ≥2
+    * URLs emits its members with the group's canonical (minimum) URL, the
+    * crawl-time form of exact dedup (the same page served from mirrors /
+    * CDNs / tracking-parameter variants should be fetched once and crawled
+    * from its canonical home). One hash-agg on the digest + a join back —
+    * digests are uniform so there is no skew to handle, and the digest is
+    * computed row-locally during the scan. URLs stay as captured (the
+    * records layer's identity; canonicalization happens in the frontier
+    * queries). Oracle: the same grouping recomputed in DuckDB over the
+    * expected records table's body_sha column.
+    */
+  def warcMirrors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pages = spark.read.format("binaryFile")
+      .load(s"$mediaDir/warc/*")
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { b =>
+        graft.sources.Warc.records(b)
+          .filter(r => r.warcType == "response" && r.httpStatus == 200 &&
+            r.httpContentType.startsWith("text/html"))
+          .map { r =>
+            val d = java.security.MessageDigest.getInstance("SHA-256").digest(r.body)
+            (d.map("%02x".format(_)).mkString, r.targetUri)
+          }
+          .toSeq
+      }.toDF("body_sha", "url")
+    val groups = pages.groupBy("body_sha")
+      .agg(min(col("url")).as("canonical_url"), count(lit(1)).as("n_copies"))
+    pages.join(groups, "body_sha")
+      .where(col("n_copies") >= 2)
+      .select("body_sha", "url", "canonical_url", "n_copies")
+      .orderBy("body_sha", "url")
+  }
+
   /** Sitemap SEED extraction — the crawl's third URL source besides
     * outlinks and redirects: robots.txt `Sitemap:` announcements joined
     * against the XML captures in the same crawl, `<sitemapindex>` files

@@ -32,10 +32,10 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("name", "rec_idx", "warc_type", "uri", "status", "content_type",
         "body_len", "body_sha")
       .orderBy("name", "rec_idx").collect().map(_.toSeq).toVector
-    assert(exp.size == 19)
+    assert(exp.size == 20)
     assert(got == exp)
     // both physical layouts are present and read identically
-    assert(got.count(_.head == "sample_00.warc") == 13)
+    assert(got.count(_.head == "sample_00.warc") == 14)
     assert(got.count(_.head == "sample_01.warc.gz") == 6)
   }
 
@@ -45,7 +45,7 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       .parquet("src/test/resources/expected/warc_extract.parquet")
       .select("name", "uri", "offset", "kind", "text", "media_ref")
       .orderBy("name", "uri", "offset").collect().map(_.toSeq).toVector
-    assert(exp.size == 15)
+    assert(exp.size == 20)
     assert(got == exp)
     // the latin-1 page's accents survived the charset decode
     assert(got.exists(_.exists(v => v == "café détail with accents à la carte")))
@@ -61,7 +61,7 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       .parquet("src/test/resources/expected/warc_links.parquet")
       .select("name", "uri", "link_idx", "href", "anchor", "rel")
       .orderBy("name", "uri", "link_idx").collect().map(_.toSeq).toVector
-    assert(exp.size == 30)
+    assert(exp.size == 38)
     assert(got == exp)
     // the planted nofollow is carried through
     assert(got.exists(r => r(3) == "/p/2" && r(5) == "nofollow"))
@@ -73,7 +73,7 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       .parquet("src/test/resources/expected/warc_frontier.parquet")
       .select("url", "host", "n_refs")
       .orderBy("url").collect().map(_.toSeq).toVector
-    assert(exp.size == 24)
+    assert(exp.size == 31)
     assert(got == exp)
     // the cross-page duplicate deduped with its reference count
     assert(got.exists(r => r(0) == "https://example.org/p/1" && r(2) == 2L))
@@ -90,7 +90,7 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       .parquet("src/test/resources/expected/warc_robots.parquet")
       .select("url", "host", "n_refs", "allowed")
       .orderBy("url").collect().map(_.toSeq).toVector
-    assert(exp.size == 24)
+    assert(exp.size == 31)
     assert(got == exp)
     def verdict(url: String) = got.find(_.head == url).map(_(3)).get
     // the Allow carve-out beats the /p/ Disallow by length
@@ -130,6 +130,19 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count(_.head == "static.example") == 1)
     // nothing disallowed was scheduled
     assert(!got.exists(_(1).toString.contains("/terms")))
+  }
+
+  test("mirror detection groups byte-identical captures across hosts") {
+    val got = graft.ops.Queries.warcMirrors(spark, "").collect().map(_.toSeq).toVector
+    // exactly one duplicate group: page A and its planted cross-host mirror
+    assert(got.size == 2)
+    assert(got.forall(_(3) == 2L))
+    assert(got.map(_(1)).toSet ==
+      Set("https://example.org/a", "https://mirror.example/a"))
+    // canonical = minimum URL, identical for every member of the group
+    assert(got.forall(_(2) == "https://example.org/a"))
+    // both members carry the same digest
+    assert(got.map(_(0)).distinct.size == 1)
   }
 
   test("sitemap seeds match the generator's ElementTree twin") {

@@ -448,6 +448,7 @@ def main():
     c_uri = 'https://example.org/api'
     r_body = ROBOTS_BODY.encode('utf-8')
     r_uri = 'https://example.org/robots.txt'
+    m_uri = 'https://mirror.example/a'
     info_payload = b'software: graft-gen 1.0\r\nformat: WARC File Format 1.0\r\n'
     req_payload = (b'GET /a HTTP/1.1\r\nHost: example.org\r\n'
                    b'User-Agent: graft-gen\r\n\r\n')
@@ -478,6 +479,12 @@ def main():
          http_response(200, 'OK', 'application/xml', body.encode('utf-8')),
          'application/http;msgtype=response')
         for i, (uri, body) in enumerate(sorted(SITEMAP_DOCS.items()))
+    ] + [
+        # a byte-identical MIRROR of page A on a different host — the
+        # duplicate-content case q_warc_mirrors must group by payload digest
+        ('response', 'mr', m_uri,
+         http_response(200, 'OK', 'text/html; charset=utf-8', a_html),
+         'application/http;msgtype=response'),
     ]
     with open(os.path.join(OUTDIR, name0), 'wb') as f:
         for wtype, rid, uri, payload, ctype in recs0:
@@ -492,9 +499,13 @@ def main():
     for i, (uri, body) in enumerate(sorted(SITEMAP_DOCS.items())):
         add_rec(name0, 5 + len(REDIRECT_RECS) + i, 'response', uri, 200,
                 'application/xml', body.encode('utf-8'))
+    add_rec(name0, 5 + len(REDIRECT_RECS) + len(SITEMAP_DOCS), 'response',
+            m_uri, 200, 'text/html; charset=utf-8', a_html)
     for kind, text, media_ref, off in page_spans(a_doc, a_text):
         ext_rows.append((name0, a_uri, off, kind, text, media_ref))
+        ext_rows.append((name0, m_uri, off, kind, text, media_ref))
     add_links(name0, a_uri, PAGE_A_LINKS)
+    add_links(name0, m_uri, PAGE_A_LINKS)
 
     # ---- sample_01.warc.gz (one gzip member per record) --------------------
     name1 = 'sample_01.warc.gz'
@@ -558,8 +569,9 @@ def main():
     # nofollow excluded (space-separated rel token list), non-http dropped,
     # dedup on the canonical form with a per-url reference count
     frontier = {}
-    pages = [(a_uri, PAGE_A_LINKS), (b_uri, PAGE_B_LINKS),
-             (e_uri, PAGE_E_LINKS), (f_uri, F_LINKS), (g_uri, G_LINKS)]
+    pages = [(a_uri, PAGE_A_LINKS), (m_uri, PAGE_A_LINKS),
+             (b_uri, PAGE_B_LINKS), (e_uri, PAGE_E_LINKS),
+             (f_uri, F_LINKS), (g_uri, G_LINKS)]
     for uri, links in pages:
         for href, _anchor, rel in links:
             if 'nofollow' in rel.split():
