@@ -5,10 +5,15 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** N-vs-4N scaling legs for the CRAWL chain (WARC → HTTP unwrap → charset →
-  * DOM parse → main-content spans) — the round-5 ingestion path measured
-  * under the same executor-model protocol as [[ScalingBench]] (BENCH.md §1):
-  * one leg per JVM, pinned cores, ParallelGC via tools/crawlscale.sh, the
-  * host-weather probe in a SEPARATE JVM.
+  * LENIENT DOM parse → main-content spans + outlinks) — the round-5
+  * ingestion path measured under the same executor-model protocol as
+  * [[ScalingBench]] (BENCH.md §1): one leg per JVM, pinned cores,
+  * ParallelGC via tools/crawlscale.sh, the host-weather probe in a
+  * SEPARATE JVM. The measured loop MIRRORS [[WarcIngestJob]]'s shipped
+  * per-page work exactly: one lenient parse feeding both main-content
+  * extraction and resolved/canonicalized link extraction, broken pages
+  * quarantined per page — so the throughput number is the chain users
+  * actually run, links included.
   *
   * The synthetic crawl ([[graft.sources.WarcGen]]) is materialized ONCE,
   * untimed, shared across legs (idempotent atomic-rename writes make
@@ -47,29 +52,42 @@ object CrawlScaleBench {
     WarcIngestJob.materializeCrawl(spark,
       WarcIngestJob.Args(files = files, pagesPerFile = pagesPerFile, out = root))
 
-    def once(): (Double, Long, Long) = {
+    def once(): (Double, Long, Long, Long) = {
       val t0 = System.nanoTime()
       val row = spark.read.format("binaryFile")
         .load(WarcIngestJob.crawlDir(root))
         .select(col("content")).as[Array[Byte]]
         .flatMap { b =>
-          Warc.htmlPages(b).flatMap { case (uri, html) =>
-            graft.text.MainContent.extractHtml(html).spans
-              .map(s => (uri, s.offset))
+          Warc.records(b).filter(Warc.isHtml200).flatMap { r =>
+            try {
+              val dom = graft.text.HtmlDom.parse(Warc.decodeHtml(r), lenient = true)
+              val spanRows = graft.text.MainContent.extract(dom).spans
+                .map(s => (r.targetUri, s.offset, false))
+              val linkRows = graft.text.PageMeta.of(dom).links.iterator
+                .filterNot(_.rel.split(' ').contains("nofollow"))
+                .flatMap(l => graft.text.UrlResolve.normalizeHttp(
+                  graft.text.UrlResolve.resolve(r.targetUri, l.href)))
+                .map(u => (u, 0, true))
+              spanRows ++ linkRows
+            } catch {
+              case scala.util.control.NonFatal(_) => Seq((r.targetUri, -1, false))
+            }
           }
         }
-        .toDF("uri", "offset")
-        .agg(count(lit(1)).as("spans"),
-          sum(when(col("offset") === 0, 1L).otherwise(0L)).as("pages"))
+        .toDF("uri", "offset", "is_link")
+        .agg(
+          sum(when(!col("is_link") && col("offset") >= 0, 1L).otherwise(0L)).as("spans"),
+          sum(when(!col("is_link") && col("offset") === 0, 1L).otherwise(0L)).as("pages"),
+          sum(when(col("is_link"), 1L).otherwise(0L)).as("links"))
         .collect()(0)
       val sec = (System.nanoTime() - t0) / 1e9
-      (sec, row.getAs[Long]("pages"), row.getAs[Long]("spans"))
+      (sec, row.getAs[Long]("pages"), row.getAs[Long]("spans"), row.getAs[Long]("links"))
     }
 
     once(); once() // JIT/codegen warm-up, untimed
     val runs = (1 to repeats).map(_ => once())
-    val (sec, pages, spans) = runs.minBy(_._1)
-    println(f"""{"bench":"crawl_scale","cores":"$cores","files":$files,"pages":$pages,"spans":$spans,"sec":$sec%.3f,"pages_per_sec":${pages / sec}%.1f,"spans_per_sec":${spans / sec}%.1f}""")
+    val (sec, pages, spans, links) = runs.minBy(_._1)
+    println(f"""{"bench":"crawl_scale","cores":"$cores","files":$files,"pages":$pages,"spans":$spans,"links":$links,"sec":$sec%.3f,"pages_per_sec":${pages / sec}%.1f,"spans_per_sec":${spans / sec}%.1f}""")
     spark.stop()
   }
 }
