@@ -99,6 +99,7 @@ object SparkEntry {
     "q_warc_redirect_chains" -> (Queries.warcRedirectChains(_, _)),
     "q_warc_sitemap" -> (Queries.warcSitemap(_, _)),
     "q_warc_mirrors" -> (Queries.warcMirrors(_, _)),
+    "q_snapshot_delta" -> (Queries.snapshotDelta(_, _)),
     "q_stratified_sample" -> (Queries.stratifiedSample(_, _)),
     "q_token_count" -> (Queries.tokenCount(_, _)),
     "q_token_count_bpe" -> (Queries.tokenCountBpe(_, _)),
@@ -591,6 +592,24 @@ object SparkEntry {
     // division; SUM casts back from HUGEINT), so the oracle verifies the
     // iteration itself, not a dumped fixture
     "q_warc_rank" -> warcRankSql,
+    // the recrawl-delta classification recomputed over the same synthetic
+    // generation-B view: text equality in DuckDB, digest equality in Spark
+    // — identical verdicts
+    "q_snapshot_delta" ->
+      """WITH a AS (SELECT doc_id, text FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 29 = 0)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |       CASE WHEN a.doc_id IS NULL THEN 'added'
+        |            WHEN b.doc_id IS NULL THEN 'removed'
+        |            WHEN a.text = b.text THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // mirror groups RECOMPUTED in SQL from the expected records table's
     // body_sha column — the oracle redoes the digest grouping, not a dump
     "q_warc_mirrors" ->

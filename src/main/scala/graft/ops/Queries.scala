@@ -1833,6 +1833,28 @@ object Queries {
     linkRankFrom(spark, edges).orderBy("host")
   }
 
+  /** Recrawl DELTA over the docs corpus ([[SnapshotDelta]]): generation B
+    * is a deterministic synthetic next crawl of `documents` — every 97th
+    * doc gone (site vanished), every 13th doc's text revised, every 29th
+    * doc re-published under a shifted id (new URL) — and the delta
+    * classifies every key across both generations in one full-outer join
+    * of (key, content-digest) projections. This is how a 10^12-doc table
+    * is MAINTAINED: the next pipeline run consumes `added`/`changed` rows
+    * only, instead of reprocessing the corpus. Oracle: the same
+    * generation-B view and full-outer classification in DuckDB (text
+    * equality there, digest equality here — same verdicts).
+    */
+  def snapshotDelta(spark: SparkSession, dir: String): DataFrame = {
+    val a = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val b = a.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(a.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    SnapshotDelta.delta(a, b, "doc_id", col("text")).orderBy("doc_id")
+  }
+
   /** MIRROR detection — exact content dedup at the CAPTURE layer: html 200
     * payloads grouped by their sha-256 digest; every digest shared by ≥2
     * URLs emits its members with the group's canonical (minimum) URL, the

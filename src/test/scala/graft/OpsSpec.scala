@@ -114,6 +114,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("snapshot delta classifies all four generation transitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val a = Seq((1L, "same"), (2L, "old text"), (3L, "gone")).toDF("doc_id", "text")
+    val b = Seq((1L, "same"), (2L, "new text"), (4L, "fresh")).toDF("doc_id", "text")
+    val got = graft.ops.SnapshotDelta.delta(a, b, "doc_id", col("text"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toVector
+    assert(got == Vector((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")))
+    // the catalog query's synthetic generation hits every class
+    val statuses = SparkEntry.queries("q_snapshot_delta")(spark, dir)
+      .collect().map(_.getString(1)).toSet
+    assert(statuses == Set("added", "removed", "changed", "unchanged"))
+    graft.ops.Queries.releaseCaches()
+  }
+
   test("dedup finds the injected duplicate groups") {
     val exact = SparkEntry.queries("q_dedup_exact")(spark, dir).collect()
     assert(exact.nonEmpty, "exact dedup must find the unioned copies")
