@@ -100,6 +100,10 @@ object SparkEntry {
     "q_warc_sitemap" -> (Queries.warcSitemap(_, _)),
     "q_warc_mirrors" -> (Queries.warcMirrors(_, _)),
     "q_snapshot_delta" -> (Queries.snapshotDelta(_, _)),
+    "q_incremental_update" -> (Queries.incrementalUpdate(_, _)),
+    "q_gopher_quality" -> (Queries.gopherQuality(_, _)),
+    "q_c4_filter" -> (Queries.c4Filter(_, _)),
+    "q_substring_dedup" -> (Queries.substringDedup(_, _)),
     "q_stratified_sample" -> (Queries.stratifiedSample(_, _)),
     "q_token_count" -> (Queries.tokenCount(_, _)),
     "q_token_count_bpe" -> (Queries.tokenCountBpe(_, _)),
@@ -610,6 +614,97 @@ object SparkEntry {
         |            ELSE 'changed' END AS status
         |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // the incrementally maintained table must equal a FULL recompute over
+    // generation B — the oracle recomputes everything and derives the
+    // provenance column from the delta classification
+    "q_incremental_update" ->
+      """WITH a AS (SELECT doc_id, text FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 29 = 0),
+        |d AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |       CASE WHEN a.doc_id IS NULL THEN 'added'
+        |            WHEN b.doc_id IS NULL THEN 'removed'
+        |            WHEN a.text = b.text THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT b.doc_id, CAST(len(string_split(b.text, ' ')) AS INT) AS n_words,
+        |  md5(b.text) AS sha,
+        |  CASE WHEN d.status = 'unchanged' THEN 'reused' ELSE 'fresh' END AS src
+        |FROM b JOIN d ON b.doc_id = d.doc_id
+        |ORDER BY 1""".stripMargin,
+    // every Gopher rule's arithmetic recomputed (exact integer folds, one
+    // double division each — the cross-engine float protocol)
+    "q_gopher_quality" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |m AS (SELECT doc_id,
+        |    len(words) AS n_words,
+        |    CAST(list_sum(list_transform(words, x -> len(x))) AS BIGINT) AS len_sum,
+        |    len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha_words,
+        |    len(list_filter(${Queries.GopherStopwords.map(s => s"'$s'").mkString("[", ", ", "]")},
+        |        s -> list_contains(words, s))) AS n_stop
+        |  FROM w)
+        |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+        |  CAST(len_sum AS DOUBLE) / n_words AS mean_word_len,
+        |  CAST(alpha_words AS DOUBLE) / n_words AS alpha_frac,
+        |  CAST(n_stop AS INT) AS n_stop,
+        |  CAST((n_words BETWEEN ${Queries.GopherMinWords} AND ${Queries.GopherMaxWords}
+        |    AND CAST(len_sum AS DOUBLE) / n_words
+        |        BETWEEN ${Queries.GopherMinMeanWordLen} AND ${Queries.GopherMaxMeanWordLen}
+        |    AND CAST(alpha_words AS DOUBLE) / n_words >= ${Queries.GopherMinAlphaFrac}
+        |    AND n_stop >= ${Queries.GopherMinStopwords}) AS INT) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // the C4 line/document rules replanted and re-judged independently;
+    // order-preserving reassembly via string_agg ORDER BY pos
+    "q_c4_filter" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |l AS (SELECT doc_id,
+        |    list_transform(range(0, (len(words) - 1) // ${Queries.C4SentLen} + 1),
+        |      k -> array_to_string(list_slice(words, k * ${Queries.C4SentLen} + 1, k * ${Queries.C4SentLen} + ${Queries.C4SentLen}), ' ') ||
+        |           CASE WHEN len(list_slice(words, k * ${Queries.C4SentLen} + 1, k * ${Queries.C4SentLen} + ${Queries.C4SentLen})) = ${Queries.C4SentLen} THEN '.' ELSE '' END)
+        |    || CASE WHEN doc_id % 7 = 0 THEN ['enable javascript to view this site.'] ELSE []::VARCHAR[] END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ['terms apply.'] ELSE []::VARCHAR[] END
+        |    || CASE WHEN doc_id % 13 = 0 THEN ['lorem ipsum dolor sit amet.'] ELSE []::VARCHAR[] END
+        |    || CASE WHEN doc_id % 19 = 0 THEN ['function() { return page; }.'] ELSE []::VARCHAR[] END
+        |    AS lines
+        |  FROM w),
+        |ok AS (SELECT doc_id, lines FROM l
+        |  WHERE NOT contains(lower(array_to_string(lines, ' ')), 'lorem ipsum')
+        |    AND NOT contains(array_to_string(lines, ' '), '{')),
+        |s AS (SELECT doc_id, unnest(range(len(lines))) AS pos, unnest(lines) AS sent FROM ok),
+        |k AS (SELECT doc_id, pos, sent FROM s
+        |  WHERE regexp_matches(sent, '[.!?]$$')
+        |    AND len(string_split(sent, ' ')) >= ${Queries.C4MinLineWords}
+        |    AND NOT contains(lower(sent), 'javascript'))
+        |SELECT doc_id, COUNT(*) AS n_kept,
+        |  md5(string_agg(sent, ' ' ORDER BY pos)) AS clean_sha
+        |FROM k GROUP BY doc_id HAVING COUNT(*) >= ${Queries.C4MinSentences}
+        |ORDER BY doc_id""".stripMargin,
+    // duplicated-gram coverage and token removal recomputed from scratch
+    // (gram text hashed with the same md5 on both engines)
+    "q_substring_dedup" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000, 'mirror copy of ' || text
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM base),
+        |g AS (SELECT doc_id,
+        |    unnest(range(0, greatest(len(words) - ${Queries.SubstrGramLen} + 1, 0))) AS gpos,
+        |    unnest(list_transform(range(0, greatest(len(words) - ${Queries.SubstrGramLen} + 1, 0)),
+        |      i -> md5(array_to_string(list_slice(words, i + 1, i + ${Queries.SubstrGramLen}), ' ')))) AS gh
+        |  FROM w),
+        |dup AS (SELECT gh FROM (SELECT gh, count(*) AS n FROM g GROUP BY gh) WHERE n > 1),
+        |cov AS (SELECT DISTINCT g.doc_id, g.gpos + o.d AS pos
+        |  FROM g JOIN dup USING (gh)
+        |  CROSS JOIN (SELECT unnest(range(0, ${Queries.SubstrGramLen})) AS d) o),
+        |tok AS (SELECT doc_id, unnest(range(len(words))) AS pos, unnest(words) AS w FROM w)
+        |SELECT doc_id, COUNT(*) AS n_kept,
+        |  md5(string_agg(w, ' ' ORDER BY pos)) AS clean_sha
+        |FROM tok ANTI JOIN cov USING (doc_id, pos)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // mirror groups RECOMPUTED in SQL from the expected records table's
     // body_sha column — the oracle redoes the digest grouping, not a dump
     "q_warc_mirrors" ->

@@ -1846,13 +1846,216 @@ object Queries {
     */
   def snapshotDelta(spark: SparkSession, dir: String): DataFrame = {
     val a = t(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val b = a.filter(col("doc_id") % 97 =!= 0)
+    SnapshotDelta.delta(a, nextCrawlOf(a), "doc_id", col("text")).orderBy("doc_id")
+  }
+
+  /** The deterministic synthetic NEXT CRAWL of a (doc_id, text) generation —
+    * every 97th doc gone, every 13th revised, every 29th re-published under
+    * a shifted id — shared by [[snapshotDelta]] (which classifies it) and
+    * [[incrementalUpdate]] (which maintains a derived table against it).
+    */
+  private def nextCrawlOf(a: DataFrame): DataFrame =
+    a.filter(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"),
         when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
           .otherwise(col("text")).as("text"))
       .unionAll(a.filter(col("doc_id") % 29 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-    SnapshotDelta.delta(a, b, "doc_id", col("text")).orderBy("doc_id")
+
+  /** DELTA-DRIVEN incremental maintenance — the step AFTER [[snapshotDelta]]
+    * classifies a recrawl: a derived per-doc table (here word count + content
+    * digest, standing in for any expensive per-doc extraction) is brought up
+    * to generation B by REUSING generation A's rows for `unchanged` keys and
+    * recomputing ONLY `added`/`changed` keys; `removed` keys drop out. At
+    * 10^12 docs this is the difference between reprocessing the corpus and
+    * touching the few-percent churn of one crawl cycle: the delta join ships
+    * 8-byte digests, the recompute side is delta-sized, and the reuse side is
+    * a semi join against delta keys (shuffle-free when both sides share the
+    * key bucketing). The `src` column carries the provenance so the claim is
+    * oracle-checked: the merged table must equal a FULL recompute over
+    * generation B, row for row, with `reused` exactly on the unchanged keys.
+    */
+  def incrementalUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val a = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val b = nextCrawlOf(a)
+    // the per-doc derivation being maintained (any pure projection works —
+    // reuse is valid because unchanged keys have byte-equal content)
+    def derived(df: DataFrame, srcTag: String): DataFrame =
+      df.select(col("doc_id"), size(split(col("text"), " ")).as("n_words"),
+        md5(col("text")).as("sha"), lit(srcTag).as("src"))
+    val d = tracked(SnapshotDelta.delta(a, b, "doc_id", col("text")))
+    val reused = derived(a, "reused")
+      .join(d.filter(col("status") === "unchanged").select("doc_id"), Seq("doc_id"), "left_semi")
+    val fresh = derived(b, "fresh")
+      .join(d.filter(col("status").isin("added", "changed")).select("doc_id"), Seq("doc_id"), "left_semi")
+    reused.unionAll(fresh).orderBy("doc_id")
+  }
+
+  // ---- published web-corpus quality filters --------------------------------
+
+  /** Gopher quality-rule parameters (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", App. A1.1):
+    * word-count bounds, mean-word-length band, minimum fraction of words
+    * containing an alphabetic character, and minimum distinct stop-word
+    * presence. Documents failing any rule are dropped before training.
+    */
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+  val GopherMinMeanWordLen = 3.0
+  val GopherMaxMeanWordLen = 10.0
+  val GopherMinAlphaFrac = 0.8
+  val GopherMinStopwords = 2
+  /** The stop-word presence list. Gopher's published list is {the, be, to,
+    * of, and, that, have, with}; of those only "the" occurs in the synthetic
+    * corpus vocabulary, so the paper's rule would constant-fail here and
+    * assert nothing. The list is therefore LOCALIZED to the vocabulary's two
+    * attested function words — same rule shape (≥ [[GopherMinStopwords]]
+    * distinct members present), discriminating on this corpus (~half the
+    * docs pass all rules).
+    */
+  val GopherStopwords: Seq[String] = Seq("the", "a")
+
+  /** GOPHER document-quality rules as one narrow projection: every metric is
+    * a row-local fold over the doc's own word array (exact integer sums, one
+    * double division each — the cross-engine float protocol), so the filter
+    * runs inside the scan stage with ZERO shuffles at any corpus scale; the
+    * presentation sort is the only exchange. The verdict is emitted as an
+    * int flag alongside the metrics (not applied as a filter) so the oracle
+    * checks every rule's arithmetic, not just the survivor set.
+    */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = GopherStopwords.map(s => s"'$s'").mkString(", ")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"),
+        size(col("words")).as("n_words"),
+        expr("aggregate(words, 0L, (acc, w) -> acc + length(w))").as("len_sum"),
+        expr("size(filter(words, w -> w rlike '[a-zA-Z]'))").as("alpha_words"),
+        expr(s"size(filter(array($stopArr), s -> array_contains(words, s)))").as("n_stop"))
+      .select(col("doc_id"), col("n_words"),
+        (col("len_sum").cast("double") / col("n_words")).as("mean_word_len"),
+        (col("alpha_words").cast("double") / col("n_words")).as("alpha_frac"),
+        col("n_stop"),
+        (col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords &&
+          col("len_sum").cast("double") / col("n_words") >= GopherMinMeanWordLen &&
+          col("len_sum").cast("double") / col("n_words") <= GopherMaxMeanWordLen &&
+          col("alpha_words").cast("double") / col("n_words") >= GopherMinAlphaFrac &&
+          col("n_stop") >= GopherMinStopwords).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** C4 cleaning parameters (Raffel et al. 2020, "Exploring the Limits of
+    * Transfer Learning with a Unified Text-to-Text Transformer", §2.2): the
+    * line-level keep rules (terminal punctuation, minimum words, no
+    * "javascript") and the document-level drops (lorem ipsum, curly brace,
+    * minimum surviving sentences). [[C4SentLen]] is local: the synthetic
+    * corpus is one unpunctuated line per doc, so sentence structure is
+    * CONSTRUCTED deterministically (fixed-width word chunks; full chunks get
+    * a terminal '.', the partial tail none — a truncated-scrape tail), the
+    * same planted-structure pattern the boilerplate/dedup family uses.
+    */
+  val C4SentLen = 8
+  val C4MinLineWords = 3
+  val C4MinSentences = 3
+
+  /** C4-style corpus cleaning: line-level keep rules then document-level
+    * drops, with ORDER-PRESERVING reassembly of the survivors. Plan shape:
+    * sentence construction and both document-level `contains` checks are
+    * row-local projections (no shuffle), the explode fans out lines, the
+    * line rules filter narrowly, and the single exchange is the per-doc
+    * regroup (array_sort over (pos, sent) structs — collect order is
+    * nondeterministic, position is data). Bad docs are filtered BEFORE the
+    * explode, so a dropped doc costs one row, not its line fan-out.
+    */
+  def c4Filter(spark: SparkSession, dir: String): DataFrame = {
+    val lined = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"),
+        expr(
+          s"""transform(sequence(0, (size(words) - 1) DIV $C4SentLen),
+             |  k -> concat(concat_ws(' ', slice(words, k * $C4SentLen + 1, $C4SentLen)),
+             |    IF(size(slice(words, k * $C4SentLen + 1, $C4SentLen)) = $C4SentLen, '.', '')))""".stripMargin)
+          .as("lines0"))
+      // planted real-web debris, keyed to the doc id so the oracle plants
+      // identically: a JS-wall line, a too-short line, a lorem-ipsum line
+      // (dooms the doc), a code line (dooms the doc via the brace rule)
+      .select(col("doc_id"), concat(col("lines0"),
+        when(col("doc_id") % 7 === 0, array(lit("enable javascript to view this site.")))
+          .otherwise(expr("CAST(array() AS array<string>)")),
+        when(col("doc_id") % 11 === 0, array(lit("terms apply.")))
+          .otherwise(expr("CAST(array() AS array<string>)")),
+        when(col("doc_id") % 13 === 0, array(lit("lorem ipsum dolor sit amet.")))
+          .otherwise(expr("CAST(array() AS array<string>)")),
+        when(col("doc_id") % 19 === 0, array(lit("function() { return page; }.")))
+          .otherwise(expr("CAST(array() AS array<string>)"))).as("lines"))
+    lined
+      .filter(instr(lower(concat_ws(" ", col("lines"))), "lorem ipsum") === 0 &&
+        instr(concat_ws(" ", col("lines")), "{") === 0)
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "sent")))
+      .filter(col("sent").rlike("[.!?]$") &&
+        size(split(col("sent"), " ")) >= C4MinLineWords &&
+        instr(lower(col("sent")), "javascript") === 0)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          expr("transform(array_sort(collect_list(struct(pos, sent))), x -> x.sent)"),
+          " ")).as("clean_sha"))
+      .filter(col("n_kept") >= C4MinSentences)
+      .orderBy("doc_id")
+  }
+
+  /** Exact-substring dedup gram length, in words (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better", use 50
+    * BPE tokens; 10 words here because the synthetic docs are ~50 words).
+    */
+  val SubstrGramLen = 10
+
+  /** EXACT SUBSTRING deduplication (Lee et al. 2021): any
+    * [[SubstrGramLen]]-word run that occurs more than once ANYWHERE in the
+    * corpus is removed from every document (the aggressive remove-all
+    * variant — deterministic, and the one that needs no canonical-occurrence
+    * tiebreak), and each document reassembles its surviving words in order.
+    * This is the span-level member of the dedup family: exact/minhash/simhash
+    * dedup drop whole documents, this removes the duplicated REGIONS that
+    * survive document-level dedup (template paragraphs, quoted reposts).
+    * The corpus shares no natural 10-grams at test scale, so duplication is
+    * planted: every 17th doc gets a prefixed mirror copy under a fresh id —
+    * interior grams duplicate, the mirror's prefix words survive. Plan
+    * shape: grams are md5 digests computed row-locally (32-byte shuffle
+    * rows, never gram text), the dup set is one partial-aggregated count,
+    * coverage expands dup grams to positions via a row-local sequence, and
+    * the kept-token regroup is the array_sort struct reassembly. A fully
+    * covered document vanishes (its every gram duplicated), like the
+    * all-boilerplate doc in [[boilerplateStrip]].
+    */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val docs = base
+      .unionAll(base.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat(lit("mirror copy of "), col("text")).as("text")))
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    val grams = tracked(docs.select(col("doc_id"),
+      posexplode(expr(
+        s"""CASE WHEN size(words) >= $SubstrGramLen THEN
+           |  transform(sequence(0, size(words) - $SubstrGramLen),
+           |    i -> md5(concat_ws(' ', slice(words, i + 1, $SubstrGramLen))))
+           |ELSE CAST(array() AS array<string>) END""".stripMargin))
+        .as(Seq("gpos", "gh"))))
+    val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select(col("gh"))
+    val covered = grams.join(dup, Seq("gh"), "left_semi")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(gpos, gpos + ${SubstrGramLen - 1})")).as("pos"))
+      .distinct()
+    docs.select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "w")))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          expr("transform(array_sort(collect_list(struct(pos, w))), x -> x.w)"),
+          " ")).as("clean_sha"))
+      .orderBy("doc_id")
   }
 
   /** MIRROR detection — exact content dedup at the CAPTURE layer: html 200

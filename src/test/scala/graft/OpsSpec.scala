@@ -130,6 +130,71 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.ops.Queries.releaseCaches()
   }
 
+  test("incremental update reuses exactly the unchanged keys and covers generation B") {
+    import org.apache.spark.sql.functions.col
+    val delta = SparkEntry.queries("q_snapshot_delta")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val got = SparkEntry.queries("q_incremental_update")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    // the maintained table's keys are generation B's keys: delta minus removed
+    val bKeys = delta.filter(_._2 != "removed").map(_._1).toSet
+    assert(got.map(_._1).toSet == bKeys)
+    assert(got.map(_._1).distinct.length == got.length, "one row per key")
+    // provenance: reused iff unchanged, fresh iff added/changed
+    val unchanged = delta.filter(_._2 == "unchanged").map(_._1).toSet
+    got.foreach { case (id, src) =>
+      assert((src == "reused") == unchanged.contains(id), s"doc $id src=$src")
+    }
+    graft.ops.Queries.releaseCaches()
+  }
+
+  test("gopher quality verdict is consistent with its own emitted metrics") {
+    val rows = SparkEntry.queries("q_gopher_quality")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mean, alpha, nStop, keep) =
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getInt(4), r.getInt(5))
+      val expect = n >= graft.ops.Queries.GopherMinWords &&
+        n <= graft.ops.Queries.GopherMaxWords &&
+        mean >= graft.ops.Queries.GopherMinMeanWordLen &&
+        mean <= graft.ops.Queries.GopherMaxMeanWordLen &&
+        alpha >= graft.ops.Queries.GopherMinAlphaFrac &&
+        nStop >= graft.ops.Queries.GopherMinStopwords
+      assert(keep == (if (expect) 1 else 0), s"doc ${r.getLong(0)}")
+    }
+    // the rules must actually discriminate on this corpus
+    assert(rows.exists(_.getInt(5) == 1) && rows.exists(_.getInt(5) == 0))
+    graft.ops.Queries.releaseCaches()
+  }
+
+  test("c4 filter drops lorem-ipsum and code docs wholesale, keeps >=3-line survivors") {
+    val kept = SparkEntry.queries("q_c4_filter")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(kept.nonEmpty)
+    // doc-level drops: every doc with the planted lorem-ipsum or brace line
+    assert(!kept.keys.exists(id => id % 13 == 0 || id % 19 == 0))
+    assert(kept.values.forall(_ >= graft.ops.Queries.C4MinSentences))
+    graft.ops.Queries.releaseCaches()
+  }
+
+  test("substring dedup erases the duplicated regions on both sides of a planted mirror") {
+    val got = SparkEntry.queries("q_substring_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // a mirrored source doc's every gram is duplicated → fully covered →
+    // the doc VANISHES; its mirror keeps exactly the 3 prefix words (the
+    // only positions no duplicated gram covers)
+    val mirrored = got.keys.filter(_ >= 400000L)
+    assert(mirrored.nonEmpty, "planted mirrors must survive with their prefix")
+    mirrored.foreach { id =>
+      assert(got(id) == 3L, s"mirror $id keeps its 3-word prefix, got ${got(id)}")
+      assert(!got.contains(id - 400000L),
+        s"source ${id - 400000L} is fully duplicated and must vanish")
+    }
+    // untouched docs keep every token (no natural 10-gram duplication)
+    assert(got.exists { case (id, _) => id < 400000L && id % 17 != 0 })
+    graft.ops.Queries.releaseCaches()
+  }
+
   test("dedup finds the injected duplicate groups") {
     val exact = SparkEntry.queries("q_dedup_exact")(spark, dir).collect()
     assert(exact.nonEmpty, "exact dedup must find the unioned copies")
