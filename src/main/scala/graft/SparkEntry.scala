@@ -102,6 +102,7 @@ object SparkEntry {
     "q_snapshot_delta" -> (Queries.snapshotDelta(_, _)),
     "q_incremental_update" -> (Queries.incrementalUpdate(_, _)),
     "q_gopher_quality" -> (Queries.gopherQuality(_, _)),
+    "q_gopher_repetition" -> (Queries.gopherRepetition(_, _)),
     "q_c4_filter" -> (Queries.c4Filter(_, _)),
     "q_substring_dedup" -> (Queries.substringDedup(_, _)),
     "q_stratified_sample" -> (Queries.stratifiedSample(_, _)),
@@ -657,6 +658,47 @@ object SparkEntry {
         |    AND CAST(alpha_words AS DOUBLE) / n_words >= ${Queries.GopherMinAlphaFrac}
         |    AND n_stop >= ${Queries.GopherMinStopwords}) AS INT) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+    // repetition fractions recomputed from scratch; the top-2-gram pick
+    // uses the same (cnt DESC, g DESC) deterministic order as max(struct)
+    "q_gopher_repetition" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |l AS (SELECT doc_id,
+        |    list_transform(range(0, (len(words) - 1) // ${Queries.C4SentLen} + 1),
+        |      k -> array_to_string(list_slice(words, k * ${Queries.C4SentLen} + 1, k * ${Queries.C4SentLen} + ${Queries.C4SentLen}), ' '))
+        |    AS lines0
+        |  FROM w),
+        |l2 AS (SELECT doc_id,
+        |    lines0 || CASE WHEN doc_id % 23 = 0 THEN [lines0[1]] ELSE []::VARCHAR[] END AS lines
+        |  FROM l),
+        |b AS (SELECT doc_id, lines, len(array_to_string(lines, ' ')) AS total_chars,
+        |    string_split(array_to_string(lines, ' '), ' ') AS w2
+        |  FROM l2),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(0, len(w2) - 1),
+        |    i -> array_to_string(list_slice(w2, i + 1, i + 2), ' '))) AS g FROM b),
+        |c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+        |t2 AS (SELECT doc_id, cnt * len(g) AS top2_chars,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g DESC) AS rn FROM c2),
+        |top2 AS (SELECT doc_id, top2_chars FROM t2 WHERE rn = 1),
+        |g5 AS (SELECT doc_id, unnest(list_transform(range(0, len(w2) - 4),
+        |    i -> array_to_string(list_slice(w2, i + 1, i + 5), ' '))) AS g FROM b),
+        |c5 AS (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2),
+        |d5 AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * len(g) ELSE 0 END) AS BIGINT) AS dup5_chars,
+        |    CAST(SUM(cnt * len(g)) AS BIGINT) AS all5_chars FROM c5 GROUP BY 1),
+        |gl AS (SELECT doc_id, unnest(lines) AS lx FROM b),
+        |cl AS (SELECT doc_id, lx, count(*) AS cnt FROM gl GROUP BY 1, 2),
+        |dl AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * len(lx) ELSE 0 END) AS BIGINT) AS dupline_chars,
+        |    CAST(SUM(cnt * len(lx)) AS BIGINT) AS allline_chars FROM cl GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CAST(top2_chars AS DOUBLE) / total_chars AS top2_frac,
+        |  CAST(dup5_chars AS DOUBLE) / all5_chars AS dup5_frac,
+        |  CAST(dupline_chars AS DOUBLE) / allline_chars AS dup_line_frac,
+        |  CAST((CAST(top2_chars AS DOUBLE) / total_chars <= ${Queries.RepTop2GramMaxFrac}
+        |    AND CAST(dup5_chars AS DOUBLE) / all5_chars <= ${Queries.RepDup5GramMaxFrac}
+        |    AND CAST(dupline_chars AS DOUBLE) / allline_chars <= ${Queries.RepDupLineMaxFrac}) AS INT) AS keep
+        |FROM b JOIN top2 USING (doc_id) JOIN d5 USING (doc_id) JOIN dl USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // the C4 line/document rules replanted and re-judged independently;
     // order-preserving reassembly via string_agg ORDER BY pos
     "q_c4_filter" ->

@@ -2004,6 +2004,71 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Gopher REPETITION-rule parameters (Rae et al. 2021, App. A1.1): a doc
+    * is dropped when too much of it is internal repetition — characters in
+    * the most frequent 2-gram, in duplicated 5-grams, or in duplicate lines.
+    * Thresholds are LOCALIZED (the paper's 0.20/0.15/0.30 assume page-scale
+    * documents where repetition concentrates; these ~54-word synthetic docs
+    * need tighter bounds for the rules to discriminate — a planted repeated
+    * line lands at ~0.25 duplicate-line fraction). Lines are constructed
+    * [[C4SentLen]]-word chunks (the corpus is one unpunctuated line per
+    * doc), and every 23rd doc gets its FIRST line replanted at the end —
+    * the within-doc repetition the rules exist to catch.
+    */
+  val RepTop2GramMaxFrac = 0.10
+  val RepDup5GramMaxFrac = 0.05
+  val RepDupLineMaxFrac = 0.10
+
+  /** GOPHER repetition rules: per-document repetition fractions and the keep
+    * verdict. All three signals are WITHIN-document statistics, so every
+    * aggregate is keyed by doc_id and partial-aggregates before its
+    * exchange; the top-2-gram selection is a max(struct(cnt, g)) aggregation
+    * (deterministic tie-break on the gram text), NOT a per-doc window sort —
+    * the same no-WindowExec funnel rule the rest of the catalog follows.
+    * Ratios are exact integer character sums over one double division.
+    */
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val base = tracked(t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, (size(words) - 1) DIV $C4SentLen),
+           |  k -> concat_ws(' ', slice(words, k * $C4SentLen + 1, $C4SentLen)))""".stripMargin)
+        .as("lines0"))
+      .select(col("doc_id"), concat(col("lines0"),
+        when(col("doc_id") % 23 === 0, slice(col("lines0"), 1, 1))
+          .otherwise(expr("CAST(array() AS array<string>)"))).as("lines"))
+      .withColumn("full", array_join(col("lines"), " "))
+      .select(col("doc_id"), col("lines"), length(col("full")).as("total_chars"),
+        split(col("full"), " ").as("w2")))
+    def gramsOf(n: Int) = base.select(col("doc_id"),
+      explode(expr(s"transform(sequence(0, size(w2) - $n), i -> concat_ws(' ', slice(w2, i + 1, $n)))")).as("g"))
+    val top2 = gramsOf(2)
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id")).agg(max(struct(col("cnt"), col("g"))).as("top"))
+      .select(col("doc_id"), (col("top.cnt") * length(col("top.g"))).as("top2_chars"))
+    val dup5 = gramsOf(5)
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id")).agg(
+        sum(when(col("cnt") >= 2, col("cnt") * length(col("g"))).otherwise(lit(0L))).as("dup5_chars"),
+        sum(col("cnt") * length(col("g"))).as("all5_chars"))
+    val dupLine = base.select(col("doc_id"), explode(col("lines")).as("l"))
+      .groupBy(col("doc_id"), col("l")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id")).agg(
+        sum(when(col("cnt") >= 2, col("cnt") * length(col("l"))).otherwise(lit(0L))).as("dupline_chars"),
+        sum(col("cnt") * length(col("l"))).as("allline_chars"))
+    base.select(col("doc_id"), col("total_chars"))
+      .join(top2, Seq("doc_id")).join(dup5, Seq("doc_id")).join(dupLine, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("top2_chars").cast("double") / col("total_chars")).as("top2_frac"),
+        (col("dup5_chars").cast("double") / col("all5_chars")).as("dup5_frac"),
+        (col("dupline_chars").cast("double") / col("allline_chars")).as("dup_line_frac"),
+        (col("top2_chars").cast("double") / col("total_chars") <= RepTop2GramMaxFrac &&
+          col("dup5_chars").cast("double") / col("all5_chars") <= RepDup5GramMaxFrac &&
+          col("dupline_chars").cast("double") / col("allline_chars") <= RepDupLineMaxFrac)
+          .cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Exact-substring dedup gram length, in words (Lee et al. 2021,
     * "Deduplicating Training Data Makes Language Models Better", use 50
     * BPE tokens; 10 words here because the synthetic docs are ~50 words).

@@ -167,6 +167,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.ops.Queries.releaseCaches()
   }
 
+  test("gopher repetition rules catch the planted line repeats without a per-doc window") {
+    val df = SparkEntry.queries("q_gopher_repetition")(spark, dir)
+    // the top-2-gram pick is a max(struct) aggregation, NOT a window sort —
+    // a WindowExec here would funnel every gram of a doc through one task's
+    // sort at corpus scale
+    assert(!df.queryExecution.sparkPlan.toString.contains("Window"),
+      "repetition metrics must not plan a window")
+    val rows = df.collect()
+    rows.foreach { r =>
+      val expect = r.getDouble(1) <= graft.ops.Queries.RepTop2GramMaxFrac &&
+        r.getDouble(2) <= graft.ops.Queries.RepDup5GramMaxFrac &&
+        r.getDouble(3) <= graft.ops.Queries.RepDupLineMaxFrac
+      assert(r.getInt(4) == (if (expect) 1 else 0), s"doc ${r.getLong(0)}")
+      // every planted doc (replanted first line) must show duplicate-line
+      // mass and fail the verdict; unplanted docs have no duplicate lines
+      if (r.getLong(0) % 23 == 0) {
+        assert(r.getDouble(3) > 0.0 && r.getInt(4) == 0, s"planted doc ${r.getLong(0)}")
+      } else assert(r.getDouble(3) == 0.0, s"doc ${r.getLong(0)} has no planted repeats")
+    }
+    assert(rows.exists(_.getInt(4) == 1))
+    graft.ops.Queries.releaseCaches()
+  }
+
   test("c4 filter drops lorem-ipsum and code docs wholesale, keeps >=3-line survivors") {
     val kept = SparkEntry.queries("q_c4_filter")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
