@@ -2095,11 +2095,36 @@ object Queries {
     */
   def substringDedup(spark: SparkSession, dir: String): DataFrame = {
     val base = t(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val docs = base
+    substringDedupFrom(base
       .unionAll(base.filter(col("doc_id") % 17 === 0)
         .select((col("doc_id") + 400000).as("doc_id"),
-          concat(lit("mirror copy of "), col("text")).as("text")))
-      .select(col("doc_id"), split(col("text"), " ").as("words"))
+          concat(lit("mirror copy of "), col("text")).as("text"))))
+      .orderBy("doc_id")
+  }
+
+  /** The substring-dedup core from any (doc_id, text) frame (no planted
+    * mirrors, no presentation sort) — shared by [[substringDedup]] and the
+    * scale-tier bench ([[graft.jobs.SubstrScaleBench]]).
+    *
+    * Shape adjudicated by a same-JVM alternating A/B at 500k docs / 15.5M
+    * grams / 93% duplication (the family-chain adversarial corpus): the
+    * coverage blow-up here looks expensive ([[SubstrGramLen]] rows per
+    * dup-gram occurrence before the distinct) but the positions of one
+    * document's grams are CO-LOCATED, so the map-side partial aggregate
+    * collapses the 10× expansion back to ≤token volume before any exchange,
+    * and every stage stays inside whole-stage codegen. The "obvious"
+    * row-local rewrite (collect dup-gram starts per doc, join back once,
+    * erase with filter/transform/array_contains lambdas) measured 2.2×
+    * SLOWER (17.7 s vs 38.8 s, min of 2 alternating runs): higher-order
+    * functions evaluate interpreted outside codegen, the erase pays
+    * O(len·coverage) array_contains per doc, and the full words arrays
+    * still shuffle to meet the per-doc start lists — it trades three
+    * digest/int-row exchanges for one token-text exchange plus interpreted
+    * per-token CPU, and loses. The loser ships only as the bench's
+    * comparison variant ([[graft.jobs.SubstrScaleBench]]).
+    */
+  private[graft] def substringDedupFrom(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn.select(col("doc_id"), split(col("text"), " ").as("words"))
     val grams = tracked(docs.select(col("doc_id"),
       posexplode(expr(
         s"""CASE WHEN size(words) >= $SubstrGramLen THEN
@@ -2120,7 +2145,6 @@ object Queries {
         md5(array_join(
           expr("transform(array_sort(collect_list(struct(pos, w))), x -> x.w)"),
           " ")).as("clean_sha"))
-      .orderBy("doc_id")
   }
 
   /** MIRROR detection — exact content dedup at the CAPTURE layer: html 200
