@@ -63,6 +63,7 @@ object SparkEntry {
     "q_stream_dedup" -> (StreamOps.streamDedupQuery(_, _)),
     // deduplication
     "q_dedup_exact" -> (Queries.dedupExact(_, _)),
+    "q_dedup_bloom" -> (Queries.bloomDedup(_, _)),
     "q_minhash_sig" -> (Queries.minhashSig(_, _)),
     "q_minhash_pairs" -> (Queries.minhashPairs(_, _)),
     "q_ngram_jaccard" -> (Queries.ngramJaccard(_, _)),
@@ -98,6 +99,7 @@ object SparkEntry {
     "q_warc_redirects" -> (Queries.warcRedirects(_, _)),
     "q_warc_redirect_chains" -> (Queries.warcRedirectChains(_, _)),
     "q_warc_sitemap" -> (Queries.warcSitemap(_, _)),
+    "q_warc_anchors" -> (Queries.warcAnchors(_, _)),
     "q_warc_mirrors" -> (Queries.warcMirrors(_, _)),
     "q_snapshot_delta" -> (Queries.snapshotDelta(_, _)),
     "q_incremental_update" -> (Queries.incrementalUpdate(_, _)),
@@ -313,6 +315,20 @@ object SparkEntry {
     "q_dedup_exact" -> (dupsCte +
       """ SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM all_docs GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin),
+    // the bloom sketch only PRUNES the history scan — false positives die
+    // in the exact confirm join, false negatives don't exist — so the
+    // oracle is plain semi-join arithmetic over the same synthetic batch
+    "q_dedup_bloom" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |b AS (SELECT doc_id + 700000 AS doc_id, text FROM base WHERE doc_id % 3 = 0
+        |      UNION ALL
+        |      SELECT doc_id + 800000 AS doc_id, text || ' fresh revision' AS text
+        |      FROM base WHERE doc_id % 5 = 0),
+        |h AS (SELECT DISTINCT md5(text) AS sha FROM base)
+        |SELECT b.doc_id, md5(b.text) AS sha,
+        |       CASE WHEN h.sha IS NOT NULL THEN 'dup' ELSE 'new' END AS status
+        |FROM b LEFT JOIN h ON md5(b.text) = h.sha
+        |ORDER BY b.doc_id""".stripMargin,
     "q_minhash_sig" -> (dupsCte + minhashCtes +
       s"""\nSELECT doc_id, ${(0 until Queries.MinhashHashes).map(j => s"sig$j").mkString(", ")}
         |FROM sigs ORDER BY doc_id""".stripMargin),
@@ -766,6 +782,29 @@ object SparkEntry {
       """SELECT url, host, lastmod, sitemap_url
         |FROM read_parquet('/root/repo/src/test/resources/expected/warc_sitemap.parquet')
         |ORDER BY sitemap_url, url""".stripMargin,
+    // the anchor aggregation RECOMPUTED in SQL from the generator's
+    // independently resolved per-link rows (urljoin + the normalize twin),
+    // so counts, distincts, and the top-anchor tiebreak are all verified
+    // as arithmetic, not compared against a dumped result
+    "q_warc_anchors" ->
+      """WITH al AS (
+        |  SELECT url, page, src_host, anchor
+        |  FROM read_parquet('/root/repo/src/test/resources/expected/warc_anchor_links.parquet')),
+        |tot AS (
+        |  SELECT url, COUNT(*) AS n_links, COUNT(DISTINCT page) AS n_pages,
+        |         COUNT(DISTINCT src_host) AS n_hosts
+        |  FROM al GROUP BY url),
+        |ac AS (SELECT url, anchor, COUNT(*) AS cnt FROM al GROUP BY url, anchor),
+        |mx AS (SELECT url, COUNT(*) AS n_anchors, MAX(cnt) AS top_anchor_n
+        |       FROM ac GROUP BY url),
+        |best AS (
+        |  SELECT ac.url, MIN(ac.anchor) AS top_anchor
+        |  FROM ac JOIN mx ON ac.url = mx.url AND ac.cnt = mx.top_anchor_n
+        |  GROUP BY ac.url)
+        |SELECT tot.url, tot.n_links, tot.n_pages, tot.n_hosts,
+        |       mx.n_anchors, best.top_anchor, mx.top_anchor_n
+        |FROM tot JOIN mx ON tot.url = mx.url JOIN best ON tot.url = best.url
+        |ORDER BY tot.url""".stripMargin,
     "q_warc_redirects" ->
       """SELECT from_url, to_url, status
         |FROM read_parquet('/root/repo/src/test/resources/expected/warc_redirects.parquet')

@@ -550,6 +550,45 @@ case class Md5NibbleBits(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `bloom_might_contain(sketch, s)` — probe a serialized
+  * [[org.apache.spark.util.sketch.BloomFilter]] (a BINARY literal riding the
+  * plan as one constant, exactly like [[ArgmaxCosine]]'s centroid array) with
+  * a string key. The sketch is deserialized ONCE per task — `lazy val` on the
+  * eval path, an [[CodegenContext.addReferenceObj]] constant on the codegen
+  * path — so the per-row cost is the filter's two hash probes, inside
+  * whole-stage codegen. No false negatives (a true member always probes
+  * true), so a `false` is an authoritative "not in the sketched set" and the
+  * caller only needs an exact join for the `true` residue — the
+  * sketch-prefilter contract [[graft.ops.Queries.bloomDedup]] builds on.
+  */
+case class BloomMightContain(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter = {
+    val bytes = left.eval(null).asInstanceOf[Array[Byte]]
+    if (bytes == null) null
+    else org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
+  override protected def nullSafeEval(b: Any, v: Any): Any =
+    if (filter == null) null
+    else filter.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (_, v) => {
+      // the deserialized filter is a per-plan constant; the literal child's
+      // per-row evaluation (a reference-object load) is ignored
+      val f = ctx.addReferenceObj("graftBloom", filter,
+        classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+      s"${ev.value} = $f.mightContainBinary($v.getBytes());"
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomMightContain =
+    copy(left = l, right = r)
+}
+
 /** Column surface + SQL registration. */
 object ChurroFunctions {
   private def e(c: Column) = ColumnBridge.expression(c)
@@ -573,6 +612,8 @@ object ChurroFunctions {
   def minhash_sigs(grams: Column, hashes: Int, mod: Long): Column =
     col(MinhashSigsExpr(e(grams), hashes, mod))
   def simhash_hex(words: Column): Column = col(SimhashHex(e(words)))
+  def bloom_might_contain(sketch: Column, s: Column): Column =
+    col(BloomMightContain(e(sketch), e(s)))
 
   /** Register the SQL surface on a session (idempotent). */
   def register(spark: SparkSession): Unit = {

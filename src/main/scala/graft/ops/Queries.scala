@@ -239,6 +239,72 @@ object Queries {
       .filter(col("n_copies") > 1)
       .orderBy("keep_id")
 
+  /** CROSS-SNAPSHOT exact dedup with a Bloom-sketch prefilter: classify a
+    * new crawl batch against the full historical corpus WITHOUT ever
+    * shuffling the history. The naive shape joins batch digests against
+    * 10^12 history digests — a history-sized exchange every crawl cycle.
+    * Here the BATCH (the small side, one cycle's crawl) is summarized as a
+    * Bloom filter built by per-partition sketches merged pairwise
+    * (`Dataset.reduce` — O(sketch) driver memory, no digest leaves its
+    * partition unsketched), and the history scan is PRUNED by the native
+    * codegen'd [[graft.functions.BloomMightContain]] probe: only
+    * bloom-positive history digests (≈ |batch ∩ history| + fpp·|history|)
+    * survive to the exact confirm join, which then broadcasts. False
+    * positives cost only wasted broadcast bytes — the confirm join removes
+    * them, so the OUTPUT is exact (no false negatives exist) and the DuckDB
+    * oracle is plain semi-join arithmetic. History: two scans' worth of
+    * I/O, zero exchanges; batch: one sketch pass + one broadcast join.
+    * The synthetic batch re-crawls every 3rd doc unchanged (content dup
+    * under a fresh capture id) and revises every 5th (genuinely new text).
+    */
+  def bloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val history = base.select(md5(col("text")).as("sha"))
+    val batch = base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 700000).as("doc_id"), col("text"))
+      .unionAll(base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 800000).as("doc_id"),
+          concat(col("text"), lit(" fresh revision")).as("text")))
+      .select(col("doc_id"), md5(col("text")).as("sha"))
+    val sketch = lit(bloomSketchOf(batch.select(col("sha")), fpp = 0.01))
+    val hits = history
+      .filter(graft.functions.ChurroFunctions.bloom_might_contain(sketch, col("sha")))
+      .distinct()
+    batch.join(broadcast(hits.withColumn("hit", lit(1))), Seq("sha"), "left")
+      .select(col("doc_id"), col("sha"),
+        when(col("hit").isNotNull, lit("dup")).otherwise(lit("new")).as("status"))
+      .orderBy("doc_id")
+  }
+
+  /** Serialized Bloom filter over a single string column: one
+    * per-partition sketch (bounded memory, no shuffle), merged pairwise by
+    * `Dataset.reduce` — the driver holds O(1) sketches at a time. The
+    * sketch's own insert/probe pair ([[org.apache.spark.util.sketch
+    * .BloomFilter.putBinary]] on UTF-8 bytes, `mightContainBinary` in the
+    * probe expression) is pinned HERE rather than borrowed from
+    * `DataFrameStatFunctions`, so the contract can't drift with Spark's
+    * internal aggregate. Sized from an exact count — at production scale
+    * the batch cardinality is known from the crawl manifest instead.
+    */
+  private[graft] def bloomSketchOf(shaCol: DataFrame, fpp: Double): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val n = math.max(shaCol.count(), 1L)
+    def bytesOf(f: BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(); f.writeTo(bos); bos.toByteArray
+    }
+    val spark = shaCol.sparkSession
+    import spark.implicits._
+    shaCol.as[String].mapPartitions { it =>
+      val f = BloomFilter.create(n, fpp)
+      it.foreach(s => f.putBinary(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      Iterator.single(bytesOf(f))
+    }.reduce { (a, b) =>
+      val fa = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+      val fb = BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
+      bytesOf(fa.mergeInPlace(fb))
+    }
+  }
+
   /** Max propagation rounds. Pointer jumping halves chain depth every round,
     * so 24 rounds cover graphs of diameter ~2^24 — far past any real dedup
     * graph; hitting the cap without convergence is a failure, not a result.
@@ -1707,6 +1773,51 @@ object Queries {
       .toDF("url", "host")
       .groupBy("url", "host").agg(count(lit(1)).as("n_refs"))
       .select("url", "host", "n_refs")
+      .orderBy("url")
+  }
+
+  /** ANCHOR-TEXT aggregation — the classic web-corpus description signal:
+    * for every canonical link target, the inbound anchor texts collected
+    * across the crawl (how the web DESCRIBES a page — used for retrieval
+    * labels, title synthesis, and authority features). Per target:
+    * inbound-link count, distinct referring pages, distinct referring
+    * hosts (the cross-host count is the anti-spam denominator), distinct
+    * anchor variants, and the most frequent anchor with a deterministic
+    * lexicographic-min tiebreak (`min(struct(-cnt, anchor))` — an
+    * aggregate, NOT a per-target window sort). Same followable-link
+    * stream as the frontier ([[warcOutlinks]] semantics, anchor kept);
+    * the parse output is cached once and feeds both aggregation branches,
+    * which meet url-partitioned — the join adds no third shuffle of the
+    * link volume. Oracle: DuckDB recomputes the whole aggregation from
+    * the fixture generator's independently resolved per-link table.
+    */
+  def warcAnchors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val links = tracked(spark.read.format("binaryFile")
+      .load(s"$mediaDir/warc/*")
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        graft.sources.Warc.htmlPages(bytes).flatMap { case (uri, html) =>
+          graft.text.PageMeta.ofHtml(html).links.iterator
+            .filterNot(_.rel.split(' ').contains("nofollow"))
+            .flatMap(l => graft.text.UrlResolve.normalizeHttp(
+              graft.text.UrlResolve.resolve(uri, l.href))
+              .map(u => (u, uri, graft.text.UrlResolve.hostOf(uri), l.anchor)))
+        }
+      }.toDF("url", "page", "src_host", "anchor"))
+    val tot = links.groupBy(col("url")).agg(
+      count(lit(1)).as("n_links"),
+      countDistinct(col("page")).as("n_pages"),
+      countDistinct(col("src_host")).as("n_hosts"))
+    val ac = links.groupBy(col("url"), col("anchor")).agg(count(lit(1)).as("cnt"))
+    val top = ac.groupBy(col("url")).agg(
+      count(lit(1)).as("n_anchors"),
+      min(struct((-col("cnt")).as("neg"), col("anchor").as("anchor"))).as("best"))
+      .select(col("url"), col("n_anchors"),
+        col("best.anchor").as("top_anchor"), (-col("best.neg")).as("top_anchor_n"))
+    tot.join(top, Seq("url"))
+      .select(col("url"), col("n_links"), col("n_pages"), col("n_hosts"),
+        col("n_anchors"), col("top_anchor"), col("top_anchor_n"))
       .orderBy("url")
   }
 

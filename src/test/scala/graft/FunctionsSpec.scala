@@ -227,4 +227,31 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     ChurroFunctions.register(spark)
     assert(spark.sql("SELECT churro_normalize('A  B')").collect()(0).getString(0) == "a b")
   }
+
+  test("bloom_might_contain: no false negatives, low fp rate, codegen, null edges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val members = spark.range(500).select(md5(concat(lit("m"), col("id"))).as("sha"))
+    val sketch = graft.ops.Queries.bloomSketchOf(members, fpp = 0.01)
+    val probed = spark.range(500).select(
+      ChurroFunctions.bloom_might_contain(
+        lit(sketch), md5(concat(lit("m"), col("id")))).as("hit_in"),
+      ChurroFunctions.bloom_might_contain(
+        lit(sketch), md5(concat(lit("x"), col("id")))).as("hit_out"))
+    // the probe must ride inside whole-stage codegen over the range scan
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expected a WholeStageCodegen stage:\n$plan")
+    val rows = probed.collect()
+    // the sketch-prefilter contract: a member can NEVER probe false
+    assert(rows.forall(_.getBoolean(0)), "bloom false negative")
+    // disjoint keys probe ~fpp; generous bound still proves real pruning
+    val fp = rows.count(_.getBoolean(1))
+    assert(fp < 25, s"expected ~1% false positives, got $fp/500")
+    // null value and null sketch both yield null, not a crash
+    val nulls = Seq(Option.empty[String]).toDF("s").select(
+      ChurroFunctions.bloom_might_contain(lit(sketch), $"s").as("a"),
+      ChurroFunctions.bloom_might_contain(lit(null).cast("binary"), lit("x")).as("b"))
+      .collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
 }

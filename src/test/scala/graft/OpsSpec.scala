@@ -316,4 +316,50 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"extraction must not shuffle:\n$plan")
   }
+
+  test("bloom dedup: history is scan+probe only, confirm join broadcasts") {
+    val df = SparkEntry.queries("q_dedup_bloom")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the sketch probe must sit in the history scan's filter stage —
+    // the history side never reaches a join or exchange un-pruned
+    assert(plan.toLowerCase.contains("bloommightcontain"),
+      s"bloom probe missing from the plan:\n$plan")
+    // the exact confirm join broadcasts the pruned history residue; a
+    // SortMergeJoin here would mean the batch (and at scale the history)
+    // shuffled for what the sketch made broadcast-sized
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast confirm join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"history-volume join leaked:\n$plan")
+    // classification sanity on the synthetic batch: every re-crawled doc
+    // (id+700000) is a dup, every revised doc (id+800000) is new
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0); val status = r.getString(2)
+      if (id >= 800000) assert(status == "new", s"doc $id")
+      else assert(status == "dup", s"doc $id")
+    }
+  }
+
+  test("anchor aggregation: cross-page counts and the deterministic top-anchor tiebreak") {
+    val rows = SparkEntry.queries("q_warc_anchors")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // the root is linked from page A (same host) and the other.example hub
+    // (cross host): 2 links, 2 pages, 2 HOSTS, 2 anchor variants; the count
+    // tie resolves by lexicographic min ("Home" < "back to the hub")
+    val root = rows("https://example.org/")
+    assert(root.getLong(1) == 2 && root.getLong(2) == 2 && root.getLong(3) == 2)
+    assert(root.getLong(4) == 2)
+    assert(root.getString(5) == "Home" && root.getLong(6) == 1)
+    // /p/1 collects two different anchors from two same-host pages; the
+    // mirror's relative copy of the link resolves to ITS OWN host, not here
+    val p1 = rows("https://example.org/p/1")
+    assert(p1.getLong(1) == 2 && p1.getLong(2) == 2 && p1.getLong(3) == 1)
+    assert(p1.getLong(4) == 2)
+    assert(p1.getString(5) == "a related piece about table scan merge order in long form")
+    assert(p1.getLong(6) == 1)
+    assert(rows.contains("https://mirror.example/p/1"))
+    // the nofollowed /p/2 never becomes a target; /hidden likewise
+    assert(!rows.contains("https://example.org/p/2"))
+    assert(!rows.contains("https://example.org/hidden"))
+  }
 }

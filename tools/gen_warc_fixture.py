@@ -46,6 +46,7 @@ EXP_REDIRECTS = 'src/test/resources/expected/warc_redirects.parquet'
 EXP_CHAINS = 'src/test/resources/expected/warc_redirect_chains.parquet'
 EXP_SITEMAP = 'src/test/resources/expected/warc_sitemap.parquet'
 EXP_RANK = 'src/test/resources/expected/warc_rank.parquet'
+EXP_ANCHOR = 'src/test/resources/expected/warc_anchor_links.parquet'
 
 IMG_EVERY = 4  # must match Queries.HtmlImgEvery
 
@@ -582,6 +583,19 @@ def main():
     frontier_rows = sorted(
         (url, host_of(url), n) for url, n in frontier.items())
 
+    # ---- anchor-link expectation: the SAME followable-link resolution the
+    # frontier uses, anchor text kept — one row per (resolved target, source
+    # page, source host, anchor). q_warc_anchors' oracle recomputes the full
+    # per-target aggregation (counts, distinct pages/hosts, top anchor with
+    # lexicographic-min tiebreak) from these rows in DuckDB, so the oracle
+    # verifies the aggregation arithmetic, not a dumped result
+    anchor_rows = sorted(
+        (normalize_http(urljoin(uri, href)), uri, host_of(uri), anchor)
+        for uri, links in pages
+        for href, anchor, rel in links
+        if 'nofollow' not in rel.split()
+        and normalize_http(urljoin(uri, href)) is not None)
+
     # ---- politeness expectation: the frontier through the robots twin ------
     # robots scope is the ORIGIN (scheme://host[:port]); only example.org's
     # https origin has a planted robots.txt, every other origin defaults to
@@ -704,6 +718,13 @@ def main():
         [dict(zip(edges_schema.names, r)) for r in edge_rows],
         schema=edges_schema), EXP_EDGES)
 
+    anchor_schema = pa.schema([
+        ('url', pa.string()), ('page', pa.string()),
+        ('src_host', pa.string()), ('anchor', pa.string())])
+    pq.write_table(pa.Table.from_pylist(
+        [dict(zip(anchor_schema.names, r)) for r in anchor_rows],
+        schema=anchor_schema), EXP_ANCHOR)
+
     rank_schema = pa.schema([('host', pa.string()), ('rank', pa.int64())])
     pq.write_table(pa.Table.from_pylist(
         [dict(zip(rank_schema.names, r)) for r in rank_rows],
@@ -711,6 +732,7 @@ def main():
 
     print(f'wrote {len(rec_rows)} record rows, {len(ext_rows)} extract rows, '
           f'{len(link_rows)} link rows, {len(frontier_rows)} frontier rows, '
+          f'{len(anchor_rows)} anchor rows, '
           f'{sum(1 for r in robots_rows if not r[3])} robots-blocked, '
           f'{len(edge_rows)} host edges / {len(nodes)} hosts ranked')
 
