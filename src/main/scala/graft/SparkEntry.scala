@@ -93,6 +93,7 @@ object SparkEntry {
     "q_warc_extract" -> (Queries.warcExtract(_, _)),
     "q_warc_links" -> (Queries.warcLinks(_, _)),
     "q_warc_frontier" -> (Queries.warcFrontier(_, _)),
+    "q_warc_blocklist" -> (Queries.warcBlocklist(_, _)),
     "q_warc_robots" -> (Queries.warcRobots(_, _)),
     "q_warc_schedule" -> (Queries.warcSchedule(_, _)),
     "q_warc_rank" -> (Queries.warcLinkRank(_, _)),
@@ -111,6 +112,7 @@ object SparkEntry {
     "q_token_count" -> (Queries.tokenCount(_, _)),
     "q_token_count_bpe" -> (Queries.tokenCountBpe(_, _)),
     "q_quality_score" -> (Queries.qualityScore(_, _)),
+    "q_pii_scrub" -> (Queries.piiScrub(_, _)),
     "q_langid_scores" -> (Queries.langidScores(_, _)),
     "q_langid" -> (Queries.langId(_, _)),
     "q_fingerprint" -> (Queries.fingerprint(_, _)),
@@ -516,6 +518,25 @@ object SparkEntry {
         | length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', '')) AS the_bytes,
         | CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / length(text) AS space_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // both engines PLANT the PII from doc_id (the corpus text is digit-free),
+    // then count and redact with the SAME dialect-intersection regexes;
+    // md5(clean) pins the rewritten text byte-exactly
+    "q_pii_scrub" ->
+      s"""WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com for access' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' origin server 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 250 + 1 AS VARCHAR) || ' timed out' ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN ' or call +1 415 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '${Queries.PiiEmailRegex}')) AS n_emails,
+        |  len(regexp_extract_all(text, '${Queries.PiiIpv4Regex}')) AS n_ipv4,
+        |  len(regexp_extract_all(text, '${Queries.PiiPhoneRegex}')) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '${Queries.PiiEmailRegex}', '<EMAIL>', 'g'),
+        |    '${Queries.PiiIpv4Regex}', '<IP>', 'g'),
+        |    '${Queries.PiiPhoneRegex}', '<PHONE>', 'g')) AS clean_sha
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q_langid_scores" ->
       """SELECT doc_id, lang,
         | length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', '')) AS score_en,
@@ -591,6 +612,31 @@ object SparkEntry {
       """SELECT url, host, n_refs
         |FROM read_parquet('/root/repo/src/test/resources/expected/warc_frontier.parquet')
         |ORDER BY url""".stripMargin,
+    // blocklist verdicts recomputed from the independently generated
+    // frontier fixture with DIFFERENT mechanics (per-entry suffix-LIKE
+    // join) than the Spark plan's suffix-explode equi-join
+    "q_warc_blocklist" -> {
+      val entries = Queries.BlockedHostSuffixes.map(e => s"('$e')").mkString(", ")
+      val pathRule = Queries.BlockedPathKeywords
+        .map(k => s"WHEN f.url LIKE '%/$k%' THEN '$k'")
+        .mkString(" ")
+      val pathHit = Queries.BlockedPathKeywords
+        .map(k => s"f.url LIKE '%/$k%'").mkString(" OR ")
+      s"""WITH f AS (SELECT url, host, n_refs
+        |  FROM read_parquet('/root/repo/src/test/resources/expected/warc_frontier.parquet')),
+        |b(entry) AS (VALUES $entries),
+        |hb AS (SELECT f.url, MIN(b.entry) AS host_rule
+        |       FROM f JOIN b ON f.host = b.entry OR f.host LIKE '%.' || b.entry
+        |       GROUP BY f.url)
+        |SELECT f.url, f.host, f.n_refs,
+        |  CASE WHEN hb.host_rule IS NOT NULL THEN 'blocked_host'
+        |       WHEN $pathHit THEN 'blocked_path'
+        |       ELSE 'kept' END AS status,
+        |  COALESCE(hb.host_rule,
+        |    CASE $pathRule ELSE '' END) AS rule
+        |FROM f LEFT JOIN hb ON f.url = hb.url
+        |ORDER BY f.url""".stripMargin
+    },
     // politeness verdicts computed by the generator's independent Python
     // RFC 9309 twin over the robots.txt it plants
     "q_warc_robots" ->

@@ -1402,6 +1402,54 @@ object Queries {
         (col("n_space").cast("double") / col("len")).as("space_ratio"))
       .orderBy("doc_id")
 
+  /** PII patterns shared by the Spark plan and the DuckDB oracle — greedy
+    * character-class regexes with NO alternation, so Java's leftmost-first
+    * backtracking and RE2's leftmost-longest automaton produce the identical
+    * match set (the same dialect-intersection discipline as
+    * [[BpeTokenRegex]]). Published-pipeline provenance: email/IP redaction
+    * is standard in the BigScience ROOTS and FineWeb preparation recipes.
+    */
+  val PiiEmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4Regex = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhoneRegex = "\\+\\d{1,2} \\d{3} \\d{3} \\d{4}"
+
+  /** PII scrub — the redaction stage every published training-corpus
+    * pipeline runs before release: count and replace emails, IPv4
+    * addresses, and phone numbers with typed placeholder tokens. A pure
+    * per-row projection (counts + three chained regexp_replace passes in one
+    * whole-stage-codegen stage): zero shuffle, scales as a map over 10^12
+    * docs. The corpus text is digit-and-@-free by construction, so PII is
+    * PLANTED deterministically from doc_id on both engines (every 7th doc
+    * an email, 11th an IP, 13th a phone — composites get several), making
+    * the oracle verify the redaction arithmetic on known-positive rows and
+    * the untouched rows on known-negative ones. Output carries md5(clean)
+    * rather than the full rewritten text: the hash pins byte-exact
+    * redaction without dumping the corpus back out.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = t(spark, dir, "documents").select(id,
+      concat(col("text"),
+        when(id % 7 === 0, concat(lit(" contact user"), id.cast("string"),
+          lit("@example.com for access"))).otherwise(lit("")),
+        when(id % 11 === 0, concat(lit(" origin server 10."),
+          (id % 256).cast("string"), lit(".0."), (id % 250 + 1).cast("string"),
+          lit(" timed out"))).otherwise(lit("")),
+        when(id % 13 === 0, concat(lit(" or call +1 415 555 "),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit(""))
+      ).as("text"))
+    planted.select(id,
+      regexp_count(col("text"), lit(PiiEmailRegex)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PiiIpv4Regex)).cast("long").as("n_ipv4"),
+      regexp_count(col("text"), lit(PiiPhoneRegex)).cast("long").as("n_phones"),
+      md5(regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), PiiEmailRegex, "<EMAIL>"),
+          PiiIpv4Regex, "<IP>"),
+        PiiPhoneRegex, "<PHONE>")).as("clean_sha"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID marker scores (exact integer occurrence arithmetic; the
     * argmax labeling lives in [[langId]]).
     */
@@ -1818,6 +1866,54 @@ object Queries {
     tot.join(top, Seq("url"))
       .select(col("url"), col("n_links"), col("n_pages"), col("n_hosts"),
         col("n_anchors"), col("top_anchor"), col("top_anchor_n"))
+      .orderBy("url")
+  }
+
+  /** Domain suffixes blocked before fetch (UT1-style category blocklist —
+    * here the crawl's asset CDNs) and URL path keywords marking
+    * site-furniture pages (the C4/FineWeb URL-filter stage drops
+    * terms/privacy/login boilerplate by path). Tiny here; ~4M rows in the
+    * real UT1 lists — still broadcast-sized.
+    */
+  val BlockedHostSuffixes: Seq[String] = Seq("cdn.example", "static.example")
+  val BlockedPathKeywords: Seq[String] = Seq("privacy", "terms")
+
+  /** URL blocklist gate over the crawl frontier — the filter every
+    * published web-corpus pipeline runs BEFORE fetching: a domain
+    * blocklist entry blocks its exact host and every subdomain, and path
+    * keywords drop site-furniture pages. The subdomain match is NOT a
+    * per-entry LIKE scan (O(|frontier|·|blocklist|) at 4M entries): each
+    * host explodes into its O(#labels) dot-suffixes — a constant ≤ ~6 per
+    * URL — and EQUI-joins the broadcast blocklist, so the frontier is one
+    * narrow pass + one broadcast hash join at any scale. Host rules take
+    * precedence over path rules; the emitted rule names the matched entry.
+    * Oracle: DuckDB recomputes the verdicts from the independently
+    * generated frontier fixture with the OTHER mechanics (per-entry
+    * suffix-LIKE join), so the explode-join is verified against a
+    * different algorithm, not itself.
+    */
+  def warcBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    val blk = broadcast(
+      spark.createDataFrame(BlockedHostSuffixes.map(Tuple1(_))).toDF("entry"))
+    val pathRule = BlockedPathKeywords.foldRight(lit(null).cast("string")) {
+      (k, rest) => when(col("url").contains(s"/$k"), lit(k)).otherwise(rest)
+    }
+    // LEFT-join the ≤6 suffixes per URL against the broadcast list, then
+    // collapse back with a partial-aggregated min — no url-keyed join-back
+    // materializing (and broadcasting) the blocked subset, whose size is a
+    // frontier-fraction, not a dimension, at real scale
+    warcFrontier(spark, dir)
+      .withColumn("parts", split(col("host"), "\\."))
+      .withColumn("sfx", explode(expr(
+        "transform(sequence(1, size(parts)), i -> array_join(slice(parts, i, size(parts)-i+1), '.'))")))
+      .join(blk, col("sfx") === col("entry"), "left")
+      .groupBy(col("url"), col("host"), col("n_refs"))
+      .agg(min(col("entry")).as("host_rule"))
+      .select(col("url"), col("host"), col("n_refs"),
+        when(col("host_rule").isNotNull, lit("blocked_host"))
+          .when(pathRule.isNotNull, lit("blocked_path"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("host_rule"), pathRule, lit("")).as("rule"))
       .orderBy("url")
   }
 

@@ -340,6 +340,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pii scrub: planted counts, redaction changes the hash, pure map plan") {
+    val df = SparkEntry.queries("q_pii_scrub")(spark, dir)
+    // per-row projection: no join, no aggregate — only the oracle-ordering sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"pii scrub must stay a pure map stage:\n$plan")
+    val byId = df.collect().map(r => r.getLong(0) -> r).toMap
+    // doc 0 is divisible by 7, 11 AND 13: one of each PII kind planted
+    val d0 = byId(0L)
+    assert(d0.getLong(1) == 1 && d0.getLong(2) == 1 && d0.getLong(3) == 1)
+    // doc 1 has none (corpus text is digit-and-@-free by construction)
+    val d1 = byId(1L)
+    assert(d1.getLong(1) == 0 && d1.getLong(2) == 0 && d1.getLong(3) == 0)
+    // doc 7: email only; doc 11: ip only; doc 13: phone only
+    assert(byId(7L).getLong(1) == 1 && byId(7L).getLong(2) == 0)
+    assert(byId(11L).getLong(2) == 1 && byId(11L).getLong(1) == 0)
+    assert(byId(13L).getLong(3) == 1 && byId(13L).getLong(2) == 0)
+  }
+
+  test("url blocklist: subdomain-suffix host rules, path keywords, host precedence") {
+    val rows = SparkEntry.queries("q_warc_blocklist")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def statusOf(u: String) = (rows(u).getString(3), rows(u).getString(4))
+    assert(statusOf("https://cdn.example/app.js") == ("blocked_host", "cdn.example"))
+    assert(statusOf("https://static.example/logo.png") == ("blocked_host", "static.example"))
+    assert(statusOf("https://example.org/privacy") == ("blocked_path", "privacy"))
+    assert(statusOf("https://mirror.example/terms") == ("blocked_path", "terms"))
+    assert(statusOf("https://example.org/") == ("kept", ""))
+    // port-carrying host is not a suffix match for anything
+    assert(statusOf("http://example.org:8080/alt")._1 == "kept")
+  }
+
   test("anchor aggregation: cross-page counts and the deterministic top-anchor tiebreak") {
     val rows = SparkEntry.queries("q_warc_anchors")(spark, dir).collect()
       .map(r => r.getString(0) -> r).toMap
