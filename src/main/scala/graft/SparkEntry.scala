@@ -102,6 +102,7 @@ object SparkEntry {
     "q_warc_sitemap" -> (Queries.warcSitemap(_, _)),
     "q_warc_anchors" -> (Queries.warcAnchors(_, _)),
     "q_warc_mirrors" -> (Queries.warcMirrors(_, _)),
+    "q_warc_cdx" -> (Queries.warcCdx(_, _)),
     "q_snapshot_delta" -> (Queries.snapshotDelta(_, _)),
     "q_incremental_update" -> (Queries.incrementalUpdate(_, _)),
     "q_gopher_quality" -> (Queries.gopherQuality(_, _)),
@@ -822,6 +823,13 @@ object SparkEntry {
         |FROM h JOIN g USING (body_sha)
         |WHERE g.n_copies >= 2
         |ORDER BY body_sha, url""".stripMargin,
+    // CDX rows pinned by the generator AS IT WRITES each gzip member (the
+    // byte ranges are construction ground truth) with independent Python
+    // twins for SURT and the payload digest
+    "q_warc_cdx" ->
+      """SELECT surt, ts, url, mime, status, digest, rec_offset, rec_length, filename
+        |FROM read_parquet('/root/repo/src/test/resources/expected/warc_cdx.parquet')
+        |ORDER BY surt, ts, rec_offset""".stripMargin,
     // sitemap seeds computed by the generator's independent ElementTree
     // twin over the planted index + urlsets (incl. the origin-guard drops)
     "q_warc_sitemap" ->

@@ -15,6 +15,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // sweep stale dumps from a REUSED outDir: a query renamed/removed since
+    // the last run would otherwise leave its old parquet behind and read as
+    // a rows_only regression in the compare
+    Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !SparkEntry.queries.contains(f.getName))
+      .foreach { f =>
+        System.err.println(s"[verify] sweeping stale dump ${f.getName}")
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete(); ()
+        }
+        rm(f)
+      }
     // local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b dumps just those
     // queries (the driver never sets it, so the gate always runs the full
     // catalog)

@@ -2389,6 +2389,46 @@ object Queries {
       .orderBy("body_sha", "url")
   }
 
+  /** CDX capture index — the random-access layer over a WARC archive
+    * (Common Crawl publishes exactly this next to its crawls): one row per
+    * response capture keyed by SURT ([[graft.text.UrlResolve.surt]], host
+    * labels reversed so a site's captures sort adjacent) + timestamp, with
+    * the capture's gzip MEMBER byte range ([[graft.sources.Warc
+    * .memberRecords]] parses RFC 1952 framing directly to recover the
+    * boundaries GZIPInputStream erases). At 100 TB this is what makes the
+    * archive addressable: a sorted-index range scan finds a site, and an
+    * HTTP range request for (rec_offset, rec_length) yields one
+    * self-contained gzip member — no archive scan. The index build itself
+    * is one narrow pass over the member-per-record files plus the output
+    * sort; WarcSpec proves the random-access contract by re-reading every
+    * (offset, length) slice as a standalone file. Oracle: the fixture
+    * generator records each member's byte range as it WRITES it and
+    * computes SURT/digest with an independent Python twin.
+    */
+  def warcCdx(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .load(s"$mediaDir/warc/*.warc.gz")
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        graft.sources.Warc.memberRecords(bytes)
+          .filter(_.record.warcType == "response")
+          .flatMap { m =>
+            val r = m.record
+            graft.text.UrlResolve.surt(r.targetUri).map { key =>
+              val d = java.security.MessageDigest.getInstance("SHA-256").digest(r.body)
+              (key, r.date.filter(_.isDigit), r.targetUri,
+                r.httpContentType.split(';')(0).trim, r.httpStatus,
+                d.map("%02x".format(_)).mkString, m.offset, m.length, name)
+            }
+          }
+      }
+      .toDF("surt", "ts", "url", "mime", "status", "digest",
+        "rec_offset", "rec_length", "filename")
+      .orderBy("surt", "ts", "rec_offset")
+  }
+
   /** Sitemap SEED extraction — the crawl's third URL source besides
     * outlinks and redirects: robots.txt `Sitemap:` announcements joined
     * against the XML captures in the same crawl, `<sitemapindex>` files

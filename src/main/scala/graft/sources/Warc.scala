@@ -64,6 +64,86 @@ object Warc {
     recordIterator(new DataInputStream(new BufferedInputStream(in, 1 << 16)))
   }
 
+  /** One gzip member of a member-per-record WARC file: the member's exact
+    * compressed byte range in the container plus its parsed record. The
+    * (offset, length) pair is what a CDX index stores — an HTTP range
+    * request for exactly those bytes yields a self-contained gzip member
+    * that decompresses to the one record, the random-access contract that
+    * makes a 100 TB archive addressable without scanning.
+    */
+  final case class MemberRecord(offset: Long, length: Long, record: WarcRecord)
+
+  /** Scan a member-per-record gzip WARC file with RFC 1952 framing parsed
+    * DIRECTLY (GZIPInputStream transparently concatenates members, erasing
+    * the boundaries this exists to report): per member, the 10-byte fixed
+    * header plus FEXTRA/FNAME/FCOMMENT/FHCRC optional fields, a raw-deflate
+    * body via `Inflater(nowrap)` whose `getBytesRead` pins the compressed
+    * length, and the CRC32 + ISIZE trailer — both VALIDATED, so silent
+    * corruption surfaces here, not as a garbled record downstream. Each
+    * member must hold exactly one WARC record (the Common Crawl layout);
+    * anything else — plain input, a non-deflate method, a multi-record
+    * member — throws with member context.
+    */
+  def memberRecords(bytes: Array[Byte]): Iterator[MemberRecord] =
+    new Iterator[MemberRecord] {
+      private var pos = 0
+      private var idx = 0
+      override def hasNext: Boolean = pos < bytes.length
+      override def next(): MemberRecord = {
+        if (!hasNext) throw new NoSuchElementException
+        val ctx = s"gzip member $idx at offset $pos"
+        def u8(i: Int): Int = bytes(i) & 0xff
+        def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+        def u32(i: Int): Long = u16(i).toLong | (u16(i + 2).toLong << 16)
+        if (pos + 10 > bytes.length || u8(pos) != 0x1f || u8(pos + 1) != 0x8b)
+          throw new IllegalArgumentException(s"$ctx: not a gzip member header")
+        if (u8(pos + 2) != 8)
+          throw new IllegalArgumentException(s"$ctx: compression method ${u8(pos + 2)} is not deflate")
+        val flg = u8(pos + 3)
+        var p = pos + 10
+        if ((flg & 4) != 0) p += 2 + u16(p) // FEXTRA
+        if ((flg & 8) != 0) { while (u8(p) != 0) p += 1; p += 1 } // FNAME
+        if ((flg & 16) != 0) { while (u8(p) != 0) p += 1; p += 1 } // FCOMMENT
+        if ((flg & 2) != 0) p += 2 // FHCRC
+        val inf = new java.util.zip.Inflater(true)
+        inf.setInput(bytes, p, bytes.length - p)
+        val out = new java.io.ByteArrayOutputStream(1 << 16)
+        val buf = new Array[Byte](1 << 16)
+        try {
+          while (!inf.finished()) {
+            val n = inf.inflate(buf)
+            if (n == 0 && inf.needsInput())
+              throw new IllegalArgumentException(s"$ctx: truncated deflate stream")
+            out.write(buf, 0, n)
+          }
+        } catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(s"$ctx: corrupt deflate stream: ${e.getMessage}")
+        }
+        val deflateLen = inf.getBytesRead
+        inf.end()
+        val trailer = p + deflateLen.toInt
+        if (trailer + 8 > bytes.length)
+          throw new IllegalArgumentException(s"$ctx: truncated gzip trailer")
+        val payload = out.toByteArray
+        val crc = new java.util.zip.CRC32
+        crc.update(payload)
+        if (crc.getValue != u32(trailer))
+          throw new IllegalArgumentException(s"$ctx: CRC32 mismatch")
+        if ((payload.length.toLong & 0xffffffffL) != u32(trailer + 4))
+          throw new IllegalArgumentException(s"$ctx: ISIZE mismatch")
+        val len = trailer + 8 - pos
+        val recs = records(payload).toList
+        if (recs.size != 1)
+          throw new IllegalArgumentException(
+            s"$ctx: expected exactly one record per member, got ${recs.size}")
+        val m = MemberRecord(pos.toLong, len.toLong, recs.head.copy(recIdx = idx))
+        pos += len
+        idx += 1
+        m
+      }
+    }
+
   /** One CRLF-terminated header line (ASCII superset via Latin-1); None at
     * clean EOF before any byte of a line.
     */

@@ -154,6 +154,32 @@ object UrlResolve {
       n.substring(0, n.indexOf('/', n.indexOf("//") + 2))
     }
 
+  /** Sort-friendly URI Reordering Transform (SURT) — the Common-Crawl /
+    * OpenWayback CDX index key: the host's labels reverse, so all captures
+    * of a site (and its subdomains) sort ADJACENT and a range scan over the
+    * sorted index answers per-site lookups without a full pass. Subset
+    * implemented (the full canonicalizer also sorts query params and strips
+    * session ids — documented out of scope): canonical http(s) form first
+    * ([[normalizeHttp]]: lowercase host, default port dropped, fragment
+    * stripped), then the scheme and userinfo drop, host labels reverse
+    * comma-joined with any explicit port kept after the last label, and
+    * `)` introduces the path?query verbatim —
+    * `https://sub.example.org:8080/p?q=1` → `org,example,sub:8080)/p?q=1`.
+    * None for non-http(s) references (not indexable captures).
+    */
+  def surt(url: String): Option[String] = normalizeHttp(url).map { n =>
+    val u = parse(n)
+    val auth = u.authority.getOrElse("")
+    val at = auth.lastIndexOf('@')
+    val hostport = if (at < 0) auth else auth.substring(at + 1)
+    val ci = hostport.lastIndexOf(':')
+    val (host, port) =
+      if (ci < 0 || hostport.lastIndexOf(']') > ci) (hostport, "")
+      else (hostport.substring(0, ci), hostport.substring(ci))
+    host.split('.').reverse.mkString(",") + port + ")" +
+      u.path + u.query.fold("")("?" + _)
+  }
+
   /** The lowercased host of a normalized http(s) URL ("" when absent). */
   def hostOf(url: String): String = {
     val u = parse(url)

@@ -39,6 +39,53 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count(_.head == "sample_01.warc.gz") == 6)
   }
 
+  test("gzip member scanner: exact byte ranges, random-access slices, tamper detection") {
+    val path = "src/test/resources/media/warc/sample_01.warc.gz"
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val members = graft.sources.Warc.memberRecords(bytes).toVector
+    assert(members.size == 6)
+    // ranges tile the file exactly: contiguous from 0 to EOF
+    assert(members.head.offset == 0)
+    members.sliding(2).foreach { case Vector(a, b) =>
+      assert(a.offset + a.length == b.offset)
+    }
+    assert(members.last.offset + members.last.length == bytes.length)
+    // the CDX random-access contract: every (offset, length) slice is a
+    // self-contained gzip file decompressing to the SAME single record
+    members.foreach { m =>
+      val slice = java.util.Arrays.copyOfRange(
+        bytes, m.offset.toInt, (m.offset + m.length).toInt)
+      val alone = graft.sources.Warc.records(slice).toVector
+      assert(alone.size == 1)
+      assert(alone.head.recordId == m.record.recordId)
+      assert(java.util.Arrays.equals(alone.head.body, m.record.body))
+    }
+    // flip one payload byte inside the third member: CRC32 must catch it
+    val corrupt = bytes.clone()
+    val mid = (members(2).offset + members(2).length / 2).toInt
+    corrupt(mid) = (corrupt(mid) ^ 0x41).toByte
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Warc.memberRecords(corrupt).toVector
+    }
+    assert(e.getMessage.contains("member 2"))
+    // plain (non-gzip) input is rejected with member context
+    val plain = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/media/warc/sample_00.warc"))
+    assert(intercept[IllegalArgumentException] {
+      graft.sources.Warc.memberRecords(plain).toVector
+    }.getMessage.contains("not a gzip member"))
+  }
+
+  test("surt: label reversal, port/query retention, non-http rejection") {
+    import graft.text.UrlResolve.surt
+    assert(surt("https://sub.Example.org:8080/p?q=1").contains("org,example,sub:8080)/p?q=1"))
+    assert(surt("http://example.org").contains("org,example)/"))
+    assert(surt("https://example.org:443/x").contains("org,example)/x"))
+    assert(surt("mailto:x@example.org").isEmpty)
+    // host-adjacency: all captures of a site share a comma-terminated prefix
+    assert(surt("https://a.example.org/1").get.startsWith("org,example,"))
+  }
+
   test("composed crawl→spans chain matches the generator's expected spans") {
     val got = graft.ops.Queries.warcExtract(spark, "").collect().map(_.toSeq).toVector
     val exp = spark.read

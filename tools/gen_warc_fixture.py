@@ -47,6 +47,7 @@ EXP_CHAINS = 'src/test/resources/expected/warc_redirect_chains.parquet'
 EXP_SITEMAP = 'src/test/resources/expected/warc_sitemap.parquet'
 EXP_RANK = 'src/test/resources/expected/warc_rank.parquet'
 EXP_ANCHOR = 'src/test/resources/expected/warc_anchor_links.parquet'
+EXP_CDX = 'src/test/resources/expected/warc_cdx.parquet'
 
 IMG_EVERY = 4  # must match Queries.HtmlImgEvery
 
@@ -186,6 +187,22 @@ PAGE_G = ('<html><head><title>Second host</title></head><body>'
           f'<p>{G_PARA}</p></main>'
           '</body></html>')
 G_SPANS = [('heading', 'Other Host', '', 0), ('text', G_PARA, '', 1)]
+
+
+def surt_of(url):
+    """Independent SURT twin (urlsplit-based, vs Scala's RFC 3986 parser):
+    scheme dropped, host lowercased + label-reversed with commas, explicit
+    non-default port kept, ')' + path?query."""
+    u = urlsplit(url)
+    if u.scheme not in ('http', 'https'):
+        return None
+    host = (u.hostname or '').lower()
+    port = u.port
+    default = 80 if u.scheme == 'http' else 443
+    p = '' if (port is None or port == default) else ':%d' % port
+    path = u.path or '/'
+    q = ('?' + u.query) if u.query else ''
+    return ','.join(reversed(host.split('.'))) + p + ')' + path + q
 
 
 def normalize_http(url):
@@ -540,13 +557,30 @@ def main():
          http_response(200, 'OK', 'text/html; charset=utf-8', g_html),
          'application/http;msgtype=response'),
     ]
+    # the CDX expectation: member byte ranges recorded AS WRITTEN (the
+    # ground truth the Scala RFC 1952 member scanner must recover), SURT
+    # and digest computed by independent Python twins
+    cdx_meta = {
+        'r2': (200, 'text/html', b_html), 'r3': (404, 'text/html', d_html),
+        'r4': (200, 'text/html', e_html), 'r5': (200, 'text/html', f_html),
+        'r6': (200, 'text/html', g_html)}
+    cdx_rows = []
     with open(os.path.join(OUTDIR, name1), 'wb') as f:
+        off = 0
         for wtype, rid, uri, payload, ctype in recs1:
             rec = warc_record(wtype, rid, uri, payload, ctype)
             buf = io.BytesIO()
             with gzip.GzipFile(fileobj=buf, mode='wb', mtime=0) as g:
                 g.write(rec)
-            f.write(buf.getvalue())
+            mem = buf.getvalue()
+            f.write(mem)
+            if wtype == 'response':
+                status, mime, body = cdx_meta[rid]
+                cdx_rows.append((
+                    surt_of(uri), '20260817000000', uri, mime, status,
+                    hashlib.sha256(body).hexdigest(), off, len(mem), name1))
+            off += len(mem)
+    cdx_rows.sort(key=lambda r: (r[0], r[1], r[6]))
     add_rec(name1, 0, 'response', b_uri, 200, 'text/html; charset=iso-8859-1', b_html)
     add_rec(name1, 1, 'response', d_uri, 404, 'text/html; charset=utf-8', d_html)
     add_rec(name1, 2, 'response', e_uri, 200, 'text/html', e_html)
@@ -717,6 +751,15 @@ def main():
     pq.write_table(pa.Table.from_pylist(
         [dict(zip(edges_schema.names, r)) for r in edge_rows],
         schema=edges_schema), EXP_EDGES)
+
+    cdx_schema = pa.schema([
+        ('surt', pa.string()), ('ts', pa.string()), ('url', pa.string()),
+        ('mime', pa.string()), ('status', pa.int32()),
+        ('digest', pa.string()), ('rec_offset', pa.int64()),
+        ('rec_length', pa.int64()), ('filename', pa.string())])
+    pq.write_table(pa.Table.from_pylist(
+        [dict(zip(cdx_schema.names, r)) for r in cdx_rows],
+        schema=cdx_schema), EXP_CDX)
 
     anchor_schema = pa.schema([
         ('url', pa.string()), ('page', pa.string()),
