@@ -1,0 +1,162 @@
+package graft.jobs
+
+import graft.model.LineageRow
+import graft.storage.{Lineage, Snapshots}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Small-file COMPACTION — the table-maintenance job a 100 TB snapshot
+  * store cannot live without: streaming ingest, partition-granular resume,
+  * and per-wave commits all fragment a table into thousands of small
+  * files, and every later scan then pays an open/seek per file (the
+  * measured failure mode from the persisted-IVF build: 8k tiny posting
+  * files made search 4× SLOWER than brute force before the
+  * `repartition(cent_id)` fix). Compaction rewrites the LATEST snapshot of
+  * a table as a new snapshot with ~target-sized files and atomically
+  * publishes it through the same commit protocol ([[graft.storage
+  * .Snapshots]]) — the old snapshot stays readable (time travel), readers
+  * never see a half-compacted table, and a crash mid-write leaves only an
+  * uncommitted directory the next run overwrites.
+  *
+  * Two plan shapes, chosen by the snapshot's layout:
+  *
+  *  - UNPARTITIONED: zero-shuffle bin-packing via the scan itself — Spark's
+  *    file source already packs multiple small files into one split up to
+  *    `spark.sql.files.maxPartitionBytes`, so setting that to the target
+  *    and writing the narrow scan back out IS the compaction (output files
+  *    = scan splits; no Exchange anywhere). Catalyst does the bin-packing;
+  *    nothing is hand-scheduled.
+  *  - HIVE-PARTITIONED (`col=value` directories): files must merge WITHIN
+  *    a partition directory, so the job pays exactly one
+  *    `repartition(partitionCols)` exchange and the writer emits one file
+  *    per partition value — the same layout discipline the IVF posting
+  *    store uses. The data moves once; at 10^12 rows that single
+  *    partition-aligned shuffle is the floor for per-directory merging.
+  *
+  * The rewrite is VERIFIED before publish: row count and an
+  * order-independent content checksum (`bit_xor(xxhash64(struct(*)))` —
+  * no overflow at any row count) must match the source snapshot, and both
+  * land in a lineage row (`doc_count`, `partition_hash`; `divergence` 0/1)
+  * under `<root>/compact`. Re-running against an already-compacted table
+  * is a NO-OP (the lineage row keyed by the source snapshot id says so),
+  * making the job idempotent under schedulers that fire it blindly.
+  *
+  * Run: `runMain graft.jobs.CompactJob --root <snapshotRoot>
+  *        [--target-bytes N] [--cores N]`
+  * → one JSON line {job, snapshot, new_snapshot, files_in, files_out,
+  *    rows, sec} (new_snapshot −1 = no-op).
+  */
+object CompactJob {
+
+  final case class Result(
+      sourceId: Long, newId: Long, filesIn: Long, filesOut: Long, rows: Long)
+
+  private def dataFiles(dir: Path): Seq[Path] = {
+    val s = Files.walk(dir)
+    try s.iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .toVector
+    finally s.close()
+  }
+
+  /** Hive partition columns, detected from first-level `col=value`
+    * directory names (the layout [[Snapshots.commit]]'s partitionBy
+    * writes). Empty = unpartitioned.
+    */
+  private def partitionColsOf(dir: Path): Seq[String] =
+    Files.list(dir).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .filter(_.contains('='))
+      .map(_.split("=", 2)(0))
+      .toSeq.distinct.sorted
+
+  /** Order-independent content checksum over every column. */
+  private def checksum(df: DataFrame): String = {
+    val row = df.select(
+      count(lit(1)).as("n"),
+      coalesce(bit_xor(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))), lit(0L)).as("x"))
+      .collect()(0)
+    s"${row.getLong(0)}:${java.lang.Long.toHexString(row.getLong(1))}"
+  }
+
+  /** Compact the latest snapshot under `root` to ~`targetBytes` files.
+    * Returns the result; a no-op (already compacted) returns newId = -1.
+    */
+  def compact(spark: SparkSession, root: String, targetBytes: Long): Result = {
+    val sourceId = Snapshots.latest(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $root"))
+    val compactRoot = s"$root/compact"
+    // idempotence: one lineage row per compaction, keyed by BOTH ids —
+    // skip when the latest snapshot was already compacted (snapshot_id)
+    // OR is itself a compaction's output (partition_id), so a scheduler
+    // firing the job blindly never rewrites a current table
+    val done = Lineage.read(spark, compactRoot).collect()
+      .exists(r => r.snapshot_id == sourceId || r.partition_id.toLong == sourceId)
+    val srcDir = Paths.get(Snapshots.snapshotDir(root, sourceId))
+    val filesIn = dataFiles(srcDir).size.toLong
+    if (done) return Result(sourceId, -1L, filesIn, filesIn, 0L)
+
+    val parts = partitionColsOf(srcDir)
+    val before = Snapshots.read(spark, root, sourceId)
+    val beforeSum = checksum(before)
+    val rows = beforeSum.split(":")(0).toLong
+
+    val newId = sourceId + 1
+    if (parts.isEmpty) {
+      // zero-shuffle path: the scan's own split packing is the bin-packer
+      val conf = spark.conf
+      val savedMax = conf.get("spark.sql.files.maxPartitionBytes")
+      val savedOpen = conf.get("spark.sql.files.openCostInBytes")
+      try {
+        conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+        // a 4 MiB default open cost makes tiny files "fill" a split long
+        // before the byte target; compaction wants byte-true packing
+        conf.set("spark.sql.files.openCostInBytes", (64L << 10).toString)
+        Snapshots.commit(spark.read.parquet(srcDir.toString), root, newId)
+      } finally {
+        conf.set("spark.sql.files.maxPartitionBytes", savedMax)
+        conf.set("spark.sql.files.openCostInBytes", savedOpen)
+      }
+    } else {
+      // partition-aligned single exchange; writer emits one file per value
+      Snapshots.commit(
+        before.repartition(parts.map(col).toIndexedSeq: _*), root, newId, parts)
+    }
+
+    val afterSum = checksum(Snapshots.read(spark, root, newId))
+    val filesOut = dataFiles(Paths.get(Snapshots.snapshotDir(root, newId))).size.toLong
+    val diverged = if (afterSum == beforeSum) 0.0 else 1.0
+    Lineage.append(spark, compactRoot, Seq(LineageRow(
+      snapshot_id = sourceId, partition_id = newId.toInt,
+      partition_hash = afterSum, doc_count = rows, span_count = filesOut,
+      divergence = diverged, committed_at = System.currentTimeMillis())))
+    if (diverged != 0.0)
+      throw new IllegalStateException(
+        s"compaction diverged: source $beforeSum vs compacted $afterSum")
+    Result(sourceId, newId, filesIn, filesOut, rows)
+  }
+
+  def main(argv: Array[String]): Unit = {
+    var root = ""
+    var targetBytes = 128L << 20
+    var cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    argv.sliding(2, 2).foreach {
+      case Array("--root", v) => root = v
+      case Array("--target-bytes", v) => targetBytes = v.toLong
+      case Array("--cores", v) => cores = v
+      case other => throw new IllegalArgumentException(other.mkString(" "))
+    }
+    require(root.nonEmpty, "--root <snapshotRoot> is required")
+    val spark = ExtractJob.session(cores)
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val r = compact(spark, root, targetBytes)
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"job":"compact","snapshot":${r.sourceId},"new_snapshot":${r.newId},"files_in":${r.filesIn},"files_out":${r.filesOut},"rows":${r.rows},"sec":$sec%.3f}""")
+    spark.stop()
+  }
+}

@@ -4,6 +4,7 @@ import graft.jobs.ExtractJob
 import graft.model.LineageRow
 import graft.storage.{Lineage, Snapshots}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{concat, lit, md5}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
@@ -223,5 +224,63 @@ class JobSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toSeq).toSeq
     graft.ops.Queries.releaseCaches()
     assert(fromJob == fromQuery, "resumed job output diverges from the lazy pipeline")
+  }
+
+  test("compaction: fewer files, identical rows, time travel intact, rerun no-op") {
+    import spark.implicits._
+    import graft.jobs.CompactJob
+    val root = tmpDir()
+    // a deliberately fragmented snapshot: 48 tiny files
+    val df = spark.range(5000)
+      .select($"id", md5(concat(lit("doc"), $"id")).as("sha"),
+        ($"id" % 7).as("grp"))
+    Snapshots.commit(df.repartition(48), root, 1)
+    val before = Snapshots.read(spark, root, 1).orderBy("id").collect().map(_.toSeq).toSeq
+
+    val r = CompactJob.compact(spark, root, targetBytes = 256L << 20)
+    assert(r.sourceId == 1 && r.newId == 2)
+    assert(r.filesIn == 48 && r.filesOut < 12, s"files ${r.filesIn} -> ${r.filesOut}")
+    assert(r.rows == 5000)
+    // rows byte-identical; the superseded snapshot still readable (time travel)
+    assert(Snapshots.read(spark, root, 2).orderBy("id").collect().map(_.toSeq).toSeq == before)
+    assert(Snapshots.read(spark, root, 1).count() == 5000)
+    assert(Snapshots.latest(root).contains(2L))
+    // rerun against the already-compacted table: no-op, no snapshot 3
+    val r2 = CompactJob.compact(spark, root, targetBytes = 256L << 20)
+    assert(r2.newId == -1L && !Snapshots.isCommitted(root, 3))
+    // lineage carries the verified checksum (divergence 0)
+    val lin = Lineage.read(spark, s"$root/compact").collect()
+    assert(lin.length == 1 && lin.head.divergence == 0.0 && lin.head.doc_count == 5000)
+  }
+
+  test("compaction of a hive-partitioned snapshot merges within directories") {
+    import spark.implicits._
+    import graft.jobs.CompactJob
+    val root = tmpDir()
+    val df = spark.range(3000)
+      .select($"id", ($"id" % 5).cast("string").as("grp"),
+        md5($"id".cast("string")).as("sha"))
+    // 16 writer tasks × 5 partition values ≈ 80 small files
+    Snapshots.commit(df.repartition(16), root, 7, partitionBy = Seq("grp"))
+    val before = Snapshots.read(spark, root, 7).orderBy("id").collect().map(_.toSeq).toSeq
+
+    val r = CompactJob.compact(spark, root, targetBytes = 256L << 20)
+    assert(r.newId == 8 && r.rows == 3000)
+    // exactly one data file per partition directory afterwards
+    val dirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(Snapshots.snapshotDir(root, 8))).iterator()
+    var partDirs = 0
+    dirs.forEachRemaining { d =>
+      if (java.nio.file.Files.isDirectory(d) && d.getFileName.toString.startsWith("grp=")) {
+        partDirs += 1
+        val files = java.nio.file.Files.list(d).iterator()
+        var n = 0
+        files.forEachRemaining(f => if (f.toString.endsWith(".parquet")) n += 1)
+        assert(n == 1, s"$d still holds $n files")
+      }
+    }
+    assert(partDirs == 5)
+    // partition-pruned reads still see identical data
+    assert(Snapshots.read(spark, root, 8).orderBy("id").collect().map(_.toSeq).toSeq == before)
   }
 }
