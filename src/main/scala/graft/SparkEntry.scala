@@ -128,6 +128,7 @@ object SparkEntry {
     "q_pdf_pages" -> (Queries.pdfPages(_, _)),
     "q_pdf_text" -> (Queries.pdfText(_, _)),
     "q_pdf_raster" -> (Queries.pdfRaster(_, _)),
+    "q_page_segment" -> (Queries.pageSegment(_, _)),
     "q_video_frames" -> (Queries.videoFrames(_, _)),
     "q_video_decode" -> (Queries.videoDecode(_, _)),
     // the extraction pipeline + evaluation harness
@@ -898,6 +899,14 @@ object SparkEntry {
       """SELECT name, page_index, width, height, pixel_sha
         |FROM read_parquet('/root/repo/src/test/resources/expected/pdf_raster.parquet')
         |ORDER BY name, page_index""".stripMargin,
+    // classical layout analysis (XY-cut blocks in reading order + line /
+    // component / stroke statistics) segmented by an independent Python
+    // twin over pixel-identical renders (pixel_sha pinned by q_pdf_raster)
+    "q_page_segment" ->
+      """SELECT name, page_index, block_idx, x0, y0, x1, y1,
+        |  n_lines, n_cc, ink_px, straight_px, script
+        |FROM read_parquet('/root/repo/src/test/resources/expected/page_segment.parquet')
+        |ORDER BY name, page_index, block_idx""".stripMargin,
     // real per-frame decode: expectations computed by the independent
     // pure-Python writer (tools/gen_video_fixture.py) from the raw pattern
     // arrays BEFORE PNG encoding — a green row proves the JVM decoded the

@@ -1,0 +1,244 @@
+package graft.layout
+
+import graft.media.ImageDecode.Decoded
+
+/** Classical page-layout segmentation over rasterized page pixels — the
+  * north-star's named pipeline: connected-component labeling + projection
+  * -profile line segmentation + recursive XY-cut layout analysis with a
+  * reading order that is a topological order of the block dominance
+  * relation, plus a printed/handwritten region classification from stroke
+  * regularity. The reference replaces all of this with model-driven OCR
+  * (its page detection providers return boxes); this module is the
+  * deterministic classical counterpart that runs WITHOUT a model, which is
+  * what makes it distributable as a pure per-page `flatMap` at 10^12-page
+  * scale — no inference service in the loop, no shuffle, byte-reproducible.
+  *
+  * Everything here is integer arithmetic over the page bitmap, pinned by a
+  * pure-Python twin (tools/gen_pdfraster_fixture.py) that renders the SAME
+  * pixels (pixel_sha-asserted) and segments them with an independent
+  * implementation — the q_page_segment oracle.
+  *
+  * Deterministic contracts (mirrored verbatim in the twin):
+  *  - ink mask: integer luma (299·r + 587·g + 114·b) / 1000 < 128;
+  *  - XY-cut: trim to the ink bbox, find the LARGEST all-blank gap
+  *    strictly inside the trimmed box (row gaps must be ≥ minGapY, column
+  *    gaps ≥ minGapX; the larger gap wins, a tie prefers the row cut),
+  *    recurse top-then-bottom / left-then-right — the DFS leaf order IS
+  *    the reading order (Manhattan-layout XY-cut ordering);
+  *  - lines: maximal ink-row runs of the block's horizontal projection
+  *    profile;
+  *  - components: 8-connected ink components within the block;
+  *  - stroke regularity: ink pixels lying on a horizontal OR vertical run
+  *    of ≥ 3 consecutive ink pixels; `printed` iff 2·straight ≥ ink
+  *    (machine glyphs and rules are axis-aligned runs; handwriting's
+  *    jittered strokes are not).
+  */
+object PageSegment {
+
+  /** Half-open pixel box: columns [x0,x1), rows [y0,y1). */
+  final case class Box(x0: Int, y0: Int, x1: Int, y1: Int) {
+    def width: Int = x1 - x0
+    def height: Int = y1 - y0
+  }
+
+  final case class Block(
+      box: Box, nLines: Int, nComponents: Int,
+      inkPx: Long, straightPx: Long, script: String)
+
+  val MinGapX = 24
+  val MinGapY = 16
+  val StraightRun = 3
+
+  /** Ink mask by integer luma, row-major w×h. */
+  def inkMask(img: Decoded): Array[Boolean] = {
+    val n = img.width * img.height
+    val m = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      val o = i * 3
+      val luma = (299 * (img.rgb(o) & 0xff) + 587 * (img.rgb(o + 1) & 0xff) +
+        114 * (img.rgb(o + 2) & 0xff)) / 1000
+      m(i) = luma < 128
+      i += 1
+    }
+    m
+  }
+
+  private def rowHasInk(ink: Array[Boolean], w: Int, b: Box, y: Int): Boolean = {
+    var x = b.x0
+    while (x < b.x1) { if (ink(y * w + x)) return true; x += 1 }
+    false
+  }
+
+  private def colHasInk(ink: Array[Boolean], w: Int, b: Box, x: Int): Boolean = {
+    var y = b.y0
+    while (y < b.y1) { if (ink(y * w + x)) return true; y += 1 }
+    false
+  }
+
+  /** Smallest box containing all ink in `b`; None when blank. */
+  private def trim(ink: Array[Boolean], w: Int, b: Box): Option[Box] = {
+    var y0 = b.y0; while (y0 < b.y1 && !rowHasInk(ink, w, b, y0)) y0 += 1
+    if (y0 == b.y1) return None
+    var y1 = b.y1; while (!rowHasInk(ink, w, b, y1 - 1)) y1 -= 1
+    val vb = Box(b.x0, y0, b.x1, y1)
+    var x0 = b.x0; while (!colHasInk(ink, w, vb, x0)) x0 += 1
+    var x1 = b.x1; while (!colHasInk(ink, w, vb, x1 - 1)) x1 -= 1
+    Some(Box(x0, y0, x1, y1))
+  }
+
+  /** Largest all-blank maximal run strictly inside the trimmed box along
+    * one axis: (runStart, runEnd) half-open, ties to the earliest.
+    */
+  private def largestGap(blank: Int => Boolean, lo: Int, hi: Int): (Int, Int) = {
+    var best = (0, 0)
+    var i = lo
+    while (i < hi) {
+      if (blank(i)) {
+        val start = i
+        while (i < hi && blank(i)) i += 1
+        if (i - start > best._2 - best._1) best = (start, i)
+      } else i += 1
+    }
+    best
+  }
+
+  /** Recursive XY-cut; returns leaf boxes in DFS (reading) order. */
+  def xyCut(ink: Array[Boolean], w: Int, region: Box,
+            minGapX: Int = MinGapX, minGapY: Int = MinGapY): Vector[Box] =
+    trim(ink, w, region) match {
+      case None => Vector.empty
+      case Some(b) =>
+        val (ry0, ry1) = largestGap(y => !rowHasInk(ink, w, b, y), b.y0, b.y1)
+        val (cx0, cx1) = largestGap(x => !colHasInk(ink, w, b, x), b.x0, b.x1)
+        val rowGap = if (ry1 - ry0 >= minGapY) ry1 - ry0 else 0
+        val colGap = if (cx1 - cx0 >= minGapX) cx1 - cx0 else 0
+        if (rowGap == 0 && colGap == 0) Vector(b)
+        else if (rowGap >= colGap) // tie prefers the horizontal cut
+          xyCut(ink, w, Box(b.x0, b.y0, b.x1, ry0), minGapX, minGapY) ++
+            xyCut(ink, w, Box(b.x0, ry1, b.x1, b.y1), minGapX, minGapY)
+        else
+          xyCut(ink, w, Box(b.x0, b.y0, cx0, b.y1), minGapX, minGapY) ++
+            xyCut(ink, w, Box(cx1, b.y0, b.x1, b.y1), minGapX, minGapY)
+    }
+
+  /** Text lines of a block: maximal ink-row runs of its projection profile. */
+  def lineCount(ink: Array[Boolean], w: Int, b: Box): Int = {
+    var n = 0
+    var prev = false
+    var y = b.y0
+    while (y < b.y1) {
+      val cur = rowHasInk(ink, w, b, y)
+      if (cur && !prev) n += 1
+      prev = cur
+      y += 1
+    }
+    n
+  }
+
+  /** 8-connected ink components within a block (union-find, path halving). */
+  def componentCount(ink: Array[Boolean], w: Int, b: Box): Int = {
+    val bw = b.width; val bh = b.height
+    val parent = new Array[Int](bw * bh)
+    java.util.Arrays.fill(parent, -1)
+    def find(i0: Int): Int = {
+      var i = i0
+      while (parent(i) != i) { parent(i) = parent(parent(i)); i = parent(i) }
+      i
+    }
+    def union(a: Int, c: Int): Unit = {
+      val ra = find(a); val rc = find(c)
+      if (ra != rc) parent(math.max(ra, rc)) = math.min(ra, rc)
+    }
+    var y = 0
+    while (y < bh) {
+      var x = 0
+      while (x < bw) {
+        val li = y * bw + x
+        if (ink((b.y0 + y) * w + (b.x0 + x))) {
+          parent(li) = li
+          // neighbors already visited in raster order: W, NW, N, NE
+          if (x > 0 && parent(li - 1) >= 0) union(li, li - 1)
+          if (y > 0) {
+            if (x > 0 && parent(li - bw - 1) >= 0) union(li, li - bw - 1)
+            if (parent(li - bw) >= 0) union(li, li - bw)
+            if (x < bw - 1 && parent(li - bw + 1) >= 0) union(li, li - bw + 1)
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    var roots = 0
+    var i = 0
+    while (i < parent.length) {
+      if (parent(i) == i) roots += 1
+      i += 1
+    }
+    roots
+  }
+
+  /** (ink pixels, ink pixels on an axis-aligned run ≥ [[StraightRun]]). */
+  def strokeStats(ink: Array[Boolean], w: Int, b: Box): (Long, Long) = {
+    var inkN = 0L
+    val straight = new Array[Boolean](b.width * b.height)
+    // horizontal runs
+    var y = b.y0
+    while (y < b.y1) {
+      var x = b.x0
+      while (x < b.x1) {
+        if (ink(y * w + x)) {
+          val start = x
+          var e = x
+          while (e < b.x1 && ink(y * w + e)) e += 1
+          inkN += e - start
+          if (e - start >= StraightRun) {
+            var k = start
+            while (k < e) { straight((y - b.y0) * b.width + (k - b.x0)) = true; k += 1 }
+          }
+          x = e
+        } else x += 1
+      }
+      y += 1
+    }
+    // vertical runs
+    var x = b.x0
+    while (x < b.x1) {
+      var yy = b.y0
+      while (yy < b.y1) {
+        if (ink(yy * w + x)) {
+          val start = yy
+          var e = yy
+          while (e < b.y1 && ink(e * w + x)) e += 1
+          if (e - start >= StraightRun) {
+            var k = start
+            while (k < e) { straight((k - b.y0) * b.width + (x - b.x0)) = true; k += 1 }
+          }
+          yy = e
+        } else yy += 1
+      }
+      x += 1
+    }
+    (inkN, straight.count(identity).toLong)
+  }
+
+  /** `a` must be read before `b`: entirely above, or vertically
+    * overlapping and entirely left — the dominance partial order the
+    * XY-cut DFS order must topologically respect (spec-asserted).
+    */
+  def dominates(a: Box, b: Box): Boolean =
+    a.y1 <= b.y0 || (a.y0 < b.y1 && b.y0 < a.y1 && a.x1 <= b.x0)
+
+  /** Segment one page: XY-cut blocks in reading order, each with its
+    * line/component/stroke statistics and script class.
+    */
+  def segment(img: Decoded): Vector[Block] = {
+    val ink = inkMask(img)
+    xyCut(ink, img.width, Box(0, 0, img.width, img.height)).map { b =>
+      val (inkN, straightN) = strokeStats(ink, img.width, b)
+      Block(b, lineCount(ink, img.width, b), componentCount(ink, img.width, b),
+        inkN, straightN,
+        if (2 * straightN >= inkN) "printed" else "handwritten")
+    }
+  }
+}

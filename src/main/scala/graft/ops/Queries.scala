@@ -1728,6 +1728,38 @@ object Queries {
       .orderBy("name", "page_index")
   }
 
+  /** Classical layout analysis over rasterized pages — the north-star's
+    * named pipeline run as ONE distributed projection: rasterize each
+    * born-digital page ([[graft.media.PdfRaster]]), then segment it with
+    * [[graft.layout.PageSegment]] (ink mask → recursive XY-cut in reading
+    * order → per-block projection-profile line count, 8-connected
+    * component count, and stroke-regularity printed/handwritten class).
+    * Per page this is pure integer pixel arithmetic with no model in the
+    * loop, so at 10^12 pages it is a narrow `flatMap` — no shuffle, no
+    * inference service, byte-reproducible. Oracle: the fixture twin
+    * renders pixel-identical pages (pixel_sha-asserted by q_pdf_raster)
+    * and segments them with an independent Python implementation.
+    */
+  def pageSegment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .load(s"$mediaDir/rasterpdf/*.pdf")
+      .withColumn("name", element_at(split(col("path"), "/"), -1))
+      .select(col("name"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (n, bytes) =>
+        graft.media.PdfRaster.rasterize(bytes, dpi = 144).flatMap { p =>
+          graft.layout.PageSegment.segment(p.image).zipWithIndex.map {
+            case (blk, i) =>
+              (n, p.pageIndex, i, blk.box.x0, blk.box.y0, blk.box.x1, blk.box.y1,
+                blk.nLines, blk.nComponents, blk.inkPx, blk.straightPx, blk.script)
+          }
+        }
+      }
+      .toDF("name", "page_index", "block_idx", "x0", "y0", "x1", "y1",
+        "n_lines", "n_cc", "ink_px", "straight_px", "script")
+      .orderBy("name", "page_index", "block_idx")
+  }
+
   /** WARC record inventory over the committed fixture captures (one plain
     * file, one gzip-member-per-record file — the Common Crawl layout):
     * every record's framing fields plus a sha256 of its (HTTP-unwrapped)

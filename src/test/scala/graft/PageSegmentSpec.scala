@@ -1,0 +1,114 @@
+package graft
+
+import graft.layout.PageSegment
+import graft.layout.PageSegment.Box
+import graft.media.ImageDecode.Decoded
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Classical layout segmentation: unit contracts on constructed bitmaps,
+  * the reading-order/dominance topology property, and the differential
+  * against the Python twin's expected table (FIXTURES.md — the twin
+  * segments pixel-identical renders with an independent implementation).
+  */
+class PageSegmentSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Build a white w×h page with the given ink pixels painted black. */
+  private def page(w: Int, h: Int, inkPx: Seq[(Int, Int)]): Decoded = {
+    val rgb = Array.fill[Byte](w * h * 3)(0xFF.toByte)
+    inkPx.foreach { case (x, y) =>
+      val o = (y * w + x) * 3
+      rgb(o) = 0; rgb(o + 1) = 0; rgb(o + 2) = 0
+    }
+    Decoded(w, h, rgb)
+  }
+
+  private def bar(x0: Int, y0: Int, x1: Int, y1: Int): Seq[(Int, Int)] =
+    for (y <- y0 until y1; x <- x0 until x1) yield (x, y)
+
+  test("connected components: 8-connectivity merges diagonals, counts blobs") {
+    val img = page(20, 20,
+      // an L shape, a diagonal chain touching it only diagonally, an isolated dot
+      bar(2, 2, 6, 3) ++ bar(2, 3, 3, 6) ++
+        Seq((7, 4), (8, 5), (9, 6)) ++ // diagonal chain, corner-touches (6,3)? no: (6,3) not ink
+        Seq((15, 15)))
+    val ink = PageSegment.inkMask(img)
+    // L + chain are separate ((5,2)..(7,4) is a diagonal touch: (5,2) and
+    // (6,3)? (6,3) is blank; (7,4) touches (6,3) only — so chain is its own)
+    assert(PageSegment.componentCount(ink, 20, Box(0, 0, 20, 20)) == 3)
+    // widen the box to a sub-region: only what's inside counts
+    assert(PageSegment.componentCount(ink, 20, Box(14, 14, 20, 20)) == 1)
+    // make them touch diagonally: one fewer component
+    val img2 = page(20, 20,
+      bar(2, 2, 6, 3) ++ bar(2, 3, 3, 6) ++ Seq((6, 3), (7, 4), (8, 5)) ++ Seq((15, 15)))
+    assert(PageSegment.componentCount(PageSegment.inkMask(img2), 20, Box(0, 0, 20, 20)) == 2)
+  }
+
+  test("xy-cut: gap thresholds, recursion, DFS reading order, trim") {
+    // two row bands 30 apart, the lower band split into two columns 40 apart
+    val img = page(200, 120,
+      bar(10, 10, 150, 20) ++ bar(10, 50, 60, 60) ++ bar(100, 50, 160, 60))
+    val ink = PageSegment.inkMask(img)
+    val blocks = PageSegment.xyCut(ink, 200, Box(0, 0, 200, 120))
+    assert(blocks == Vector(
+      Box(10, 10, 150, 20), Box(10, 50, 60, 60), Box(100, 50, 160, 60)))
+    // below both thresholds: a single trimmed leaf
+    val close = page(200, 120, bar(10, 10, 50, 20) ++ bar(10, 25, 50, 35))
+    assert(PageSegment.xyCut(PageSegment.inkMask(close), 200, Box(0, 0, 200, 120))
+      == Vector(Box(10, 10, 50, 35)))
+    // blank page: no blocks
+    assert(PageSegment.xyCut(PageSegment.inkMask(page(50, 50, Nil)), 50,
+      Box(0, 0, 50, 50)).isEmpty)
+  }
+
+  test("projection-profile lines and stroke regularity") {
+    val img = page(100, 60, bar(5, 5, 90, 12) ++ bar(5, 20, 90, 27) ++ bar(5, 40, 90, 47))
+    val ink = PageSegment.inkMask(img)
+    assert(PageSegment.lineCount(ink, 100, Box(0, 0, 100, 60)) == 3)
+    // solid bars: every ink pixel is on a long run
+    val (inkN, straightN) = PageSegment.strokeStats(ink, 100, Box(0, 0, 100, 60))
+    assert(inkN == 85L * 7 * 3 && straightN == inkN)
+    // scattered isolated pixels: none straight
+    val dots = page(60, 60, (0 until 20).map(i => (3 * i, (7 * i) % 60)))
+    val (dn, ds) = PageSegment.strokeStats(PageSegment.inkMask(dots), 60, Box(0, 0, 60, 60))
+    assert(dn == 20L && ds == 0L)
+  }
+
+  test("document page: reading order is a topological order of dominance") {
+    val pdf = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/media/rasterpdf/raster_01.pdf"))
+    val img = graft.media.PdfRaster.rasterize(pdf, 144).head.image
+    val blocks = PageSegment.segment(img)
+    assert(blocks.size == 6)
+    // no later block dominates an earlier one
+    for (i <- blocks.indices; j <- i + 1 until blocks.size)
+      assert(!PageSegment.dominates(blocks(j).box, blocks(i).box),
+        s"block $j precedes block $i in the dominance order but follows in reading order")
+    // the two text columns: 10 projection-profile lines each, printed
+    val cols = blocks.filter(b => b.nLines == 10)
+    assert(cols.size == 2 && cols.forall(_.script == "printed"))
+    assert(cols(0).box.x1 <= cols(1).box.x0, "left column must read first")
+    // the jittered scrawl band classifies handwritten with zero straight ink
+    val hand = blocks.filter(_.script == "handwritten")
+    assert(hand.size == 1 && hand.head.straightPx == 0L && hand.head.inkPx == 320L)
+  }
+
+  test("differential: segmentation matches the Python twin's expected table") {
+    val got = ops.Queries.pageSegment(spark, "").collect().map(_.toSeq).toVector
+    val exp = spark.read
+      .parquet("src/test/resources/expected/page_segment.parquet")
+      .orderBy("name", "page_index", "block_idx").collect().map(_.toSeq).toVector
+    assert(exp.size >= 14, s"unexpectedly small expected table (${exp.size})")
+    assert(got == exp)
+  }
+}

@@ -29,6 +29,7 @@ from gen_pdftext_fixture import _tokens, cmap_decoder
 
 OUTDIR = 'src/test/resources/media/rasterpdf'
 EXPECTED = 'src/test/resources/expected/pdf_raster.parquet'
+EXPECTED_SEG = 'src/test/resources/expected/page_segment.parquet'
 GOLDENS = 'src/test/resources/goldens/pdfraster_goldens.json'
 KERN_SPACE = -180.0
 GLYPH_W, GLYPH_H, SPACING = 5, 7, 1
@@ -298,6 +299,148 @@ def render(content, fonts, mbw, mbh, dpi):
     return W, H, bytes(rgb)
 
 
+MIN_GAP_X, MIN_GAP_Y, STRAIGHT_RUN = 24, 16, 3
+
+
+def segment(W, H, rgb):
+    """Independent twin of graft.layout.PageSegment: ink by integer luma,
+    recursive XY-cut (largest eligible gap, tie prefers the row cut, DFS
+    reading order), per-block projection-profile line count, 8-connected
+    components (BFS flood fill vs Scala's union-find), and stroke-run
+    regularity."""
+    ink = bytearray(W * H)
+    for i in range(W * H):
+        o = i * 3
+        if (299 * rgb[o] + 587 * rgb[o + 1] + 114 * rgb[o + 2]) // 1000 < 128:
+            ink[i] = 1
+
+    def row_has(b, y):
+        x0, y0, x1, y1 = b
+        base = y * W
+        return any(ink[base + x] for x in range(x0, x1))
+
+    def col_has(b, x):
+        x0, y0, x1, y1 = b
+        return any(ink[y * W + x] for y in range(y0, y1))
+
+    def trim(b):
+        x0, y0, x1, y1 = b
+        while y0 < y1 and not row_has(b, y0):
+            y0 += 1
+        if y0 == y1:
+            return None
+        while not row_has(b, y1 - 1):
+            y1 -= 1
+        vb = (x0, y0, x1, y1)
+        while not col_has(vb, x0):
+            x0 += 1
+        while not col_has(vb, x1 - 1):
+            x1 -= 1
+        return (x0, y0, x1, y1)
+
+    def largest_gap(blank, lo, hi):
+        best = (0, 0)
+        i = lo
+        while i < hi:
+            if blank(i):
+                start = i
+                while i < hi and blank(i):
+                    i += 1
+                if i - start > best[1] - best[0]:
+                    best = (start, i)
+            else:
+                i += 1
+        return best
+
+    def xycut(region):
+        b = trim(region)
+        if b is None:
+            return []
+        x0, y0, x1, y1 = b
+        ry0, ry1 = largest_gap(lambda y: not row_has(b, y), y0, y1)
+        cx0, cx1 = largest_gap(lambda x: not col_has(b, x), x0, x1)
+        row_gap = ry1 - ry0 if ry1 - ry0 >= MIN_GAP_Y else 0
+        col_gap = cx1 - cx0 if cx1 - cx0 >= MIN_GAP_X else 0
+        if row_gap == 0 and col_gap == 0:
+            return [b]
+        if row_gap >= col_gap:
+            return xycut((x0, y0, x1, ry0)) + xycut((x0, ry1, x1, y1))
+        return xycut((x0, y0, cx0, y1)) + xycut((cx1, y0, x1, y1))
+
+    def line_count(b):
+        x0, y0, x1, y1 = b
+        n, prev = 0, False
+        for y in range(y0, y1):
+            cur = row_has(b, y)
+            if cur and not prev:
+                n += 1
+            prev = cur
+        return n
+
+    def comp_count(b):
+        x0, y0, x1, y1 = b
+        seen = set()
+        n = 0
+        for y in range(y0, y1):
+            for x in range(x0, x1):
+                if ink[y * W + x] and (x, y) not in seen:
+                    n += 1
+                    stack = [(x, y)]
+                    seen.add((x, y))
+                    while stack:
+                        cx, cy = stack.pop()
+                        for dy in (-1, 0, 1):
+                            for dx in (-1, 0, 1):
+                                nx, ny = cx + dx, cy + dy
+                                if (x0 <= nx < x1 and y0 <= ny < y1
+                                        and ink[ny * W + nx]
+                                        and (nx, ny) not in seen):
+                                    seen.add((nx, ny))
+                                    stack.append((nx, ny))
+        return n
+
+    def stroke_stats(b):
+        x0, y0, x1, y1 = b
+        ink_n = 0
+        straight = set()
+        for y in range(y0, y1):
+            x = x0
+            while x < x1:
+                if ink[y * W + x]:
+                    ink_n += 1
+                    e = x
+                    while e < x1 and ink[y * W + e]:
+                        e += 1
+                    # count the rest of the run's ink now, advance past it
+                    ink_n += e - x - 1
+                    if e - x >= STRAIGHT_RUN:
+                        straight.update((k, y) for k in range(x, e))
+                    x = e
+                else:
+                    x += 1
+        for x in range(x0, x1):
+            y = y0
+            while y < y1:
+                if ink[y * W + x]:
+                    e = y
+                    while e < y1 and ink[e * W + x]:
+                        e += 1
+                    if e - y >= STRAIGHT_RUN:
+                        straight.update((x, k) for k in range(y, e))
+                    y = e
+                else:
+                    y += 1
+        return ink_n, len(straight)
+
+    rows = []
+    for i, b in enumerate(xycut((0, 0, W, H))):
+        ink_n, straight_n = stroke_stats(b)
+        rows.append((i, b[0], b[1], b[2], b[3], line_count(b), comp_count(b),
+                     ink_n, straight_n,
+                     'printed' if 2 * straight_n >= ink_n else 'handwritten'))
+    return rows
+
+
 def main():
     import os
     os.makedirs(OUTDIR, exist_ok=True)
@@ -323,16 +466,47 @@ def main():
         "0 g BT /F1 6 Tf 120 90 Td (small) Tj (more) Tj ET "
         "0 0 0 rg BT /F2 10 Tf 120 20 Td <4142> Tj ET")
     pages = [(p1, 200.0, 120.0, False), (p2, 200.0, 120.0, True)]
-    pdf = build_pdf(pages, cmap=cmap)
-    name = 'raster_00.pdf'
-    with open(f'{OUTDIR}/{name}', 'wb') as f:
-        f.write(pdf)
+
+    # raster_01.pdf: a DOCUMENT page for the segmentation operator — title,
+    # two text columns, a jittered "handwritten" scrawl band (320 one-pixel
+    # rects, deterministic jitter), and a footer. Block gaps ≥ the XY-cut
+    # thresholds; line gaps (10 px at size 8 / TL 12) below them.
+    lines_l = ['THE QUICK BROWN', 'FOX JUMPS OVER', 'THE LAZY DOG AT',
+               'DAWN WHILE ALL', 'THE TOWN SLEEPS', 'QUIET AND STILL',
+               'A COLD WIND CUT', 'THROUGH THE OAK', 'LEAVES OUTSIDE',
+               'THE OLD LIBRARY']
+    lines_r = ['COLUMN TWO HOLDS', 'THE LEDGER NOTES', 'FROM MARCH 1925:',
+               'GRAIN 14 SACKS,', 'WOOL 9 BALES AND', 'TALLOW 3 CASKS.',
+               'PRICES HELD FIRM', 'DESPITE THE RAIN', 'ON MARKET DAY IN',
+               'THE OLD SQUARE.']
+    hand = ' '.join(
+        f"{60 + j * 3 + k * 0.5:g} {130 + ((j * 7 + k * k * 3) % 9) * 0.5:g} 0.5 0.5 re"
+        for j in range(40) for k in range(8)) + ' f '
+    p3 = ("0 0 0 rg BT /F1 12 Tf 40 460 Td (ANNUAL REPORT 1925) Tj ET "
+          + "BT /F1 8 Tf 40 420 Td 12 TL "
+          + ' '.join(f"({l}) Tj T*" for l in lines_l) + " ET "
+          + "BT /F1 8 Tf 220 420 Td 12 TL "
+          + ' '.join(f"({l}) Tj T*" for l in lines_r) + " ET "
+          + hand
+          + "BT /F1 8 Tf 40 40 Td (PAGE 1 OF 1) Tj ET")
+    pages1 = [(p3, 400.0, 500.0, True)]
+
     fonts = {'F2': cmap_decoder(cmap)}
+    docs = [('raster_00.pdf', pages, cmap), ('raster_01.pdf', pages1, None)]
     rows = []
-    for pi, (content, mbw, mbh, _) in enumerate(pages):
-        W, H, rgb = render(content, fonts, mbw, mbh, dpi)
-        rows.append(dict(name=name, page_index=pi, width=W, height=H,
-                         pixel_sha=hashlib.sha256(rgb).hexdigest()))
+    seg_rows = []
+    for name, pgs, cm in docs:
+        with open(f'{OUTDIR}/{name}', 'wb') as f:
+            f.write(build_pdf(pgs, cmap=cm))
+        for pi, (content, mbw, mbh, _) in enumerate(pgs):
+            W, H, rgb = render(content, fonts, mbw, mbh, dpi)
+            rows.append(dict(name=name, page_index=pi, width=W, height=H,
+                             pixel_sha=hashlib.sha256(rgb).hexdigest()))
+            for (bi, x0, y0, x1, y1, nl, nc, ink_n, st_n, script) in segment(W, H, rgb):
+                seg_rows.append(dict(
+                    name=name, page_index=pi, block_idx=bi, x0=x0, y0=y0,
+                    x1=x1, y1=y1, n_lines=nl, n_cc=nc, ink_px=ink_n,
+                    straight_px=st_n, script=script))
     import duckdb
     import pandas as pd
     df = pd.DataFrame(rows)
@@ -340,11 +514,24 @@ def main():
     con.execute("CREATE TABLE t AS SELECT name, CAST(page_index AS INT) page_index, "
                 "CAST(width AS INT) width, CAST(height AS INT) height, pixel_sha FROM df")
     con.execute(f"COPY t TO '{EXPECTED}' (FORMAT PARQUET)")
+    sdf = pd.DataFrame(seg_rows)
+    con.execute(
+        "CREATE TABLE s AS SELECT name, CAST(page_index AS INT) page_index, "
+        "CAST(block_idx AS INT) block_idx, CAST(x0 AS INT) x0, CAST(y0 AS INT) y0, "
+        "CAST(x1 AS INT) x1, CAST(y1 AS INT) y1, CAST(n_lines AS INT) n_lines, "
+        "CAST(n_cc AS INT) n_cc, CAST(ink_px AS BIGINT) ink_px, "
+        "CAST(straight_px AS BIGINT) straight_px, script FROM sdf")
+    con.execute(f"COPY s TO '{EXPECTED_SEG}' (FORMAT PARQUET)")
+    # goldens stay scoped to raster_00 (PdfRasterSpec rasterizes that file
+    # and compares page-for-page)
     with open(GOLDENS, 'w') as f:
-        json.dump(dict(dpi=dpi, pages=rows), f, indent=1)
+        json.dump(dict(dpi=dpi, pages=[r for r in rows
+                                       if r['name'] == 'raster_00.pdf']), f, indent=1)
     for r in rows:
         print(r)
-    print(f"wrote {name} + goldens to {GOLDENS}")
+    for r in seg_rows:
+        print(r)
+    print(f"wrote {len(docs)} pdfs + goldens to {GOLDENS}")
 
 
 if __name__ == '__main__':
