@@ -114,6 +114,8 @@ object SparkEntry {
     "q_token_count_bpe" -> (Queries.tokenCountBpe(_, _)),
     "q_quality_score" -> (Queries.qualityScore(_, _)),
     "q_pii_scrub" -> (Queries.piiScrub(_, _)),
+    "q_mojibake_fix" -> (Queries.mojibakeFix(_, _)),
+    "q_unicode_nfc" -> (Queries.unicodeNfc(_, _)),
     "q_langid_scores" -> (Queries.langidScores(_, _)),
     "q_langid" -> (Queries.langId(_, _)),
     "q_fingerprint" -> (Queries.fingerprint(_, _)),
@@ -538,6 +540,37 @@ object SparkEntry {
         |    '${Queries.PiiEmailRegex}', '<EMAIL>', 'g'),
         |    '${Queries.PiiIpv4Regex}', '<IP>', 'g'),
         |    '${Queries.PiiPhoneRegex}', '<PHONE>', 'g')) AS clean_sha
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // the oracle never runs the repair: it constructs the expected CLEAN
+    // text directly from the planting rule (chr() code points — é=233,
+    // —=8212, €=8364 … — no literal-encoding hazard) and the negative
+    // family verbatim (Ã=195, â=226: lead bytes with no continuation must
+    // survive unrepaired)
+    "q_mojibake_fix" ->
+      """WITH p AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 6 = 0 THEN ' caf' || chr(233) || ' ni' || chr(241) || 'o ' || chr(252) || 'ber' ELSE '' END
+        |    || CASE WHEN doc_id % 9 = 0 THEN ' ' || chr(8212) || ' dash ' || chr(8211) || ' ' || chr(8216) || 'q' || chr(8217) ELSE '' END
+        |    || CASE WHEN doc_id % 14 = 0 THEN ' ' || chr(8364) || ' 3 ' || chr(8482) ELSE '' END
+        |    || CASE WHEN doc_id % 17 = 0 THEN ' ' || chr(195) || ' plain lone ' || chr(226) || ' end' ELSE '' END AS clean
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (doc_id % 6 = 0 OR doc_id % 9 = 0 OR doc_id % 14 = 0) AS changed,
+        |  length(clean) AS fixed_len, md5(clean) AS fixed_sha
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // cross-engine NFC: DuckDB's own nfc_normalize over the SAME planted
+    // decomposed sequences (chr(769)=combining acute, 778=ring, 776=
+    // diaeresis) — two independent Unicode implementations must agree
+    "q_unicode_nfc" ->
+      """WITH p AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 8 = 0 THEN ' re' || chr(769) || 'sume' || chr(769) || ' A' || chr(778) || 'ngstro' || chr(776) || 'm' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' caf' || chr(233) || ' fixe' ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (nfc_normalize(text) <> text) AS changed,
+        |  length(nfc_normalize(text)) AS nfc_len,
+        |  md5(nfc_normalize(text)) AS nfc_sha
         |FROM p ORDER BY doc_id""".stripMargin,
     "q_langid_scores" ->
       """SELECT doc_id, lang,

@@ -18,6 +18,11 @@ object ExprImpl {
     UTF8String.fromString(TagStrip.stripOcrOutputTag(s.toString))
   def xmlFlatten(s: UTF8String): UTF8String =
     UTF8String.fromString(XmlFlatten.extractActualTextFromXml(s.toString))
+  def mojibakeFix(s: UTF8String): UTF8String =
+    UTF8String.fromString(graft.text.Mojibake.fix(s.toString))
+  def unicodeNfc(s: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC))
   def hasRepetition(s: UTF8String): Boolean =
     Repetition.hasLongRepetition(s.toString)
   def nls(a: UTF8String, b: UTF8String): Double =
@@ -313,6 +318,32 @@ case class ChurroNormalize(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.normalizeForEval($c)")
   override protected def withNewChildInternal(newChild: Expression): ChurroNormalize =
+    copy(child = newChild)
+}
+
+/** `mojibake_fix(text)` — [[graft.text.Mojibake.fix]] (ftfy-class
+  * UTF-8-read-as-cp1252 repair) as a codegen'd zero-shuffle projection.
+  */
+case class MojibakeFix(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    ExprImpl.mojibakeFix(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.mojibakeFix($c)")
+  override protected def withNewChildInternal(newChild: Expression): MojibakeFix =
+    copy(child = newChild)
+}
+
+/** `unicode_nfc(text)` — Unicode NFC normalization (JDK `Normalizer`;
+  * DuckDB's `nfc_normalize` is the cross-engine oracle twin).
+  */
+case class UnicodeNfc(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    ExprImpl.unicodeNfc(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.unicodeNfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNfc =
     copy(child = newChild)
 }
 
@@ -614,6 +645,8 @@ object ChurroFunctions {
   def simhash_hex(words: Column): Column = col(SimhashHex(e(words)))
   def bloom_might_contain(sketch: Column, s: Column): Column =
     col(BloomMightContain(e(sketch), e(s)))
+  def mojibake_fix(c: Column): Column = col(MojibakeFix(e(c)))
+  def unicode_nfc(c: Column): Column = col(UnicodeNfc(e(c)))
 
   /** Register the SQL surface on a session (idempotent). */
   def register(spark: SparkSession): Unit = {

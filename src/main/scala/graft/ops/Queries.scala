@@ -1450,6 +1450,65 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Mojibake repair — the ftfy-class fix for UTF-8 text mis-decoded as
+    * cp1252/Latin-1 upstream ("café"→"cafÃ©", "—"→"â€”"), run as a
+    * zero-shuffle codegen'd projection ([[graft.functions.MojibakeFix]] →
+    * [[graft.text.Mojibake.fix]]). Corruption is PLANTED deterministically
+    * from doc_id (the corpus text is pure ASCII): a 2-byte Latin-1 family,
+    * two 3-byte cp1252 punctuation families, and a NEGATIVE family (lead
+    * bytes with no valid continuation) that must pass through UNCHANGED —
+    * the oracle constructs the expected CLEAN text directly from the same
+    * construction (via chr() code points, no literal-encoding hazard) and
+    * pins the repair byte-exactly through md5.
+    */
+  def mojibakeFix(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = t(spark, dir, "documents").select(id,
+      concat(col("text"),
+        // escapes, not raw glyphs: the mojibake chars (U+20AC, U+201D, …)
+        // must be byte-exact for the repair to re-derive the UTF-8 stream
+        when(id % 6 === 0,
+          lit(" cafÃ© niÃ±o Ã¼ber")).otherwise(lit("")),
+        when(id % 9 === 0,
+          lit(" â€” dash â€“ â€˜qâ€™")).otherwise(lit("")),
+        when(id % 14 === 0, lit(" â‚¬ 3 â„¢")).otherwise(lit("")),
+        when(id % 17 === 0,
+          lit(" Ã plain lone â end")).otherwise(lit(""))
+      ).as("text"))
+    planted
+      .withColumn("fixed", graft.functions.ChurroFunctions.mojibake_fix(col("text")))
+      .select(id,
+        (col("fixed") =!= col("text")).as("changed"),
+        length(col("fixed")).cast("long").as("fixed_len"),
+        md5(col("fixed")).as("fixed_sha"))
+      .orderBy("doc_id")
+  }
+
+  /** Unicode NFC normalization — the canonical-composition pass corpus
+    * releases run so "e + COMBINING ACUTE" and "é" dedup/tokenize
+    * identically. True cross-engine algorithmic parity: Spark runs the
+    * JDK Normalizer ([[graft.functions.UnicodeNfc]]), the oracle runs
+    * DuckDB's independent `nfc_normalize` over the same planted
+    * decomposed sequences — two Unicode implementations agreeing on the
+    * composed bytes. Already-composed plants prove the fixpoint.
+    */
+  def unicodeNfc(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = t(spark, dir, "documents").select(id,
+      concat(col("text"),
+        when(id % 8 === 0,
+          lit(" résumé Ångström")).otherwise(lit("")),
+        when(id % 11 === 0, lit(" café fixe")).otherwise(lit(""))
+      ).as("text"))
+    planted
+      .withColumn("nfc", graft.functions.ChurroFunctions.unicode_nfc(col("text")))
+      .select(id,
+        (col("nfc") =!= col("text")).as("changed"),
+        length(col("nfc")).cast("long").as("nfc_len"),
+        md5(col("nfc")).as("nfc_sha"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID marker scores (exact integer occurrence arithmetic; the
     * argmax labeling lives in [[langId]]).
     */

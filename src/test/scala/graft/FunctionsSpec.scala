@@ -228,6 +228,45 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT churro_normalize('A  B')").collect()(0).getString(0) == "a b")
   }
 
+  test("mojibake_fix: 2/3-byte repair, cp1252 specials, negatives preserved, fixpoint") {
+    import graft.text.Mojibake.fix
+    assert(fix("cafÃ© niÃ±o Ã¼ber") == "café niño über")
+    // 3-byte punctuation through the cp1252 specials (€ ” “ ˜ ™ ‚ „)
+    assert(fix("â€” x â€“") == "— x –")
+    assert(fix("â€˜qâ€™") == "‘q’")
+    assert(fix("â‚¬ 3 â„¢") == "€ 3 ™")
+    // 4-byte (emoji): F0 9F 98 80 = 😀 under cp1252 specials ˜ €
+    assert(fix("ðŸ˜€") == new String(Character.toChars(0x1F600)))
+    // negatives: lead byte with no continuation, lone continuation, ascii
+    assert(fix("Ã plain") == "Ã plain")
+    assert(fix("lone â end") == "lone â end")
+    assert(fix("plain ascii!") == "plain ascii!")
+    // overlong (C0 80) and surrogate (ED A0 80) encodings never repair
+    assert(fix("À") == "À")
+    assert(fix("í ") == "í ")
+    // repaired text is a fixpoint: a second pass changes nothing
+    val once = fix("cafÃ© â€”")
+    assert(fix(once) == once)
+    // the expression path stays inside whole-stage codegen (non-foldable
+    // input — a literal constant-folds into a LocalTableScan)
+    import org.apache.spark.sql.functions.{concat, lit, col}
+    val df = spark.range(3)
+      .select(ChurroFunctions.mojibake_fix(
+        concat(lit("cafÃ© "), col("id").cast("string"))).as("f"))
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+    assert(df.collect()(0).getString(0) == "café 0")
+  }
+
+  test("unicode_nfc: composes combining marks, fixpoint on composed text") {
+    import spark.implicits._
+    val df = Seq(("résumé", "café")).toDF("a", "b")
+      .select(ChurroFunctions.unicode_nfc($"a").as("a"),
+        ChurroFunctions.unicode_nfc($"b").as("b"))
+    val r = df.collect()(0)
+    assert(r.getString(0) == "résumé")
+    assert(r.getString(1) == "café")
+  }
+
   test("bloom_might_contain: no false negatives, low fp rate, codegen, null edges") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
