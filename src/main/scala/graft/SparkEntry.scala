@@ -131,6 +131,7 @@ object SparkEntry {
     "q_pdf_text" -> (Queries.pdfText(_, _)),
     "q_pdf_raster" -> (Queries.pdfRaster(_, _)),
     "q_page_segment" -> (Queries.pageSegment(_, _)),
+    "q_page_ocr" -> (Queries.pageOcr(_, _)),
     "q_video_frames" -> (Queries.videoFrames(_, _)),
     "q_video_decode" -> (Queries.videoDecode(_, _)),
     // the extraction pipeline + evaluation harness
@@ -940,6 +941,14 @@ object SparkEntry {
         |  n_lines, n_cc, ink_px, straight_px, script
         |FROM read_parquet('/root/repo/src/test/resources/expected/page_segment.parquet')
         |ORDER BY name, page_index, block_idx""".stripMargin,
+    // end-to-end OCR spans recognized by the twin's mirrored phase search
+    // over pixel-identical renders (every planted line recovered verbatim,
+    // scrawl/fill scenes pinned as unrecognized)
+    "q_page_ocr" ->
+      """SELECT name, page_index, block_idx, line_idx, x0, y0, x1, y1,
+        |  iscale, kind, text
+        |FROM read_parquet('/root/repo/src/test/resources/expected/page_ocr.parquet')
+        |ORDER BY name, page_index, block_idx, line_idx""".stripMargin,
     // real per-frame decode: expectations computed by the independent
     // pure-Python writer (tools/gen_video_fixture.py) from the raw pattern
     // arrays BEFORE PNG encoding — a green row proves the JVM decoded the

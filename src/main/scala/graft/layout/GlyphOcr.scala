@@ -1,0 +1,155 @@
+package graft.layout
+
+import graft.layout.PageSegment.Box
+import graft.media.GlyphFont
+
+/** Deterministic template OCR for pages typeset in the built-in
+  * [[GlyphFont]] — the recognizer that closes the end-to-end loop
+  * PDF bytes → rasterize ([[graft.media.PdfRaster]]) → segment
+  * ([[PageSegment]]) → TEXT SPANS, with no model in the path. The
+  * reference's OCR step is a hosted vision model (an external black box
+  * per SURVEY §1); this is its deterministic counterpart for the
+  * synthetic born-digital class, which keeps every downstream contract —
+  * spans, reading order, byte-equality — testable offline.
+  *
+  * Recognition is a phase search with an EXACT acceptance test: for each
+  * candidate integer glyph scale (from the line height) and each
+  * (vertical, horizontal) grid phase, sample one pixel per font bit,
+  * map each 5×7 cell pattern through the inverted glyph table (all-blank
+  * cell = space), then RE-RENDER the recognized cells and require
+  * pixel-exact equality with the line's ink. The re-render check makes
+  * false positives impossible — a scrawl or a rectangle fill can match a
+  * sparse glyph pattern at some phase, but it cannot reproduce the ink it
+  * was sampled from unless the recognition is exactly right. First exact
+  * phase in deterministic scan order wins; no phase → unrecognized.
+  * The fixture twin (tools/gen_pdfraster_fixture.py) mirrors the same
+  * search verbatim over pixel-identical renders.
+  */
+object GlyphOcr {
+
+  final case class OcrLine(box: Box, iscale: Int, kind: String, text: String)
+
+  /** bit-rows pattern → glyph (the inverted font table). */
+  private val inverse: Map[Seq[Int], Char] =
+    GlyphFont.rows.map { case (c, bits) => bits -> c }
+
+  private val CellW = GlyphFont.GlyphW + GlyphFont.Spacing
+
+  /** Recognize one line box; None when no (scale, phase) re-renders
+    * pixel-exactly.
+    */
+  def recognizeLine(ink: Array[Boolean], w: Int, line: Box): Option[(String, Int)] = {
+    val h = line.height
+    val cands = Seq(h / GlyphFont.GlyphH, (h + GlyphFont.GlyphH - 1) / GlyphFont.GlyphH)
+      .distinct.filter(_ > 0)
+    cands.foreach { isc =>
+      val cellW = CellW * isc
+      var q = 0
+      while (q < GlyphFont.GlyphH * isc) {
+        val gridTop = line.y0 - q
+        var p = 0
+        while (p < cellW) {
+          val gridLeft = line.x0 - p
+          recognizeAt(ink, w, line, gridLeft, gridTop, isc) match {
+            case Some(text) => return Some((text, isc))
+            case None =>
+          }
+          p += 1
+        }
+        q += 1
+      }
+    }
+    None
+  }
+
+  /** Try one grid placement: sample, map, re-render, compare. */
+  private def recognizeAt(ink: Array[Boolean], w: Int, line: Box,
+                          gridLeft: Int, gridTop: Int, isc: Int): Option[String] = {
+    val cellW = CellW * isc
+    val nCells = {
+      val span = line.x1 - gridLeft
+      (span + cellW - 1) / cellW
+    }
+    val sb = new java.lang.StringBuilder(nCells)
+    val lit = Vector.newBuilder[(Int, Int)] // (bit col abs px, bit row abs px)
+    var c = 0
+    while (c < nCells) {
+      val cx = gridLeft + c * cellW
+      val pattern = new Array[Int](GlyphFont.GlyphH)
+      var r = 0
+      while (r < GlyphFont.GlyphH) {
+        var g = 0
+        while (g < GlyphFont.GlyphW) {
+          val x = cx + g * isc
+          val y = gridTop + r * isc
+          // only ink INSIDE the line box counts: the box is the line's
+          // exact ink bbox, so a correct phase never has bits outside it,
+          // and sampling a neighboring block's ink must not leak in
+          val on = x >= line.x0 && x < line.x1 && y >= line.y0 && y < line.y1 &&
+            ink(y * w + x)
+          if (on) {
+            pattern(r) |= 1 << (GlyphFont.GlyphW - 1 - g)
+            lit += ((x, y))
+          }
+          g += 1
+        }
+        r += 1
+      }
+      if (pattern.forall(_ == 0)) sb.append(' ')
+      else inverse.get(pattern.toSeq) match {
+        case Some(ch) => sb.append(ch)
+        case None => return None
+      }
+      c += 1
+    }
+    val text = sb.toString
+    if (text.trim.isEmpty) return None
+    // exact acceptance: re-render the recognized cells at this placement
+    // and require equality with the line's ink, pixel for pixel
+    val rendered = new java.util.HashSet[Long]()
+    lit.result().foreach { case (bx, by) =>
+      var dy = 0
+      while (dy < isc) {
+        var dx = 0
+        while (dx < isc) {
+          rendered.add((by + dy).toLong * w + (bx + dx)); dx += 1
+        }
+        dy += 1
+      }
+    }
+    var y = line.y0
+    while (y < line.y1) {
+      var x = line.x0
+      while (x < line.x1) {
+        val isInk = ink(y * w + x)
+        if (isInk != rendered.contains(y.toLong * w + x)) return None
+        x += 1
+      }
+      y += 1
+    }
+    // every rendered pixel must also lie inside the line box (no bleed)
+    val it = rendered.iterator()
+    while (it.hasNext) {
+      val v = it.next()
+      val yy = (v / w).toInt; val xx = (v % w).toInt
+      if (xx < line.x0 || xx >= line.x1 || yy < line.y0 || yy >= line.y1) return None
+    }
+    Some(text.trim)
+  }
+
+  /** Full page: XY-cut blocks in reading order, each block's projection
+    * lines recognized independently.
+    */
+  def recognizePage(img: graft.media.ImageDecode.Decoded): Vector[(Int, Int, OcrLine)] = {
+    val ink = PageSegment.inkMask(img)
+    PageSegment.xyCut(ink, img.width, Box(0, 0, img.width, img.height))
+      .zipWithIndex.flatMap { case (blk, bi) =>
+        PageSegment.lineBoxes(ink, img.width, blk).zipWithIndex.map { case (ln, li) =>
+          recognizeLine(ink, img.width, ln) match {
+            case Some((text, isc)) => (bi, li, OcrLine(ln, isc, "text", text))
+            case None => (bi, li, OcrLine(ln, -1, "unrecognized", ""))
+          }
+        }
+      }
+  }
+}

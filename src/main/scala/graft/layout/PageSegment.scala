@@ -123,17 +123,26 @@ object PageSegment {
     }
 
   /** Text lines of a block: maximal ink-row runs of its projection profile. */
-  def lineCount(ink: Array[Boolean], w: Int, b: Box): Int = {
-    var n = 0
-    var prev = false
+  def lineCount(ink: Array[Boolean], w: Int, b: Box): Int =
+    lineBoxes(ink, w, b).size
+
+  /** The line boxes themselves (each run's y band, x-trimmed to its ink) —
+    * the unit [[GlyphOcr]] recognizes.
+    */
+  def lineBoxes(ink: Array[Boolean], w: Int, b: Box): Vector[Box] = {
+    val out = Vector.newBuilder[Box]
     var y = b.y0
     while (y < b.y1) {
-      val cur = rowHasInk(ink, w, b, y)
-      if (cur && !prev) n += 1
-      prev = cur
-      y += 1
+      if (rowHasInk(ink, w, b, y)) {
+        val start = y
+        while (y < b.y1 && rowHasInk(ink, w, b, y)) y += 1
+        val band = Box(b.x0, start, b.x1, y)
+        var x0 = b.x0; while (!colHasInk(ink, w, band, x0)) x0 += 1
+        var x1 = b.x1; while (!colHasInk(ink, w, band, x1 - 1)) x1 -= 1
+        out += Box(x0, start, x1, y)
+      } else y += 1
     }
-    n
+    out.result()
   }
 
   /** 8-connected ink components within a block (union-find, path halving). */

@@ -1819,6 +1819,37 @@ object Queries {
       .orderBy("name", "page_index", "block_idx")
   }
 
+  /** END-TO-END OCR-span extraction with no model in the loop — the
+    * composed chain the baseline metric names: PDF bytes → rasterize
+    * ([[graft.media.PdfRaster]]) → XY-cut segment + line boxes
+    * ([[graft.layout.PageSegment]]) → deterministic template recognition
+    * ([[graft.layout.GlyphOcr]], accepted only when re-rendering the
+    * recognized glyphs reproduces the line's pixels EXACTLY — false reads
+    * are structurally impossible). One narrow flatMap per page at any
+    * scale; output is (block, line) spans in reading order. The scrawl
+    * band and pure-fill scenes emit kind='unrecognized' rather than
+    * guesses. Oracle: the fixture twin runs the same search (mirrored
+    * spec) over pixel-identical renders.
+    */
+  def pageOcr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .load(s"$mediaDir/rasterpdf/*.pdf")
+      .withColumn("name", element_at(split(col("path"), "/"), -1))
+      .select(col("name"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (n, bytes) =>
+        graft.media.PdfRaster.rasterize(bytes, dpi = 144).flatMap { p =>
+          graft.layout.GlyphOcr.recognizePage(p.image).map { case (bi, li, l) =>
+            (n, p.pageIndex, bi, li, l.box.x0, l.box.y0, l.box.x1, l.box.y1,
+              l.iscale, l.kind, l.text)
+          }
+        }
+      }
+      .toDF("name", "page_index", "block_idx", "line_idx",
+        "x0", "y0", "x1", "y1", "iscale", "kind", "text")
+      .orderBy("name", "page_index", "block_idx", "line_idx")
+  }
+
   /** WARC record inventory over the committed fixture captures (one plain
     * file, one gzip-member-per-record file — the Common Crawl layout):
     * every record's framing fields plus a sha256 of its (HTTP-unwrapped)

@@ -103,6 +103,37 @@ class PageSegmentSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hand.size == 1 && hand.head.straightPx == 0L && hand.head.inkPx == 320L)
   }
 
+  test("glyph OCR: every planted line recovered verbatim, impostors rejected") {
+    val pdf = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/media/rasterpdf/raster_01.pdf"))
+    val img = graft.media.PdfRaster.rasterize(pdf, 144).head.image
+    val got = graft.layout.GlyphOcr.recognizePage(img)
+    // CONSTRUCTION truth: the recognized text is exactly what the PDF
+    // planted, in reading order (title split at the wide word gap)
+    val texts = got.collect { case (_, _, l) if l.kind == "text" => l.text }
+    assert(texts.take(4) == Vector("ANNUAL REPORT", "1925", "THE QUICK BROWN", "FOX JUMPS OVER"))
+    assert(texts.contains("GRAIN 14 SACKS,") && texts.last == "PAGE 1 OF 1")
+    assert(texts.size == 23) // 2 title + 10 + 10 + footer
+    // the scrawl band refuses recognition instead of guessing
+    val un = got.filter(_._3.kind == "unrecognized")
+    assert(un.size == 1 && un.head._3.iscale == -1)
+    // rect fills (raster_00 page 0) never pass the re-render test either
+    val pdf0 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/media/rasterpdf/raster_00.pdf"))
+    val rectScene = graft.media.PdfRaster.rasterize(pdf0, 144).head.image
+    assert(graft.layout.GlyphOcr.recognizePage(rectScene).forall(_._3.kind == "unrecognized"))
+  }
+
+  test("differential: OCR spans match the Python twin's expected table") {
+    val got = ops.Queries.pageOcr(spark, "").collect().map(_.toSeq).toVector
+    val exp = spark.read
+      .parquet("src/test/resources/expected/page_ocr.parquet")
+      .orderBy("name", "page_index", "block_idx", "line_idx")
+      .collect().map(_.toSeq).toVector
+    assert(exp.size >= 30)
+    assert(got == exp)
+  }
+
   test("differential: segmentation matches the Python twin's expected table") {
     val got = ops.Queries.pageSegment(spark, "").collect().map(_.toSeq).toVector
     val exp = spark.read

@@ -30,6 +30,7 @@ from gen_pdftext_fixture import _tokens, cmap_decoder
 OUTDIR = 'src/test/resources/media/rasterpdf'
 EXPECTED = 'src/test/resources/expected/pdf_raster.parquet'
 EXPECTED_SEG = 'src/test/resources/expected/page_segment.parquet'
+EXPECTED_OCR = 'src/test/resources/expected/page_ocr.parquet'
 GOLDENS = 'src/test/resources/goldens/pdfraster_goldens.json'
 KERN_SPACE = -180.0
 GLYPH_W, GLYPH_H, SPACING = 5, 7, 1
@@ -302,80 +303,104 @@ def render(content, fonts, mbw, mbh, dpi):
 MIN_GAP_X, MIN_GAP_Y, STRAIGHT_RUN = 24, 16, 3
 
 
+def _ink_of(W, H, rgb):
+    ink = bytearray(W * H)
+    for i in range(W * H):
+        o = i * 3
+        if (299 * rgb[o] + 587 * rgb[o + 1] + 114 * rgb[o + 2]) // 1000 < 128:
+            ink[i] = 1
+    return ink
+
+
+def _row_has(ink, W, b, y):
+    x0, y0, x1, y1 = b
+    base = y * W
+    return any(ink[base + x] for x in range(x0, x1))
+
+
+def _col_has(ink, W, b, x):
+    x0, y0, x1, y1 = b
+    return any(ink[y * W + x] for y in range(y0, y1))
+
+
+def _trim(ink, W, b):
+    x0, y0, x1, y1 = b
+    while y0 < y1 and not _row_has(ink, W, b, y0):
+        y0 += 1
+    if y0 == y1:
+        return None
+    while not _row_has(ink, W, b, y1 - 1):
+        y1 -= 1
+    vb = (x0, y0, x1, y1)
+    while not _col_has(ink, W, vb, x0):
+        x0 += 1
+    while not _col_has(ink, W, vb, x1 - 1):
+        x1 -= 1
+    return (x0, y0, x1, y1)
+
+
+def _largest_gap(blank, lo, hi):
+    best = (0, 0)
+    i = lo
+    while i < hi:
+        if blank(i):
+            start = i
+            while i < hi and blank(i):
+                i += 1
+            if i - start > best[1] - best[0]:
+                best = (start, i)
+        else:
+            i += 1
+    return best
+
+
+def _xycut(ink, W, region):
+    b = _trim(ink, W, region)
+    if b is None:
+        return []
+    x0, y0, x1, y1 = b
+    ry0, ry1 = _largest_gap(lambda y: not _row_has(ink, W, b, y), y0, y1)
+    cx0, cx1 = _largest_gap(lambda x: not _col_has(ink, W, b, x), x0, x1)
+    row_gap = ry1 - ry0 if ry1 - ry0 >= MIN_GAP_Y else 0
+    col_gap = cx1 - cx0 if cx1 - cx0 >= MIN_GAP_X else 0
+    if row_gap == 0 and col_gap == 0:
+        return [b]
+    if row_gap >= col_gap:
+        return _xycut(ink, W, (x0, y0, x1, ry0)) + _xycut(ink, W, (x0, ry1, x1, y1))
+    return _xycut(ink, W, (x0, y0, cx0, y1)) + _xycut(ink, W, (cx1, y0, x1, y1))
+
+
+def _line_boxes(ink, W, b):
+    x0b, y0b, x1b, y1b = b
+    out = []
+    y = y0b
+    while y < y1b:
+        if _row_has(ink, W, b, y):
+            start = y
+            while y < y1b and _row_has(ink, W, b, y):
+                y += 1
+            band = (x0b, start, x1b, y)
+            x0, x1 = x0b, x1b
+            while not _col_has(ink, W, band, x0):
+                x0 += 1
+            while not _col_has(ink, W, band, x1 - 1):
+                x1 -= 1
+            out.append((x0, start, x1, y))
+        else:
+            y += 1
+    return out
+
+
 def segment(W, H, rgb):
     """Independent twin of graft.layout.PageSegment: ink by integer luma,
     recursive XY-cut (largest eligible gap, tie prefers the row cut, DFS
     reading order), per-block projection-profile line count, 8-connected
     components (BFS flood fill vs Scala's union-find), and stroke-run
     regularity."""
-    ink = bytearray(W * H)
-    for i in range(W * H):
-        o = i * 3
-        if (299 * rgb[o] + 587 * rgb[o + 1] + 114 * rgb[o + 2]) // 1000 < 128:
-            ink[i] = 1
-
-    def row_has(b, y):
-        x0, y0, x1, y1 = b
-        base = y * W
-        return any(ink[base + x] for x in range(x0, x1))
-
-    def col_has(b, x):
-        x0, y0, x1, y1 = b
-        return any(ink[y * W + x] for y in range(y0, y1))
-
-    def trim(b):
-        x0, y0, x1, y1 = b
-        while y0 < y1 and not row_has(b, y0):
-            y0 += 1
-        if y0 == y1:
-            return None
-        while not row_has(b, y1 - 1):
-            y1 -= 1
-        vb = (x0, y0, x1, y1)
-        while not col_has(vb, x0):
-            x0 += 1
-        while not col_has(vb, x1 - 1):
-            x1 -= 1
-        return (x0, y0, x1, y1)
-
-    def largest_gap(blank, lo, hi):
-        best = (0, 0)
-        i = lo
-        while i < hi:
-            if blank(i):
-                start = i
-                while i < hi and blank(i):
-                    i += 1
-                if i - start > best[1] - best[0]:
-                    best = (start, i)
-            else:
-                i += 1
-        return best
-
-    def xycut(region):
-        b = trim(region)
-        if b is None:
-            return []
-        x0, y0, x1, y1 = b
-        ry0, ry1 = largest_gap(lambda y: not row_has(b, y), y0, y1)
-        cx0, cx1 = largest_gap(lambda x: not col_has(b, x), x0, x1)
-        row_gap = ry1 - ry0 if ry1 - ry0 >= MIN_GAP_Y else 0
-        col_gap = cx1 - cx0 if cx1 - cx0 >= MIN_GAP_X else 0
-        if row_gap == 0 and col_gap == 0:
-            return [b]
-        if row_gap >= col_gap:
-            return xycut((x0, y0, x1, ry0)) + xycut((x0, ry1, x1, y1))
-        return xycut((x0, y0, cx0, y1)) + xycut((cx1, y0, x1, y1))
+    ink = _ink_of(W, H, rgb)
 
     def line_count(b):
-        x0, y0, x1, y1 = b
-        n, prev = 0, False
-        for y in range(y0, y1):
-            cur = row_has(b, y)
-            if cur and not prev:
-                n += 1
-            prev = cur
-        return n
+        return len(_line_boxes(ink, W, b))
 
     def comp_count(b):
         x0, y0, x1, y1 = b
@@ -433,11 +458,89 @@ def segment(W, H, rgb):
         return ink_n, len(straight)
 
     rows = []
-    for i, b in enumerate(xycut((0, 0, W, H))):
+    for i, b in enumerate(_xycut(ink, W, (0, 0, W, H))):
         ink_n, straight_n = stroke_stats(b)
         rows.append((i, b[0], b[1], b[2], b[3], line_count(b), comp_count(b),
                      ink_n, straight_n,
                      'printed' if 2 * straight_n >= ink_n else 'handwritten'))
+    return rows
+
+
+def _recognize_line(ink, W, line):
+    """Twin of graft.layout.GlyphOcr.recognizeLine: phase search with the
+    pixel-exact re-render acceptance test."""
+    inv = {tuple(v): k for k, v in FONT.items()}
+    x0, y0, x1, y1 = line
+    h = y1 - y0
+    cands = []
+    for c in (h // GLYPH_H, (h + GLYPH_H - 1) // GLYPH_H):
+        if c > 0 and c not in cands:
+            cands.append(c)
+    for isc in cands:
+        cellw = (GLYPH_W + SPACING) * isc
+        for q in range(GLYPH_H * isc):
+            grid_top = y0 - q
+            for p in range(cellw):
+                grid_left = x0 - p
+                n_cells = (x1 - grid_left + cellw - 1) // cellw
+                chars = []
+                lit = []
+                bad = False
+                for c in range(n_cells):
+                    cx = grid_left + c * cellw
+                    pat = [0] * GLYPH_H
+                    for r in range(GLYPH_H):
+                        for g in range(GLYPH_W):
+                            x = cx + g * isc
+                            y = grid_top + r * isc
+                            if x0 <= x < x1 and y0 <= y < y1 and ink[y * W + x]:
+                                pat[r] |= 1 << (GLYPH_W - 1 - g)
+                                lit.append((x, y))
+                    if all(v == 0 for v in pat):
+                        chars.append(' ')
+                    else:
+                        ch = inv.get(tuple(pat))
+                        if ch is None:
+                            bad = True
+                            break
+                        chars.append(ch)
+                if bad:
+                    continue
+                text = ''.join(chars)
+                if not text.strip():
+                    continue
+                rendered = set()
+                for (bx, by) in lit:
+                    for dy in range(isc):
+                        for dx in range(isc):
+                            rendered.add((bx + dx, by + dy))
+                ok = all((x0 <= x < x1 and y0 <= y < y1) for (x, y) in rendered)
+                if ok:
+                    for y in range(y0, y1):
+                        for x in range(x0, x1):
+                            if bool(ink[y * W + x]) != ((x, y) in rendered):
+                                ok = False
+                                break
+                        if not ok:
+                            break
+                if ok:
+                    return text.strip(), isc
+    return None
+
+
+def ocr_rows(W, H, rgb):
+    """Twin of graft.layout.GlyphOcr.recognizePage."""
+    ink = _ink_of(W, H, rgb)
+    rows = []
+    for bi, blk in enumerate(_xycut(ink, W, (0, 0, W, H))):
+        for li, ln in enumerate(_line_boxes(ink, W, blk)):
+            got = _recognize_line(ink, W, ln)
+            if got is None:
+                rows.append((bi, li, ln[0], ln[1], ln[2], ln[3], -1,
+                             'unrecognized', ''))
+            else:
+                rows.append((bi, li, ln[0], ln[1], ln[2], ln[3], got[1],
+                             'text', got[0]))
     return rows
 
 
@@ -495,6 +598,7 @@ def main():
     docs = [('raster_00.pdf', pages, cmap), ('raster_01.pdf', pages1, None)]
     rows = []
     seg_rows = []
+    ocr_out = []
     for name, pgs, cm in docs:
         with open(f'{OUTDIR}/{name}', 'wb') as f:
             f.write(build_pdf(pgs, cmap=cm))
@@ -507,6 +611,11 @@ def main():
                     name=name, page_index=pi, block_idx=bi, x0=x0, y0=y0,
                     x1=x1, y1=y1, n_lines=nl, n_cc=nc, ink_px=ink_n,
                     straight_px=st_n, script=script))
+            for (bi, li, x0, y0, x1, y1, isc, kind, text) in ocr_rows(W, H, rgb):
+                ocr_out.append(dict(
+                    name=name, page_index=pi, block_idx=bi, line_idx=li,
+                    x0=x0, y0=y0, x1=x1, y1=y1, iscale=isc, kind=kind,
+                    text=text))
     import duckdb
     import pandas as pd
     df = pd.DataFrame(rows)
@@ -522,6 +631,13 @@ def main():
         "CAST(n_cc AS INT) n_cc, CAST(ink_px AS BIGINT) ink_px, "
         "CAST(straight_px AS BIGINT) straight_px, script FROM sdf")
     con.execute(f"COPY s TO '{EXPECTED_SEG}' (FORMAT PARQUET)")
+    odf = pd.DataFrame(ocr_out)
+    con.execute(
+        "CREATE TABLE o AS SELECT name, CAST(page_index AS INT) page_index, "
+        "CAST(block_idx AS INT) block_idx, CAST(line_idx AS INT) line_idx, "
+        "CAST(x0 AS INT) x0, CAST(y0 AS INT) y0, CAST(x1 AS INT) x1, "
+        "CAST(y1 AS INT) y1, CAST(iscale AS INT) iscale, kind, text FROM odf")
+    con.execute(f"COPY o TO '{EXPECTED_OCR}' (FORMAT PARQUET)")
     # goldens stay scoped to raster_00 (PdfRasterSpec rasterizes that file
     # and compares page-for-page)
     with open(GOLDENS, 'w') as f:
