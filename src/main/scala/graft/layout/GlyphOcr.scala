@@ -38,7 +38,7 @@ object GlyphOcr {
   /** Recognize one line box; None when no (scale, phase) re-renders
     * pixel-exactly.
     */
-  def recognizeLine(ink: Array[Boolean], w: Int, line: Box): Option[(String, Int)] = {
+  def recognizeLine(ink: PageSegment.Mask, w: Int, line: Box): Option[(String, Int)] = {
     val h = line.height
     val cands = Seq(h / GlyphFont.GlyphH, (h + GlyphFont.GlyphH - 1) / GlyphFont.GlyphH)
       .distinct.filter(_ > 0)
@@ -62,20 +62,29 @@ object GlyphOcr {
     None
   }
 
-  /** Try one grid placement: sample, map, re-render, compare. */
-  private def recognizeAt(ink: Array[Boolean], w: Int, line: Box,
+  /** Try one grid placement: sample, map, re-render, compare. Allocation
+    * kept to the line-local `rendered` mask — the hot path of the
+    * pages/sec bench runs this once per line at the correct first phase.
+    */
+  private def recognizeAt(ink: PageSegment.Mask, w: Int, line: Box,
                           gridLeft: Int, gridTop: Int, isc: Int): Option[String] = {
     val cellW = CellW * isc
     val nCells = {
       val span = line.x1 - gridLeft
       (span + cellW - 1) / cellW
     }
+    val lw = line.width
+    // re-render mask over the line box, filled while sampling: a lit bit
+    // paints its isc×isc block; a block pixel OUTSIDE the box = bleed =
+    // immediate reject (a correct phase never has bits outside the bbox)
+    val rendered = new Array[Boolean](lw * line.height)
     val sb = new java.lang.StringBuilder(nCells)
-    val lit = Vector.newBuilder[(Int, Int)] // (bit col abs px, bit row abs px)
+    val pattern = new Array[Int](GlyphFont.GlyphH)
     var c = 0
     while (c < nCells) {
       val cx = gridLeft + c * cellW
-      val pattern = new Array[Int](GlyphFont.GlyphH)
+      java.util.Arrays.fill(pattern, 0)
+      var blank = true
       var r = 0
       while (r < GlyphFont.GlyphH) {
         var g = 0
@@ -83,58 +92,48 @@ object GlyphOcr {
           val x = cx + g * isc
           val y = gridTop + r * isc
           // only ink INSIDE the line box counts: the box is the line's
-          // exact ink bbox, so a correct phase never has bits outside it,
-          // and sampling a neighboring block's ink must not leak in
-          val on = x >= line.x0 && x < line.x1 && y >= line.y0 && y < line.y1 &&
-            ink(y * w + x)
-          if (on) {
+          // exact ink bbox, and a neighboring block's ink must not leak in
+          if (x >= line.x0 && x < line.x1 && y >= line.y0 && y < line.y1 &&
+              ink(y * w + x)) {
             pattern(r) |= 1 << (GlyphFont.GlyphW - 1 - g)
-            lit += ((x, y))
+            blank = false
+            if (x + isc > line.x1 || y + isc > line.y1) return None // bleed
+            var dy = 0
+            while (dy < isc) {
+              var dx = 0
+              while (dx < isc) {
+                rendered((y + dy - line.y0) * lw + (x + dx - line.x0)) = true
+                dx += 1
+              }
+              dy += 1
+            }
           }
           g += 1
         }
         r += 1
       }
-      if (pattern.forall(_ == 0)) sb.append(' ')
+      if (blank) sb.append(' ')
       else inverse.get(pattern.toSeq) match {
         case Some(ch) => sb.append(ch)
         case None => return None
       }
       c += 1
     }
-    val text = sb.toString
-    if (text.trim.isEmpty) return None
-    // exact acceptance: re-render the recognized cells at this placement
-    // and require equality with the line's ink, pixel for pixel
-    val rendered = new java.util.HashSet[Long]()
-    lit.result().foreach { case (bx, by) =>
-      var dy = 0
-      while (dy < isc) {
-        var dx = 0
-        while (dx < isc) {
-          rendered.add((by + dy).toLong * w + (bx + dx)); dx += 1
-        }
-        dy += 1
-      }
-    }
+    val text = sb.toString.trim
+    if (text.isEmpty) return None
+    // exact acceptance: the re-render must equal the line's ink, pixel
+    // for pixel — false reads are structurally impossible
     var y = line.y0
     while (y < line.y1) {
       var x = line.x0
       while (x < line.x1) {
-        val isInk = ink(y * w + x)
-        if (isInk != rendered.contains(y.toLong * w + x)) return None
+        if (ink(y * w + x) != rendered((y - line.y0) * lw + (x - line.x0)))
+          return None
         x += 1
       }
       y += 1
     }
-    // every rendered pixel must also lie inside the line box (no bleed)
-    val it = rendered.iterator()
-    while (it.hasNext) {
-      val v = it.next()
-      val yy = (v / w).toInt; val xx = (v % w).toInt
-      if (xx < line.x0 || xx >= line.x1 || yy < line.y0 || yy >= line.y1) return None
-    }
-    Some(text.trim)
+    Some(text)
   }
 
   /** Full page: XY-cut blocks in reading order, each block's projection

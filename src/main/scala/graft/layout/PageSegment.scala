@@ -49,35 +49,63 @@ object PageSegment {
   val MinGapY = 16
   val StraightRun = 3
 
+  /** Packed row-major bit mask (bit i = pixel y·w+x). 8× denser than a
+    * Boolean array — the mask is re-scanned by every stage (trim, gap
+    * search, line boxes, glyph sampling, re-render equality), and at
+    * executor density the segmentation+OCR chain is MEMORY-BANDWIDTH
+    * bound (BENCH.md §12: the Boolean-mask build lost 31% N→4N
+    * efficiency; bit-packing with word-level row scans recovered it).
+    */
+  final class Mask(val words: Array[Long]) {
+    @inline def apply(i: Int): Boolean =
+      (words(i >>> 6) & (1L << i)) != 0 // JVM masks the shift to i & 63
+    @inline def set(i: Int): Unit = words(i >>> 6) |= 1L << i
+    /** Any bit set in [from, until)? Word-at-a-time — a blank gap row
+      * costs w/64 reads, not w.
+      */
+    def anySet(from: Int, until: Int): Boolean = {
+      if (from >= until) return false
+      var wi = from >>> 6
+      val wLast = (until - 1) >>> 6
+      val lo = -1L << from // shift auto-masked to & 63
+      val hi = -1L >>> ((64 - (until & 63)) & 63)
+      if (wi == wLast) return (words(wi) & lo & hi) != 0
+      if ((words(wi) & lo) != 0) return true
+      wi += 1
+      while (wi < wLast) {
+        if (words(wi) != 0) return true
+        wi += 1
+      }
+      (words(wLast) & hi) != 0
+    }
+  }
+
   /** Ink mask by integer luma, row-major w×h. */
-  def inkMask(img: Decoded): Array[Boolean] = {
+  def inkMask(img: Decoded): Mask = {
     val n = img.width * img.height
-    val m = new Array[Boolean](n)
+    val m = new Mask(new Array[Long]((n + 63) >>> 6))
     var i = 0
     while (i < n) {
       val o = i * 3
       val luma = (299 * (img.rgb(o) & 0xff) + 587 * (img.rgb(o + 1) & 0xff) +
         114 * (img.rgb(o + 2) & 0xff)) / 1000
-      m(i) = luma < 128
+      if (luma < 128) m.set(i)
       i += 1
     }
     m
   }
 
-  private def rowHasInk(ink: Array[Boolean], w: Int, b: Box, y: Int): Boolean = {
-    var x = b.x0
-    while (x < b.x1) { if (ink(y * w + x)) return true; x += 1 }
-    false
-  }
+  private def rowHasInk(ink: Mask, w: Int, b: Box, y: Int): Boolean =
+    ink.anySet(y * w + b.x0, y * w + b.x1)
 
-  private def colHasInk(ink: Array[Boolean], w: Int, b: Box, x: Int): Boolean = {
+  private def colHasInk(ink: Mask, w: Int, b: Box, x: Int): Boolean = {
     var y = b.y0
     while (y < b.y1) { if (ink(y * w + x)) return true; y += 1 }
     false
   }
 
   /** Smallest box containing all ink in `b`; None when blank. */
-  private def trim(ink: Array[Boolean], w: Int, b: Box): Option[Box] = {
+  private def trim(ink: Mask, w: Int, b: Box): Option[Box] = {
     var y0 = b.y0; while (y0 < b.y1 && !rowHasInk(ink, w, b, y0)) y0 += 1
     if (y0 == b.y1) return None
     var y1 = b.y1; while (!rowHasInk(ink, w, b, y1 - 1)) y1 -= 1
@@ -104,7 +132,7 @@ object PageSegment {
   }
 
   /** Recursive XY-cut; returns leaf boxes in DFS (reading) order. */
-  def xyCut(ink: Array[Boolean], w: Int, region: Box,
+  def xyCut(ink: Mask, w: Int, region: Box,
             minGapX: Int = MinGapX, minGapY: Int = MinGapY): Vector[Box] =
     trim(ink, w, region) match {
       case None => Vector.empty
@@ -123,13 +151,13 @@ object PageSegment {
     }
 
   /** Text lines of a block: maximal ink-row runs of its projection profile. */
-  def lineCount(ink: Array[Boolean], w: Int, b: Box): Int =
+  def lineCount(ink: Mask, w: Int, b: Box): Int =
     lineBoxes(ink, w, b).size
 
   /** The line boxes themselves (each run's y band, x-trimmed to its ink) —
     * the unit [[GlyphOcr]] recognizes.
     */
-  def lineBoxes(ink: Array[Boolean], w: Int, b: Box): Vector[Box] = {
+  def lineBoxes(ink: Mask, w: Int, b: Box): Vector[Box] = {
     val out = Vector.newBuilder[Box]
     var y = b.y0
     while (y < b.y1) {
@@ -146,7 +174,7 @@ object PageSegment {
   }
 
   /** 8-connected ink components within a block (union-find, path halving). */
-  def componentCount(ink: Array[Boolean], w: Int, b: Box): Int = {
+  def componentCount(ink: Mask, w: Int, b: Box): Int = {
     val bw = b.width; val bh = b.height
     val parent = new Array[Int](bw * bh)
     java.util.Arrays.fill(parent, -1)
@@ -188,7 +216,7 @@ object PageSegment {
   }
 
   /** (ink pixels, ink pixels on an axis-aligned run ≥ [[StraightRun]]). */
-  def strokeStats(ink: Array[Boolean], w: Int, b: Box): (Long, Long) = {
+  def strokeStats(ink: Mask, w: Int, b: Box): (Long, Long) = {
     var inkN = 0L
     val straight = new Array[Boolean](b.width * b.height)
     // horizontal runs
