@@ -40,7 +40,11 @@ import scala.jdk.CollectionConverters._
   * order-independent content checksum (`bit_xor(xxhash64(struct(*)))` —
   * no overflow at any row count) must match the source snapshot, and both
   * land in a lineage row (`doc_count`, `partition_hash`; `divergence` 0/1)
-  * under `<root>/compact`. Re-running against an already-compacted table
+  * under `<root>/compact`. The source-side metrics ride INSIDE the
+  * rewrite scan via `Dataset.observe` (the ExtractJob lineage pattern),
+  * so the whole job is exactly two data passes — the rewrite itself and
+  * one read-back of the (compacted, smaller) output — never a third
+  * checksum pass over the source. Re-running against an already-compacted table
   * is a NO-OP (the lineage row keyed by the source snapshot id says so),
   * making the job idempotent under schedulers that fire it blindly.
   *
@@ -101,11 +105,17 @@ object CompactJob {
     if (done) return Result(sourceId, -1L, filesIn, filesIn, 0L)
 
     val parts = partitionColsOf(srcDir)
-    val before = Snapshots.read(spark, root, sourceId)
-    val beforeSum = checksum(before)
-    val rows = beforeSum.split(":")(0).toLong
-
     val newId = sourceId + 1
+
+    // the SOURCE checksum rides inside the rewrite scan via Dataset.observe
+    // (the ExtractJob lineage pattern) — a separate checksum pass would be a
+    // THIRD full read of a 100 TB table per compaction
+    val obs = org.apache.spark.sql.Observation(s"graft_compact_$sourceId")
+    def withObs(df: DataFrame): DataFrame = {
+      val cs = df.columns.map(col).toIndexedSeq
+      df.observe(obs, count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(struct(cs: _*))), lit(0L)).as("x"))
+    }
     if (parts.isEmpty) {
       // zero-shuffle path: the scan's own split packing is the bin-packer
       val conf = spark.conf
@@ -116,16 +126,22 @@ object CompactJob {
         // a 4 MiB default open cost makes tiny files "fill" a split long
         // before the byte target; compaction wants byte-true packing
         conf.set("spark.sql.files.openCostInBytes", (64L << 10).toString)
-        Snapshots.commit(spark.read.parquet(srcDir.toString), root, newId)
+        Snapshots.commit(withObs(spark.read.parquet(srcDir.toString)), root, newId)
       } finally {
         conf.set("spark.sql.files.maxPartitionBytes", savedMax)
         conf.set("spark.sql.files.openCostInBytes", savedOpen)
       }
     } else {
       // partition-aligned single exchange; writer emits one file per value
+      // (observe sits below the exchange: metrics are of the source rows)
       Snapshots.commit(
-        before.repartition(parts.map(col).toIndexedSeq: _*), root, newId, parts)
+        withObs(Snapshots.read(spark, root, sourceId))
+          .repartition(parts.map(col).toIndexedSeq: _*), root, newId, parts)
     }
+    val observed = obs.get
+    val rows = observed("n").asInstanceOf[Long]
+    val beforeSum =
+      s"$rows:${java.lang.Long.toHexString(observed("x").asInstanceOf[Long])}"
 
     val afterSum = checksum(Snapshots.read(spark, root, newId))
     val filesOut = dataFiles(Paths.get(Snapshots.snapshotDir(root, newId))).size.toLong
