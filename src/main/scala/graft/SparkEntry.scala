@@ -132,6 +132,8 @@ object SparkEntry {
     "q_pdf_raster" -> (Queries.pdfRaster(_, _)),
     "q_page_segment" -> (Queries.pageSegment(_, _)),
     "q_page_ocr" -> (Queries.pageOcr(_, _)),
+    "q_ocr_cer" -> (Queries.ocrCer(_, _)),
+    "q_shuffle_shard" -> (Queries.shuffleShard(_, _)),
     "q_video_frames" -> (Queries.videoFrames(_, _)),
     "q_video_decode" -> (Queries.videoDecode(_, _)),
     // the extraction pipeline + evaluation harness
@@ -949,6 +951,34 @@ object SparkEntry {
         |  iscale, kind, text
         |FROM read_parquet('/root/repo/src/test/resources/expected/page_ocr.parquet')
         |ORDER BY name, page_index, block_idx, line_idx""".stripMargin,
+    // both engines perturb the same recognized lines and run INDEPENDENT
+    // Levenshtein implementations — exact integer edit counts must agree
+    "q_ocr_cer" ->
+      """WITH o AS (
+        |  SELECT name, page_index, block_idx, line_idx, text
+        |  FROM read_parquet('/root/repo/src/test/resources/expected/page_ocr.parquet')
+        |  WHERE kind = 'text'),
+        |h AS (
+        |  SELECT name, page_index, block_idx, line_idx, text AS ref,
+        |    CASE WHEN (block_idx + line_idx) % 3 = 0
+        |         THEN 'X' || substr(text, 2) || ' Z' ELSE text END AS hyp
+        |  FROM o)
+        |SELECT name, page_index, block_idx, line_idx, ref, hyp,
+        |  length(ref) AS ref_len, levenshtein(ref, hyp) AS edits,
+        |  CAST(levenshtein(ref, hyp) AS DOUBLE) / length(ref) AS cer
+        |FROM h ORDER BY name, page_index, block_idx, line_idx""".stripMargin,
+    // the permutation verified through order statistics per shard, the
+    // assignment recomputed with DuckDB's hex cast + arg_min/arg_max
+    "q_shuffle_shard" ->
+      """WITH a AS (
+        |  SELECT doc_id, md5('shuf-' || CAST(doc_id AS VARCHAR)) AS rk FROM documents),
+        |s AS (
+        |  SELECT doc_id, rk,
+        |    CAST(CAST('0x' || substr(rk, 1, 8) AS BIGINT) % 8 AS INT) AS shard
+        |  FROM a)
+        |SELECT shard, COUNT(*) AS n_docs, arg_min(doc_id, rk) AS first_doc,
+        |  arg_max(doc_id, rk) AS last_doc, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
     // real per-frame decode: expectations computed by the independent
     // pure-Python writer (tools/gen_video_fixture.py) from the raw pattern
     // arrays BEFORE PNG encoding — a green row proves the JVM decoded the

@@ -1850,6 +1850,56 @@ object Queries {
       .orderBy("name", "page_index", "block_idx", "line_idx")
   }
 
+  /** CER (character error rate) — the OCR evaluation metric the
+    * north-star names for its divergence lineage: per recognized line,
+    * Levenshtein edits against a reference, normalized by reference
+    * length. Runs over the REAL recognizer output ([[pageOcr]], which is
+    * exact on the fixture class), so the nonzero-CER cases come from a
+    * deterministic perturbation of every third line — both engines build
+    * the same perturbed hypothesis and run their own INDEPENDENT
+    * Levenshtein implementations (Spark codegen'd vs DuckDB's), agreeing
+    * on exact integer edit counts; cer is one double division of those
+    * ints (bit-identical cross-engine). A typed narrow map at any scale.
+    */
+  def ocrCer(spark: SparkSession, dir: String): DataFrame = {
+    val hyp = when((col("block_idx") + col("line_idx")) % 3 === 0,
+      concat(lit("X"), expr("substring(text, 2)"), lit(" Z")))
+      .otherwise(col("text"))
+    pageOcr(spark, dir).filter(col("kind") === "text")
+      .select(col("name"), col("page_index"), col("block_idx"), col("line_idx"),
+        col("text").as("ref"), hyp.as("hyp"))
+      .withColumn("ref_len", length(col("ref")).cast("long"))
+      .withColumn("edits", levenshtein(col("ref"), col("hyp")).cast("long"))
+      .withColumn("cer", col("edits").cast("double") / col("ref_len"))
+      .orderBy("name", "page_index", "block_idx", "line_idx")
+  }
+
+  /** Seeded corpus SHUFFLE-SHARD — the final stage of training-data prep:
+    * a deterministic pseudo-random permutation (md5 over a seeded key) and
+    * a shard assignment for the training-file writer. Assignment is a pure
+    * projection (zero shuffle); at write time the files come out of
+    * `repartition(shard) + sortWithinPartitions(rk)` — the catalog query
+    * verifies the PERMUTATION through order-statistics aggregates
+    * (count / min_by / max_by / sum per shard) rather than a global
+    * per-shard rank, which would funnel each shard through one task's
+    * sort. Oracle recomputes the same assignment with DuckDB's
+    * hex-cast + arg_min/arg_max.
+    */
+  def shuffleShard(spark: SparkSession, dir: String): DataFrame = {
+    val shards = 8
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat(lit("shuf-"), col("doc_id").cast("string"))).as("rk"))
+      .withColumn("shard",
+        (conv(substring(col("rk"), 1, 8), 16, 10).cast("long") % shards).cast("int"))
+      .groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        min_by(col("doc_id"), col("rk")).as("first_doc"),
+        max_by(col("doc_id"), col("rk")).as("last_doc"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy("shard")
+  }
+
   /** WARC record inventory over the committed fixture captures (one plain
     * file, one gzip-member-per-record file — the Common Crawl layout):
     * every record's framing fields plus a sha256 of its (HTTP-unwrapped)

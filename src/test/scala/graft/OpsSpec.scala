@@ -372,6 +372,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(statusOf("http://example.org:8080/alt")._1 == "kept")
   }
 
+  test("ocr cer: perturbed lines score exact integer edits, clean lines zero") {
+    val rows = SparkEntry.queries("q_ocr_cer")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val perturbed = (r.getInt(2) + r.getInt(3)) % 3 == 0
+      val edits = r.getLong(7)
+      if (perturbed) assert(edits >= 2, s"perturbed line scored $edits")
+      else assert(edits == 0L, s"clean line scored $edits")
+      assert(r.getDouble(8) == edits.toDouble / r.getLong(6))
+    }
+    // "ANNUAL REPORT" -> "XNNUAL REPORT Z": 1 substitution + 2 appends
+    val t0 = rows.find(r => r.getString(4) == "ANNUAL REPORT").get
+    assert(t0.getString(5) == "XNNUAL REPORT Z" && t0.getLong(7) == 3)
+  }
+
+  test("shuffle shard: permutation covers the corpus, no per-shard window sort") {
+    val df = SparkEntry.queries("q_shuffle_shard")(spark, dir)
+    assert(!df.queryExecution.executedPlan.toString.contains("WindowExec"))
+    val rows = df.collect()
+    assert(rows.map(_.getInt(0)).toSeq == (0 until 8))
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    // deterministic: same seed, same assignment
+    val again = SparkEntry.queries("q_shuffle_shard")(spark, dir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("anchor aggregation: cross-page counts and the deterministic top-anchor tiebreak") {
     val rows = SparkEntry.queries("q_warc_anchors")(spark, dir).collect()
       .map(r => r.getString(0) -> r).toMap
