@@ -133,6 +133,7 @@ object SparkEntry {
     "q_page_segment" -> (Queries.pageSegment(_, _)),
     "q_page_ocr" -> (Queries.pageOcr(_, _)),
     "q_ocr_cer" -> (Queries.ocrCer(_, _)),
+    "q_image_phash" -> (Queries.imagePhash(_, _)),
     "q_shuffle_shard" -> (Queries.shuffleShard(_, _)),
     "q_video_frames" -> (Queries.videoFrames(_, _)),
     "q_video_decode" -> (Queries.videoDecode(_, _)),
@@ -951,6 +952,25 @@ object SparkEntry {
         |  iscale, kind, text
         |FROM read_parquet('/root/repo/src/test/resources/expected/page_ocr.parquet')
         |ORDER BY name, page_index, block_idx, line_idx""".stripMargin,
+    // per-image hashes pinned by the Python twin; the nearest neighbour is
+    // RECOMPUTED in DuckDB with its own hex cast + xor + bit_count
+    "q_image_phash" ->
+      """WITH h AS (
+        |  SELECT name, phash
+        |  FROM read_parquet('/root/repo/src/test/resources/expected/image_phash.parquet')),
+        |d AS (
+        |  SELECT a.name, a.phash, b.name AS o_name,
+        |    bit_count(xor(CAST('0x' || a.phash AS BIGINT),
+        |                  CAST('0x' || b.phash AS BIGINT))) AS dist
+        |  FROM h a JOIN h b ON a.name <> b.name),
+        |m AS (SELECT name, phash, MIN(dist) AS nn_dist FROM d GROUP BY name, phash),
+        |b AS (SELECT d.name, MIN(d.o_name) AS nn_name
+        |      FROM d JOIN m ON d.name = m.name AND d.dist = m.nn_dist
+        |      GROUP BY d.name)
+        |SELECT m.name, m.phash, b.nn_name, CAST(m.nn_dist AS INT) AS nn_dist,
+        |  m.nn_dist <= 10 AS near_dup
+        |FROM m JOIN b ON m.name = b.name
+        |ORDER BY m.name""".stripMargin,
     // both engines perturb the same recognized lines and run INDEPENDENT
     // Levenshtein implementations — exact integer edit counts must agree
     "q_ocr_cer" ->

@@ -1850,6 +1850,39 @@ object Queries {
       .orderBy("name", "page_index", "block_idx", "line_idx")
   }
 
+  /** Perceptual-hash image near-dup — the MULTIMODAL member of the dedup
+    * family ([[graft.media.PHash]]: Pillow-bit-exact 32×32 resize →
+    * integer-cosine-table DCT → median-split 63-bit hash). The hash is a
+    * pure per-image projection; the fixture-scale nearest neighbour here
+    * is a broadcast crossJoin + `min(struct(dist, name))` aggregate (no
+    * per-key window) — at corpus scale the hash feeds the banded-LSH
+    * pair machinery the text family ships (q_simhash_pairs' shape).
+    * Oracle: per-image hashes from the independent Python twin, the NN
+    * recomputed in DuckDB with its own hex-cast/xor/bit_count.
+    */
+  def imagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = tracked(spark.read.format("binaryFile")
+      .load(s"$mediaDir/phash/*.png")
+      .withColumn("name", element_at(split(col("path"), "/"), -1))
+      .select(col("name"), col("content")).as[(String, Array[Byte])]
+      .map { case (n, bytes) =>
+        (n, graft.media.PHash.hex(graft.media.PHash.of(
+          graft.media.ImageDecode.decode(bytes))))
+      }.toDF("name", "phash"))
+    val other = hashes.select(col("name").as("o_name"), col("phash").as("o_phash"))
+    hashes.crossJoin(broadcast(other))
+      .filter(col("name") =!= col("o_name"))
+      .withColumn("dist",
+        expr("bit_count(cast(conv(phash, 16, 10) as bigint) ^ cast(conv(o_phash, 16, 10) as bigint))"))
+      .groupBy(col("name"), col("phash"))
+      .agg(min(struct(col("dist"), col("o_name"))).as("best"))
+      .select(col("name"), col("phash"),
+        col("best.o_name").as("nn_name"), col("best.dist").cast("int").as("nn_dist"),
+        (col("best.dist") <= 10).as("near_dup"))
+      .orderBy("name")
+  }
+
   /** CER (character error rate) — the OCR evaluation metric the
     * north-star names for its divergence lineage: per recognized line,
     * Levenshtein edits against a reference, normalized by reference

@@ -372,6 +372,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(statusOf("http://example.org:8080/alt")._1 == "kept")
   }
 
+  test("image phash: variants collapse to the base, different scenes stay far") {
+    val got = SparkEntry.queries("q_image_phash")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // brightness shift and low-bit noise are hash-IDENTICAL to the base
+    assert(got("ph_bright.png").getString(1) == got("ph_base.png").getString(1))
+    assert(got("ph_noise.png").getString(1) == got("ph_base.png").getString(1))
+    assert(got("ph_base.png").getInt(3) == 0 && got("ph_base.png").getBoolean(4))
+    // structurally different scenes are far from everything
+    Seq("ph_moved.png", "ph_vgrad.png", "ph_checker.png").foreach { n =>
+      assert(got(n).getInt(3) > 20 && !got(n).getBoolean(4), s"$n too close")
+    }
+    // differential: hashes equal the Python twin's (resample + DCT + median)
+    val exp = spark.read
+      .parquet("src/test/resources/expected/image_phash.parquet")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    got.foreach { case (n, r) => assert(r.getString(1) == exp(n), s"$n hash drift") }
+  }
+
   test("ocr cer: perturbed lines score exact integer edits, clean lines zero") {
     val rows = SparkEntry.queries("q_ocr_cer")(spark, dir).collect()
     assert(rows.nonEmpty)
