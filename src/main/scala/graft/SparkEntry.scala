@@ -134,6 +134,8 @@ object SparkEntry {
     "q_page_ocr" -> (Queries.pageOcr(_, _)),
     "q_ocr_cer" -> (Queries.ocrCer(_, _)),
     "q_image_phash" -> (Queries.imagePhash(_, _)),
+    "q_audio_features" -> (Queries.audioFeatures(_, _)),
+    "q_audio_windows" -> (Queries.audioWindows(_, _)),
     "q_shuffle_shard" -> (Queries.shuffleShard(_, _)),
     "q_video_frames" -> (Queries.videoFrames(_, _)),
     "q_video_decode" -> (Queries.videoDecode(_, _)),
@@ -952,6 +954,18 @@ object SparkEntry {
         |  iscale, kind, text
         |FROM read_parquet('/root/repo/src/test/resources/expected/page_ocr.parquet')
         |ORDER BY name, page_index, block_idx, line_idx""".stripMargin,
+    // exact integer audio features computed by the generator twin from the
+    // sample arrays BEFORE they were framed as RIFF — the JVM decode path
+    // is verified against values that never touched a WAV parser
+    "q_audio_features" ->
+      """SELECT name, channels, sample_rate, frames, duration_us,
+        |  peak, energy, zero_crossings, pcm_sha
+        |FROM read_parquet('/root/repo/src/test/resources/expected/audio_features.parquet')
+        |ORDER BY name""".stripMargin,
+    "q_audio_windows" ->
+      """SELECT name, win_idx, n_frames, energy, zero_crossings
+        |FROM read_parquet('/root/repo/src/test/resources/expected/audio_windows.parquet')
+        |ORDER BY name, win_idx""".stripMargin,
     // per-image hashes pinned by the Python twin; the nearest neighbour is
     // RECOMPUTED in DuckDB with its own hex cast + xor + bit_count
     "q_image_phash" ->

@@ -1850,6 +1850,84 @@ object Queries {
       .orderBy("name", "page_index", "block_idx", "line_idx")
   }
 
+  /** Audio decode + per-file features — the audio leg of multimodal
+    * ingestion, and a REAL decode, not a stub: RIFF PCM needs no codec
+    * library ([[graft.media.Wav]] parses the published container format
+    * the way Warc/PdfPages do). Exact integer features (frame/duration
+    * arithmetic, peak, Σs² energy — bounded ≤ 2^31·frames, zero
+    * crossings on channel 0, sha of the raw PCM) so the oracle is an
+    * exact fixture match against the generator's twin, which computed
+    * them from the sample arrays BEFORE framing them as WAV. One narrow
+    * map per file; scales as a binary scan.
+    */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .load(s"$mediaDir/audio/*.wav")
+      .withColumn("name", element_at(split(col("path"), "/"), -1))
+      .select(col("name"), col("content")).as[(String, Array[Byte])]
+      .map { case (n, bytes) =>
+        val a = graft.media.Wav.decode(bytes)
+        var peak = 0
+        var energy = 0L
+        var i = 0
+        while (i < a.samples.length) {
+          val s = a.samples(i).toInt
+          if (math.abs(s) > peak) peak = math.abs(s)
+          energy += s.toLong * s
+          i += 1
+        }
+        var zc = 0L
+        var f = a.channels // channel 0 strided walk, from frame 1
+        while (f < a.samples.length) {
+          if (a.samples(f - a.channels).toInt * a.samples(f).toInt < 0) zc += 1
+          f += a.channels
+        }
+        val pcm = java.nio.ByteBuffer.allocate(a.samples.length * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        a.samples.foreach(pcm.putShort)
+        (n, a.channels, a.sampleRate, a.frames.toLong,
+          a.frames.toLong * 1000000L / a.sampleRate, peak, energy, zc,
+          graft.media.ImageDecode.sha256Hex(pcm.array()))
+      }
+      .toDF("name", "channels", "sample_rate", "frames", "duration_us",
+        "peak", "energy", "zero_crossings", "pcm_sha")
+      .orderBy("name")
+  }
+
+  /** Per-20ms-window audio features over channel 0 — the feature-extract
+    * batch shape the brief asks for: a per-file generator fans each file
+    * into its full windows (no sample-row materialization between),
+    * emitting exact integer energy / zero-crossing rows. Still a narrow
+    * flatMap: windows of one file never leave their task.
+    */
+  def audioWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .load(s"$mediaDir/audio/*.wav")
+      .withColumn("name", element_at(split(col("path"), "/"), -1))
+      .select(col("name"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (n, bytes) =>
+        val a = graft.media.Wav.decode(bytes)
+        val win = a.sampleRate / 50 // 20 ms
+        (0 until a.frames / win).map { wi =>
+          var energy = 0L
+          var zc = 0L
+          var f = wi * win
+          while (f < (wi + 1) * win) {
+            val s = a.samples(f * a.channels).toInt
+            energy += s.toLong * s
+            if (f > wi * win &&
+                a.samples((f - 1) * a.channels).toInt * s < 0) zc += 1
+            f += 1
+          }
+          (n, wi, win, energy, zc)
+        }
+      }
+      .toDF("name", "win_idx", "n_frames", "energy", "zero_crossings")
+      .orderBy("name", "win_idx")
+  }
+
   /** Perceptual-hash image near-dup — the MULTIMODAL member of the dedup
     * family ([[graft.media.PHash]]: Pillow-bit-exact 32×32 resize →
     * integer-cosine-table DCT → median-split 63-bit hash). The hash is a

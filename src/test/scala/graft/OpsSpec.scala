@@ -372,6 +372,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(statusOf("http://example.org:8080/alt")._1 == "kept")
   }
 
+  test("wav decode: features match the pre-framing twin; rejects are loud") {
+    // differential: both queries equal the expected tables byte-for-byte
+    val gotF = SparkEntry.queries("q_audio_features")(spark, dir)
+      .collect().map(_.toSeq).toVector
+    val expF = spark.read
+      .parquet("src/test/resources/expected/audio_features.parquet")
+      .orderBy("name").collect().map(_.toSeq).toVector
+    assert(gotF.size == 3 && gotF == expF)
+    val gotW = SparkEntry.queries("q_audio_windows")(spark, dir)
+      .collect().map(_.toSeq).toVector
+    val expW = spark.read
+      .parquet("src/test/resources/expected/audio_windows.parquet")
+      .orderBy("name", "win_idx").collect().map(_.toSeq).toVector
+    assert(gotW.size == 52 && gotW == expW)
+    // the aud_02 LIST chunk (odd length → word-alignment pad) was skipped,
+    // proven by its row being present and exact above; 8-bit PCM rejects
+    val b8 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/media/audio/aud_03.wav8"))
+    val e = intercept[IllegalArgumentException](graft.media.Wav.decode(b8))
+    assert(e.getMessage.contains("8-bit"))
+    // framing tampering is loud, not garbage
+    val ok = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/media/audio/aud_00.wav"))
+    val bad = ok.clone(); bad(8) = 'X'.toByte
+    assert(intercept[IllegalArgumentException](graft.media.Wav.decode(bad))
+      .getMessage.contains("WAVE"))
+    assert(intercept[IllegalArgumentException](
+      graft.media.Wav.decode(java.util.Arrays.copyOf(ok, 100)))
+      .getMessage.contains("overruns"))
+  }
+
   test("image phash: variants collapse to the base, different scenes stay far") {
     val got = SparkEntry.queries("q_image_phash")(spark, dir).collect()
       .map(r => r.getString(0) -> r).toMap

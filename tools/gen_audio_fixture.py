@@ -1,0 +1,136 @@
+"""Generate WAV (RIFF PCM) fixtures + independent expected values for
+graft.media.Wav and the audio feature queries: deterministic integer
+waveforms are synthesized in pure Python, framed as RIFF by hand (no wave
+module — the writer itself is part of the twin), and the expected per-file
+features (frames, duration_us, peak, energy, zero crossings, pcm sha) and
+per-20ms-window features (channel 0) are computed from the SAME sample
+arrays before framing, so the JVM decode path is differentially verified
+against values that never touched a WAV parser.
+
+aud_02 carries a LIST metadata chunk (with odd length, exercising the
+word-alignment rule) between fmt and data; aud_03 is 8-bit PCM and must be
+REJECTED by the decoder (used by the spec, excluded from the queries'
+glob via its .wav8 suffix).
+
+Outputs: src/test/resources/media/audio/aud_*.wav (+ aud_03.wav8)
+         src/test/resources/expected/audio_features.parquet
+         src/test/resources/expected/audio_windows.parquet
+"""
+import hashlib
+import math
+import os
+import struct
+
+OUTDIR = 'src/test/resources/media/audio'
+EXP_FEAT = 'src/test/resources/expected/audio_features.parquet'
+EXP_WIN = 'src/test/resources/expected/audio_windows.parquet'
+
+
+def riff(channels, rate, samples, extra_chunks=(), bits=16):
+    data = b''.join(struct.pack('<h' if bits == 16 else '<b', s) for s in samples)
+    block = channels * bits // 8
+    fmt = struct.pack('<HHIIHH', 1, channels, rate, rate * block, block, bits)
+    chunks = bytearray()
+    chunks += b'fmt ' + struct.pack('<I', len(fmt)) + fmt
+    for cid, payload in extra_chunks:
+        chunks += cid + struct.pack('<I', len(payload)) + payload
+        if len(payload) % 2:
+            chunks += b'\x00'  # word alignment pad
+    chunks += b'data' + struct.pack('<I', len(data)) + data
+    return b'RIFF' + struct.pack('<I', 4 + len(chunks)) + b'WAVE' + bytes(chunks)
+
+
+def sine(rate, secs, freq, amp):
+    n = int(rate * secs)
+    return [round(amp * math.sin(2 * math.pi * freq * i / rate)) for i in range(n)]
+
+
+def saw(rate, secs, freq, amp):
+    n = int(rate * secs)
+    per = rate / freq
+    return [round(amp * (2 * ((i / per) % 1.0) - 1)) for i in range(n)]
+
+
+def pseudo(rate, secs):
+    n = int(rate * secs)
+    return [((i * 2654435761) % 40961) - 20480 for i in range(n)]
+
+
+def interleave(*chans):
+    out = []
+    for fr in zip(*chans):
+        out.extend(fr)
+    return out
+
+
+def features(name, channels, rate, samples):
+    frames = len(samples) // channels
+    peak = max(abs(s) for s in samples)
+    energy = sum(s * s for s in samples)
+    ch0 = samples[0::channels]
+    zc = sum(1 for i in range(1, len(ch0)) if ch0[i - 1] * ch0[i] < 0)
+    pcm = b''.join(struct.pack('<h', s) for s in samples)
+    return dict(name=name, channels=channels, sample_rate=rate, frames=frames,
+                duration_us=frames * 1000000 // rate, peak=peak, energy=energy,
+                zero_crossings=zc, pcm_sha=hashlib.sha256(pcm).hexdigest())
+
+
+def windows(name, channels, rate, samples):
+    ch0 = samples[0::channels]
+    win = rate // 50  # 20 ms
+    rows = []
+    for wi in range(len(ch0) // win):
+        seg = ch0[wi * win:(wi + 1) * win]
+        zc = sum(1 for i in range(1, len(seg)) if seg[i - 1] * seg[i] < 0)
+        rows.append(dict(name=name, win_idx=wi, n_frames=win,
+                         energy=sum(s * s for s in seg), zero_crossings=zc))
+    return rows
+
+
+def main():
+    os.makedirs(OUTDIR, exist_ok=True)
+    mono = sine(16000, 0.5, 440, 12000)
+    left = sine(44100, 0.25, 440, 9000)
+    right = saw(44100, 0.25, 220, 9000)
+    noisy = pseudo(8000, 0.3)
+
+    files = [
+        ('aud_00.wav', 1, 16000, mono, ()),
+        ('aud_01.wav', 2, 44100, interleave(left, right), ()),
+        ('aud_02.wav', 1, 8000, noisy,
+         ((b'LIST', b'INFOISFTgraft synth'),)),  # odd-length chunk: pad rule
+    ]
+    feat_rows, win_rows = [], []
+    for name, ch, rate, samples, extra in files:
+        with open(f'{OUTDIR}/{name}', 'wb') as f:
+            f.write(riff(ch, rate, samples, extra))
+        feat_rows.append(features(name, ch, rate, samples))
+        win_rows.extend(windows(name, ch, rate, samples))
+    # 8-bit PCM: the decoder must REJECT it (spec-only, .wav8 dodges the glob)
+    with open(f'{OUTDIR}/aud_03.wav8', 'wb') as f:
+        f.write(riff(1, 8000, [0, 10, -10, 100], bits=8))
+
+    import duckdb
+    import pandas as pd
+    con = duckdb.connect()
+    fdf = pd.DataFrame(feat_rows)
+    con.execute(
+        "CREATE TABLE f AS SELECT name, CAST(channels AS INT) channels, "
+        "CAST(sample_rate AS INT) sample_rate, CAST(frames AS BIGINT) frames, "
+        "CAST(duration_us AS BIGINT) duration_us, CAST(peak AS INT) peak, "
+        "CAST(energy AS BIGINT) energy, CAST(zero_crossings AS BIGINT) zero_crossings, "
+        "pcm_sha FROM fdf")
+    con.execute(f"COPY f TO '{EXP_FEAT}' (FORMAT PARQUET)")
+    wdf = pd.DataFrame(win_rows)
+    con.execute(
+        "CREATE TABLE w AS SELECT name, CAST(win_idx AS INT) win_idx, "
+        "CAST(n_frames AS INT) n_frames, CAST(energy AS BIGINT) energy, "
+        "CAST(zero_crossings AS BIGINT) zero_crossings FROM wdf")
+    con.execute(f"COPY w TO '{EXP_WIN}' (FORMAT PARQUET)")
+    for r in feat_rows:
+        print(r)
+    print(f'{len(win_rows)} window rows')
+
+
+if __name__ == '__main__':
+    main()
