@@ -10,15 +10,22 @@ import scala.collection.mutable
   * absent offline, so this covers the deterministic subset honestly and
   * rejects the rest loudly:
   *
-  *  - axis-aligned rectangle path fills: `re` + `f`/`F` (nonzero winding;
-  *    `f*` even-odd is rejected — it diverges on overlapping subpaths),
-  *    `n` no-op paint;
-  *  - fill color: `rg` (RGB 0..1) and `g` (gray); stroke-color ops
-  *    (RG/G/K) are consumed-ignored since stroking itself is rejected;
-  *    CMYK/ICC fill (`k`/`cs`/`sc`/`scn`) is rejected (no profile math
-  *    offline);
-  *  - graphics state: `q`/`Q` save/restore, `cm` TRANSLATION-ONLY (any
-  *    scale/rotation/skew throws);
+  *  - path construction: `re` rectangles, `m`/`l` polylines, `c`/`v`/`y`
+  *    cubic Béziers (flattened to 16 chords at t = i/16 — the fixed
+  *    subdivision IS the pixel contract), `h` close;
+  *  - painting: `f`/`F` nonzero-winding fill, `f*` even-odd fill, `S`
+  *    stroke, `s` close+stroke, `B` fill+stroke, `n` no-op. Rect-only `f`
+  *    paths keep the exact half-even box rule below; every other paint is
+  *    a pixel-center scanline (a pixel is painted iff its center point
+  *    (x+0.5, y+0.5) is inside, with the half-open edge rule
+  *    ymin ≤ Y < ymax). Strokes are per-segment butt-capped quads of the
+  *    current `w` line width — NO joins or caps, so `J`/`j`/`M` are
+  *    consumed-ignored; non-empty dash patterns (`d`) throw;
+  *  - color: `rg`/`g` fill, `RG`/`G` stroke (RGB 0..1 / gray); CMYK/ICC
+  *    (`k`/`K`/`cs`/`sc`/`scn`) is rejected (no profile math offline);
+  *  - graphics state: `q`/`Q` save/restore (fill+stroke color, line
+  *    width, translation), `cm` TRANSLATION-ONLY (any scale/rotation/skew
+  *    throws);
   *  - text: the same BT/ET operator subset as [[PdfText]] (Td, TD, Tm,
   *    T-star, TL positioning; Tj/'/"/TJ shows; per-font /ToUnicode CMap or
   *    Latin-1/UTF-16BE-BOM string decoding), drawn with the built-in
@@ -27,9 +34,9 @@ import scala.collection.mutable
   *    into the single-case font, space advances one cell, any other
   *    unmapped character THROWS (silently-blank text is the failure mode
   *    this module exists to avoid);
-  *  - curves (c/v/y), line paths (m/l/h), stroking (S/s/B…), clipping
-  *    (W/W*), shading (sh), XObjects (Do), inline images (BI) all throw
-  *    with a reason.
+  *  - clipping (W/W*), shading (sh), XObjects (Do), inline images (BI),
+  *    even-odd fill+stroke (B*), and path ops without a current point all
+  *    throw with a reason.
   *
   * Pixel rules (the differential contract with the pure-Python twin,
   * tools/gen_pdfraster_fixture.py): scale s = dpi/72; canvas
@@ -39,6 +46,18 @@ import scala.collection.mutable
   * [H−rint((y+h)·s), H−rint(y·s)); a glyph run's top-left is
   * (rint(tx·s), H−rint(ty·s)−GlyphH·iscale) and runs advance a
   * pixel-space pen by (GlyphW+1)·iscale per cell.
+  *
+  * Scanline rules (polygon fills and strokes; every formula below is
+  * written in the identical order in the twin so IEEE-754 doubles agree
+  * bit-for-bit): user→device is X = u·s, Y = H − v·s; a path edge
+  * (X0,Y0)→(X1,Y1) crosses scanline Y = row+0.5 when ymin ≤ Y < ymax
+  * (downward edges wind +1, upward −1, horizontal edges never cross) at
+  * Xi = X0 + (Y − Y0)·(X1 − X0)/(Y1 − Y0); crossings sort by Xi and a
+  * span [Xa, Xb) of nonzero winding (or odd parity for `f*`) paints
+  * columns [ceil(Xa − 0.5), ceil(Xb − 0.5)). Fills close every subpath
+  * implicitly; strokes only close `h`-closed subpaths. A stroke segment's
+  * quad offsets the endpoints by (−dy/len·hw, dx/len·hw) with
+  * len = sqrt(dx² + dy²) and hw = w·s/2.
   */
 object PdfRaster {
 
@@ -47,15 +66,25 @@ object PdfRaster {
   private val MediaBoxRe =
     """/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]""".r
 
-  /** Ops with no effect on the rasterized subset (stroke state/color, text
+  /** Ops with no effect on the rasterized subset (caps/joins/miter — the
+    * stroke model is per-segment butt-capped quads with no joins — text
     * spacing we have no metrics for, marked content). Everything not here,
     * not a supported op, throws.
     */
   private val IgnoredOps: Set[String] = Set(
-    "RG", "G", "K", "gs", "w", "J", "j", "M", "d", "ri", "i",
+    "gs", "J", "j", "M", "ri", "i",
     "Tc", "Tw", "Tz", "Ts", "Tr", "BMC", "BDC", "EMC", "MP", "DP")
 
-  private final case class GState(fill: (Int, Int, Int), tx: Double, ty: Double)
+  private final case class GState(fill: (Int, Int, Int), stroke: (Int, Int, Int),
+                                  lineWidth: Double, tx: Double, ty: Double)
+
+  /** One path subpath: translated user-space points (curves already
+    * flattened), plus whether `h` closed it (fills close implicitly;
+    * strokes draw the closing segment only when closed).
+    */
+  private final class Sub(val pts: mutable.ArrayBuffer[(Double, Double)], var closed: Boolean)
+
+  private val BezierChords = 16
 
   def rasterize(pdfBytes: Array[Byte], dpi: Int): Vector[RasterPage] = {
     import PdfPages._
@@ -162,10 +191,130 @@ object PdfRaster {
       penDx
     }
 
+    // ---- scanline machinery (polygon fills + strokes) --------------------
+    // Device transform for path points: X = u·s, Y = h − v·s (pixel-center
+    // sampling; the rect-only `f` fast path keeps the rint box rule above).
+    val hD = h.toDouble
+
+    // each ring is a device-space point list, implicitly closed
+    def scanFill(rings: Seq[IndexedSeq[(Double, Double)]], evenOdd: Boolean,
+                 c: (Int, Int, Int)): Unit = {
+      val edges = mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
+      var yMin = Double.MaxValue; var yMax = -Double.MaxValue
+      rings.foreach { ring =>
+        val n = ring.length
+        if (n >= 2) {
+          var i = 0
+          while (i < n) {
+            val (x0, y0) = ring(i)
+            val (x1, y1) = ring((i + 1) % n)
+            if (y0 != y1) edges += ((x0, y0, x1, y1))
+            yMin = math.min(yMin, math.min(y0, y1))
+            yMax = math.max(yMax, math.max(y0, y1))
+            i += 1
+          }
+        }
+      }
+      if (edges.nonEmpty) {
+        val rowLo = math.max(0, math.floor(yMin - 0.5).toInt)
+        val rowHi = math.min(h, math.ceil(yMax + 0.5).toInt)
+        val xs = new mutable.ArrayBuffer[(Double, Int)](edges.length)
+        var row = rowLo
+        while (row < rowHi) {
+          val yC = row + 0.5
+          xs.clear()
+          edges.foreach { case (x0, y0, x1, y1) =>
+            // half-open: include the lower-y endpoint, exclude the upper —
+            // a vertex shared by two edges crosses exactly once
+            if (y0 < y1) { if (y0 <= yC && yC < y1) xs += ((x0 + (yC - y0) * (x1 - x0) / (y1 - y0), 1)) }
+            else if (y1 <= yC && yC < y0) xs += ((x0 + (yC - y0) * (x1 - x0) / (y1 - y0), -1))
+          }
+          if (xs.nonEmpty) {
+            val sorted = xs.sortBy(_._1)
+            var acc = 0
+            var i = 0
+            while (i < sorted.length - 1) {
+              acc += sorted(i)._2
+              val inside = if (evenOdd) (i % 2 == 0) else acc != 0
+              if (inside) {
+                val xa = math.max(0, math.ceil(sorted(i)._1 - 0.5).toInt)
+                val xb = math.min(w, math.ceil(sorted(i + 1)._1 - 0.5).toInt)
+                var x = xa
+                while (x < xb) {
+                  val o = (row * w + x) * 3
+                  rgb(o) = c._1.toByte; rgb(o + 1) = c._2.toByte; rgb(o + 2) = c._3.toByte
+                  x += 1
+                }
+              }
+              i += 1
+            }
+          }
+          row += 1
+        }
+      }
+    }
+
+    def deviceRing(sub: Sub): IndexedSeq[(Double, Double)] =
+      sub.pts.map { case (ux, uy) => (ux * s, hD - uy * s) }.toIndexedSeq
+
+    def strokeSubs(subs: Seq[Sub], lwDev: Double, c: (Int, Int, Int)): Unit = {
+      require(lwDev > 0, s"page $pageNum: non-positive stroke width $lwDev")
+      val hw = lwDev / 2.0
+      subs.foreach { sub =>
+        val ring = deviceRing(sub)
+        val n = ring.length
+        if (n >= 2) {
+          val segs = if (sub.closed) n else n - 1
+          var i = 0
+          while (i < segs) {
+            val (x0, y0) = ring(i)
+            val (x1, y1) = ring((i + 1) % n)
+            if (x0 != x1 || y0 != y1) {
+              val dx = x1 - x0; val dy = y1 - y0
+              val len = math.sqrt(dx * dx + dy * dy)
+              val nx = -dy / len * hw; val ny = dx / len * hw
+              // per-segment butt-capped quad; overlap at shared vertices is
+              // idempotent (same color), so the no-join model needs no seams
+              scanFill(Seq(IndexedSeq(
+                (x0 + nx, y0 + ny), (x1 + nx, y1 + ny),
+                (x1 - nx, y1 - ny), (x0 - nx, y0 - ny))), evenOdd = false, c)
+            }
+            i += 1
+          }
+        }
+      }
+    }
+
     val toks = PdfText.tokenize(content)
-    var st = GState((0, 0, 0), 0.0, 0.0)
+    var st = GState((0, 0, 0), (0, 0, 0), 1.0, 0.0, 0.0)
     val stack = mutable.Stack.empty[GState]
     val rects = mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
+    val subs = mutable.ArrayBuffer.empty[Sub]
+
+    def curSub: Sub = {
+      require(subs.nonEmpty && !subs.last.closed,
+        s"page $pageNum: path op without a current point (m starts a subpath)")
+      subs.last
+    }
+    def appendCubic(sub: Sub, x1: Double, y1: Double, x2: Double, y2: Double,
+                    x3: Double, y3: Double): Unit = {
+      val (x0, y0) = sub.pts.last
+      var i = 1
+      while (i <= BezierChords) {
+        val t = i / BezierChords.toDouble
+        val mt = 1.0 - t
+        sub.pts += ((mt * mt * mt * x0 + 3.0 * mt * mt * t * x1 + 3.0 * mt * t * t * x2 + t * t * t * x3,
+          mt * mt * mt * y0 + 3.0 * mt * mt * t * y1 + 3.0 * mt * t * t * y2 + t * t * t * y3))
+        i += 1
+      }
+    }
+    def rectSub(r: (Double, Double, Double, Double)): Sub = r match {
+      case (x, y, rw, rh) => new Sub(mutable.ArrayBuffer(
+        (x, y), (x + rw, y), (x + rw, y + rh), (x, y + rh)), closed = true)
+    }
+    def clearPath(): Unit = { rects.clear(); subs.clear() }
+    def strokeAll(): Unit =
+      strokeSubs(rects.map(rectSub).toSeq ++ subs.toSeq, st.lineWidth * s, st.stroke)
     var inText = false
     var lineX = 0.0; var lineY = 0.0
     var leading = 0.0
@@ -233,15 +382,79 @@ object PdfRaster {
           case "g" =>
             val v = colorByte(num(operands.last))
             st = st.copy(fill = (v, v, v))
+          case "RG" =>
+            require(operands.length >= 3, "RG needs 3 operands")
+            val Seq(r, g, b) = operands.takeRight(3).map(num).toSeq
+            st = st.copy(stroke = (colorByte(r), colorByte(g), colorByte(b)))
+          case "G" =>
+            val v = colorByte(num(operands.last))
+            st = st.copy(stroke = (v, v, v))
+          case "w" =>
+            val lw = num(operands.last)
+            require(lw > 0, s"page $pageNum: non-positive line width $lw")
+            st = st.copy(lineWidth = lw)
+          case "d" =>
+            // the stroke model has no dash phase math — only the solid
+            // pattern "[] 0 d" is accepted
+            require(arrDone != null && arrDone.isEmpty,
+              s"page $pageNum: non-empty dash pattern unsupported")
+            arrDone = null
           case "re" =>
             require(operands.length >= 4, "re needs 4 operands")
             val Seq(x, y, rw, rh) = operands.takeRight(4).map(num).toSeq
             require(rw > 0 && rh > 0, s"page $pageNum: non-positive re ${rw}x$rh")
             rects += ((x + st.tx, y + st.ty, rw, rh))
+          case "m" =>
+            require(operands.length >= 2, "m needs 2 operands")
+            subs += new Sub(mutable.ArrayBuffer(
+              (num(operands(operands.length - 2)) + st.tx, num(operands.last) + st.ty)),
+              closed = false)
+          case "l" =>
+            require(operands.length >= 2, "l needs 2 operands")
+            curSub.pts += ((num(operands(operands.length - 2)) + st.tx,
+              num(operands.last) + st.ty))
+          case "c" =>
+            require(operands.length >= 6, "c needs 6 operands")
+            val Seq(x1, y1, x2, y2, x3, y3) = operands.takeRight(6).map(num).toSeq
+            appendCubic(curSub, x1 + st.tx, y1 + st.ty, x2 + st.tx, y2 + st.ty,
+              x3 + st.tx, y3 + st.ty)
+          case "v" =>
+            require(operands.length >= 4, "v needs 4 operands")
+            val Seq(x2, y2, x3, y3) = operands.takeRight(4).map(num).toSeq
+            val (x0, y0) = curSub.pts.last
+            appendCubic(curSub, x0, y0, x2 + st.tx, y2 + st.ty, x3 + st.tx, y3 + st.ty)
+          case "y" =>
+            require(operands.length >= 4, "y needs 4 operands")
+            val Seq(x1, y1, x3, y3) = operands.takeRight(4).map(num).toSeq
+            appendCubic(curSub, x1 + st.tx, y1 + st.ty, x3 + st.tx, y3 + st.ty,
+              x3 + st.tx, y3 + st.ty)
+          case "h" =>
+            require(subs.nonEmpty, s"page $pageNum: h without a subpath")
+            subs.last.closed = true
           case "f" | "F" =>
             rects.foreach { case (x, y, rw, rh) => fillRect(x, y, rw, rh, st.fill) }
-            rects.clear()
-          case "n" => rects.clear()
+            scanFill(subs.map(deviceRing).toSeq, evenOdd = false, st.fill)
+            clearPath()
+          case "f*" =>
+            // even-odd parity across ALL subpaths — rects convert to rings
+            // so the parity interplay with polygon subpaths is real
+            scanFill((rects.map(rectSub) ++ subs).map(deviceRing).toSeq,
+              evenOdd = true, st.fill)
+            clearPath()
+          case "S" =>
+            strokeAll()
+            clearPath()
+          case "s" =>
+            require(subs.nonEmpty, s"page $pageNum: s without a subpath")
+            subs.last.closed = true
+            strokeAll()
+            clearPath()
+          case "B" =>
+            rects.foreach { case (x, y, rw, rh) => fillRect(x, y, rw, rh, st.fill) }
+            scanFill(subs.map(deviceRing).toSeq, evenOdd = false, st.fill)
+            strokeAll()
+            clearPath()
+          case "n" => clearPath()
           case "BT" => inText = true; lineX = 0.0; lineY = 0.0; penPx = 0
           case "ET" => inText = false
           case "Tf" =>
@@ -299,11 +512,11 @@ object PdfRaster {
             }
             arrDone = null
             show(sb.toString)
-          case known if IgnoredOps(known) => // stroke/spacing state: no raster effect
+          case known if IgnoredOps(known) => // caps/joins/spacing: no raster effect
           case unknown =>
-            // LOUD contract: curves, line paths, stroking, clipping,
-            // shading, XObjects, inline images — anything we cannot render
-            // bit-exactly is rejected, never approximated
+            // LOUD contract: clipping, shading, XObjects, inline images —
+            // anything we cannot render bit-exactly is rejected, never
+            // approximated
             throw new IllegalArgumentException(
               s"page $pageNum: content-stream operator '$unknown' is outside the raster subset")
         }
@@ -311,7 +524,8 @@ object PdfRaster {
       case t => operands += t
     }
     require(arr == null, "unterminated [ array")
-    require(rects.isEmpty, s"page $pageNum: path constructed but never painted")
+    require(rects.isEmpty && subs.isEmpty,
+      s"page $pageNum: path constructed but never painted")
     ImageDecode.Decoded(w, h, rgb)
   }
 }

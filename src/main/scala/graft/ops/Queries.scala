@@ -1761,15 +1761,18 @@ object Queries {
   }
 
   /** Subset rasterization of VECTOR/TEXT PDF pages ([[graft.media.PdfRaster]]):
-    * binaryFile scan → per-page content-stream rendering (axis-aligned re+f
-    * rectangle fills, rg/g fill color, q/Q state, translation-only cm, text
-    * via the built-in GlyphFont bitmaps at dpi 144) → one row per page with
-    * the pixel digest. This narrows the one pdfium-blocked reference
-    * capability (`_internal/pdf.py:20-54` renders ANY page) to the
-    * deterministic subset, with curves/stroking/clipping/shading rejected
-    * loudly. Oracle: pixel digests computed by the independent pure-Python
-    * renderer twin (tools/gen_pdfraster_fixture.py) under the same
-    * documented pixel rules.
+    * binaryFile scan → per-page content-stream rendering (re/m/l/c/v/y/h
+    * path construction with 16-chord Bézier flattening, nonzero f and
+    * even-odd f* pixel-center scanline fills, butt-cap quad strokes S/s/B
+    * with w width and RG/G stroke color, rg/g fill color, q/Q state,
+    * translation-only cm, text via the built-in GlyphFont bitmaps at dpi
+    * 144) → one row per page with the pixel digest. This narrows the one
+    * pdfium-blocked reference capability (`_internal/pdf.py:20-54` renders
+    * ANY page) to the deterministic subset, with clipping/shading/XObject
+    * composition rejected loudly. Oracle: pixel digests computed by the
+    * independent pure-Python renderer twin (tools/gen_pdfraster_fixture.py)
+    * under the same documented pixel rules — every scanline formula written
+    * in the identical order so IEEE doubles agree bit-for-bit.
     */
   def pdfRaster(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

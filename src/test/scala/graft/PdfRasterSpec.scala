@@ -12,9 +12,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PdfRasterSpec extends AnyFunSuite {
 
-  private def fixture: Array[Byte] =
+  private def fixture(name: String = "raster_00.pdf"): Array[Byte] =
     java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("src/test/resources/media/rasterpdf/raster_00.pdf"))
+      java.nio.file.Paths.get(s"src/test/resources/media/rasterpdf/$name"))
 
   private lazy val goldens = {
     val in = getClass.getResourceAsStream("/goldens/pdfraster_goldens.json")
@@ -23,16 +23,20 @@ class PdfRasterSpec extends AnyFunSuite {
 
   test("rasterized pages match the Python twin's pixel digests") {
     val dpi = goldens.get("dpi").asInt
-    val pages = PdfRaster.rasterize(fixture, dpi)
     val exp = goldens.get("pages")
-    assert(pages.length == exp.size())
-    pages.zipWithIndex.foreach { case (p, i) =>
-      val e = exp.get(i)
-      assert(p.pageIndex == e.get("page_index").asInt)
-      assert(p.image.width == e.get("width").asInt, s"page $i width")
-      assert(p.image.height == e.get("height").asInt, s"page $i height")
-      assert(ImageDecode.sha256Hex(p.image.rgb) == e.get("pixel_sha").asText,
-        s"page $i pixels diverge from the Python twin")
+    val byName = (0 until exp.size()).map(exp.get).groupBy(_.get("name").asText)
+    assert(byName.keySet ==
+      Set("raster_00.pdf", "raster_01.pdf", "raster_02.pdf"))
+    byName.foreach { case (name, pageExp) =>
+      val pages = PdfRaster.rasterize(fixture(name), dpi)
+      assert(pages.length == pageExp.length, s"$name page count")
+      pages.zip(pageExp).foreach { case (p, e) =>
+        assert(p.pageIndex == e.get("page_index").asInt)
+        assert(p.image.width == e.get("width").asInt, s"$name p${p.pageIndex} width")
+        assert(p.image.height == e.get("height").asInt, s"$name p${p.pageIndex} height")
+        assert(ImageDecode.sha256Hex(p.image.rgb) == e.get("pixel_sha").asText,
+          s"$name p${p.pageIndex} pixels diverge from the Python twin")
+      }
     }
   }
 
@@ -67,23 +71,81 @@ class PdfRasterSpec extends AnyFunSuite {
       val ex = intercept[IllegalArgumentException](PdfRaster.rasterize(tinyPdf(content), 72))
       assert(ex.getMessage.contains(needle), s"for [$content] got: ${ex.getMessage}")
     }
-    rejects("10 10 m 20 20 l S", "outside the raster subset") // line paths/stroke
     rejects("5 5 10 10 re W n", "outside the raster subset") // clipping
-    rejects("5 5 10 10 re f*", "outside the raster subset") // even-odd fill
+    rejects("10 10 m 30 10 l 30 30 l h B*", "outside the raster subset") // even-odd fill+stroke
     rejects("0 0 0.5 0 k 5 5 10 10 re f", "outside the raster subset") // CMYK fill
+    rejects("0 0 0.5 0 K 10 10 m 30 30 l S", "outside the raster subset") // CMYK stroke
     rejects("q 2 0 0 2 0 0 cm 5 5 10 10 re f Q", "non-translation cm") // scale
     rejects("BT /F1 7 Tf 2 25 Td (#) Tj ET", "outside the built-in glyph font")
     rejects("Q", "empty graphics-state stack")
     rejects("5 5 10 10 re", "constructed but never painted")
+    rejects("10 10 m 20 20 l", "constructed but never painted") // poly subpath too
     rejects("1.5 0 0 rg 5 5 10 10 re f", "outside [0,1]") // bad color component
+    rejects("10 10 l S", "without a current point") // l before m
+    rejects("10 10 20 20 30 30 c S", "without a current point") // c before m
+    rejects("h S", "h without a subpath")
+    rejects("0 w 10 10 m 20 20 l S", "non-positive line width")
+    rejects("[2 1] 0 d 10 10 m 20 20 l S", "non-empty dash pattern")
+  }
+
+  test("nonzero vs even-odd fill diverge exactly on the self-intersecting star") {
+    // 5-point star around (25,20): even-odd leaves the center pentagon
+    // unpainted, nonzero paints it — the pixel at the center is the witness
+    val star = "25 35 m 16.18 7.86 l 39.27 24.64 l 10.73 24.64 l 33.82 7.86 l h"
+    def centerBlack(paint: String): Boolean = {
+      val p = PdfRaster.rasterize(tinyPdf(s"0 0 0 rg $star $paint"), 72).head.image
+      val o = (20 * p.width + 25) * 3 // device y = 40 - 20
+      p.rgb(o) == 0x00.toByte
+    }
+    assert(centerBlack("f"), "nonzero winding must fill the star's center")
+    assert(!centerBlack("f*"), "even-odd parity must leave the star's center white")
+  }
+
+  test("opposite-wound inner subpath cuts a hole under nonzero winding") {
+    // outer CCW square + inner CW square: a donut. Check one hole pixel and
+    // one ring pixel.
+    val donut = "5 5 m 45 5 l 45 35 l 5 35 l h 15 13 m 15 27 l 35 27 l 35 13 l h f"
+    val p = PdfRaster.rasterize(tinyPdf(s"0 0 0 rg $donut"), 72).head.image
+    def at(x: Int, y: Int): Byte = p.rgb(((40 - y) * p.width + x) * 3)
+    assert(at(25, 20) == 0xFF.toByte, "hole center must stay white")
+    assert(at(10, 20) == 0x00.toByte, "ring must be black")
+  }
+
+  test("strokes paint butt-capped quads of the line width") {
+    val p = PdfRaster.rasterize(
+      tinyPdf("0 0 0 RG 4 w 10 20 m 40 20 l S"), 72).head.image
+    def at(x: Int, y: Int): Byte = p.rgb(((40 - y) * p.width + x) * 3)
+    assert(at(25, 20) == 0x00.toByte, "stroke center")
+    assert(at(25, 21) == 0x00.toByte, "stroke half-width above")
+    assert(at(25, 25) == 0xFF.toByte, "outside the 4-wide stroke")
+    assert(at(5, 20) == 0xFF.toByte, "butt cap: nothing before the start point")
+    // closed triangle via s draws the closing segment
+    val tri = PdfRaster.rasterize(
+      tinyPdf("0 0 0 RG 2 w 10 10 m 40 10 l 25 30 l s"), 72).head.image
+    val closing = tri.rgb(((40 - 10) * tri.width + 25) * 3) // midpoint of base
+    assert(closing == 0x00.toByte, "s must stroke the closing segment")
+  }
+
+  test("cubic curves flatten deterministically and fill") {
+    // a filled half-blob: curve up from (10,10) to (40,10), closed by h
+    val p = PdfRaster.rasterize(
+      tinyPdf("0 0 0 rg 10 10 m 10 30 40 30 40 10 c h f"), 72).head.image
+    def at(x: Int, y: Int): Byte = p.rgb(((40 - y) * p.width + x) * 3)
+    assert(at(25, 15) == 0x00.toByte, "inside the blob")
+    assert(at(25, 28) == 0xFF.toByte, "above the curve's apex")
+    assert(at(12, 25) == 0xFF.toByte, "outside the left shoulder")
+    // determinism across runs
+    val again = PdfRaster.rasterize(
+      tinyPdf("0 0 0 rg 10 10 m 10 30 40 30 40 10 c h f"), 72).head.image
+    assert(ImageDecode.sha256Hex(again.rgb) == ImageDecode.sha256Hex(p.rgb))
   }
 
   test("dpi scales the canvas and the same page stays deterministic") {
-    val at72 = PdfRaster.rasterize(fixture, 72)
-    val at144 = PdfRaster.rasterize(fixture, 144)
+    val at72 = PdfRaster.rasterize(fixture(), 72)
+    val at144 = PdfRaster.rasterize(fixture(), 144)
     assert(at144.head.image.width == at72.head.image.width * 2)
     assert(at144.head.image.height == at72.head.image.height * 2)
-    val again = PdfRaster.rasterize(fixture, 144)
+    val again = PdfRaster.rasterize(fixture(), 144)
     assert(ImageDecode.sha256Hex(again(1).image.rgb) ==
       ImageDecode.sha256Hex(at144(1).image.rgb))
   }

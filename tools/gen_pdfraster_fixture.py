@@ -1,6 +1,8 @@
 """Generate vector/text PDF fixtures + independent expected raster pixels for
-graft.media.PdfRaster (the subset rasterizer: axis-aligned re+f rectangle
-fills, rg/g fill color, q/Q state, translation-only cm, GlyphFont text).
+graft.media.PdfRaster (the subset rasterizer: re/m/l/c/v/y/h path
+construction, nonzero f / even-odd f* fills, butt-cap quad strokes S/s/B
+with w line width and RG/G stroke color, rg/g fill color, q/Q state,
+translation-only cm, GlyphFont text).
 
 Each PDF is built in pure Python (classic xref, /Kids tree, custom MediaBox)
 and rendered HERE with an independent implementation of the documented pixel
@@ -8,8 +10,14 @@ rules — scale s = dpi/72, W×H = round(mb·s) white canvas, all user→device
 rounding via Python round() (half-even = the JVM's math.rint), y flipped
 device-down, rects covering [round(x·s), round((x+w)·s)) ×
 [H−round((y+h)·s), H−round(y·s)), glyph runs at
-(round(tx·s), H−round(ty·s)−7·iscale) with iscale = max(1, round(size·s/7))
-and a pixel-space pen advancing 6·iscale per cell. The glyph table is a
+(round(tx·s), H−round(ty·s)−7·iscale) with iscale = max(1, round(size·s/7)).
+Polygon fills and strokes use the pixel-center scanline rules (Béziers
+flattened to 16 chords at t=i/16, half-open edge rule ymin<=Y<ymax at
+Y=row+0.5, crossings at x0+(Y−y0)(x1−x0)/(y1−y0) sorted by x, spans
+painting columns [ceil(xa−0.5), ceil(xb−0.5)), stroke quads offset by
+(−dy/len·hw, dx/len·hw) with len=sqrt(dx²+dy²), hw=w·s/2) — every formula
+written in the identical order as the Scala side so IEEE doubles agree
+bit-for-bit. The glyph table is a
 deliberate duplicate of GlyphFont's (token alphabet + the round-5 full
 uppercase/digit/punctuation extension): any transcription drift between the
 twins fails PdfRasterSpec / the q_pdf_raster oracle.
@@ -81,8 +89,9 @@ FONT = {
     '!': [0x04, 0x04, 0x04, 0x04, 0x04, 0x00, 0x04],
 }
 
-IGNORED = {'RG', 'G', 'K', 'gs', 'w', 'J', 'j', 'M', 'd', 'ri', 'i',
+IGNORED = {'gs', 'J', 'j', 'M', 'ri', 'i',
            'Tc', 'Tw', 'Tz', 'Ts', 'Tr', 'BMC', 'BDC', 'EMC', 'MP', 'DP'}
+BEZIER_CHORDS = 16
 
 
 def build_pdf(pages, cmap=None):
@@ -155,6 +164,88 @@ def render(content, fonts, mbw, mbh, dpi):
                 o = (yy * W + xx) * 3
                 rgb[o:o + 3] = bytes(c)
 
+    import math as _math
+    HD = float(H)
+
+    def device_ring(pts):
+        return [(ux * s, HD - uy * s) for (ux, uy) in pts]
+
+    def scan_fill(rings, even_odd, c):
+        # rings: device-space point lists, implicitly closed
+        edges = []
+        y_min, y_max = float('inf'), float('-inf')
+        for ring in rings:
+            n = len(ring)
+            if n >= 2:
+                for i in range(n):
+                    x0, y0 = ring[i]
+                    x1, y1 = ring[(i + 1) % n]
+                    if y0 != y1:
+                        edges.append((x0, y0, x1, y1))
+                    y_min = min(y_min, y0, y1)
+                    y_max = max(y_max, y0, y1)
+        if not edges:
+            return
+        row_lo = max(0, _math.floor(y_min - 0.5))
+        row_hi = min(H, _math.ceil(y_max + 0.5))
+        for row in range(row_lo, row_hi):
+            yc = row + 0.5
+            xs = []
+            for (x0, y0, x1, y1) in edges:
+                # half-open: include lower-y endpoint, exclude upper
+                if y0 < y1:
+                    if y0 <= yc < y1:
+                        xs.append((x0 + (yc - y0) * (x1 - x0) / (y1 - y0), 1))
+                elif y1 <= yc < y0:
+                    xs.append((x0 + (yc - y0) * (x1 - x0) / (y1 - y0), -1))
+            if not xs:
+                continue
+            xs.sort(key=lambda e: e[0])
+            acc = 0
+            for i in range(len(xs) - 1):
+                acc += xs[i][1]
+                inside = (i % 2 == 0) if even_odd else acc != 0
+                if inside:
+                    xa = max(0, _math.ceil(xs[i][0] - 0.5))
+                    xb = min(W, _math.ceil(xs[i + 1][0] - 0.5))
+                    for x in range(xa, xb):
+                        o = (row * W + x) * 3
+                        rgb[o:o + 3] = bytes(c)
+
+    def stroke_subs(sub_list, lw_dev, c):
+        assert lw_dev > 0, f'non-positive stroke width {lw_dev}'
+        hw = lw_dev / 2.0
+        for (pts, closed) in sub_list:
+            ring = device_ring(pts)
+            n = len(ring)
+            if n < 2:
+                continue
+            segs = n if closed else n - 1
+            for i in range(segs):
+                x0, y0 = ring[i]
+                x1, y1 = ring[(i + 1) % n]
+                if x0 == x1 and y0 == y1:
+                    continue
+                dx = x1 - x0
+                dy = y1 - y0
+                ln = _math.sqrt(dx * dx + dy * dy)
+                nx = -dy / ln * hw
+                ny = dx / ln * hw
+                scan_fill([[(x0 + nx, y0 + ny), (x1 + nx, y1 + ny),
+                            (x1 - nx, y1 - ny), (x0 - nx, y0 - ny)]], False, c)
+
+    def append_cubic(pts, x1, y1, x2, y2, x3, y3):
+        x0, y0 = pts[-1]
+        for i in range(1, BEZIER_CHORDS + 1):
+            t = i / float(BEZIER_CHORDS)
+            mt = 1.0 - t
+            pts.append((mt * mt * mt * x0 + 3.0 * mt * mt * t * x1 + 3.0 * mt * t * t * x2 + t * t * t * x3,
+                        mt * mt * mt * y0 + 3.0 * mt * mt * t * y1 + 3.0 * mt * t * t * y2 + t * t * t * y3))
+
+    def rect_sub(r):
+        x, y, w2, h2 = r
+        return ([(x, y), (x + w2, y), (x + w2, y + h2), (x, y + h2)], True)
+
     def draw_cells(text, x_px, top_px, isc, c):
         pen = 0
         for ch in text:
@@ -177,9 +268,12 @@ def render(content, fonts, mbw, mbh, dpi):
         return pen
 
     fill = (0, 0, 0)
+    stroke = (0, 0, 0)
+    line_w = 1.0
     tx = ty = 0.0
     stack = []
     rects = []
+    subs = []  # [pts:list[(x,y)], closed:bool] — mutated in place
     in_text = False
     lx = ly = leading = 0.0
     font_size = 0.0
@@ -221,9 +315,9 @@ def render(content, fonts, mbw, mbh, dpi):
             arr.append((kind, val))
         elif kind == 'op':
             if val == 'q':
-                stack.append((fill, tx, ty))
+                stack.append((fill, stroke, line_w, tx, ty))
             elif val == 'Q':
-                fill, tx, ty = stack.pop()
+                fill, stroke, line_w, tx, ty = stack.pop()
             elif val == 'cm':
                 a, b, c, d = (operands[-6][1], operands[-5][1],
                               operands[-4][1], operands[-3][1])
@@ -235,17 +329,74 @@ def render(content, fonts, mbw, mbh, dpi):
             elif val == 'g':
                 v = color_byte(operands[-1][1])
                 fill = (v, v, v)
+            elif val == 'RG':
+                stroke = (color_byte(operands[-3][1]), color_byte(operands[-2][1]),
+                          color_byte(operands[-1][1]))
+            elif val == 'G':
+                v = color_byte(operands[-1][1])
+                stroke = (v, v, v)
+            elif val == 'w':
+                line_w = operands[-1][1]
+                assert line_w > 0
+            elif val == 'd':
+                assert arr_done is not None and not arr_done, 'non-empty dash pattern'
+                arr_done = None
             elif val == 're':
                 x, y, w2, h2 = (operands[-4][1], operands[-3][1],
                                 operands[-2][1], operands[-1][1])
                 assert w2 > 0 and h2 > 0
                 rects.append((x + tx, y + ty, w2, h2))
+            elif val == 'm':
+                subs.append(([(operands[-2][1] + tx, operands[-1][1] + ty)], False))
+            elif val == 'l':
+                assert subs and not subs[-1][1], 'l without a current point'
+                subs[-1][0].append((operands[-2][1] + tx, operands[-1][1] + ty))
+            elif val == 'c':
+                assert subs and not subs[-1][1], 'c without a current point'
+                append_cubic(subs[-1][0],
+                             operands[-6][1] + tx, operands[-5][1] + ty,
+                             operands[-4][1] + tx, operands[-3][1] + ty,
+                             operands[-2][1] + tx, operands[-1][1] + ty)
+            elif val == 'v':
+                assert subs and not subs[-1][1], 'v without a current point'
+                x0c, y0c = subs[-1][0][-1]
+                append_cubic(subs[-1][0], x0c, y0c,
+                             operands[-4][1] + tx, operands[-3][1] + ty,
+                             operands[-2][1] + tx, operands[-1][1] + ty)
+            elif val == 'y':
+                assert subs and not subs[-1][1], 'y without a current point'
+                append_cubic(subs[-1][0],
+                             operands[-4][1] + tx, operands[-3][1] + ty,
+                             operands[-2][1] + tx, operands[-1][1] + ty,
+                             operands[-2][1] + tx, operands[-1][1] + ty)
+            elif val == 'h':
+                assert subs, 'h without a subpath'
+                subs[-1] = (subs[-1][0], True)
             elif val in ('f', 'F'):
                 for (x, y, w2, h2) in rects:
                     fill_rect(x, y, w2, h2, fill)
-                rects = []
+                scan_fill([device_ring(p) for (p, _) in subs], False, fill)
+                rects, subs = [], []
+            elif val == 'f*':
+                scan_fill([device_ring(p) for (p, _) in
+                           [rect_sub(r) for r in rects] + subs], True, fill)
+                rects, subs = [], []
+            elif val == 'S':
+                stroke_subs([rect_sub(r) for r in rects] + subs, line_w * s, stroke)
+                rects, subs = [], []
+            elif val == 's':
+                assert subs, 's without a subpath'
+                subs[-1] = (subs[-1][0], True)
+                stroke_subs([rect_sub(r) for r in rects] + subs, line_w * s, stroke)
+                rects, subs = [], []
+            elif val == 'B':
+                for (x, y, w2, h2) in rects:
+                    fill_rect(x, y, w2, h2, fill)
+                scan_fill([device_ring(p) for (p, _) in subs], False, fill)
+                stroke_subs([rect_sub(r) for r in rects] + subs, line_w * s, stroke)
+                rects, subs = [], []
             elif val == 'n':
-                rects = []
+                rects, subs = [], []
             elif val == 'BT':
                 in_text = True
                 lx = ly = 0.0
@@ -296,7 +447,7 @@ def render(content, fonts, mbw, mbh, dpi):
             operands = []
         else:
             operands.append((kind, val))
-    assert arr is None and not rects
+    assert arr is None and not rects and not subs
     return W, H, bytes(rgb)
 
 
@@ -594,8 +745,39 @@ def main():
           + "BT /F1 8 Tf 40 40 Td (PAGE 1 OF 1) Tj ET")
     pages1 = [(p3, 400.0, 500.0, True)]
 
+    # raster_02.pdf: the round-5 path/curve/stroke extension. Page 1 is the
+    # fill differential — triangle, the SAME self-intersecting star painted
+    # nonzero (solid) and even-odd (pentagon hole), a winding donut (outer
+    # CCW + inner CW subpath), a cubic blob, and a v/y-op shape. Page 2 is
+    # the stroke scene — zigzag polyline, close-and-stroke triangle, thick
+    # diagonal, curve stroke, fill+stroke pentagon via B, stroked rect,
+    # explicit solid dash "[] 0 d", plus a caption line for the OCR leg.
+    star = ('{sx} {sy} m {p2x} {p2y} l {p4x} {p4y} l {p1x} {p1y} l '
+            '{p3x} {p3y} l h').format(
+        sx=0.0, sy=30.0, p2x=-17.63, p2y=-24.27, p4x=28.53, p4y=9.27,
+        p1x=-28.53, p1y=9.27, p3x=17.63, p3y=-24.27)
+    p4 = (
+        "1 0 0 rg 10 10 m 70 10 l 40 60 l h f "
+        f"0 0 0 rg q 1 0 0 1 120 40 cm {star} f Q "
+        f"0.3 0.3 0.3 rg q 1 0 0 1 60 110 cm {star} f* Q "
+        "0 0.5 0 rg 150 90 m 210 90 l 210 150 l 150 150 l h "
+        "165 105 m 165 135 l 195 135 l 195 105 l h f "
+        "0 0 0.8 rg 20 90 m 20 130 70 130 70 90 c h f "
+        "0.6 0 0.6 rg 120 5 m 140 45 160 5 y 150 0 130 0 v h f")
+    p5 = (
+        "0 0 0 RG 2 w 10 10 m 50 40 l 90 10 l 130 40 l S "
+        "1 0 0 RG 3 w 10 60 m 60 60 l 35 100 l s "
+        "0 0 1 RG 6 w 100 60 m 160 120 l S "
+        "0 0.5 0 RG 2 w 100 10 m 120 50 160 50 180 10 c S "
+        "0.9 0.9 0 rg 0 0 0 RG 2 w 170 60 m 210 75 l 205 115 l 175 120 l 155 90 l h B "
+        "0.5 G 1 w 10 130 40 20 re S "
+        "[] 0 d 0 G 1 w 60 140 m 90 140 l S "
+        "0 0 0 rg BT /F1 8 Tf 100 135 Td (VECTOR PAGE) Tj ET")
+    pages2 = [(p4, 220.0, 160.0, True), (p5, 220.0, 160.0, False)]
+
     fonts = {'F2': cmap_decoder(cmap)}
-    docs = [('raster_00.pdf', pages, cmap), ('raster_01.pdf', pages1, None)]
+    docs = [('raster_00.pdf', pages, cmap), ('raster_01.pdf', pages1, None),
+            ('raster_02.pdf', pages2, None)]
     rows = []
     seg_rows = []
     ocr_out = []
@@ -638,11 +820,11 @@ def main():
         "CAST(x0 AS INT) x0, CAST(y0 AS INT) y0, CAST(x1 AS INT) x1, "
         "CAST(y1 AS INT) y1, CAST(iscale AS INT) iscale, kind, text FROM odf")
     con.execute(f"COPY o TO '{EXPECTED_OCR}' (FORMAT PARQUET)")
-    # goldens stay scoped to raster_00 (PdfRasterSpec rasterizes that file
-    # and compares page-for-page)
+    # goldens cover every fixture file (PdfRasterSpec rasterizes each and
+    # compares page-for-page, so sbt test carries the full differential
+    # without the DuckDB oracle)
     with open(GOLDENS, 'w') as f:
-        json.dump(dict(dpi=dpi, pages=[r for r in rows
-                                       if r['name'] == 'raster_00.pdf']), f, indent=1)
+        json.dump(dict(dpi=dpi, pages=rows), f, indent=1)
     for r in rows:
         print(r)
     for r in seg_rows:
