@@ -33,8 +33,8 @@ object PdfPages {
 
   private[media] val KidsRe = """/Kids\s*\[([^\]]*)\]""".r
   private[media] val RefRe = """(\d+)\s+0\s+R""".r
-  private val XObjectRefRe = """/XObject\s*<<([^>]*)>>""".r
-  private val XObjEntryRe = """/(\w+)\s+(\d+)\s+0\s+R""".r
+  private[media] val XObjectRefRe = """/XObject\s*<<([^>]*)>>""".r
+  private[media] val XObjEntryRe = """/(\w+)\s+(\d+)\s+0\s+R""".r
   private[media] val ContentsRe = """/Contents\s+(\d+)\s+0\s+R""".r
   private[media] val ContentsArrayRe = """/Contents\s*\[([^\]]*)\]""".r
   private[media] val AnyRefRe = """(\d+)\s+(\d+)\s+R""".r
@@ -159,8 +159,8 @@ object PdfPages {
     out.toByteArray
   }
 
-  private def decodeImageObject(bytes: Array[Byte], obj: PdfObject,
-                                objs: Map[Int, PdfObject]): ImageDecode.Decoded = {
+  private[media] def decodeImageObject(bytes: Array[Byte], obj: PdfObject,
+                                       objs: Map[Int, PdfObject]): ImageDecode.Decoded = {
     val dict = obj.dict
     val data = streamData(bytes, obj, objs)
     if (dict.contains("/DCTDecode")) {

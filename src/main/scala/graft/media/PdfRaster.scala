@@ -24,8 +24,20 @@ import scala.collection.mutable
   *  - color: `rg`/`g` fill, `RG`/`G` stroke (RGB 0..1 / gray); CMYK/ICC
   *    (`k`/`K`/`cs`/`sc`/`scn`) is rejected (no profile math offline);
   *  - graphics state: `q`/`Q` save/restore (fill+stroke color, line
-  *    width, translation), `cm` TRANSLATION-ONLY (any scale/rotation/skew
-  *    throws);
+  *    width, translation/scale, text render mode), `cm` as a POSITIVE
+  *    DIAGONAL matrix (b=c=0, a>0, d>0; rotation/skew/mirror throws).
+  *    Non-unit scale is accepted ONLY as the placement transform for an
+  *    image XObject (the `q <w> 0 0 <h> <tx> <ty> cm /Im Do Q` idiom every
+  *    scanned-page generator emits) — a path or text op under non-unit
+  *    scale throws;
+  *  - image XObjects: `Do` composites a /Subtype /Image XObject
+  *    (Flate/DeviceRGB or DCT, decoded by [[PdfPages.decodeImageObject]])
+  *    into the cm box [tx, tx+a]×[ty, ty+d] by nearest-neighbor sampling:
+  *    the box covers device columns [rint(tx·s), rint((tx+a)·s)) and rows
+  *    [H−rint((ty+d)·s), H−rint(ty·s)), and a device pixel (X, Y) inside
+  *    it reads source pixel
+  *    (min(imgW−1, ⌊(X−bx0+0.5)·imgW/boxW⌋), min(imgH−1, ⌊(Y−by0+0.5)·imgH/boxH⌋)).
+  *    Form XObjects throw;
   *  - text: the same BT/ET operator subset as [[PdfText]] (Td, TD, Tm,
   *    T-star, TL positioning; Tj/'/"/TJ shows; per-font /ToUnicode CMap or
   *    Latin-1/UTF-16BE-BOM string decoding), drawn with the built-in
@@ -33,10 +45,14 @@ import scala.collection.mutable
   *    iscale = max(1, rint(fontSize·s/GlyphH)), lowercase ASCII upcases
   *    into the single-case font, space advances one cell, any other
   *    unmapped character THROWS (silently-blank text is the failure mode
-  *    this module exists to avoid);
-  *  - clipping (W/W*), shading (sh), XObjects (Do), inline images (BI),
-  *    even-odd fill+stroke (B*), and path ops without a current point all
-  *    throw with a reason.
+  *    this module exists to avoid). `Tr` render modes: 0 fills glyphs,
+  *    3 is INVISIBLE — no pixels, the pen still advances one cell per
+  *    character, and glyph coverage is NOT required (the OCR-overlay text
+  *    layer of a scanned+OCR'd page is arbitrary recognizer output);
+  *    stroke/clip text modes 1-2 and 4-7 throw;
+  *  - clipping (W/W*), shading (sh), inline images (BI), even-odd
+  *    fill+stroke (B*), and path ops without a current point all throw
+  *    with a reason.
   *
   * Pixel rules (the differential contract with the pure-Python twin,
   * tools/gen_pdfraster_fixture.py): scale s = dpi/72; canvas
@@ -73,10 +89,14 @@ object PdfRaster {
     */
   private val IgnoredOps: Set[String] = Set(
     "gs", "J", "j", "M", "ri", "i",
-    "Tc", "Tw", "Tz", "Ts", "Tr", "BMC", "BDC", "EMC", "MP", "DP")
+    "Tc", "Tw", "Tz", "Ts", "BMC", "BDC", "EMC", "MP", "DP")
 
+  /** textRender: PDF Tr mode — 0 fill, 3 invisible (the OCR text layer of
+    * a scanned+OCR'd page); sx/sy: cm scale, unit except around `Do`.
+    */
   private final case class GState(fill: (Int, Int, Int), stroke: (Int, Int, Int),
-                                  lineWidth: Double, tx: Double, ty: Double)
+                                  lineWidth: Double, tx: Double, ty: Double,
+                                  sx: Double, sy: Double, textRender: Int)
 
   /** One path subpath: translated user-space points (curves already
     * flattened), plus whether `h` closed it (fills close implicitly;
@@ -109,8 +129,22 @@ object PdfRaster {
         (mb.group(1).toDouble, mb.group(2).toDouble, mb.group(3).toDouble, mb.group(4).toDouble)
       require(x0 == 0.0 && y0 == 0.0, s"page $pageNum: non-origin MediaBox unsupported")
       val fonts = PdfText.pageFonts(pdfBytes, page, objs, pageNum)
+      // decode every /Resources /XObject up front: Do resolves by name, a
+      // dangling ref or a form XObject fails before any pixel is painted
+      val xobjects: Map[String, ImageDecode.Decoded] =
+        XObjectRefRe.findFirstMatchIn(page.dict)
+          .orElse(XObjectRefRe.findFirstMatchIn(pagesNode.dict))
+          .map(m => XObjEntryRe.findAllMatchIn(m.group(1)).map { mm =>
+            val ref = mm.group(2).toInt
+            val obj = objs.getOrElse(ref, throw new IllegalArgumentException(
+              s"page $pageNum: XObject /${mm.group(1)} ref $ref R is dangling"))
+            require(!obj.dict.contains("/Form"),
+              s"page $pageNum: form XObject /${mm.group(1)} is outside the raster subset")
+            mm.group(1) -> decodeImageObject(pdfBytes, obj, objs)
+          }.toMap)
+          .getOrElse(Map.empty)
       RasterPage(pageIdx,
-        render(contentText(pdfBytes, page, objs), fonts, mbW, mbH, dpi, pageNum))
+        render(contentText(pdfBytes, page, objs), fonts, xobjects, mbW, mbH, dpi, pageNum))
     }
   }
 
@@ -118,6 +152,7 @@ object PdfRaster {
   private def cellW(iscale: Int): Int = (GlyphFont.GlyphW + GlyphFont.Spacing) * iscale
 
   private def render(content: String, fonts: Map[String, PdfText.CMapFont],
+                     xobjects: Map[String, ImageDecode.Decoded],
                      mbW: Double, mbH: Double, dpi: Int, pageNum: Int): ImageDecode.Decoded = {
     import PdfText.{TArrClose, TArrOpen, TName, TNum, TOp, TStr, Tok}
     val s = dpi / 72.0
@@ -285,11 +320,42 @@ object PdfRaster {
       }
     }
 
+    // nearest-neighbor blit of a decoded image XObject into the cm box —
+    // box bounds in whole device pixels first (the same rint rule as
+    // rects), then per-pixel source sampling at pixel centers
+    def blitImage(img: ImageDecode.Decoded, tx: Double, ty: Double,
+                  sxU: Double, syU: Double): Unit = {
+      val bx0 = px(tx); val bx1 = px(tx + sxU)
+      val by0 = h - px(ty + syU); val by1 = h - px(ty)
+      require(bx1 > bx0 && by1 > by0,
+        s"page $pageNum: degenerate image box ${bx1 - bx0}x${by1 - by0}")
+      val boxW = (bx1 - bx0).toDouble; val boxH = (by1 - by0).toDouble
+      var y = math.max(0, by0)
+      val yEnd = math.min(h, by1); val xEnd = math.min(w, bx1)
+      while (y < yEnd) {
+        val srow = math.min(img.height - 1, ((y - by0 + 0.5) * img.height / boxH).toInt)
+        var x = math.max(0, bx0)
+        while (x < xEnd) {
+          val scol = math.min(img.width - 1, ((x - bx0 + 0.5) * img.width / boxW).toInt)
+          val so = (srow * img.width + scol) * 3
+          val o = (y * w + x) * 3
+          rgb(o) = img.rgb(so); rgb(o + 1) = img.rgb(so + 1); rgb(o + 2) = img.rgb(so + 2)
+          x += 1
+        }
+        y += 1
+      }
+    }
+
     val toks = PdfText.tokenize(content)
-    var st = GState((0, 0, 0), (0, 0, 0), 1.0, 0.0, 0.0)
+    var st = GState((0, 0, 0), (0, 0, 0), 1.0, 0.0, 0.0, 1.0, 1.0, 0)
     val stack = mutable.Stack.empty[GState]
     val rects = mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
     val subs = mutable.ArrayBuffer.empty[Sub]
+
+    def requireUnitScale(op: String): Unit =
+      require(st.sx == 1.0 && st.sy == 1.0,
+        s"page $pageNum: '$op' under non-unit cm scale (sx=${st.sx} sy=${st.sy}) " +
+          "is unsupported — scale is accepted only for image XObject placement (Do)")
 
     def curSub: Sub = {
       require(subs.nonEmpty && !subs.last.closed,
@@ -346,9 +412,17 @@ object PdfRaster {
     def show(text: String): Unit = {
       require(inText, "text-show operator outside BT/ET")
       if (text.nonEmpty) {
+        requireUnitScale("text show")
         val isc = iscale
-        val topPx = h - px(lineY + st.ty) - GlyphFont.GlyphH * isc
-        penPx += drawCells(text, px(lineX + st.tx) + penPx, topPx, isc, st.fill)
+        if (st.textRender == 3) {
+          // invisible (the OCR text layer of a scanned page): no pixels, no
+          // glyph-coverage requirement — arbitrary recognizer output rides
+          // along; the pen still advances one cell per character
+          penPx += text.length * cellW(isc)
+        } else {
+          val topPx = h - px(lineY + st.ty) - GlyphFont.GlyphH * isc
+          penPx += drawCells(text, px(lineX + st.tx) + penPx, topPx, isc, st.fill)
+        }
       }
     }
     def nextLine(): Unit = { lineY -= leading; penPx = 0 }
@@ -372,9 +446,11 @@ object PdfRaster {
           case "cm" =>
             require(operands.length >= 6, "cm needs 6 operands")
             val Seq(a, b, c, d, e, f) = operands.takeRight(6).map(num).toSeq
-            require(a == 1.0 && b == 0.0 && c == 0.0 && d == 1.0,
-              s"page $pageNum: non-translation cm unsupported (a=$a b=$b c=$c d=$d)")
-            st = st.copy(tx = st.tx + e, ty = st.ty + f)
+            require(b == 0.0 && c == 0.0 && a > 0.0 && d > 0.0,
+              s"page $pageNum: rotated/skewed/mirrored cm unsupported (a=$a b=$b c=$c d=$d)")
+            // premultiplied diagonal composition: CTM' maps u → sx·(a·u+e)+tx
+            st = st.copy(tx = st.tx + st.sx * e, ty = st.ty + st.sy * f,
+              sx = st.sx * a, sy = st.sy * d)
           case "rg" =>
             require(operands.length >= 3, "rg needs 3 operands")
             val Seq(r, g, b) = operands.takeRight(3).map(num).toSeq
@@ -400,30 +476,36 @@ object PdfRaster {
               s"page $pageNum: non-empty dash pattern unsupported")
             arrDone = null
           case "re" =>
+            requireUnitScale("re")
             require(operands.length >= 4, "re needs 4 operands")
             val Seq(x, y, rw, rh) = operands.takeRight(4).map(num).toSeq
             require(rw > 0 && rh > 0, s"page $pageNum: non-positive re ${rw}x$rh")
             rects += ((x + st.tx, y + st.ty, rw, rh))
           case "m" =>
+            requireUnitScale("m")
             require(operands.length >= 2, "m needs 2 operands")
             subs += new Sub(mutable.ArrayBuffer(
               (num(operands(operands.length - 2)) + st.tx, num(operands.last) + st.ty)),
               closed = false)
           case "l" =>
+            requireUnitScale("l")
             require(operands.length >= 2, "l needs 2 operands")
             curSub.pts += ((num(operands(operands.length - 2)) + st.tx,
               num(operands.last) + st.ty))
           case "c" =>
+            requireUnitScale("c")
             require(operands.length >= 6, "c needs 6 operands")
             val Seq(x1, y1, x2, y2, x3, y3) = operands.takeRight(6).map(num).toSeq
             appendCubic(curSub, x1 + st.tx, y1 + st.ty, x2 + st.tx, y2 + st.ty,
               x3 + st.tx, y3 + st.ty)
           case "v" =>
+            requireUnitScale("v")
             require(operands.length >= 4, "v needs 4 operands")
             val Seq(x2, y2, x3, y3) = operands.takeRight(4).map(num).toSeq
             val (x0, y0) = curSub.pts.last
             appendCubic(curSub, x0, y0, x2 + st.tx, y2 + st.ty, x3 + st.tx, y3 + st.ty)
           case "y" =>
+            requireUnitScale("y")
             require(operands.length >= 4, "y needs 4 operands")
             val Seq(x1, y1, x3, y3) = operands.takeRight(4).map(num).toSeq
             appendCubic(curSub, x1 + st.tx, y1 + st.ty, x3 + st.tx, y3 + st.ty,
@@ -455,6 +537,19 @@ object PdfRaster {
             strokeAll()
             clearPath()
           case "n" => clearPath()
+          case "Do" =>
+            operands.lastOption match {
+              case Some(TName(nm)) =>
+                val img = xobjects.getOrElse(nm, throw new IllegalArgumentException(
+                  s"page $pageNum: Do of unknown XObject /$nm"))
+                blitImage(img, st.tx, st.ty, st.sx, st.sy)
+              case other => throw new IllegalArgumentException(s"Do on $other")
+            }
+          case "Tr" =>
+            val mode = num(operands.last).toInt
+            require(mode == 0 || mode == 3,
+              s"page $pageNum: text render mode $mode unsupported (0 fill / 3 invisible)")
+            st = st.copy(textRender = mode)
           case "BT" => inText = true; lineX = 0.0; lineY = 0.0; penPx = 0
           case "ET" => inText = false
           case "Tf" =>

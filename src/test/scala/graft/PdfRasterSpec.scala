@@ -26,7 +26,7 @@ class PdfRasterSpec extends AnyFunSuite {
     val exp = goldens.get("pages")
     val byName = (0 until exp.size()).map(exp.get).groupBy(_.get("name").asText)
     assert(byName.keySet ==
-      Set("raster_00.pdf", "raster_01.pdf", "raster_02.pdf"))
+      Set("raster_00.pdf", "raster_01.pdf", "raster_02.pdf", "raster_03.pdf"))
     byName.foreach { case (name, pageExp) =>
       val pages = PdfRaster.rasterize(fixture(name), dpi)
       assert(pages.length == pageExp.length, s"$name page count")
@@ -75,7 +75,12 @@ class PdfRasterSpec extends AnyFunSuite {
     rejects("10 10 m 30 10 l 30 30 l h B*", "outside the raster subset") // even-odd fill+stroke
     rejects("0 0 0.5 0 k 5 5 10 10 re f", "outside the raster subset") // CMYK fill
     rejects("0 0 0.5 0 K 10 10 m 30 30 l S", "outside the raster subset") // CMYK stroke
-    rejects("q 2 0 0 2 0 0 cm 5 5 10 10 re f Q", "non-translation cm") // scale
+    rejects("q 2 0 0 2 0 0 cm 5 5 10 10 re f Q", "under non-unit cm scale") // scaled path
+    rejects("q 2 0 0 2 0 0 cm BT /F1 7 Tf 2 5 Td (A) Tj ET Q", "under non-unit cm scale")
+    rejects("q 0 1 -1 0 0 0 cm 5 5 10 10 re f Q", "rotated/skewed/mirrored cm") // rotation
+    rejects("q 1 0 0 -1 0 40 cm 5 5 10 10 re f Q", "rotated/skewed/mirrored cm") // mirror
+    rejects("q 10 0 0 10 5 5 cm /Nope Do Q", "unknown XObject") // dangling Do name
+    rejects("BT 1 Tr /F1 7 Tf 2 25 Td (A) Tj ET", "text render mode 1") // stroke text
     rejects("BT /F1 7 Tf 2 25 Td (#) Tj ET", "outside the built-in glyph font")
     rejects("Q", "empty graphics-state stack")
     rejects("5 5 10 10 re", "constructed but never painted")
@@ -138,6 +143,50 @@ class PdfRasterSpec extends AnyFunSuite {
     val again = PdfRaster.rasterize(
       tinyPdf("0 0 0 rg 10 10 m 10 30 40 30 40 10 c h f"), 72).head.image
     assert(ImageDecode.sha256Hex(again.rgb) == ImageDecode.sha256Hex(p.rgb))
+  }
+
+  test("Tr 3 text is invisible, advances the pen, and needs no glyph coverage") {
+    // identical page with and without the invisible block: pixels equal
+    val base = "0 0 0 rg 5 5 10 10 re f"
+    val withInvisible =
+      s"$base BT 3 Tr /F1 7 Tf 2 25 Td (chars outside the font: #@~{}|) Tj ET"
+    val a = PdfRaster.rasterize(tinyPdf(base), 72).head.image
+    val b = PdfRaster.rasterize(tinyPdf(withInvisible), 72).head.image
+    assert(ImageDecode.sha256Hex(a.rgb) == ImageDecode.sha256Hex(b.rgb),
+      "invisible text must have zero pixel effect")
+    // Tr persists across ET (graphics state), and 0 Tr restores drawing
+    val visibleAfter = PdfRaster.rasterize(tinyPdf(
+      s"BT 3 Tr /F1 7 Tf 2 25 Td (ignored#) Tj ET BT 0 Tr /F1 7 Tf 2 10 Td (I) Tj ET"), 72).head.image
+    assert(visibleAfter.rgb.exists(_ == 0x00.toByte), "0 Tr must draw again")
+    // the pen advance of an invisible run positions a following visible run:
+    // (AB) invisible then (C) lands where a visible (AB)(C) would put the C
+    val mixed = PdfRaster.rasterize(tinyPdf(
+      "BT /F1 7 Tf 2 25 Td 3 Tr (AB) Tj 0 Tr (C) Tj ET"), 72).head.image
+    val full = PdfRaster.rasterize(tinyPdf(
+      "BT /F1 7 Tf 2 25 Td (ABC) Tj ET"), 72).head.image
+    // C occupies cells [12,17) in both; A's pixel column 2 is only in `full`
+    def col(img: ImageDecode.Decoded, x: Int): Boolean =
+      (0 until img.height).exists(y => img.rgb((y * img.width + x) * 3) == 0x00.toByte)
+    assert(col(full, 2) && !col(mixed, 2), "A must be invisible in the mixed run")
+    assert(col(full, 13) == col(mixed, 13), "C must land at the advanced pen")
+  }
+
+  test("Do composites the scanned image under the border stroke and overlay") {
+    // raster_03: image box device [20,380)x[16,466); spot-check the twin's
+    // pixel formulas at a parchment texel, an ink-band texel, and a border
+    // stroke pixel painted OVER the image
+    val p = PdfRaster.rasterize(fixture("raster_03.pdf"), 144).head.image
+    assert(p.width == 400 && p.height == 520)
+    def at(x: Int, y: Int): (Int, Int, Int) = {
+      val o = (y * p.width + x) * 3
+      (p.rgb(o) & 0xFF, p.rgb(o + 1) & 0xFF, p.rgb(o + 2) & 0xFF)
+    }
+    // (200,100) → source (40,18): parchment v = 205 + (40*13+18*7) % 40 = 211
+    assert(at(200, 100) == ((211, 205, 186)), "parchment texel")
+    // (200,75) → source (40,13): ink band (50, 45, 35)
+    assert(at(200, 75) == ((50, 45, 35)), "ink-band texel")
+    // border left edge: user x=10 → device 20, 2w stroke covers cols 18..21
+    assert(at(20, 240) == ((0, 0, 0)), "border stroke must paint over the image")
   }
 
   test("dpi scales the canvas and the same page stays deterministic") {

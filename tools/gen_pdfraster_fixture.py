@@ -90,29 +90,38 @@ FONT = {
 }
 
 IGNORED = {'gs', 'J', 'j', 'M', 'ri', 'i',
-           'Tc', 'Tw', 'Tz', 'Ts', 'Tr', 'BMC', 'BDC', 'EMC', 'MP', 'DP'}
+           'Tc', 'Tw', 'Tz', 'Ts', 'BMC', 'BDC', 'EMC', 'MP', 'DP'}
 BEZIER_CHORDS = 16
 
 
-def build_pdf(pages, cmap=None):
+def build_pdf(pages, cmap=None, images=None):
     """pages: list of (content, mbw, mbh, compress). Fonts: /F1 plain; /F2
-    (Type0 + /ToUnicode) when cmap is given."""
+    (Type0 + /ToUnicode) when cmap is given. images: {name: (w, h, rgb
+    bytes)} — FlateDecode /DeviceRGB image XObjects shared by every page's
+    /Resources (the Do composition leg)."""
     objs = {}
     n = len(pages)
     page_nums = list(range(3, 3 + n))
     content_nums = list(range(3 + n, 3 + 2 * n))
     font_num = 3 + 2 * n
     f2_num, tounicode_num = font_num + 1, font_num + 2
+    img_names = sorted(images) if images else []
+    img_base = (tounicode_num if cmap is not None else font_num) + 1
+    img_nums = {nm: img_base + i for i, nm in enumerate(img_names)}
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     kids = " ".join(f"{p} 0 R" for p in page_nums)
     objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()
     font_res = f"/F1 {font_num} 0 R"
     if cmap is not None:
         font_res += f" /F2 {f2_num} 0 R"
+    xobj_res = ""
+    if img_names:
+        entries = " ".join(f"/{nm} {img_nums[nm]} 0 R" for nm in img_names)
+        xobj_res = f"/XObject << {entries} >> "
     for i, (content, mbw, mbh, compress) in enumerate(pages):
         objs[page_nums[i]] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {mbw} {mbh}] "
-            f"/Resources << /Font << {font_res} >> >> "
+            f"/Resources << /Font << {font_res} >> {xobj_res}>> "
             f"/Contents {content_nums[i]} 0 R >>").encode()
         data = content.encode('latin-1')
         if compress:
@@ -124,6 +133,14 @@ def build_pdf(pages, cmap=None):
             objs[content_nums[i]] = (
                 f"<< /Length {len(data)} >>\nstream\n".encode() + data + b"\nendstream")
     objs[font_num] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    for nm in img_names:
+        iw, ih, rgbb = images[nm]
+        assert len(rgbb) == iw * ih * 3
+        idata = zlib.compress(bytes(rgbb), 9)
+        objs[img_nums[nm]] = (
+            f"<< /Type /XObject /Subtype /Image /Width {iw} /Height {ih} "
+            f"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode "
+            f"/Length {len(idata)} >>\nstream\n".encode() + idata + b"\nendstream")
     if cmap is not None:
         objs[f2_num] = (
             f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID "
@@ -147,7 +164,7 @@ def build_pdf(pages, cmap=None):
     return bytes(out)
 
 
-def render(content, fonts, mbw, mbh, dpi):
+def render(content, fonts, mbw, mbh, dpi, images=None):
     s = dpi / 72.0
     W, H = int(round(mbw * s)), int(round(mbh * s))
     assert W > 0 and H > 0
@@ -267,10 +284,27 @@ def render(content, fonts, mbw, mbh, dpi):
             pen += (GLYPH_W + SPACING) * isc
         return pen
 
+    def blit_image(img, btx, bty, bsx, bsy):
+        # nearest-neighbor into the cm box — formulas in the Scala order
+        iw, ih, irgb = img
+        bx0, bx1 = px(btx), px(btx + bsx)
+        by0, by1 = H - px(bty + bsy), H - px(bty)
+        assert bx1 > bx0 and by1 > by0, 'degenerate image box'
+        box_w, box_h = float(bx1 - bx0), float(by1 - by0)
+        for y in range(max(0, by0), min(H, by1)):
+            srow = min(ih - 1, int((y - by0 + 0.5) * ih / box_h))
+            for x in range(max(0, bx0), min(W, bx1)):
+                scol = min(iw - 1, int((x - bx0 + 0.5) * iw / box_w))
+                so = (srow * iw + scol) * 3
+                o = (y * W + x) * 3
+                rgb[o:o + 3] = irgb[so:so + 3]
+
     fill = (0, 0, 0)
     stroke = (0, 0, 0)
     line_w = 1.0
     tx = ty = 0.0
+    sx = sy = 1.0
+    trmode = 0
     stack = []
     rects = []
     subs = []  # [pts:list[(x,y)], closed:bool] — mutated in place
@@ -300,9 +334,18 @@ def render(content, fonts, mbw, mbh, dpi):
         nonlocal pen_px
         assert in_text, 'text-show operator outside BT/ET'
         if text:
+            assert sx == 1.0 and sy == 1.0, 'text show under non-unit cm scale'
             isc = iscale()
-            top_px = H - px(ly + ty) - GLYPH_H * isc
-            pen_px += draw_cells(text, px(lx + tx) + pen_px, top_px, isc, fill)
+            if trmode == 3:
+                # invisible OCR-overlay text: no pixels, no glyph-coverage
+                # requirement, pen still advances one cell per character
+                pen_px += len(text) * (GLYPH_W + SPACING) * isc
+            else:
+                top_px = H - px(ly + ty) - GLYPH_H * isc
+                pen_px += draw_cells(text, px(lx + tx) + pen_px, top_px, isc, fill)
+
+    def unit_scale(op):
+        assert sx == 1.0 and sy == 1.0, f"'{op}' under non-unit cm scale"
 
     for kind, val in _tokens(content):
         if kind == 'arr_open':
@@ -315,14 +358,23 @@ def render(content, fonts, mbw, mbh, dpi):
             arr.append((kind, val))
         elif kind == 'op':
             if val == 'q':
-                stack.append((fill, stroke, line_w, tx, ty))
+                stack.append((fill, stroke, line_w, tx, ty, sx, sy, trmode))
             elif val == 'Q':
-                fill, stroke, line_w, tx, ty = stack.pop()
+                fill, stroke, line_w, tx, ty, sx, sy, trmode = stack.pop()
             elif val == 'cm':
                 a, b, c, d = (operands[-6][1], operands[-5][1],
                               operands[-4][1], operands[-3][1])
-                assert a == 1.0 and b == 0.0 and c == 0.0 and d == 1.0
-                tx += operands[-2][1]; ty += operands[-1][1]
+                assert b == 0.0 and c == 0.0 and a > 0.0 and d > 0.0
+                # premultiplied diagonal composition (Scala order)
+                tx += sx * operands[-2][1]; ty += sy * operands[-1][1]
+                sx *= a; sy *= d
+            elif val == 'Do':
+                assert operands[-1][0] == 'name'
+                img = (images or {})[operands[-1][1]]
+                blit_image(img, tx, ty, sx, sy)
+            elif val == 'Tr':
+                trmode = int(operands[-1][1])
+                assert trmode in (0, 3), f'text render mode {trmode}'
             elif val == 'rg':
                 fill = (color_byte(operands[-3][1]), color_byte(operands[-2][1]),
                         color_byte(operands[-1][1]))
@@ -342,28 +394,34 @@ def render(content, fonts, mbw, mbh, dpi):
                 assert arr_done is not None and not arr_done, 'non-empty dash pattern'
                 arr_done = None
             elif val == 're':
+                unit_scale('re')
                 x, y, w2, h2 = (operands[-4][1], operands[-3][1],
                                 operands[-2][1], operands[-1][1])
                 assert w2 > 0 and h2 > 0
                 rects.append((x + tx, y + ty, w2, h2))
             elif val == 'm':
+                unit_scale('m')
                 subs.append(([(operands[-2][1] + tx, operands[-1][1] + ty)], False))
             elif val == 'l':
+                unit_scale('l')
                 assert subs and not subs[-1][1], 'l without a current point'
                 subs[-1][0].append((operands[-2][1] + tx, operands[-1][1] + ty))
             elif val == 'c':
+                unit_scale('c')
                 assert subs and not subs[-1][1], 'c without a current point'
                 append_cubic(subs[-1][0],
                              operands[-6][1] + tx, operands[-5][1] + ty,
                              operands[-4][1] + tx, operands[-3][1] + ty,
                              operands[-2][1] + tx, operands[-1][1] + ty)
             elif val == 'v':
+                unit_scale('v')
                 assert subs and not subs[-1][1], 'v without a current point'
                 x0c, y0c = subs[-1][0][-1]
                 append_cubic(subs[-1][0], x0c, y0c,
                              operands[-4][1] + tx, operands[-3][1] + ty,
                              operands[-2][1] + tx, operands[-1][1] + ty)
             elif val == 'y':
+                unit_scale('y')
                 assert subs and not subs[-1][1], 'y without a current point'
                 append_cubic(subs[-1][0],
                              operands[-4][1] + tx, operands[-3][1] + ty,
@@ -775,17 +833,46 @@ def main():
         "0 0 0 rg BT /F1 8 Tf 100 135 Td (VECTOR PAGE) Tj ET")
     pages2 = [(p4, 220.0, 160.0, True), (p5, 220.0, 160.0, False)]
 
+    # raster_03.pdf: the scanned+OCR'd historical-page class — a Flate
+    # DeviceRGB image XObject (deterministic "parchment + ink lines" scan,
+    # 80×100 px) composited by `q 180 0 0 225 10 27 cm /Im0 Do Q`
+    # (nearest-neighbor 4.5× upsample), a stroked border OVER the image
+    # (compositing order), an INVISIBLE Tr 3 OCR text layer whose characters
+    # are deliberately outside the glyph font (recognizer output rides along
+    # without pixel effect), and a visible Tr 0 caption below.
+    def scan_pixels(iw, ih):
+        out = bytearray()
+        for y in range(ih):
+            for x in range(iw):
+                if y % 10 in (3, 4) and 8 <= x < iw - 8 and (x // 6) % 4 != 3:
+                    out += bytes((40 + (x * 7) % 30, 30 + (y * 5) % 25, 35))
+                else:
+                    v = 205 + ((x * 13 + y * 7) % 40)
+                    out += bytes((v, v - 6, v - 25))
+        return bytes(out)
+    images3 = {'Im0': (80, 100, scan_pixels(80, 100))}
+    p6 = (
+        "q 180 0 0 225 10 27 cm /Im0 Do Q "
+        "0 0 0 RG 2 w 10 27 180 225 re S "
+        "BT 3 Tr /F1 9 Tf 20 200 Td (first ocr line; with #odd chars?) Tj "
+        "0 -24 TD (second @line~ under it) Tj "
+        "[ (mixed|seg) -250 (tail{brace}) ] TJ ET "
+        "BT 0 Tr /F1 8 Tf 24 7 Td (SCAN 3 OF 9) Tj ET")
+    pages3 = [(p6, 200.0, 260.0, True)]
+
     fonts = {'F2': cmap_decoder(cmap)}
-    docs = [('raster_00.pdf', pages, cmap), ('raster_01.pdf', pages1, None),
-            ('raster_02.pdf', pages2, None)]
+    docs = [('raster_00.pdf', pages, cmap, None),
+            ('raster_01.pdf', pages1, None, None),
+            ('raster_02.pdf', pages2, None, None),
+            ('raster_03.pdf', pages3, None, images3)]
     rows = []
     seg_rows = []
     ocr_out = []
-    for name, pgs, cm in docs:
+    for name, pgs, cm, imgs in docs:
         with open(f'{OUTDIR}/{name}', 'wb') as f:
-            f.write(build_pdf(pgs, cmap=cm))
+            f.write(build_pdf(pgs, cmap=cm, images=imgs))
         for pi, (content, mbw, mbh, _) in enumerate(pgs):
-            W, H, rgb = render(content, fonts, mbw, mbh, dpi)
+            W, H, rgb = render(content, fonts, mbw, mbh, dpi, images=imgs)
             rows.append(dict(name=name, page_index=pi, width=W, height=H,
                              pixel_sha=hashlib.sha256(rgb).hexdigest()))
             for (bi, x0, y0, x1, y1, nl, nc, ink_n, st_n, script) in segment(W, H, rgb):
