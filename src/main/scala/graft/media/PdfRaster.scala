@@ -50,9 +50,13 @@ import scala.collection.mutable
   *    character, and glyph coverage is NOT required (the OCR-overlay text
   *    layer of a scanned+OCR'd page is arbitrary recognizer output);
   *    stroke/clip text modes 1-2 and 4-7 throw;
-  *  - clipping (W/W*), shading (sh), inline images (BI), even-odd
-  *    fill+stroke (B*), and path ops without a current point all throw
-  *    with a reason.
+  *  - clipping: the `re W n` RECTANGLE idiom intersects the current clip
+  *    box (device-pixel bounds under the same rint rule as rect fills,
+  *    q/Q-scoped, possibly empty); every painter — rect/scanline fills,
+  *    strokes, glyphs, image blits — clamps to it. Polygon clips, `W*`,
+  *    and `W` followed by a painting op other than `n` throw;
+  *  - shading (sh), inline images (BI), even-odd fill+stroke (B*), and
+  *    path ops without a current point all throw with a reason.
   *
   * Pixel rules (the differential contract with the pure-Python twin,
   * tools/gen_pdfraster_fixture.py): scale s = dpi/72; canvas
@@ -92,11 +96,14 @@ object PdfRaster {
     "Tc", "Tw", "Tz", "Ts", "BMC", "BDC", "EMC", "MP", "DP")
 
   /** textRender: PDF Tr mode — 0 fill, 3 invisible (the OCR text layer of
-    * a scanned+OCR'd page); sx/sy: cm scale, unit except around `Do`.
+    * a scanned+OCR'd page); sx/sy: cm scale, unit except around `Do`;
+    * clip: device-pixel box (x0, y0, x1, y1) every painter clamps to —
+    * intersection-only (the `re W n` idiom), possibly empty, q/Q-scoped.
     */
   private final case class GState(fill: (Int, Int, Int), stroke: (Int, Int, Int),
                                   lineWidth: Double, tx: Double, ty: Double,
-                                  sx: Double, sy: Double, textRender: Int)
+                                  sx: Double, sy: Double, textRender: Int,
+                                  clip: (Int, Int, Int, Int))
 
   /** One path subpath: translated user-space points (curves already
     * flattened), plus whether `h` closed it (fills close implicitly;
@@ -163,9 +170,13 @@ object PdfRaster {
 
     def px(u: Double): Int = math.rint(u * s).toInt
 
+    // current graphics state — declared before the painters so they read
+    // the live clip box at paint time
+    var st = GState((0, 0, 0), (0, 0, 0), 1.0, 0.0, 0.0, 1.0, 1.0, 0, (0, 0, w, h))
+
     def fillRect(ux: Double, uy: Double, uw: Double, uh: Double, c: (Int, Int, Int)): Unit = {
-      val cx0 = math.max(0, px(ux)); val cx1 = math.min(w, px(ux + uw))
-      val ry0 = math.max(0, h - px(uy + uh)); val ry1 = math.min(h, h - px(uy))
+      val cx0 = math.max(st.clip._1, px(ux)); val cx1 = math.min(st.clip._3, px(ux + uw))
+      val ry0 = math.max(st.clip._2, h - px(uy + uh)); val ry1 = math.min(st.clip._4, h - px(uy))
       var y = ry0
       while (y < ry1) {
         var x = cx0
@@ -201,11 +212,11 @@ object PdfRaster {
                 var by = 0
                 while (by < iscale) {
                   val yy = topPx + r * iscale + by
-                  if (yy >= 0 && yy < h) {
+                  if (yy >= st.clip._2 && yy < st.clip._4) {
                     var bx = 0
                     while (bx < iscale) {
                       val xx = xPx + penDx + gc * iscale + bx
-                      if (xx >= 0 && xx < w) {
+                      if (xx >= st.clip._1 && xx < st.clip._3) {
                         val o = (yy * w + xx) * 3
                         rgb(o) = c._1.toByte; rgb(o + 1) = c._2.toByte; rgb(o + 2) = c._3.toByte
                       }
@@ -251,8 +262,8 @@ object PdfRaster {
         }
       }
       if (edges.nonEmpty) {
-        val rowLo = math.max(0, math.floor(yMin - 0.5).toInt)
-        val rowHi = math.min(h, math.ceil(yMax + 0.5).toInt)
+        val rowLo = math.max(st.clip._2, math.floor(yMin - 0.5).toInt)
+        val rowHi = math.min(st.clip._4, math.ceil(yMax + 0.5).toInt)
         val xs = new mutable.ArrayBuffer[(Double, Int)](edges.length)
         var row = rowLo
         while (row < rowHi) {
@@ -272,8 +283,8 @@ object PdfRaster {
               acc += sorted(i)._2
               val inside = if (evenOdd) (i % 2 == 0) else acc != 0
               if (inside) {
-                val xa = math.max(0, math.ceil(sorted(i)._1 - 0.5).toInt)
-                val xb = math.min(w, math.ceil(sorted(i + 1)._1 - 0.5).toInt)
+                val xa = math.max(st.clip._1, math.ceil(sorted(i)._1 - 0.5).toInt)
+                val xb = math.min(st.clip._3, math.ceil(sorted(i + 1)._1 - 0.5).toInt)
                 var x = xa
                 while (x < xb) {
                   val o = (row * w + x) * 3
@@ -330,11 +341,11 @@ object PdfRaster {
       require(bx1 > bx0 && by1 > by0,
         s"page $pageNum: degenerate image box ${bx1 - bx0}x${by1 - by0}")
       val boxW = (bx1 - bx0).toDouble; val boxH = (by1 - by0).toDouble
-      var y = math.max(0, by0)
-      val yEnd = math.min(h, by1); val xEnd = math.min(w, bx1)
+      var y = math.max(st.clip._2, by0)
+      val yEnd = math.min(st.clip._4, by1); val xEnd = math.min(st.clip._3, bx1)
       while (y < yEnd) {
         val srow = math.min(img.height - 1, ((y - by0 + 0.5) * img.height / boxH).toInt)
-        var x = math.max(0, bx0)
+        var x = math.max(st.clip._1, bx0)
         while (x < xEnd) {
           val scol = math.min(img.width - 1, ((x - bx0 + 0.5) * img.width / boxW).toInt)
           val so = (srow * img.width + scol) * 3
@@ -347,7 +358,6 @@ object PdfRaster {
     }
 
     val toks = PdfText.tokenize(content)
-    var st = GState((0, 0, 0), (0, 0, 0), 1.0, 0.0, 0.0, 1.0, 1.0, 0)
     val stack = mutable.Stack.empty[GState]
     val rects = mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
     val subs = mutable.ArrayBuffer.empty[Sub]
@@ -382,6 +392,7 @@ object PdfRaster {
     def strokeAll(): Unit =
       strokeSubs(rects.map(rectSub).toSeq ++ subs.toSeq, st.lineWidth * s, st.stroke)
     var inText = false
+    var pendingClip = false
     var lineX = 0.0; var lineY = 0.0
     var leading = 0.0
     var fontSize = 0.0
@@ -438,6 +449,11 @@ object PdfRaster {
         arr = null
       case t if arr != null => arr += t
       case TOp(op) =>
+        // PDF allows only a path-painting op after W; the subset requires
+        // the no-paint `n` specifically (clip without painting — the idiom
+        // every generator emits)
+        require(!pendingClip || op == "n",
+          s"page $pageNum: W followed by '$op' is outside the raster subset (only W n)")
         op match {
           case "q" => stack.push(st)
           case "Q" =>
@@ -536,7 +552,22 @@ object PdfRaster {
             scanFill(subs.map(deviceRing).toSeq, evenOdd = false, st.fill)
             strokeAll()
             clearPath()
-          case "n" => clearPath()
+          case "W" =>
+            require(rects.length == 1 && subs.isEmpty,
+              s"page $pageNum: W clip supports exactly one rectangle path " +
+                s"(got ${rects.length} rects, ${subs.length} subpaths)")
+            pendingClip = true
+          case "n" =>
+            if (pendingClip) {
+              val (x, y, rw, rh) = rects.head
+              // same device box rule as rect fills; intersection may be
+              // empty — painters then no-op
+              st = st.copy(clip = (
+                math.max(st.clip._1, px(x)), math.max(st.clip._2, h - px(y + rh)),
+                math.min(st.clip._3, px(x + rw)), math.min(st.clip._4, h - px(y))))
+              pendingClip = false
+            }
+            clearPath()
           case "Do" =>
             operands.lastOption match {
               case Some(TName(nm)) =>

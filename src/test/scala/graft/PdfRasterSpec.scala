@@ -26,7 +26,8 @@ class PdfRasterSpec extends AnyFunSuite {
     val exp = goldens.get("pages")
     val byName = (0 until exp.size()).map(exp.get).groupBy(_.get("name").asText)
     assert(byName.keySet ==
-      Set("raster_00.pdf", "raster_01.pdf", "raster_02.pdf", "raster_03.pdf"))
+      Set("raster_00.pdf", "raster_01.pdf", "raster_02.pdf", "raster_03.pdf",
+        "raster_04.pdf"))
     byName.foreach { case (name, pageExp) =>
       val pages = PdfRaster.rasterize(fixture(name), dpi)
       assert(pages.length == pageExp.length, s"$name page count")
@@ -71,7 +72,10 @@ class PdfRasterSpec extends AnyFunSuite {
       val ex = intercept[IllegalArgumentException](PdfRaster.rasterize(tinyPdf(content), 72))
       assert(ex.getMessage.contains(needle), s"for [$content] got: ${ex.getMessage}")
     }
-    rejects("5 5 10 10 re W n", "outside the raster subset") // clipping
+    rejects("10 10 m 30 10 l 30 30 l h W n", "exactly one rectangle path") // polygon clip
+    rejects("5 5 10 10 re 20 20 5 5 re W n", "exactly one rectangle path") // multi-rect clip
+    rejects("5 5 10 10 re W* n", "outside the raster subset") // even-odd clip
+    rejects("5 5 10 10 re W f", "W followed by 'f'") // clip+paint combo
     rejects("10 10 m 30 10 l 30 30 l h B*", "outside the raster subset") // even-odd fill+stroke
     rejects("0 0 0.5 0 k 5 5 10 10 re f", "outside the raster subset") // CMYK fill
     rejects("0 0 0.5 0 K 10 10 m 30 30 l S", "outside the raster subset") // CMYK stroke
@@ -187,6 +191,28 @@ class PdfRasterSpec extends AnyFunSuite {
     assert(at(200, 75) == ((50, 45, 35)), "ink-band texel")
     // border left edge: user x=10 → device 20, 2w stroke covers cols 18..21
     assert(at(20, 240) == ((0, 0, 0)), "border stroke must paint over the image")
+  }
+
+  test("re W n clips every painter, intersects when nested, restores on Q") {
+    // clip to [10,30)x[15,35) user (device rows 5..25), fill the whole page
+    val clipped = PdfRaster.rasterize(tinyPdf(
+      "q 10 15 20 20 re W n 0 0 0 rg 0 0 50 40 re f Q 0 0 0 rg 40 2 5 5 re f"), 72).head.image
+    def at(img: ImageDecode.Decoded, x: Int, y: Int): Byte =
+      img.rgb(((40 - y) * img.width + x) * 3)
+    assert(at(clipped, 20, 25) == 0x00.toByte, "inside the clip box")
+    assert(at(clipped, 5, 25) == 0xFF.toByte, "left of the clip box stays white")
+    assert(at(clipped, 20, 38) == 0xFF.toByte, "above the clip box stays white")
+    assert(at(clipped, 42, 4) == 0x00.toByte, "after Q the painter is unclipped")
+    // nested clips intersect: [10,30) ∩ [20,45) = [20,30)
+    val nested = PdfRaster.rasterize(tinyPdf(
+      "q 10 15 20 20 re W n 20 5 25 30 re W n 0 0 0 rg 0 0 50 40 re f Q"), 72).head.image
+    assert(at(nested, 25, 25) == 0x00.toByte, "inside the intersection")
+    assert(at(nested, 15, 25) == 0xFF.toByte, "inside clip1 only — must stay white")
+    assert(at(nested, 35, 25) == 0xFF.toByte, "inside clip2 only — must stay white")
+    // empty intersection paints nothing (and must not throw)
+    val empty = PdfRaster.rasterize(tinyPdf(
+      "q 5 5 10 10 re W n 30 30 10 5 re W n 0 0 0 rg 0 0 50 40 re f Q"), 72).head.image
+    assert(!empty.rgb.exists(_ == 0x00.toByte), "empty clip paints nothing")
   }
 
   test("dpi scales the canvas and the same page stays deterministic") {

@@ -174,8 +174,8 @@ def render(content, fonts, mbw, mbh, dpi, images=None):
         return int(round(u * s))
 
     def fill_rect(x, y, w, h, c):
-        cx0, cx1 = max(0, px(x)), min(W, px(x + w))
-        ry0, ry1 = max(0, H - px(y + h)), min(H, H - px(y))
+        cx0, cx1 = max(clip[0], px(x)), min(clip[2], px(x + w))
+        ry0, ry1 = max(clip[1], H - px(y + h)), min(clip[3], H - px(y))
         for yy in range(ry0, ry1):
             for xx in range(cx0, cx1):
                 o = (yy * W + xx) * 3
@@ -203,8 +203,8 @@ def render(content, fonts, mbw, mbh, dpi, images=None):
                     y_max = max(y_max, y0, y1)
         if not edges:
             return
-        row_lo = max(0, _math.floor(y_min - 0.5))
-        row_hi = min(H, _math.ceil(y_max + 0.5))
+        row_lo = max(clip[1], _math.floor(y_min - 0.5))
+        row_hi = min(clip[3], _math.ceil(y_max + 0.5))
         for row in range(row_lo, row_hi):
             yc = row + 0.5
             xs = []
@@ -223,8 +223,8 @@ def render(content, fonts, mbw, mbh, dpi, images=None):
                 acc += xs[i][1]
                 inside = (i % 2 == 0) if even_odd else acc != 0
                 if inside:
-                    xa = max(0, _math.ceil(xs[i][0] - 0.5))
-                    xb = min(W, _math.ceil(xs[i + 1][0] - 0.5))
+                    xa = max(clip[0], _math.ceil(xs[i][0] - 0.5))
+                    xb = min(clip[2], _math.ceil(xs[i + 1][0] - 0.5))
                     for x in range(xa, xb):
                         o = (row * W + x) * 3
                         rgb[o:o + 3] = bytes(c)
@@ -275,10 +275,10 @@ def render(content, fonts, mbw, mbh, dpi, images=None):
                         if bits & (1 << (GLYPH_W - 1 - gc)):
                             for by in range(isc):
                                 yy = top_px + r * isc + by
-                                if 0 <= yy < H:
+                                if clip[1] <= yy < clip[3]:
                                     for bx in range(isc):
                                         xx = x_px + pen + gc * isc + bx
-                                        if 0 <= xx < W:
+                                        if clip[0] <= xx < clip[2]:
                                             o = (yy * W + xx) * 3
                                             rgb[o:o + 3] = bytes(c)
             pen += (GLYPH_W + SPACING) * isc
@@ -291,9 +291,9 @@ def render(content, fonts, mbw, mbh, dpi, images=None):
         by0, by1 = H - px(bty + bsy), H - px(bty)
         assert bx1 > bx0 and by1 > by0, 'degenerate image box'
         box_w, box_h = float(bx1 - bx0), float(by1 - by0)
-        for y in range(max(0, by0), min(H, by1)):
+        for y in range(max(clip[1], by0), min(clip[3], by1)):
             srow = min(ih - 1, int((y - by0 + 0.5) * ih / box_h))
-            for x in range(max(0, bx0), min(W, bx1)):
+            for x in range(max(clip[0], bx0), min(clip[2], bx1)):
                 scol = min(iw - 1, int((x - bx0 + 0.5) * iw / box_w))
                 so = (srow * iw + scol) * 3
                 o = (y * W + x) * 3
@@ -305,6 +305,8 @@ def render(content, fonts, mbw, mbh, dpi, images=None):
     tx = ty = 0.0
     sx = sy = 1.0
     trmode = 0
+    clip = (0, 0, W, H)
+    pending_clip = False
     stack = []
     rects = []
     subs = []  # [pts:list[(x,y)], closed:bool] — mutated in place
@@ -357,10 +359,11 @@ def render(content, fonts, mbw, mbh, dpi, images=None):
         elif arr is not None:
             arr.append((kind, val))
         elif kind == 'op':
+            assert not pending_clip or val == 'n', f"W followed by '{val}'"
             if val == 'q':
-                stack.append((fill, stroke, line_w, tx, ty, sx, sy, trmode))
+                stack.append((fill, stroke, line_w, tx, ty, sx, sy, trmode, clip))
             elif val == 'Q':
-                fill, stroke, line_w, tx, ty, sx, sy, trmode = stack.pop()
+                fill, stroke, line_w, tx, ty, sx, sy, trmode, clip = stack.pop()
             elif val == 'cm':
                 a, b, c, d = (operands[-6][1], operands[-5][1],
                               operands[-4][1], operands[-3][1])
@@ -453,7 +456,15 @@ def render(content, fonts, mbw, mbh, dpi, images=None):
                 scan_fill([device_ring(p) for (p, _) in subs], False, fill)
                 stroke_subs([rect_sub(r) for r in rects] + subs, line_w * s, stroke)
                 rects, subs = [], []
+            elif val == 'W':
+                assert len(rects) == 1 and not subs, 'W clip needs exactly one rect'
+                pending_clip = True
             elif val == 'n':
+                if pending_clip:
+                    x, y, w2, h2 = rects[0]
+                    clip = (max(clip[0], px(x)), max(clip[1], H - px(y + h2)),
+                            min(clip[2], px(x + w2)), min(clip[3], H - px(y)))
+                    pending_clip = False
                 rects, subs = [], []
             elif val == 'BT':
                 in_text = True
@@ -860,11 +871,34 @@ def main():
         "BT 0 Tr /F1 8 Tf 24 7 Td (SCAN 3 OF 9) Tj ET")
     pages3 = [(p6, 200.0, 260.0, True)]
 
+    # raster_04.pdf: the clip scenes — `re W n` rectangle clips over every
+    # painter class: a polygon fill crossing the clip boundary, a clipped
+    # checkerboard image blit, a clipped thick stroke, glyphs sliced by the
+    # clip edge, NESTED clips (intersection), and an unclipped fill after Q
+    # proving the restore.
+    def checker(iw, ih):
+        out = bytearray()
+        for y in range(ih):
+            for x in range(iw):
+                out += bytes((60, 40, 40) if (x // 4 + y // 4) % 2 == 0
+                             else (220, 210, 190))
+        return bytes(out)
+    images4 = {'Px': (16, 16, checker(16, 16))}
+    p7 = (
+        "q 20 60 60 50 re W n 1 0 0 rg 10 50 m 90 50 l 90 130 l 10 130 l h f Q "
+        "q 120 70 50 40 re W n q 32 0 0 32 110 60 cm /Px Do Q Q "
+        "q 20 20 70 25 re W n 0 0 0.8 RG 4 w 0 20 m 100 45 l S Q "
+        "q 100 15 40 14 re W n 0 0 0 rg BT /F1 10 Tf 96 18 Td (CLIP EDGE) Tj ET Q "
+        "q 30 95 40 30 re W n 45 100 20 20 re W n 0 0.5 0 rg 0 0 200 140 re f Q "
+        "0.6 0.6 0.6 rg 180 5 15 10 re f")
+    pages4 = [(p7, 200.0, 140.0, True)]
+
     fonts = {'F2': cmap_decoder(cmap)}
     docs = [('raster_00.pdf', pages, cmap, None),
             ('raster_01.pdf', pages1, None, None),
             ('raster_02.pdf', pages2, None, None),
-            ('raster_03.pdf', pages3, None, images3)]
+            ('raster_03.pdf', pages3, None, images3),
+            ('raster_04.pdf', pages4, None, images4)]
     rows = []
     seg_rows = []
     ocr_out = []
