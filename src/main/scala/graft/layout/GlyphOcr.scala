@@ -40,8 +40,22 @@ object GlyphOcr {
     */
   def recognizeLine(ink: PageSegment.Mask, w: Int, line: Box): Option[(String, Int)] = {
     val h = line.height
+    // exact pre-gate: an ACCEPTED phase re-renders the line as disjoint
+    // isc×isc blocks (one per lit font bit, all on an isc lattice), so the
+    // line's ink count must be a multiple of isc². Counting once up front
+    // skips entire scale candidates — without it, a large non-glyph region
+    // (an image block hundreds of pixels tall) pays a GlyphH·isc × CellW·isc
+    // phase scan at a scale no glyph render can ever match. Result-neutral:
+    // the divisibility is a necessary condition of the acceptance test.
+    var inkCount = 0
+    var cy = line.y0
+    while (cy < line.y1) {
+      var cx = line.x0
+      while (cx < line.x1) { if (ink(cy * w + cx)) inkCount += 1; cx += 1 }
+      cy += 1
+    }
     val cands = Seq(h / GlyphFont.GlyphH, (h + GlyphFont.GlyphH - 1) / GlyphFont.GlyphH)
-      .distinct.filter(_ > 0)
+      .distinct.filter(isc => isc > 0 && inkCount % (isc * isc) == 0)
     cands.foreach { isc =>
       val cellW = CellW * isc
       var q = 0

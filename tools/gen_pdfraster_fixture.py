@@ -692,9 +692,13 @@ def _recognize_line(ink, W, line):
     inv = {tuple(v): k for k, v in FONT.items()}
     x0, y0, x1, y1 = line
     h = y1 - y0
+    # exact pre-gate (mirrors GlyphOcr): accepted phases re-render as
+    # disjoint isc x isc blocks, so ink % isc**2 == 0 is necessary
+    ink_count = sum(1 for y in range(y0, y1) for x in range(x0, x1)
+                    if ink[y * W + x])
     cands = []
     for c in (h // GLYPH_H, (h + GLYPH_H - 1) // GLYPH_H):
-        if c > 0 and c not in cands:
+        if c > 0 and c not in cands and ink_count % (c * c) == 0:
             cands.append(c)
     for isc in cands:
         cellw = (GLYPH_W + SPACING) * isc
