@@ -24,20 +24,23 @@ import scala.collection.mutable
   *  - color: `rg`/`g` fill, `RG`/`G` stroke (RGB 0..1 / gray); CMYK/ICC
   *    (`k`/`K`/`cs`/`sc`/`scn`) is rejected (no profile math offline);
   *  - graphics state: `q`/`Q` save/restore (fill+stroke color, line
-  *    width, translation/scale, text render mode), `cm` as a POSITIVE
-  *    DIAGONAL matrix (b=c=0, a>0, d>0; rotation/skew/mirror throws).
-  *    Non-unit scale is accepted ONLY as the placement transform for an
+  *    width, CTM, text render mode), `cm` restricted to the
+  *    AXIS-PRESERVING family: diagonal (scale / mirror / 180°, any signs)
+  *    or anti-diagonal (±90° quarter turns, any signs); skew throws. A
+  *    non-identity CTM is accepted ONLY as the placement transform for an
   *    image XObject (the `q <w> 0 0 <h> <tx> <ty> cm /Im Do Q` idiom every
-  *    scanned-page generator emits) — a path or text op under non-unit
-  *    scale throws;
+  *    scanned-page generator emits, plus its rotated/mirrored variants for
+  *    landscape and flipped scans) — a path or text op under a
+  *    non-identity CTM throws;
   *  - image XObjects: `Do` composites a /Subtype /Image XObject
   *    (Flate/DeviceRGB or DCT, decoded by [[PdfPages.decodeImageObject]])
-  *    into the cm box [tx, tx+a]×[ty, ty+d] by nearest-neighbor sampling:
-  *    the box covers device columns [rint(tx·s), rint((tx+a)·s)) and rows
-  *    [H−rint((ty+d)·s), H−rint(ty·s)), and a device pixel (X, Y) inside
-  *    it reads source pixel
-  *    (min(imgW−1, ⌊(X−bx0+0.5)·imgW/boxW⌋), min(imgH−1, ⌊(Y−by0+0.5)·imgH/boxH⌋)).
-  *    Form XObjects throw;
+  *    into the device-aligned box the unit square maps to, by
+  *    nearest-neighbor sampling: box bounds under the same rint rule as
+  *    rect fills, device pixel (X, Y) sampling index
+  *    i = ⌊(X−bx0+0.5)·k/boxW⌋ (k = imgW, or imgH under a quarter turn,
+  *    min-clamped to k−1), with the source column/row axes transposed for
+  *    quarter turns and reversed where the active matrix coefficient is
+  *    negative. Form XObjects throw;
   *  - text: the same BT/ET operator subset as [[PdfText]] (Td, TD, Tm,
   *    T-star, TL positioning; Tj/'/"/TJ shows; per-font /ToUnicode CMap or
   *    Latin-1/UTF-16BE-BOM string decoding), drawn with the built-in
@@ -96,14 +99,17 @@ object PdfRaster {
     "Tc", "Tw", "Tz", "Ts", "BMC", "BDC", "EMC", "MP", "DP")
 
   /** textRender: PDF Tr mode — 0 fill, 3 invisible (the OCR text layer of
-    * a scanned+OCR'd page); sx/sy: cm scale, unit except around `Do`;
+    * a scanned+OCR'd page); (ma,mb,mc,md): the CTM's 2×2, restricted to the
+    * AXIS-PRESERVING family (diagonal or anti-diagonal, any signs — scales,
+    * quarter turns, mirrors), identity except around `Do`; a row-vector
+    * user point maps to (ma·u + mc·v + tx, mb·u + md·v + ty);
     * clip: device-pixel box (x0, y0, x1, y1) every painter clamps to —
     * intersection-only (the `re W n` idiom), possibly empty, q/Q-scoped.
     */
   private final case class GState(fill: (Int, Int, Int), stroke: (Int, Int, Int),
                                   lineWidth: Double, tx: Double, ty: Double,
-                                  sx: Double, sy: Double, textRender: Int,
-                                  clip: (Int, Int, Int, Int))
+                                  ma: Double, mb: Double, mc: Double, md: Double,
+                                  textRender: Int, clip: (Int, Int, Int, Int))
 
   /** One path subpath: translated user-space points (curves already
     * flattened), plus whether `h` closed it (fills close implicitly;
@@ -172,7 +178,7 @@ object PdfRaster {
 
     // current graphics state — declared before the painters so they read
     // the live clip box at paint time
-    var st = GState((0, 0, 0), (0, 0, 0), 1.0, 0.0, 0.0, 1.0, 1.0, 0, (0, 0, w, h))
+    var st = GState((0, 0, 0), (0, 0, 0), 1.0, 0.0, 0.0, 1.0, 0.0, 0.0, 1.0, 0, (0, 0, w, h))
 
     def fillRect(ux: Double, uy: Double, uw: Double, uh: Double, c: (Int, Int, Int)): Unit = {
       val cx0 = math.max(st.clip._1, px(ux)); val cx1 = math.min(st.clip._3, px(ux + uw))
@@ -331,23 +337,46 @@ object PdfRaster {
       }
     }
 
-    // nearest-neighbor blit of a decoded image XObject into the cm box —
-    // box bounds in whole device pixels first (the same rint rule as
-    // rects), then per-pixel source sampling at pixel centers
-    def blitImage(img: ImageDecode.Decoded, tx: Double, ty: Double,
-                  sxU: Double, syU: Double): Unit = {
-      val bx0 = px(tx); val bx1 = px(tx + sxU)
-      val by0 = h - px(ty + syU); val by1 = h - px(ty)
+    // nearest-neighbor blit of a decoded image XObject under the current
+    // axis-preserving CTM: the unit square maps to a device-aligned box
+    // (whole-pixel bounds under the same rint rule as rects); device→source
+    // index mapping transposes for quarter turns (anti-diagonal CTM) and
+    // flips along each axis by the sign of the active coefficient. For the
+    // positive-diagonal case this reduces formula-for-formula to the
+    // axis-aligned blit, so existing goldens are unchanged.
+    def blitImage(img: ImageDecode.Decoded): Unit = {
+      val diag = st.mb == 0.0 && st.mc == 0.0
+      // unit-square extent: exactly one of (ma, mc) is nonzero, and one of
+      // (mb, md) — the sums below are the single active coefficient
+      val xlo = st.tx + math.min(0.0, st.ma + st.mc)
+      val xhi = st.tx + math.max(0.0, st.ma + st.mc)
+      val ylo = st.ty + math.min(0.0, st.mb + st.md)
+      val yhi = st.ty + math.max(0.0, st.mb + st.md)
+      val bx0 = px(xlo); val bx1 = px(xhi)
+      val by0 = h - px(yhi); val by1 = h - px(ylo)
       require(bx1 > bx0 && by1 > by0,
         s"page $pageNum: degenerate image box ${bx1 - bx0}x${by1 - by0}")
       val boxW = (bx1 - bx0).toDouble; val boxH = (by1 - by0).toDouble
+      // sample counts along the DEVICE axes (transposed for quarter turns)
+      val kx = if (diag) img.width else img.height
+      val ky = if (diag) img.height else img.width
       var y = math.max(st.clip._2, by0)
       val yEnd = math.min(st.clip._4, by1); val xEnd = math.min(st.clip._3, bx1)
       while (y < yEnd) {
-        val srow = math.min(img.height - 1, ((y - by0 + 0.5) * img.height / boxH).toInt)
+        val iy = math.min(ky - 1, ((y - by0 + 0.5) * ky / boxH).toInt)
         var x = math.max(st.clip._1, bx0)
         while (x < xEnd) {
-          val scol = math.min(img.width - 1, ((x - bx0 + 0.5) * img.width / boxW).toInt)
+          val ix = math.min(kx - 1, ((x - bx0 + 0.5) * kx / boxW).toInt)
+          // orientation: device x runs along image u (diagonal) or v
+          // (anti-diagonal); a negative coefficient reverses that axis.
+          // Derivations: device y grows DOWN while user y grows up, and
+          // image row 0 is the TOP of the unit square (v = 1).
+          val scol =
+            if (diag) { if (st.ma > 0) ix else img.width - 1 - ix }
+            else { if (st.mb > 0) img.width - 1 - iy else iy }
+          val srow =
+            if (diag) { if (st.md > 0) iy else img.height - 1 - iy }
+            else { if (st.mc > 0) img.height - 1 - ix else ix }
           val so = (srow * img.width + scol) * 3
           val o = (y * w + x) * 3
           rgb(o) = img.rgb(so); rgb(o + 1) = img.rgb(so + 1); rgb(o + 2) = img.rgb(so + 2)
@@ -363,9 +392,10 @@ object PdfRaster {
     val subs = mutable.ArrayBuffer.empty[Sub]
 
     def requireUnitScale(op: String): Unit =
-      require(st.sx == 1.0 && st.sy == 1.0,
-        s"page $pageNum: '$op' under non-unit cm scale (sx=${st.sx} sy=${st.sy}) " +
-          "is unsupported — scale is accepted only for image XObject placement (Do)")
+      require(st.ma == 1.0 && st.mb == 0.0 && st.mc == 0.0 && st.md == 1.0,
+        s"page $pageNum: '$op' under a non-identity cm matrix " +
+          s"(a=${st.ma} b=${st.mb} c=${st.mc} d=${st.md}) is unsupported — " +
+          "scale/rotation is accepted only for image XObject placement (Do)")
 
     def curSub: Sub = {
       require(subs.nonEmpty && !subs.last.closed,
@@ -462,11 +492,19 @@ object PdfRaster {
           case "cm" =>
             require(operands.length >= 6, "cm needs 6 operands")
             val Seq(a, b, c, d, e, f) = operands.takeRight(6).map(num).toSeq
-            require(b == 0.0 && c == 0.0 && a > 0.0 && d > 0.0,
-              s"page $pageNum: rotated/skewed/mirrored cm unsupported (a=$a b=$b c=$c d=$d)")
-            // premultiplied diagonal composition: CTM' maps u → sx·(a·u+e)+tx
-            st = st.copy(tx = st.tx + st.sx * e, ty = st.ty + st.sy * f,
-              sx = st.sx * a, sy = st.sy * d)
+            // axis-preserving only: diagonal (scale/mirror/180°) or
+            // anti-diagonal (quarter turns). A skew matrix has no pixel
+            // model here and throws. Products of axis-preserving matrices
+            // stay axis-preserving, so the cumulative CTM needs no recheck.
+            require((b == 0.0 && c == 0.0 && a != 0.0 && d != 0.0) ||
+              (a == 0.0 && d == 0.0 && b != 0.0 && c != 0.0),
+              s"page $pageNum: skewed cm unsupported (a=$a b=$b c=$c d=$d)")
+            // premultiplied row-vector composition: CTM' = cm × CTM
+            st = st.copy(
+              ma = a * st.ma + b * st.mc, mb = a * st.mb + b * st.md,
+              mc = c * st.ma + d * st.mc, md = c * st.mb + d * st.md,
+              tx = e * st.ma + f * st.mc + st.tx,
+              ty = e * st.mb + f * st.md + st.ty)
           case "rg" =>
             require(operands.length >= 3, "rg needs 3 operands")
             val Seq(r, g, b) = operands.takeRight(3).map(num).toSeq
@@ -573,7 +611,7 @@ object PdfRaster {
               case Some(TName(nm)) =>
                 val img = xobjects.getOrElse(nm, throw new IllegalArgumentException(
                   s"page $pageNum: Do of unknown XObject /$nm"))
-                blitImage(img, st.tx, st.ty, st.sx, st.sy)
+                blitImage(img)
               case other => throw new IllegalArgumentException(s"Do on $other")
             }
           case "Tr" =>

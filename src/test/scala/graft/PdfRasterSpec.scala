@@ -27,7 +27,7 @@ class PdfRasterSpec extends AnyFunSuite {
     val byName = (0 until exp.size()).map(exp.get).groupBy(_.get("name").asText)
     assert(byName.keySet ==
       Set("raster_00.pdf", "raster_01.pdf", "raster_02.pdf", "raster_03.pdf",
-        "raster_04.pdf"))
+        "raster_04.pdf", "raster_05.pdf"))
     byName.foreach { case (name, pageExp) =>
       val pages = PdfRaster.rasterize(fixture(name), dpi)
       assert(pages.length == pageExp.length, s"$name page count")
@@ -79,10 +79,12 @@ class PdfRasterSpec extends AnyFunSuite {
     rejects("10 10 m 30 10 l 30 30 l h B*", "outside the raster subset") // even-odd fill+stroke
     rejects("0 0 0.5 0 k 5 5 10 10 re f", "outside the raster subset") // CMYK fill
     rejects("0 0 0.5 0 K 10 10 m 30 30 l S", "outside the raster subset") // CMYK stroke
-    rejects("q 2 0 0 2 0 0 cm 5 5 10 10 re f Q", "under non-unit cm scale") // scaled path
-    rejects("q 2 0 0 2 0 0 cm BT /F1 7 Tf 2 5 Td (A) Tj ET Q", "under non-unit cm scale")
-    rejects("q 0 1 -1 0 0 0 cm 5 5 10 10 re f Q", "rotated/skewed/mirrored cm") // rotation
-    rejects("q 1 0 0 -1 0 40 cm 5 5 10 10 re f Q", "rotated/skewed/mirrored cm") // mirror
+    rejects("q 2 0 0 2 0 0 cm 5 5 10 10 re f Q", "under a non-identity cm") // scaled path
+    rejects("q 2 0 0 2 0 0 cm BT /F1 7 Tf 2 5 Td (A) Tj ET Q", "under a non-identity cm")
+    rejects("q 0 1 -1 0 0 0 cm 5 5 10 10 re f Q", "under a non-identity cm") // rotated path
+    rejects("q 1 0 0 -1 0 40 cm 5 5 10 10 re f Q", "under a non-identity cm") // mirrored path
+    rejects("q 1 0.5 0 1 0 0 cm 5 5 10 10 re f Q", "skewed cm unsupported") // shear
+    rejects("q 0.7 0.7 -0.7 0.7 0 0 cm 5 5 10 10 re f Q", "skewed cm unsupported") // 45 deg
     rejects("q 10 0 0 10 5 5 cm /Nope Do Q", "unknown XObject") // dangling Do name
     rejects("BT 1 Tr /F1 7 Tf 2 25 Td (A) Tj ET", "text render mode 1") // stroke text
     rejects("BT /F1 7 Tf 2 25 Td (#) Tj ET", "outside the built-in glyph font")
@@ -191,6 +193,27 @@ class PdfRasterSpec extends AnyFunSuite {
     assert(at(200, 75) == ((50, 45, 35)), "ink-band texel")
     // border left edge: user x=10 → device 20, 2w stroke covers cols 18..21
     assert(at(20, 240) == ((0, 0, 0)), "border stroke must paint over the image")
+  }
+
+  test("quarter-turn image placement maps source axes transposed and flipped") {
+    // raster_05's 90° CCW leg: cm (0, 80, -100, 0, 110, 20) at dpi 144 →
+    // device box [20,220)x[280,440); device (x,y) → ix along image v
+    // (mc<0: srow=ix), iy along image u (mb>0: scol=79-iy)
+    val p = PdfRaster.rasterize(fixture("raster_05.pdf"), 144).head.image
+    assert(p.width == 600 && p.height == 480)
+    def at(x: Int, y: Int): (Int, Int, Int) = {
+      val o = (y * p.width + x) * 3
+      (p.rgb(o) & 0xFF, p.rgb(o + 1) & 0xFF, p.rgb(o + 2) & 0xFF)
+    }
+    // (120,360): ix=50, iy=40 → (scol,srow)=(39,50): 50%10=0 → parchment
+    // v = 205 + (39*13 + 50*7) % 40 = 222
+    assert(at(120, 360) == ((222, 216, 197)), "rotated parchment texel")
+    // (126,360): ix=53 → srow=53, 53%10=3 and (39/6)%4=2 → ink band
+    // (40 + 39*7%30, 30 + 53*5%25, 35) = (43, 45, 35)
+    assert(at(126, 360) == ((43, 45, 35)), "rotated ink-band texel")
+    // in the 90° region the scan's line bands run VERTICALLY: moving along
+    // y stays in the band (srow=53 fixed; iy=44 → scol=35 → r=45)
+    assert(at(126, 368) == ((45, 45, 35)), "band must run vertically after 90°")
   }
 
   test("re W n clips every painter, intersects when nested, restores on Q") {

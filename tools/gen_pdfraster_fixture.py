@@ -284,17 +284,30 @@ def render(content, fonts, mbw, mbh, dpi, images=None):
             pen += (GLYPH_W + SPACING) * isc
         return pen
 
-    def blit_image(img, btx, bty, bsx, bsy):
-        # nearest-neighbor into the cm box — formulas in the Scala order
+    def blit_image(img):
+        # nearest-neighbor under the axis-preserving CTM — formulas in the
+        # Scala order; transposed indices for quarter turns, reversed axes
+        # for negative coefficients
         iw, ih, irgb = img
-        bx0, bx1 = px(btx), px(btx + bsx)
-        by0, by1 = H - px(bty + bsy), H - px(bty)
+        diag = mb == 0.0 and mc == 0.0
+        xlo, xhi = tx + min(0.0, ma + mc), tx + max(0.0, ma + mc)
+        ylo, yhi = ty + min(0.0, mb + md), ty + max(0.0, mb + md)
+        bx0, bx1 = px(xlo), px(xhi)
+        by0, by1 = H - px(yhi), H - px(ylo)
         assert bx1 > bx0 and by1 > by0, 'degenerate image box'
         box_w, box_h = float(bx1 - bx0), float(by1 - by0)
+        kx = iw if diag else ih
+        ky = ih if diag else iw
         for y in range(max(clip[1], by0), min(clip[3], by1)):
-            srow = min(ih - 1, int((y - by0 + 0.5) * ih / box_h))
+            iy = min(ky - 1, int((y - by0 + 0.5) * ky / box_h))
             for x in range(max(clip[0], bx0), min(clip[2], bx1)):
-                scol = min(iw - 1, int((x - bx0 + 0.5) * iw / box_w))
+                ix = min(kx - 1, int((x - bx0 + 0.5) * kx / box_w))
+                if diag:
+                    scol = ix if ma > 0 else iw - 1 - ix
+                    srow = iy if md > 0 else ih - 1 - iy
+                else:
+                    scol = iw - 1 - iy if mb > 0 else iy
+                    srow = ih - 1 - ix if mc > 0 else ix
                 so = (srow * iw + scol) * 3
                 o = (y * W + x) * 3
                 rgb[o:o + 3] = irgb[so:so + 3]
@@ -303,7 +316,7 @@ def render(content, fonts, mbw, mbh, dpi, images=None):
     stroke = (0, 0, 0)
     line_w = 1.0
     tx = ty = 0.0
-    sx = sy = 1.0
+    ma, mb, mc, md = 1.0, 0.0, 0.0, 1.0
     trmode = 0
     clip = (0, 0, W, H)
     pending_clip = False
@@ -336,7 +349,8 @@ def render(content, fonts, mbw, mbh, dpi, images=None):
         nonlocal pen_px
         assert in_text, 'text-show operator outside BT/ET'
         if text:
-            assert sx == 1.0 and sy == 1.0, 'text show under non-unit cm scale'
+            assert (ma, mb, mc, md) == (1.0, 0.0, 0.0, 1.0), \
+                'text show under a non-identity cm'
             isc = iscale()
             if trmode == 3:
                 # invisible OCR-overlay text: no pixels, no glyph-coverage
@@ -347,7 +361,8 @@ def render(content, fonts, mbw, mbh, dpi, images=None):
                 pen_px += draw_cells(text, px(lx + tx) + pen_px, top_px, isc, fill)
 
     def unit_scale(op):
-        assert sx == 1.0 and sy == 1.0, f"'{op}' under non-unit cm scale"
+        assert (ma, mb, mc, md) == (1.0, 0.0, 0.0, 1.0), \
+            f"'{op}' under a non-identity cm"
 
     for kind, val in _tokens(content):
         if kind == 'arr_open':
@@ -361,20 +376,25 @@ def render(content, fonts, mbw, mbh, dpi, images=None):
         elif kind == 'op':
             assert not pending_clip or val == 'n', f"W followed by '{val}'"
             if val == 'q':
-                stack.append((fill, stroke, line_w, tx, ty, sx, sy, trmode, clip))
+                stack.append((fill, stroke, line_w, tx, ty, ma, mb, mc, md, trmode, clip))
             elif val == 'Q':
-                fill, stroke, line_w, tx, ty, sx, sy, trmode, clip = stack.pop()
+                fill, stroke, line_w, tx, ty, ma, mb, mc, md, trmode, clip = stack.pop()
             elif val == 'cm':
                 a, b, c, d = (operands[-6][1], operands[-5][1],
                               operands[-4][1], operands[-3][1])
-                assert b == 0.0 and c == 0.0 and a > 0.0 and d > 0.0
-                # premultiplied diagonal composition (Scala order)
-                tx += sx * operands[-2][1]; ty += sy * operands[-1][1]
-                sx *= a; sy *= d
+                assert ((b == 0.0 and c == 0.0 and a != 0.0 and d != 0.0) or
+                        (a == 0.0 and d == 0.0 and b != 0.0 and c != 0.0)), \
+                    f'skewed cm unsupported (a={a} b={b} c={c} d={d})'
+                e, f2 = operands[-2][1], operands[-1][1]
+                # premultiplied row-vector composition (Scala order)
+                ma, mb, mc, md, tx, ty = (
+                    a * ma + b * mc, a * mb + b * md,
+                    c * ma + d * mc, c * mb + d * md,
+                    e * ma + f2 * mc + tx, e * mb + f2 * md + ty)
             elif val == 'Do':
                 assert operands[-1][0] == 'name'
                 img = (images or {})[operands[-1][1]]
-                blit_image(img, tx, ty, sx, sy)
+                blit_image(img)
             elif val == 'Tr':
                 trmode = int(operands[-1][1])
                 assert trmode in (0, 3), f'text render mode {trmode}'
@@ -897,12 +917,28 @@ def main():
         "0.6 0.6 0.6 rg 180 5 15 10 re f")
     pages4 = [(p7, 200.0, 140.0, True)]
 
+    # raster_05.pdf: rotated/mirrored scan placements — the landscape and
+    # flipped pages of a historical archive. The SAME 80×100 scan image is
+    # composited at 90° CCW (anti-diagonal cm, b>0 c<0), 180° (negative
+    # diagonal), 270° (anti-diagonal, b<0 c>0), and vertically mirrored
+    # (a>0 d<0), plus a caption. Each placement exercises one orientation
+    # branch of the index-mapped blit.
+    images5 = {'Im0': (80, 100, scan_pixels(80, 100))}
+    p8 = (
+        "q 0 80 -100 0 110 20 cm /Im0 Do Q "
+        "q -80 0 0 -100 280 140 cm /Im0 Do Q "
+        "q 0 -80 100 0 120 230 cm /Im0 Do Q "
+        "q 80 0 0 -100 10 230 cm /Im0 Do Q "
+        "0 0 0 rg BT /F1 8 Tf 150 4 Td (ROTATED SCANS) Tj ET")
+    pages5 = [(p8, 300.0, 240.0, True)]
+
     fonts = {'F2': cmap_decoder(cmap)}
     docs = [('raster_00.pdf', pages, cmap, None),
             ('raster_01.pdf', pages1, None, None),
             ('raster_02.pdf', pages2, None, None),
             ('raster_03.pdf', pages3, None, images3),
-            ('raster_04.pdf', pages4, None, images4)]
+            ('raster_04.pdf', pages4, None, images4),
+            ('raster_05.pdf', pages5, None, images5)]
     rows = []
     seg_rows = []
     ocr_out = []
