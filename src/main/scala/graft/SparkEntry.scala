@@ -112,6 +112,7 @@ object SparkEntry {
     "q_stratified_sample" -> (Queries.stratifiedSample(_, _)),
     "q_token_count" -> (Queries.tokenCount(_, _)),
     "q_token_count_bpe" -> (Queries.tokenCountBpe(_, _)),
+    "q_bpe_merges" -> (Queries.bpeMerges(_, _)),
     "q_quality_score" -> (Queries.qualityScore(_, _)),
     "q_pii_scrub" -> (Queries.piiScrub(_, _)),
     "q_mojibake_fix" -> (Queries.mojibakeFix(_, _)),
@@ -522,6 +523,14 @@ object SparkEntry {
       s"""SELECT doc_id, len(regexp_extract_all(text, '${Queries.BpeTokenRegex}')) AS n_bpe_tokens,
         | len(string_split(text, ' ')) AS n_ws_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // BPE tokenizer training: merge table from the independent pure-Python
+    // trainer twin over the same parquet (tools/gen_bpe_fixture.py) — the
+    // K-round iterative learner is not SQL-expressible; the twin pins the
+    // exact merges, counts, and tie-breaks
+    "q_bpe_merges" ->
+      """SELECT step, "left", "right", merged, pair_count
+        |FROM read_parquet('/root/repo/src/test/resources/expected/bpe_merges.parquet')
+        |ORDER BY step""".stripMargin,
     "q_quality_score" ->
       """SELECT doc_id, length(text) AS len,
         | length(text) - length(replace(text, ' ', '')) AS n_space,

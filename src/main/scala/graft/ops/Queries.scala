@@ -1391,6 +1391,88 @@ object Queries {
         size(split(col("text"), " ")).cast("long").as("n_ws_tokens"))
       .orderBy("doc_id")
 
+  /** Number of merge rules [[bpeMerges]] learns. */
+  val BpeMergeRounds = 10
+
+  /** One greedy left-to-right BPE merge application: every non-overlapping
+    * (l, r) adjacency collapses to `m`, scanning once — "a a a" under
+    * (a, a) becomes "aa a", never "a aa". Shared by the distributed trainer
+    * and BpeSpec's hand-computed cases.
+    */
+  private[graft] def bpeApplyMerge(syms: Seq[String], l: String, r: String,
+                                   m: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += m; i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Distributed BPE tokenizer TRAINING — the merge-table learner every
+    * modern tokenizer pipeline runs over its corpus (Sennrich et al. 2016;
+    * the HF-tokenizers / SentencePiece trainer shape). The corpus-scale
+    * pass happens ONCE: whitespace words aggregate to the bounded
+    * distinct-word vocabulary with counts — Zipf compresses 10^12 docs to a
+    * vocabulary-sized table — and every merge round iterates over THAT,
+    * never re-reading the corpus. Each round is (a) a pair-count aggregate
+    * over adjacent symbol pairs weighted by word count with a deterministic
+    * argmax (count desc, then (left, right) ascending), collected as the
+    * round's single learned parameter, and (b) a narrow typed map applying
+    * the merge greedily left-to-right, cached with the CC loop's eager
+    * per-round release discipline. Words carry an end-of-word sentinel
+    * symbol so merges never cross word boundaries. Output: the learned
+    * merge table (step, left, right, merged, pair_count). Oracle: an
+    * independent pure-Python trainer over the same parquet
+    * (tools/gen_bpe_fixture.py) with the identical tie-break.
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesFrom(spark, t(spark, dir, "documents"))
+
+  private[graft] def bpeMergesFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(col("text"), "[ \\t\\n\\r]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+    // symbol sequences: Unicode code points + the end-of-word sentinel
+    var curDf = tracked(words.map { case (w, c) =>
+      (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))).toSeq :+ "</w>", c)
+    }.toDF("syms", "cnt"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= BpeMergeRounds && !exhausted) {
+      val best = curDf.as[(Seq[String], Long)]
+        .flatMap { case (syms, c) =>
+          if (syms.length < 2) Iterator.empty
+          else syms.iterator.zip(syms.iterator.drop(1)).map { case (l, r) => (l, r, c) }
+        }
+        .toDF("l", "r", "c")
+        .groupBy("l", "r").agg(sum("c").as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect() // 1 row: the round's learned model parameter
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+        val m = l + r
+        merges += ((step, l, r, m, c))
+        val next = tracked(curDf.as[(Seq[String], Long)]
+          .map { case (syms, cnt2) => (bpeApplyMerge(syms, l, r, m), cnt2) }
+          .toDF("syms", "cnt"))
+        next.count() // materialize before releasing the previous round
+        CacheTracker.release(curDf)
+        curDf = next
+        step += 1
+      }
+    }
+    CacheTracker.release(curDf)
+    merges.toSeq.toDF("step", "left", "right", "merged", "pair_count")
+      .orderBy("step")
+  }
+
   /** Quality scoring: exact integer char/space/stopword counts + ratios. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
