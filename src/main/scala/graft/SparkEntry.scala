@@ -113,6 +113,7 @@ object SparkEntry {
     "q_token_count" -> (Queries.tokenCount(_, _)),
     "q_token_count_bpe" -> (Queries.tokenCountBpe(_, _)),
     "q_bpe_merges" -> (Queries.bpeMerges(_, _)),
+    "q_bpe_encode" -> (Queries.bpeEncode(_, _)),
     "q_quality_score" -> (Queries.qualityScore(_, _)),
     "q_pii_scrub" -> (Queries.piiScrub(_, _)),
     "q_mojibake_fix" -> (Queries.mojibakeFix(_, _)),
@@ -531,6 +532,12 @@ object SparkEntry {
       """SELECT step, "left", "right", merged, pair_count
         |FROM read_parquet('/root/repo/src/test/resources/expected/bpe_merges.parquet')
         |ORDER BY step""".stripMargin,
+    // the encode side: same twin, same corpus — (doc_id, symbol count, md5
+    // of the space-joined symbol stream)
+    "q_bpe_encode" ->
+      """SELECT doc_id, n_syms, enc_sha
+        |FROM read_parquet('/root/repo/src/test/resources/expected/bpe_encode.parquet')
+        |ORDER BY doc_id""".stripMargin,
     "q_quality_score" ->
       """SELECT doc_id, length(text) AS len,
         | length(text) - length(replace(text, ' ', '')) AS n_space,

@@ -1473,6 +1473,38 @@ object Queries {
       .orderBy("step")
   }
 
+  /** BPE ENCODING — the inference side of [[bpeMerges]]: tokenize every
+    * document with the learned merge table by replaying the merges in
+    * learned (priority) order over each word's code-point symbols. The
+    * merge table is a K-row driver value rode into the closure (the model
+    * is tiny; the corpus never shuffles) and the encode is a pure per-row
+    * map — embarrassingly parallel at 10^12 docs. Output pins the exact
+    * token stream: (doc_id, n_syms, md5 of the space-joined symbols).
+    * Oracle: the Python trainer twin encodes the same parquet.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeFrom(spark, t(spark, dir, "documents"))
+
+  private[graft] def bpeEncodeFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val table: Seq[(String, String, String)] =
+      bpeMergesFrom(spark, docs).as[(Int, String, String, String, Long)]
+        .collect().toSeq.sortBy(_._1).map(m => (m._2, m._3, m._4))
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val syms = "[ \t\n\r]+".r.split(text).iterator.filter(_.nonEmpty)
+          .flatMap { w =>
+            val base = w.codePoints().toArray
+              .map(cp => new String(Character.toChars(cp))).toSeq :+ "</w>"
+            table.foldLeft(base) { case (s, (l, r, m)) => bpeApplyMerge(s, l, r, m) }
+          }.toSeq
+        (id, syms.length.toLong, syms.mkString(" "))
+      }
+      .toDF("doc_id", "n_syms", "enc")
+      .select(col("doc_id"), col("n_syms"), md5(col("enc")).as("enc_sha"))
+      .orderBy("doc_id")
+  }
+
   /** Quality scoring: exact integer char/space/stopword counts + ratios. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")

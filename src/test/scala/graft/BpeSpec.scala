@@ -65,6 +65,23 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.foreach { case (_, l, _, _, _) => assert(!l.endsWith("</w>")) }
   }
 
+  test("encode replays the learned merges to a pinned symbol stream") {
+    import spark.implicits._
+    // corpus ["aaa"]: merges = (a,a)→aa, (a,</w>)→a</w>, (aa,a</w>)→aaa</w>
+    // then no pairs remain; encoding "aaa aaa" yields two aaa</w> symbols
+    val docs = Seq((0L, "aaa aaa"), (1L, "aaa"), (2L, ""))
+      .toDF("doc_id", "text")
+    val got = Queries.bpeEncodeFrom(spark, docs)
+      .as[(Long, Long, String)].collect().toSeq
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String): String =
+      md5.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got == Seq(
+      (0L, 2L, hex("aaa</w> aaa</w>")),
+      (1L, 1L, hex("aaa</w>")),
+      (2L, 0L, hex(""))))
+  }
+
   test("the committed fixture matches this trainer on the sf0.001 slice") {
     // differential smoke vs the Python twin's convention (full agreement is
     // the q_bpe_merges oracle at sf0.01): same split, sentinel, tie-break
