@@ -1430,8 +1430,15 @@ object Queries {
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     bpeMergesFrom(spark, t(spark, dir, "documents"))
 
-  private[graft] def bpeMergesFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+  /** `onRound` observes (step, detail, wallMillis): step 0 is the one
+    * corpus-scale pass (detail = distinct-word vocabulary size), steps 1..K
+    * the merge rounds (detail = the winning pair's count) — the
+    * BpeScaleBench instrument.
+    */
+  private[graft] def bpeMergesFrom(spark: SparkSession, docs: DataFrame,
+      onRound: (Int, Long, Long) => Unit = (_, _, _) => ()): DataFrame = {
     import spark.implicits._
+    val phase0 = System.nanoTime()
     val words = docs
       .select(explode(split(col("text"), "[ \\t\\n\\r]+")).as("w"))
       .filter(length(col("w")) > 0)
@@ -1441,10 +1448,13 @@ object Queries {
     var curDf = tracked(words.map { case (w, c) =>
       (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))).toSeq :+ "</w>", c)
     }.toDF("syms", "cnt"))
+    val vocab = curDf.count() // materialize: the ONLY corpus-scale action
+    onRound(0, vocab, (System.nanoTime() - phase0) / 1000000L)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var step = 1
     var exhausted = false
     while (step <= BpeMergeRounds && !exhausted) {
+      val roundStart = System.nanoTime()
       val best = curDf.as[(Seq[String], Long)]
         .flatMap { case (syms, c) =>
           if (syms.length < 2) Iterator.empty
@@ -1465,6 +1475,7 @@ object Queries {
         next.count() // materialize before releasing the previous round
         CacheTracker.release(curDf)
         curDf = next
+        onRound(step, c, (System.nanoTime() - roundStart) / 1000000L)
         step += 1
       }
     }
