@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
   * of [[graft.ops.Queries.dataprepPipeline]] (whose DuckDB oracle proves the
   * chain's semantics): boilerplate strip → exact dedup → near-dup CC
   * canonical selection → benchmark decontamination → context-window
-  * chunking.
+  * chunking, plus the TOKENIZE finisher (stage 5): BPE trained on the
+  * decontaminated corpus and the same corpus encoded with the learned
+  * table — the pipeline ends where training begins, in pinned token
+  * streams. The tokenize stage reads stage 3 (the last doc-shaped
+  * snapshot), not the chunk table, which carries only chunk digests.
   *
   * Resume model (north_rule, stage-granular): dedup and CC are GLOBAL
   * operations, so the checkpoint unit is the STAGE, not a key range — each
@@ -39,9 +43,16 @@ object DataPrepJob {
       clock: () => Long = () => System.currentTimeMillis())
 
   val StageNames: Vector[String] =
-    Vector("boilerplate_strip", "exact_dedup", "neardup_cc", "decontaminate", "chunk_windows")
+    Vector("boilerplate_strip", "exact_dedup", "neardup_cc", "decontaminate",
+      "chunk_windows", "bpe_tokenize")
 
   private def stageDir(out: String, idx: Int): String = s"$out/stage_$idx"
+
+  /** Which prior stage a stage consumes: linear, except the tokenizer,
+    * which trains+encodes over stage 3's doc-shaped decontaminated corpus
+    * (stage 4's chunk table carries digests, not text).
+    */
+  private def inputStage(idx: Int): Int = if (idx == 5) 3 else idx - 1
 
   /** One stage's transformation from its input frame. */
   private def stage(spark: SparkSession, sfDir: String, idx: Int, in: DataFrame): DataFrame =
@@ -51,6 +62,7 @@ object DataPrepJob {
       case 2 => Queries.nearDupKeep(spark, in)
       case 3 => Queries.decontaminateKeep(spark, sfDir, in)
       case 4 => Queries.chunkWindowsFrom(in)
+      case 5 => Queries.bpeEncodeFrom(spark, in)
       case other => throw new IllegalArgumentException(s"no stage $other")
     }
 
@@ -67,7 +79,7 @@ object DataPrepJob {
           if (idx == 0)
             Queries.docsWithDups(spark, args.sfDir).select(col("doc_id"), col("text"))
           else
-            spark.read.parquet(stageDir(args.out, idx - 1))
+            spark.read.parquet(stageDir(args.out, inputStage(idx)))
         val inCount = in.count()
         stage(spark, args.sfDir, idx, in)
           .write.mode(SaveMode.Overwrite).parquet(stageDir(args.out, idx))

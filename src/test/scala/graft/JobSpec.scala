@@ -199,14 +199,14 @@ class JobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(crashed.getMessage.contains("injected failure"))
     assert(Lineage.committedPartitions(spark, outA) == Set(0, 1))
 
-    // resume: executes ONLY the remaining three stages
+    // resume: executes ONLY the remaining four stages
     val resumed = DataPrepJob.run(spark, base.copy(clock = () => 2000L))
-    assert(resumed == 3, s"resume must run exactly the uncommitted stages, ran $resumed")
-    assert(Lineage.committedPartitions(spark, outA) == Set(0, 1, 2, 3, 4))
+    assert(resumed == 4, s"resume must run exactly the uncommitted stages, ran $resumed")
+    assert(Lineage.committedPartitions(spark, outA) == Set(0, 1, 2, 3, 4, 5))
     // committed_at proves stages 0-1 were NOT recomputed on resume
     val byClock = Lineage.read(spark, outA).collect().groupBy(_.committed_at)
     assert(byClock(1000L).map(_.partition_id).toSet == Set(0, 1))
-    assert(byClock(2000L).map(_.partition_id).toSet == Set(2, 3, 4))
+    assert(byClock(2000L).map(_.partition_id).toSet == Set(2, 3, 4, 5))
     // a third run is a no-op
     assert(DataPrepJob.run(spark, base) == 0)
 
@@ -224,6 +224,18 @@ class JobSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toSeq).toSeq
     graft.ops.Queries.releaseCaches()
     assert(fromJob == fromQuery, "resumed job output diverges from the lazy pipeline")
+
+    // the tokenize finisher: stage_5 equals BPE train+encode over stage_3's
+    // decontaminated corpus (one token-stream row per surviving doc)
+    val tokJob = spark.read.parquet(s"$outA/stage_5")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val tokQuery = graft.ops.Queries.bpeEncodeFrom(
+      spark, spark.read.parquet(s"$outA/stage_3"))
+      .collect().map(_.toSeq).toSeq
+    graft.ops.Queries.releaseCaches()
+    assert(tokJob == tokQuery, "tokenize stage diverges from the trainer+encoder")
+    assert(tokJob.nonEmpty && tokJob.length ==
+      spark.read.parquet(s"$outA/stage_3").count())
   }
 
   test("compaction: fewer files, identical rows, time travel intact, rerun no-op") {
