@@ -132,6 +132,11 @@ object PdfRaster {
       .map(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toVector)
       .getOrElse(Vector.empty)
     require(kids.nonEmpty, "empty /Kids")
+    // decoded-XObject cache keyed by object ref: a multi-page document
+    // sharing one /Pages-level resource dict decodes each stream ONCE, not
+    // once per page (a 100-page archive was re-inflating the same Flate
+    // stream 100 times)
+    val decodedCache = mutable.Map.empty[Int, ImageDecode.Decoded]
     kids.zipWithIndex.map { case (pageNum, pageIdx) =>
       val page = objs.getOrElse(pageNum,
         throw new IllegalArgumentException(s"missing page object $pageNum"))
@@ -153,7 +158,7 @@ object PdfRaster {
               s"page $pageNum: XObject /${mm.group(1)} ref $ref R is dangling"))
             require(!obj.dict.contains("/Form"),
               s"page $pageNum: form XObject /${mm.group(1)} is outside the raster subset")
-            mm.group(1) -> decodeImageObject(pdfBytes, obj, objs)
+            mm.group(1) -> decodedCache.getOrElseUpdate(ref, decodeImageObject(pdfBytes, obj, objs))
           }.toMap)
           .getOrElse(Map.empty)
       RasterPage(pageIdx,
@@ -458,8 +463,9 @@ object PdfRaster {
         if (st.textRender == 3) {
           // invisible (the OCR text layer of a scanned page): no pixels, no
           // glyph-coverage requirement — arbitrary recognizer output rides
-          // along; the pen still advances one cell per character
-          penPx += text.length * cellW(isc)
+          // along; the pen still advances one cell per CODE POINT (the twin
+          // counts code points; UTF-16 length double-counts astral chars)
+          penPx += text.codePointCount(0, text.length) * cellW(isc)
         } else {
           val topPx = h - px(lineY + st.ty) - GlyphFont.GlyphH * isc
           penPx += drawCells(text, px(lineX + st.tx) + penPx, topPx, isc, st.fill)
@@ -520,9 +526,10 @@ object PdfRaster {
             val v = colorByte(num(operands.last))
             st = st.copy(stroke = (v, v, v))
           case "w" =>
-            val lw = num(operands.last)
-            require(lw > 0, s"page $pageNum: non-positive line width $lw")
-            st = st.copy(lineWidth = lw)
+            // `0 w` is a legal hairline per spec; a fill-only page that sets
+            // it must still render. The subset has no hairline model, so the
+            // width is validated where it matters — at stroke time
+            st = st.copy(lineWidth = num(operands.last))
           case "d" =>
             // the stroke model has no dash phase math — only the solid
             // pattern "[] 0 d" is accepted
@@ -568,8 +575,15 @@ object PdfRaster {
             require(subs.nonEmpty, s"page $pageNum: h without a subpath")
             subs.last.closed = true
           case "f" | "F" =>
-            rects.foreach { case (x, y, rw, rh) => fillRect(x, y, rw, rh, st.fill) }
-            scanFill(subs.map(deviceRing).toSeq, evenOdd = false, st.fill)
+            // rect-only paths keep the rint box rule; once polygon subpaths
+            // are present the rects must join the SAME nonzero winding sum
+            // (an opposite-wound rect inside a polygon is a hole, not a
+            // separately-painted box), so they convert to rings like f*
+            if (subs.isEmpty)
+              rects.foreach { case (x, y, rw, rh) => fillRect(x, y, rw, rh, st.fill) }
+            else
+              scanFill((rects.map(rectSub) ++ subs).map(deviceRing).toSeq,
+                evenOdd = false, st.fill)
             clearPath()
           case "f*" =>
             // even-odd parity across ALL subpaths — rects convert to rings
@@ -586,8 +600,11 @@ object PdfRaster {
             strokeAll()
             clearPath()
           case "B" =>
-            rects.foreach { case (x, y, rw, rh) => fillRect(x, y, rw, rh, st.fill) }
-            scanFill(subs.map(deviceRing).toSeq, evenOdd = false, st.fill)
+            if (subs.isEmpty)
+              rects.foreach { case (x, y, rw, rh) => fillRect(x, y, rw, rh, st.fill) }
+            else
+              scanFill((rects.map(rectSub) ++ subs).map(deviceRing).toSeq,
+                evenOdd = false, st.fill)
             strokeAll()
             clearPath()
           case "W" =>

@@ -1501,9 +1501,12 @@ object Queries {
     val table: Seq[(String, String, String)] =
       bpeMergesFrom(spark, docs).as[(Int, String, String, String, Long)]
         .collect().toSeq.sortBy(_._1).map(m => (m._2, m._3, m._4))
+    // compiled once and rode into the closure — a per-row Pattern.compile
+    // in the hot encode map is pure waste at corpus scale
+    val ws = java.util.regex.Pattern.compile("[ \t\n\r]+")
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val syms = "[ \t\n\r]+".r.split(text).iterator.filter(_.nonEmpty)
+        val syms = ws.split(text).iterator.filter(_.nonEmpty)
           .flatMap { w =>
             val base = w.codePoints().toArray
               .map(cp => new String(Character.toChars(cp))).toSeq :+ "</w>"

@@ -27,7 +27,7 @@ class PdfRasterSpec extends AnyFunSuite {
     val byName = (0 until exp.size()).map(exp.get).groupBy(_.get("name").asText)
     assert(byName.keySet ==
       Set("raster_00.pdf", "raster_01.pdf", "raster_02.pdf", "raster_03.pdf",
-        "raster_04.pdf", "raster_05.pdf"))
+        "raster_04.pdf", "raster_05.pdf", "raster_06.pdf"))
     byName.foreach { case (name, pageExp) =>
       val pages = PdfRaster.rasterize(fixture(name), dpi)
       assert(pages.length == pageExp.length, s"$name page count")
@@ -95,8 +95,12 @@ class PdfRasterSpec extends AnyFunSuite {
     rejects("10 10 l S", "without a current point") // l before m
     rejects("10 10 20 20 30 30 c S", "without a current point") // c before m
     rejects("h S", "h without a subpath")
-    rejects("0 w 10 10 m 20 20 l S", "non-positive line width")
+    rejects("0 w 10 10 m 20 20 l S", "non-positive stroke width") // validated at stroke time
     rejects("[2 1] 0 d 10 10 m 20 20 l S", "non-empty dash pattern")
+    // `0 w` is a legal hairline state — a FILL-only page that sets it must
+    // render, not throw (only an actual stroke has no width-0 model here)
+    val hairline = PdfRaster.rasterize(tinyPdf("0 w 0 0 0 rg 5 5 10 10 re f"), 72)
+    assert(hairline.head.image.rgb.exists(_ == 0x00.toByte))
   }
 
   test("nonzero vs even-odd fill diverge exactly on the self-intersecting star") {

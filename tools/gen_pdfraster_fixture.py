@@ -411,8 +411,8 @@ def render(content, fonts, mbw, mbh, dpi, images=None):
                 v = color_byte(operands[-1][1])
                 stroke = (v, v, v)
             elif val == 'w':
+                # 0 w is a legal hairline; validated at stroke time only
                 line_w = operands[-1][1]
-                assert line_w > 0
             elif val == 'd':
                 assert arr_done is not None and not arr_done, 'non-empty dash pattern'
                 arr_done = None
@@ -454,9 +454,14 @@ def render(content, fonts, mbw, mbh, dpi, images=None):
                 assert subs, 'h without a subpath'
                 subs[-1] = (subs[-1][0], True)
             elif val in ('f', 'F'):
-                for (x, y, w2, h2) in rects:
-                    fill_rect(x, y, w2, h2, fill)
-                scan_fill([device_ring(p) for (p, _) in subs], False, fill)
+                # rect-only: rint box rule; mixed rect+polygon: one nonzero
+                # winding sum (opposite-wound rect in a polygon is a hole)
+                if not subs:
+                    for (x, y, w2, h2) in rects:
+                        fill_rect(x, y, w2, h2, fill)
+                else:
+                    scan_fill([device_ring(p) for (p, _) in
+                               [rect_sub(r) for r in rects] + subs], False, fill)
                 rects, subs = [], []
             elif val == 'f*':
                 scan_fill([device_ring(p) for (p, _) in
@@ -471,9 +476,12 @@ def render(content, fonts, mbw, mbh, dpi, images=None):
                 stroke_subs([rect_sub(r) for r in rects] + subs, line_w * s, stroke)
                 rects, subs = [], []
             elif val == 'B':
-                for (x, y, w2, h2) in rects:
-                    fill_rect(x, y, w2, h2, fill)
-                scan_fill([device_ring(p) for (p, _) in subs], False, fill)
+                if not subs:
+                    for (x, y, w2, h2) in rects:
+                        fill_rect(x, y, w2, h2, fill)
+                else:
+                    scan_fill([device_ring(p) for (p, _) in
+                               [rect_sub(r) for r in rects] + subs], False, fill)
                 stroke_subs([rect_sub(r) for r in rects] + subs, line_w * s, stroke)
                 rects, subs = [], []
             elif val == 'W':
@@ -932,13 +940,29 @@ def main():
         "0 0 0 rg BT /F1 8 Tf 150 4 Td (ROTATED SCANS) Tj ET")
     pages5 = [(p8, 300.0, 240.0, True)]
 
+    # raster_06.pdf: the winding-interplay page — nonzero `f` over a MIXED
+    # rect+polygon path (outer polygon wound CW, `re` rect CCW inside →
+    # the winding sum cancels and the rect is a HOLE, the donut a conforming
+    # renderer paints; painting the rect separately was the pre-round-5-fix
+    # bug), the same interplay under `B` (fill hole + stroke both outlines),
+    # and a fill-only `0 w` (legal hairline set, never stroked — must render,
+    # not throw).
+    p9 = (
+        "0 w "
+        "0.5 0 0 rg 20 20 m 20 120 l 140 120 l 140 20 l h "
+        "50 50 40 40 re f "
+        "0.9 0.9 0 rg 0 0 0 RG 2 w "
+        "160 30 m 160 110 l 190 110 l 190 30 l h 168 45 15 20 re B")
+    pages6 = [(p9, 200.0, 150.0, False)]
+
     fonts = {'F2': cmap_decoder(cmap)}
     docs = [('raster_00.pdf', pages, cmap, None),
             ('raster_01.pdf', pages1, None, None),
             ('raster_02.pdf', pages2, None, None),
             ('raster_03.pdf', pages3, None, images3),
             ('raster_04.pdf', pages4, None, images4),
-            ('raster_05.pdf', pages5, None, images5)]
+            ('raster_05.pdf', pages5, None, images5),
+            ('raster_06.pdf', pages6, None, None)]
     rows = []
     seg_rows = []
     ocr_out = []
