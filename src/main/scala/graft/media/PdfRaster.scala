@@ -424,8 +424,13 @@ object PdfRaster {
         (x, y), (x + rw, y), (x + rw, y + rh), (x, y + rh)), closed = true)
     }
     def clearPath(): Unit = { rects.clear(); subs.clear() }
-    def strokeAll(): Unit =
+    def strokeAll(): Unit = {
+      // the spec transforms the LINE WIDTH by the CTM at stroke time — a
+      // stroke under a scale cm must be wider, which the subset has no
+      // model for, so it rejects loudly like path/text construction does
+      requireUnitScale("stroke")
       strokeSubs(rects.map(rectSub).toSeq ++ subs.toSeq, st.lineWidth * s, st.stroke)
+    }
     var inText = false
     var pendingClip = false
     var lineX = 0.0; var lineY = 0.0

@@ -1394,6 +1394,18 @@ object Queries {
   /** Number of merge rules [[bpeMerges]] learns. */
   val BpeMergeRounds = 10
 
+  /** The ONE whitespace-split regex both BPE sides use — the trainer's SQL
+    * `split` and the encoder's compiled Pattern MUST tokenize identically
+    * or encode-time symbols desynchronize from the trained vocabulary.
+    */
+  private[graft] val BpeWsRe = "[ \\t\\n\\r]+"
+
+  /** Word → initial symbol sequence (Unicode code points + the end-of-word
+    * sentinel), shared by trainer and encoder for the same reason.
+    */
+  private[graft] def bpeWordSyms(w: String): Seq[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp))).toSeq :+ "</w>"
+
   /** One greedy left-to-right BPE merge application: every non-overlapping
     * (l, r) adjacency collapses to `m`, scanning once — "a a a" under
     * (a, a) becomes "aa a", never "a aa". Shared by the distributed trainer
@@ -1440,14 +1452,12 @@ object Queries {
     import spark.implicits._
     val phase0 = System.nanoTime()
     val words = docs
-      .select(explode(split(col("text"), "[ \\t\\n\\r]+")).as("w"))
+      .select(explode(split(col("text"), BpeWsRe)).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .as[(String, Long)]
-    // symbol sequences: Unicode code points + the end-of-word sentinel
-    var curDf = tracked(words.map { case (w, c) =>
-      (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))).toSeq :+ "</w>", c)
-    }.toDF("syms", "cnt"))
+    var curDf = tracked(words.map { case (w, c) => (bpeWordSyms(w), c) }
+      .toDF("syms", "cnt"))
     val vocab = curDf.count() // materialize: the ONLY corpus-scale action
     onRound(0, vocab, (System.nanoTime() - phase0) / 1000000L)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
@@ -1496,21 +1506,28 @@ object Queries {
   def bpeEncode(spark: SparkSession, dir: String): DataFrame =
     bpeEncodeFrom(spark, t(spark, dir, "documents"))
 
-  private[graft] def bpeEncodeFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def bpeEncodeFrom(spark: SparkSession, docs: DataFrame): DataFrame =
+    bpeEncodeWith(spark, docs,
+      bpeMergesFrom(spark, docs).collect().toSeq
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3)))
+        .sortBy(_._1).map(m => (m._2, m._3, m._4)))
+
+  /** Encode with an ALREADY-TRAINED merge table — the composed-job path:
+    * a caller that needs both the merges output and the encodings trains
+    * once and passes the table here instead of paying the corpus-scale
+    * training pass a second time inside [[bpeEncodeFrom]].
+    */
+  private[graft] def bpeEncodeWith(spark: SparkSession, docs: DataFrame,
+      table: Seq[(String, String, String)]): DataFrame = {
     import spark.implicits._
-    val table: Seq[(String, String, String)] =
-      bpeMergesFrom(spark, docs).as[(Int, String, String, String, Long)]
-        .collect().toSeq.sortBy(_._1).map(m => (m._2, m._3, m._4))
     // compiled once and rode into the closure — a per-row Pattern.compile
     // in the hot encode map is pure waste at corpus scale
-    val ws = java.util.regex.Pattern.compile("[ \t\n\r]+")
+    val ws = java.util.regex.Pattern.compile(BpeWsRe)
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val syms = ws.split(text).iterator.filter(_.nonEmpty)
           .flatMap { w =>
-            val base = w.codePoints().toArray
-              .map(cp => new String(Character.toChars(cp))).toSeq :+ "</w>"
-            table.foldLeft(base) { case (s, (l, r, m)) => bpeApplyMerge(s, l, r, m) }
+            table.foldLeft(bpeWordSyms(w)) { case (s, (l, r, m)) => bpeApplyMerge(s, l, r, m) }
           }.toSeq
         (id, syms.length.toLong, syms.mkString(" "))
       }
@@ -1893,14 +1910,17 @@ object Queries {
     * path construction with 16-chord Bézier flattening, nonzero f and
     * even-odd f* pixel-center scanline fills, butt-cap quad strokes S/s/B
     * with w width and RG/G stroke color, rg/g fill color, q/Q state,
-    * translation-only cm, text via the built-in GlyphFont bitmaps at dpi
-    * 144) → one row per page with the pixel digest. This narrows the one
-    * pdfium-blocked reference capability (`_internal/pdf.py:20-54` renders
-    * ANY page) to the deterministic subset, with clipping/shading/XObject
-    * composition rejected loudly. Oracle: pixel digests computed by the
-    * independent pure-Python renderer twin (tools/gen_pdfraster_fixture.py)
-    * under the same documented pixel rules — every scanline formula written
-    * in the identical order so IEEE doubles agree bit-for-bit.
+    * `re W n` rectangle clips, raster-XObject `Do` compositing under the
+    * axis-preserving CTM family (scales, quarter turns, mirrors), Tr 3
+    * invisible text, and visible text via the built-in GlyphFont bitmaps
+    * at dpi 144) → one row per page with the pixel digest. This narrows
+    * the one pdfium-blocked reference capability (`_internal/pdf.py:20-54`
+    * renders ANY page) to the deterministic subset, with polygon clips,
+    * shading, form XObjects and skewed matrices rejected loudly. Oracle:
+    * pixel digests computed by the independent pure-Python renderer twin
+    * (tools/gen_pdfraster_fixture.py) under the same documented pixel
+    * rules — every scanline formula written in the identical order so
+    * IEEE doubles agree bit-for-bit.
     */
   def pdfRaster(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -96,6 +96,9 @@ class PdfRasterSpec extends AnyFunSuite {
     rejects("10 10 20 20 30 30 c S", "without a current point") // c before m
     rejects("h S", "h without a subpath")
     rejects("0 w 10 10 m 20 20 l S", "non-positive stroke width") // validated at stroke time
+    // spec transforms line width by the CTM at stroke time — a stroke under
+    // a scale cm (path built at identity) has no width model here: loud
+    rejects("10 10 m 40 10 l q 4 0 0 4 0 0 cm S", "under a non-identity cm")
     rejects("[2 1] 0 d 10 10 m 20 20 l S", "non-empty dash pattern")
     // `0 w` is a legal hairline state — a FILL-only page that sets it must
     // render, not throw (only an actual stroke has no width-0 model here)

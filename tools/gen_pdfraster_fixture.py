@@ -468,14 +468,17 @@ def render(content, fonts, mbw, mbh, dpi, images=None):
                            [rect_sub(r) for r in rects] + subs], True, fill)
                 rects, subs = [], []
             elif val == 'S':
+                unit_scale('stroke')  # line width transforms by the CTM at stroke time
                 stroke_subs([rect_sub(r) for r in rects] + subs, line_w * s, stroke)
                 rects, subs = [], []
             elif val == 's':
+                unit_scale('stroke')
                 assert subs, 's without a subpath'
                 subs[-1] = (subs[-1][0], True)
                 stroke_subs([rect_sub(r) for r in rects] + subs, line_w * s, stroke)
                 rects, subs = [], []
             elif val == 'B':
+                unit_scale('stroke')
                 if not subs:
                     for (x, y, w2, h2) in rects:
                         fill_rect(x, y, w2, h2, fill)
