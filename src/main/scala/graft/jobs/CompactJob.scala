@@ -44,9 +44,15 @@ import scala.jdk.CollectionConverters._
   * rewrite scan via `Dataset.observe` (the ExtractJob lineage pattern),
   * so the whole job is exactly two data passes — the rewrite itself and
   * one read-back of the (compacted, smaller) output — never a third
-  * checksum pass over the source. Re-running against an already-compacted table
-  * is a NO-OP (the lineage row keyed by the source snapshot id says so),
-  * making the job idempotent under schedulers that fire it blindly.
+  * checksum pass over the source. The rewrite is STAGED (data only, no
+  * commit marker, no LATEST flip) until the checksum passes; a diverged
+  * rewrite is recorded in lineage and thrown without ever becoming
+  * visible, and the next run retries it. Re-running against an
+  * already-compacted table is a NO-OP — a clean lineage row keyed by
+  * either snapshot id says so, and a `_compacted_from` sidecar inside the
+  * published snapshot covers the crash window between publish and lineage
+  * append — making the job idempotent under schedulers that fire it
+  * blindly.
   *
   * Run: `runMain graft.jobs.CompactJob --root <snapshotRoot>
   *        [--target-bytes N] [--cores N]`
@@ -66,23 +72,40 @@ object CompactJob {
     finally s.close()
   }
 
-  /** Hive partition columns, detected from first-level `col=value`
-    * directory names (the layout [[Snapshots.commit]]'s partitionBy
-    * writes). Empty = unpartitioned.
+  /** Hive partition columns in NESTING ORDER, walked level by level (the
+    * layout [[Snapshots.commit]]'s partitionBy writes — `partitionBy(c1,
+    * c2)` nests `c1=v/c2=w/`, and the rewrite must re-partition by the
+    * same ordered list or the inner column's pruning layout is lost).
+    * Empty = unpartitioned.
     */
-  private def partitionColsOf(dir: Path): Seq[String] =
-    Files.list(dir).iterator().asScala
-      .filter(Files.isDirectory(_))
-      .map(_.getFileName.toString)
-      .filter(_.contains('='))
-      .map(_.split("=", 2)(0))
-      .toSeq.distinct.sorted
+  private def partitionColsOf(dir: Path): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = dir
+    var descend = true
+    while (descend) {
+      val s = Files.list(cur)
+      val sub =
+        try s.iterator().asScala.filter(Files.isDirectory(_))
+          .map(p => (p, p.getFileName.toString)).filter(_._2.contains('=')).toVector
+        finally s.close()
+      val keys = sub.map(_._2.split("=", 2)(0)).distinct
+      if (keys.length == 1) { out += keys.head; cur = sub.head._1 }
+      else descend = false
+    }
+    out.toSeq
+  }
 
-  /** Order-independent content checksum over every column. */
+  /** Order-independent content checksum over every column — columns hashed
+    * in SORTED-NAME order on both sides, because a partitioned read-back
+    * appends partition columns after the data columns (source order
+    * `[..., c1, c2]` vs read-back `[..., c2, c1]` would falsely diverge).
+    */
+  private def checksumCols(df: DataFrame) = df.columns.sorted.map(col).toIndexedSeq
+
   private def checksum(df: DataFrame): String = {
     val row = df.select(
       count(lit(1)).as("n"),
-      coalesce(bit_xor(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))), lit(0L)).as("x"))
+      coalesce(bit_xor(xxhash64(struct(checksumCols(df): _*))), lit(0L)).as("x"))
       .collect()(0)
     s"${row.getLong(0)}:${java.lang.Long.toHexString(row.getLong(1))}"
   }
@@ -94,15 +117,18 @@ object CompactJob {
     val sourceId = Snapshots.latest(root).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot under $root"))
     val compactRoot = s"$root/compact"
-    // idempotence: one lineage row per compaction, keyed by BOTH ids —
-    // skip when the latest snapshot was already compacted (snapshot_id)
-    // OR is itself a compaction's output (partition_id), so a scheduler
-    // firing the job blindly never rewrites a current table
-    val done = Lineage.read(spark, compactRoot).collect()
-      .exists(r => r.snapshot_id == sourceId || r.partition_id.toLong == sourceId)
     val srcDir = Paths.get(Snapshots.snapshotDir(root, sourceId))
+    // idempotence, two independent signals: a CLEAN lineage row keyed by
+    // either id (a diverged row must NOT suppress the retry), or the
+    // `_compacted_from` sidecar inside the snapshot itself — which survives
+    // a crash in the publish→lineage window, so a scheduler firing the job
+    // blindly never rewrites a current table
+    val done = Lineage.read(spark, compactRoot).collect()
+      .exists(r => (r.snapshot_id == sourceId || r.partition_id.toLong == sourceId) &&
+        r.divergence == 0.0)
+    val alreadyCompact = Files.exists(srcDir.resolve("_compacted_from"))
     val filesIn = dataFiles(srcDir).size.toLong
-    if (done) return Result(sourceId, -1L, filesIn, filesIn, 0L)
+    if (done || alreadyCompact) return Result(sourceId, -1L, filesIn, filesIn, 0L)
 
     val parts = partitionColsOf(srcDir)
     val newId = sourceId + 1
@@ -112,10 +138,13 @@ object CompactJob {
     // THIRD full read of a 100 TB table per compaction
     val obs = org.apache.spark.sql.Observation(s"graft_compact_$sourceId")
     def withObs(df: DataFrame): DataFrame = {
-      val cs = df.columns.map(col).toIndexedSeq
+      val cs = checksumCols(df)
       df.observe(obs, count(lit(1)).as("n"),
         coalesce(bit_xor(xxhash64(struct(cs: _*))), lit(0L)).as("x"))
     }
+    // STAGE only — no commit marker, no LATEST flip. The rewrite is not
+    // visible to any reader until the checksum below verifies it; a
+    // diverged or crashed rewrite leaves the source snapshot as latest.
     if (parts.isEmpty) {
       // zero-shuffle path: the scan's own split packing is the bin-packer
       val conf = spark.conf
@@ -126,7 +155,7 @@ object CompactJob {
         // a 4 MiB default open cost makes tiny files "fill" a split long
         // before the byte target; compaction wants byte-true packing
         conf.set("spark.sql.files.openCostInBytes", (64L << 10).toString)
-        Snapshots.commit(withObs(spark.read.parquet(srcDir.toString)), root, newId)
+        Snapshots.stage(withObs(spark.read.parquet(srcDir.toString)), root, newId)
       } finally {
         conf.set("spark.sql.files.maxPartitionBytes", savedMax)
         conf.set("spark.sql.files.openCostInBytes", savedOpen)
@@ -134,7 +163,7 @@ object CompactJob {
     } else {
       // partition-aligned single exchange; writer emits one file per value
       // (observe sits below the exchange: metrics are of the source rows)
-      Snapshots.commit(
+      Snapshots.stage(
         withObs(Snapshots.read(spark, root, sourceId))
           .repartition(parts.map(col).toIndexedSeq: _*), root, newId, parts)
     }
@@ -143,16 +172,29 @@ object CompactJob {
     val beforeSum =
       s"$rows:${java.lang.Long.toHexString(observed("x").asInstanceOf[Long])}"
 
-    val afterSum = checksum(Snapshots.read(spark, root, newId))
-    val filesOut = dataFiles(Paths.get(Snapshots.snapshotDir(root, newId))).size.toLong
-    val diverged = if (afterSum == beforeSum) 0.0 else 1.0
+    val newDir = Paths.get(Snapshots.snapshotDir(root, newId))
+    val afterSum = checksum(spark.read.parquet(newDir.toString))
+    val filesOut = dataFiles(newDir).size.toLong
+    if (afterSum != beforeSum) {
+      // record the failure, leave LATEST on the verified source — the
+      // divergence==1 row does NOT satisfy the done check, so the next
+      // run retries the compaction instead of no-opping over a bad table
+      Lineage.append(spark, compactRoot, Seq(LineageRow(
+        snapshot_id = sourceId, partition_id = newId.toInt,
+        partition_hash = afterSum, doc_count = rows, span_count = filesOut,
+        divergence = 1.0, committed_at = System.currentTimeMillis())))
+      throw new IllegalStateException(
+        s"compaction diverged (NOT published): source $beforeSum vs compacted $afterSum")
+    }
+    // sidecar BEFORE publish: Spark/DuckDB ignore underscore files, and its
+    // presence marks the snapshot as a compaction product even if the
+    // lineage append below never runs (crash window)
+    Files.writeString(newDir.resolve("_compacted_from"), sourceId.toString)
+    Snapshots.publish(root, newId)
     Lineage.append(spark, compactRoot, Seq(LineageRow(
       snapshot_id = sourceId, partition_id = newId.toInt,
       partition_hash = afterSum, doc_count = rows, span_count = filesOut,
-      divergence = diverged, committed_at = System.currentTimeMillis())))
-    if (diverged != 0.0)
-      throw new IllegalStateException(
-        s"compaction diverged: source $beforeSum vs compacted $afterSum")
+      divergence = 0.0, committed_at = System.currentTimeMillis())))
     Result(sourceId, newId, filesIn, filesOut, rows)
   }
 

@@ -48,6 +48,36 @@ object WarcIngestJob {
 
   def crawlDir(out: String): String = s"$out/crawl"
 
+  private type SpanRow = (Int, String, Int, String, String, String)
+
+  /** Iterator-level quarantine for a TORN FILE: [[Warc.records]] inflates
+    * and frames lazily, so a truncated gzip member or malformed record
+    * header throws from the iterator's own advance — OUTSIDE any per-page
+    * try. This guard turns that into "every good record before the tear,
+    * plus ONE kind=error row", so a corrupt segment costs one row, never a
+    * permanently-failing task that wedges the resumable job on the same
+    * uncommitted file forever.
+    */
+  private def tornFileGuard(it: Iterator[SpanRow], fileIdx: Int,
+      name: String): Iterator[SpanRow] = new Iterator[SpanRow] {
+    private var pending: Option[SpanRow] = None
+    private var dead = false
+    private def errRow(e: Throwable): SpanRow =
+      (fileIdx, s"warcfile:$name", -1, "error",
+        s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}", "")
+    def hasNext: Boolean = pending.nonEmpty || (!dead &&
+      (try it.hasNext catch { case scala.util.control.NonFatal(e) =>
+        pending = Some(errRow(e)); dead = true; true
+      }))
+    def next(): SpanRow = pending match {
+      case Some(row) => pending = None; row
+      case None =>
+        try it.next() catch { case scala.util.control.NonFatal(e) =>
+          dead = true; errRow(e)
+        }
+    }
+  }
+
   def filePath(out: String, fileIdx: Int): String =
     f"${crawlDir(out)}/part-$fileIdx%05d.warc.gz"
 
@@ -125,7 +155,7 @@ object WarcIngestJob {
       // publish below is a pure aggregation over committed rows.
       val spans = bytes.flatMap { case (name, b) =>
         val fileIdx = name.stripPrefix("part-").stripSuffix(".warc.gz").toInt
-        Warc.records(b).filter(Warc.isHtml200).flatMap { r =>
+        tornFileGuard(Warc.records(b).filter(Warc.isHtml200).flatMap { r =>
           try {
             val dom = graft.text.HtmlDom.parse(Warc.decodeHtml(r), lenient = true)
             val spanRows = graft.text.MainContent.extract(dom).spans
@@ -144,7 +174,7 @@ object WarcIngestJob {
               "error", s"${e.getClass.getSimpleName}: " +
                 Option(e.getMessage).getOrElse("").take(200), ""))
           }
-        }
+        }, fileIdx, name)
       }.toDF("bucket", "uri", "offset", "kind", "text", "media_ref")
 
       val obs = org.apache.spark.sql.Observation(s"warc_stats_$groupsDone")

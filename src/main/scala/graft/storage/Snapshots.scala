@@ -31,9 +31,28 @@ object Snapshots {
     */
   def commit(df: DataFrame, root: String, id: Long,
              partitionBy: Seq[String] = Nil): Unit = {
+    stage(df, root, id, partitionBy)
+    publish(root, id)
+  }
+
+  /** Write snapshot `id`'s data WITHOUT publishing — no commit marker, no
+    * LATEST flip, so readers keep the previous snapshot. A caller that
+    * must VERIFY the written bytes before exposing them (CompactJob's
+    * checksum gate) stages, checks, then [[publish]]es; a crash or a
+    * failed check leaves only an invisible directory the next run
+    * overwrites.
+    */
+  def stage(df: DataFrame, root: String, id: Long,
+            partitionBy: Seq[String] = Nil): Unit = {
     val dir = snapshotDir(root, id)
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
+  }
+
+  /** Atomically publish a previously [[stage]]d snapshot: commit marker,
+    * then the LATEST pointer (each an atomic rename).
+    */
+  def publish(root: String, id: Long): Unit = {
     val marker = Paths.get(s"$root/snapshot-$id.committed")
     val tmp = Paths.get(s"$root/.snapshot-$id.committing")
     Files.createDirectories(Paths.get(root))

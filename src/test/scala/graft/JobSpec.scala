@@ -295,4 +295,72 @@ class JobSpec extends AnyFunSuite with BeforeAndAfterAll {
     // partition-pruned reads still see identical data
     assert(Snapshots.read(spark, root, 8).orderBy("id").collect().map(_.toSeq).toSeq == before)
   }
+
+  test("compaction of a TWO-level hive-partitioned snapshot keeps both columns nested") {
+    import spark.implicits._
+    import graft.jobs.CompactJob
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val root = tmpDir()
+    val df = spark.range(2000)
+      .select($"id", ($"id" % 3).cast("string").as("c1"),
+        ($"id" % 4).cast("string").as("c2"), md5($"id".cast("string")).as("sha"))
+    Snapshots.commit(df.repartition(8), root, 1, partitionBy = Seq("c1", "c2"))
+    val cols = Seq("id", "c1", "c2", "sha")
+    val before = Snapshots.read(spark, root, 1)
+      .select(cols.head, cols.tail: _*).orderBy("id").collect().map(_.toSeq).toSeq
+
+    // must verify clean (the sorted-name checksum makes the read-back
+    // partition-column reordering a non-event) and must NOT flatten c2
+    val r = CompactJob.compact(spark, root, targetBytes = 256L << 20)
+    assert(r.newId == 2 && r.rows == 2000)
+    val dir = JPaths.get(Snapshots.snapshotDir(root, 2))
+    val l1 = JFiles.list(dir).iterator()
+    var sawNested = false
+    l1.forEachRemaining { d =>
+      if (JFiles.isDirectory(d)) {
+        assert(d.getFileName.toString.startsWith("c1="), s"unexpected level-1 dir $d")
+        val l2 = JFiles.list(d).iterator()
+        l2.forEachRemaining { dd =>
+          if (JFiles.isDirectory(dd)) {
+            assert(dd.getFileName.toString.startsWith("c2="), s"flattened layout: $dd")
+            sawNested = true
+          }
+        }
+      }
+    }
+    assert(sawNested, "compacted snapshot lost the inner partition column")
+    assert(Snapshots.read(spark, root, 2)
+      .select(cols.head, cols.tail: _*).orderBy("id").collect().map(_.toSeq).toSeq == before)
+  }
+
+  test("compaction crash window: sidecar no-ops a republish; staged stays invisible") {
+    import spark.implicits._
+    import graft.jobs.CompactJob
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val root = tmpDir()
+    val df = spark.range(1000).select($"id", md5($"id".cast("string")).as("sha"))
+    Snapshots.commit(df.repartition(16), root, 1)
+    val r = CompactJob.compact(spark, root, targetBytes = 256L << 20)
+    assert(r.newId == 2)
+    assert(JFiles.exists(
+      JPaths.get(Snapshots.snapshotDir(root, 2)).resolve("_compacted_from")))
+
+    // simulate a crash BETWEEN publish and the lineage append: wipe lineage.
+    // The sidecar alone must make the next blind fire a no-op — without it
+    // the scheduler would rewrite the already-compacted table.
+    def rmr(p: java.nio.file.Path): Unit = {
+      if (JFiles.isDirectory(p)) {
+        val s = JFiles.list(p)
+        try s.iterator().forEachRemaining(rmr) finally s.close()
+      }
+      JFiles.deleteIfExists(p)
+    }
+    rmr(JPaths.get(s"$root/compact"))
+    val r2 = CompactJob.compact(spark, root, targetBytes = 256L << 20)
+    assert(r2.newId == -1L && !Snapshots.isCommitted(root, 3))
+
+    // a STAGED snapshot is invisible: no marker, LATEST unchanged
+    Snapshots.stage(df, root, 9)
+    assert(Snapshots.latest(root).contains(2L) && !Snapshots.isCommitted(root, 9))
+  }
 }
