@@ -83,6 +83,14 @@ object WetExport {
           out.write(member)
           docsN += 1; bytesN += member.length
         }
+        // a hash-empty partition (fewer docs than files, skew) must still
+        // be a VALID gzip stream — a 0-byte file is rejected by gunzip and
+        // standards-conforming WET readers; one empty member decodes to
+        // zero records everywhere
+        if (docsN == 0L) {
+          val empty = gzipMember(Array.emptyByteArray)
+          out.write(empty); bytesN += empty.length
+        }
       } finally out.close()
       try java.nio.file.Files.move(tmp, target,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,

@@ -54,8 +54,16 @@ object GlyphOcr {
       while (cx < line.x1) { if (ink(cy * w + cx)) inkCount += 1; cx += 1 }
       cy += 1
     }
-    val cands = Seq(h / GlyphFont.GlyphH, (h + GlyphFont.GlyphH - 1) / GlyphFont.GlyphH)
-      .distinct.filter(isc => isc > 0 && inkCount % (isc * isc) == 0)
+    // candidate scales: an accepted phase re-renders the line as isc×isc
+    // blocks, and the line box is the exact ink bbox, so h is EXACTLY
+    // isc·k for the k ∈ [1, GlyphH] bit-rows the text's ink spans. Full-
+    // height text has k = GlyphH (isc = h/GlyphH, the smallest candidate,
+    // tried first — normal lines pay nothing extra), but an all-short-glyph
+    // line ('-----', '...') spans fewer bit-rows, so every divisor of h
+    // down to h/GlyphH is a legal scale. Each stays behind the ink-count
+    // gate above.
+    val lo = math.max(1, (h + GlyphFont.GlyphH - 1) / GlyphFont.GlyphH)
+    val cands = (lo to h).filter(d => h % d == 0 && inkCount % (d * d) == 0)
     cands.foreach { isc =>
       val cellW = CellW * isc
       var q = 0

@@ -22,9 +22,12 @@ import graft.media.ImageDecode.Decoded
   *  - ink mask: integer luma (299·r + 587·g + 114·b) / 1000 < 128;
   *  - XY-cut: trim to the ink bbox, find the LARGEST all-blank gap
   *    strictly inside the trimmed box (row gaps must be ≥ minGapY, column
-  *    gaps ≥ minGapX; the larger gap wins, a tie prefers the row cut),
-  *    recurse top-then-bottom / left-then-right — the DFS leaf order IS
-  *    the reading order (Manhattan-layout XY-cut ordering);
+  *    gaps ≥ minGapX; the larger gap wins, a tie prefers the row cut —
+  *    EXCEPT that a valid row cut beats a wider column cut whose two
+  *    sides are vertically disjoint, because left-before-right is only
+  *    reading order for sides that vertically interleave), recurse
+  *    top-then-bottom / left-then-right — the DFS leaf order IS the
+  *    reading order (Manhattan-layout XY-cut ordering);
   *  - lines: maximal ink-row runs of the block's horizontal projection
   *    profile;
   *  - components: 8-connected ink components within the block;
@@ -141,8 +144,21 @@ object PageSegment {
         val (cx0, cx1) = largestGap(x => !colHasInk(ink, w, b, x), b.x0, b.x1)
         val rowGap = if (ry1 - ry0 >= minGapY) ry1 - ry0 else 0
         val colGap = if (cx1 - cx0 >= minGapX) cx1 - cx0 else 0
+        // A column cut orders left-before-right, which is reading order
+        // only when the two sides vertically INTERLEAVE (true columns).
+        // When one side's ink lies entirely above the other's, top-first
+        // is mandatory — a wider gutter must not beat a valid row cut, or
+        // the DFS would emit a lower-left block before the block that
+        // dominates it (lies entirely above).
+        val useRow = rowGap >= colGap || (rowGap > 0 && {
+          (trim(ink, w, Box(b.x0, b.y0, cx0, b.y1)),
+            trim(ink, w, Box(cx1, b.y0, b.x1, b.y1))) match {
+            case (Some(l), Some(r)) => l.y1 <= r.y0 || r.y1 <= l.y0
+            case _ => true // an inkless side cannot happen (maximal gap)
+          }
+        })
         if (rowGap == 0 && colGap == 0) Vector(b)
-        else if (rowGap >= colGap) // tie prefers the horizontal cut
+        else if (useRow) // tie prefers the horizontal cut
           xyCut(ink, w, Box(b.x0, b.y0, b.x1, ry0), minGapX, minGapY) ++
             xyCut(ink, w, Box(b.x0, ry1, b.x1, b.y1), minGapX, minGapY)
         else
@@ -261,7 +277,12 @@ object PageSegment {
 
   /** `a` must be read before `b`: entirely above, or vertically
     * overlapping and entirely left — the dominance partial order the
-    * XY-cut DFS order must topologically respect (spec-asserted).
+    * XY-cut DFS order must topologically respect (spec-asserted). The
+    * vertical-disjointness override in [[xyCut]] is what upholds the
+    * "entirely above" clause across a column gutter; the one layout class
+    * XY-cut cannot order is a bridged one (a third block spanning the band
+    * between two vertically-disjoint blocks on opposite sides of the
+    * gutter leaves no legal cut that separates them top-first).
     */
   def dominates(a: Box, b: Box): Boolean =
     a.y1 <= b.y0 || (a.y0 < b.y1 && b.y0 < a.y1 && a.x1 <= b.x0)

@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   * Shape: each side projects to (key, xxhash64(content)) FIRST — the wide
   * payload never ships, only an 8-byte digest per row — then ONE
   * full-outer equi-join on the key decides the status. At scale that is
-  * one shuffle per side, and ZERO shuffles when both generations are
-  * written bucketed by the key (the snapshot layout [[graft.storage
-  * .Snapshots]] supports via partitionBy) — the join co-locates on the
-  * existing layout. Status semantics follow the crawl convention: content
+  * one hash-partition shuffle per side, of 16 bytes per row regardless of
+  * document width — the projection below the exchange is the whole
+  * optimization. (Hive-style `partitionBy` directories, the layout
+  * [[graft.storage.Snapshots]] writes, do NOT co-locate join keys, so the
+  * shuffle is not elidable with this storage layer; eliding it would need
+  * catalog-registered `bucketBy` tables.) Status semantics follow the
+  * crawl convention: content
   * equality means byte equality of the projected content column (hash
   * equality internally; a 64-bit collision misclassifying a changed doc
   * as unchanged is accepted at ~2^-64 per pair, the standard trade).

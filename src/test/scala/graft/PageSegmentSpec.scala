@@ -71,6 +71,28 @@ class PageSegmentSpec extends AnyFunSuite with BeforeAndAfterAll {
       Box(0, 0, 50, 50)).isEmpty)
   }
 
+  test("xy-cut: a wider gutter must not beat a row cut when the sides are disjoint") {
+    // lower-LEFT block and upper-RIGHT block: the column gap (120) dwarfs
+    // the row gap (30), but the sides are vertically disjoint — the right
+    // block lies ENTIRELY ABOVE the left one, so reading order demands it
+    // first. A gap-size-only rule would cut the gutter and emit the
+    // lower-left block first, violating the dominance topology.
+    val img = page(200, 120, bar(10, 70, 40, 110) ++ bar(160, 5, 190, 40))
+    val ink = PageSegment.inkMask(img)
+    val blocks = PageSegment.xyCut(ink, 200, Box(0, 0, 200, 120))
+    assert(blocks == Vector(Box(160, 5, 190, 40), Box(10, 70, 40, 110)))
+    for (i <- blocks.indices; j <- i + 1 until blocks.size)
+      assert(!PageSegment.dominates(blocks(j), blocks(i)))
+    // control: sides that vertically INTERLEAVE keep the column cut —
+    // same gutter, left column read fully before the right column even
+    // though the right column starts higher
+    val cols = page(200, 120,
+      bar(10, 30, 40, 60) ++ bar(10, 90, 40, 115) ++ bar(160, 5, 190, 100))
+    val got = PageSegment.xyCut(PageSegment.inkMask(cols), 200, Box(0, 0, 200, 120))
+    assert(got == Vector(
+      Box(10, 30, 40, 60), Box(10, 90, 40, 115), Box(160, 5, 190, 100)))
+  }
+
   test("projection-profile lines and stroke regularity") {
     val img = page(100, 60, bar(5, 5, 90, 12) ++ bar(5, 20, 90, 27) ++ bar(5, 40, 90, 47))
     val ink = PageSegment.inkMask(img)
@@ -101,6 +123,24 @@ class PageSegmentSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the jittered scrawl band classifies handwritten with zero straight ink
     val hand = blocks.filter(_.script == "handwritten")
     assert(hand.size == 1 && hand.head.straightPx == 0L && hand.head.inkPx == 320L)
+  }
+
+  test("glyph OCR: an all-short-glyph line recovers its true scale") {
+    // '-----' at scale 3: the ink bbox is ONE bit-row tall (h = 3), so
+    // height/GlyphH-derived candidates (0 and 1) never include the true
+    // scale — divisor candidates must. The separator's text and scale
+    // both round-trip.
+    val blank = page(260, 40, Nil)
+    val img = graft.media.GlyphFont.drawText(blank, "-----", 10, 8, 3, (0, 0, 0))
+    val ink = PageSegment.inkMask(img)
+    val line = PageSegment.lineBoxes(ink, 260, Box(0, 0, 260, 40)).head
+    assert(line.height == 3, s"dash ink band should be one scaled bit-row, got $line")
+    assert(graft.layout.GlyphOcr.recognizeLine(ink, 260, line) == Some(("-----", 3)))
+    // full-height text is untouched: true scale is still the FIRST candidate
+    val img2 = graft.media.GlyphFont.drawText(blank, "AB12", 10, 8, 2, (0, 0, 0))
+    val ink2 = PageSegment.inkMask(img2)
+    val line2 = PageSegment.lineBoxes(ink2, 260, Box(0, 0, 260, 40)).head
+    assert(graft.layout.GlyphOcr.recognizeLine(ink2, 260, line2) == Some(("AB12", 2)))
   }
 
   test("glyph OCR: every planted line recovered verbatim, impostors rejected") {

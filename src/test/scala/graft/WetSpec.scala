@@ -69,6 +69,24 @@ class WetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("https://h/u3") == "")
   }
 
+  test("hash-empty partitions still emit VALID gzip WET files, not 0-byte ones") {
+    val out = tmpDir()
+    val (docs, _) = WetExport.export(docsDf(), out, files = 8) // 3 docs, ≥5 empty parts
+    assert(docs == 3L)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".warc.wet.gz")).sortBy(_.getName)
+    assert(files.length == 8)
+    files.foreach { f =>
+      assert(f.length > 0L, s"${f.getName} is zero bytes — not a gzip stream")
+      // every file must gunzip end-to-end (an empty member decodes to "")
+      val in = new java.util.zip.GZIPInputStream(
+        java.nio.file.Files.newInputStream(f.toPath))
+      try { val buf = new Array[Byte](8192); while (in.read(buf) >= 0) () }
+      finally in.close()
+    }
+    assert(readBack(out).keySet.size == 3) // empty members add no records
+  }
+
   test("re-export is byte-identical (deterministic partitioning + framing)") {
     val outA = tmpDir()
     val outB = tmpDir()

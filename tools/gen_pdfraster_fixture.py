@@ -616,7 +616,16 @@ def _xycut(ink, W, region):
     col_gap = cx1 - cx0 if cx1 - cx0 >= MIN_GAP_X else 0
     if row_gap == 0 and col_gap == 0:
         return [b]
-    if row_gap >= col_gap:
+    # A valid row cut beats a wider column cut whose two sides are
+    # vertically DISJOINT: left-before-right is only reading order for
+    # sides that vertically interleave (mirrors PageSegment.xyCut).
+    use_row = row_gap >= col_gap
+    if not use_row and row_gap > 0:
+        lt = _trim(ink, W, (x0, y0, cx0, y1))
+        rt = _trim(ink, W, (cx1, y0, x1, y1))
+        if lt is None or rt is None or lt[3] <= rt[1] or rt[3] <= lt[1]:
+            use_row = True
+    if use_row:
         return _xycut(ink, W, (x0, y0, x1, ry0)) + _xycut(ink, W, (x0, ry1, x1, y1))
     return _xycut(ink, W, (x0, y0, cx0, y1)) + _xycut(ink, W, (cx1, y0, x1, y1))
 
@@ -644,7 +653,8 @@ def _line_boxes(ink, W, b):
 
 def segment(W, H, rgb):
     """Independent twin of graft.layout.PageSegment: ink by integer luma,
-    recursive XY-cut (largest eligible gap, tie prefers the row cut, DFS
+    recursive XY-cut (largest eligible gap, tie prefers the row cut, a
+    valid row cut beats a column cut with vertically-disjoint sides, DFS
     reading order), per-block projection-profile line count, 8-connected
     components (BFS flood fill vs Scala's union-find), and stroke-run
     regularity."""
@@ -727,10 +737,12 @@ def _recognize_line(ink, W, line):
     # disjoint isc x isc blocks, so ink % isc**2 == 0 is necessary
     ink_count = sum(1 for y in range(y0, y1) for x in range(x0, x1)
                     if ink[y * W + x])
-    cands = []
-    for c in (h // GLYPH_H, (h + GLYPH_H - 1) // GLYPH_H):
-        if c > 0 and c not in cands and ink_count % (c * c) == 0:
-            cands.append(c)
+    # candidate scales (mirrors GlyphOcr): h is exactly isc*k for the
+    # k in [1, GLYPH_H] bit-rows the ink spans, so every divisor of h
+    # down to h/GLYPH_H is legal — short-glyph-only lines span k < GLYPH_H
+    lo = max(1, (h + GLYPH_H - 1) // GLYPH_H)
+    cands = [d for d in range(lo, h + 1)
+             if h % d == 0 and ink_count % (d * d) == 0]
     for isc in cands:
         cellw = (GLYPH_W + SPACING) * isc
         for q in range(GLYPH_H * isc):
