@@ -68,7 +68,15 @@ object DataPrepJob {
 
   /** One resumable run; returns the number of stages executed (0 = no-op). */
   def run(spark: SparkSession, args: Args): Int = {
-    val committed = Lineage.committedPartitions(spark, args.out)
+    // stage input counts come from lineage: stage i's input row count IS the
+    // committed span_count of its input stage — a fresh in.count() here
+    // would pay a full extra pass over every stage input just for the
+    // lineage doc_count (only stage 0, whose input is the raw corpus with
+    // no lineage row yet, pays a count)
+    val outCounts = scala.collection.mutable.Map.empty[Int, Long] ++
+      Lineage.read(spark, args.out).collect()
+        .map(r => r.partition_id -> r.span_count)
+    val committed = outCounts.keySet.toSet
     new java.io.File(args.out).mkdirs()
     var executed = 0
     StageNames.indices.foreach { idx =>
@@ -80,7 +88,8 @@ object DataPrepJob {
             Queries.docsWithDups(spark, args.sfDir).select(col("doc_id"), col("text"))
           else
             spark.read.parquet(stageDir(args.out, inputStage(idx)))
-        val inCount = in.count()
+        val inCount =
+          if (idx == 0) in.count() else outCounts(inputStage(idx))
         stage(spark, args.sfDir, idx, in)
           .write.mode(SaveMode.Overwrite).parquet(stageDir(args.out, idx))
         Queries.releaseCaches() // the CC stage tracks per-round caches
@@ -99,6 +108,7 @@ object DataPrepJob {
           span_count = st.getLong(0),
           divergence = 0.0,
           committed_at = args.clock())))
+        outCounts(idx) = st.getLong(0)
         executed += 1
       }
     }

@@ -58,13 +58,21 @@ object WarcIngestJob {
     * permanently-failing task that wedges the resumable job on the same
     * uncommitted file forever.
     */
-  private def tornFileGuard(it: Iterator[SpanRow], fileIdx: Int,
+  private def tornFileGuard(mkIt: => Iterator[SpanRow], fileIdx: Int,
       name: String): Iterator[SpanRow] = new Iterator[SpanRow] {
     private var pending: Option[SpanRow] = None
     private var dead = false
     private def errRow(e: Throwable): SpanRow =
       (fileIdx, s"warcfile:$name", -1, "error",
         s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}", "")
+    // by-name: Warc.records eagerly parses record 0 (the record iterator's
+    // constructor advances, and GZIPInputStream validates the gzip header
+    // in ITS constructor) — a tear in the first record or a corrupt header
+    // must quarantine exactly like a mid-file tear, not escape the guard
+    private val it: Iterator[SpanRow] =
+      try mkIt catch { case scala.util.control.NonFatal(e) =>
+        pending = Some(errRow(e)); dead = true; Iterator.empty
+      }
     def hasNext: Boolean = pending.nonEmpty || (!dead &&
       (try it.hasNext catch { case scala.util.control.NonFatal(e) =>
         pending = Some(errRow(e)); dead = true; true
@@ -179,10 +187,13 @@ object WarcIngestJob {
 
       val obs = org.apache.spark.sql.Observation(s"warc_stats_$groupsDone")
       val statCols: Seq[org.apache.spark.sql.Column] = group.toSeq.flatMap { f =>
+        // coalesce: SUM over a ZERO-row frame is NULL (the otherwise(0L)
+        // never fires) — a group whose every record fails isHtml200 must
+        // commit zero counts, not NPE the resumable job on every rerun
         Seq(
-          sum(when(col("bucket") === f && !col("kind").isin("error", "link"), 1L).otherwise(0L)).as(s"spans_$f"),
-          sum(when(col("bucket") === f && col("offset") === 0 && col("kind") =!= "link", 1L).otherwise(0L)).as(s"pages_$f"),
-          sum(when(col("bucket") === f && col("kind") === "error", 1L).otherwise(0L)).as(s"errors_$f"),
+          coalesce(sum(when(col("bucket") === f && !col("kind").isin("error", "link"), 1L).otherwise(0L)), lit(0L)).as(s"spans_$f"),
+          coalesce(sum(when(col("bucket") === f && col("offset") === 0 && col("kind") =!= "link", 1L).otherwise(0L)), lit(0L)).as(s"pages_$f"),
+          coalesce(sum(when(col("bucket") === f && col("kind") === "error", 1L).otherwise(0L)), lit(0L)).as(s"errors_$f"),
           expr(s"bit_xor(CASE WHEN bucket = $f AND offset = 0 AND kind <> 'link' THEN xxhash64(uri) END)").as(s"hash_$f"))
       }
       val out = spans.observe(obs, statCols.head, statCols.tail: _*)
@@ -227,15 +238,6 @@ object WarcIngestJob {
     (todo.size, pagesDone, errorsDone)
   }
 
-  /** Bridge the committed flat span table into the input_hint DOCS shape —
-    * `(doc_id: string, spans: array<struct<kind,text,media_ref,offset>>)`
-    * with doc_id = page uri and spans in offset order — committed as a
-    * [[Snapshots]] snapshot, so the crawl output IS a valid input table
-    * for every docs-shaped consumer (the extraction flagship's contract).
-    * Quarantined `kind = "error"` rows are excluded. One shuffle, keyed by
-    * uri — the grouping is per page, so skew is bounded by the largest
-    * single page, and the nested row's size by that page's span count.
-    */
   /** Publish the next fetch wave's input: every followable outlink the
     * ingest pass emitted, deduped with a reference count — `(url, host,
     * n_refs)`, the same shape the catalog's `q_warc_frontier` builds and
@@ -252,6 +254,15 @@ object WarcIngestJob {
     graft.storage.Snapshots.commit(frontier, s"$out/frontier", snapshotId)
   }
 
+  /** Bridge the committed flat span table into the input_hint DOCS shape —
+    * `(doc_id: string, spans: array<struct<kind,text,media_ref,offset>>)`
+    * with doc_id = page uri and spans in offset order — committed as a
+    * [[Snapshots]] snapshot, so the crawl output IS a valid input table
+    * for every docs-shaped consumer (the extraction flagship's contract).
+    * Quarantined `kind = "error"` rows are excluded. One shuffle, keyed by
+    * uri — the grouping is per page, so skew is bounded by the largest
+    * single page, and the nested row's size by that page's span count.
+    */
   def nestDocs(spark: SparkSession, out: String, snapshotId: Long): Unit = {
     val flat = spark.read.parquet(s"$out/data")
       .filter(col("offset") >= 0 && col("kind") =!= "link")

@@ -92,13 +92,13 @@ object WetExport {
           out.write(empty); bytesN += empty.length
         }
       } finally out.close()
-      try java.nio.file.Files.move(tmp, target,
+      // last-writer-wins rename (REPLACE_EXISTING): rerun output is
+      // deterministic, so overwriting a prior part is idempotent — unlike
+      // materializeCrawl's keep-first variant, no already-exists race to
+      // catch (with REPLACE_EXISTING the exception cannot be thrown)
+      java.nio.file.Files.move(tmp, target,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          java.nio.file.Files.deleteIfExists(tmp)
-      }
       Iterator.single((docsN, bytesN))
     }.collect()
     (counts.map(_._1).sum, counts.map(_._2).sum)

@@ -90,9 +90,7 @@ object PageSegment {
     var i = 0
     while (i < n) {
       val o = i * 3
-      val luma = (299 * (img.rgb(o) & 0xff) + 587 * (img.rgb(o + 1) & 0xff) +
-        114 * (img.rgb(o + 2) & 0xff)) / 1000
-      if (luma < 128) m.set(i)
+      if (graft.media.ImageDecode.lumaInt(img.rgb, o) < 128) m.set(i)
       i += 1
     }
     m

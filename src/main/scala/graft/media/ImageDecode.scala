@@ -224,6 +224,16 @@ object ImageDecode {
     (r / points.length, g / points.length, b / points.length)
   }
 
+  /** Integer luma of the pixel starting at byte offset `o` — the shared
+    * deterministic (299·r + 587·g + 114·b) / 1000 truncating formula both
+    * Python twins pin ([[PHash]] grayscale, [[graft.layout.PageSegment]]
+    * ink mask); ONE copy so a rounding tweak cannot desynchronize the two
+    * cross-language contracts.
+    */
+  @inline def lumaInt(rgb: Array[Byte], o: Int): Int =
+    (299 * (rgb(o) & 0xff) + 587 * (rgb(o + 1) & 0xff) +
+      114 * (rgb(o + 2) & 0xff)) / 1000
+
   /** `_get_contrast_text_color` (`_mineru25.py:364-367`). */
   def contrastTextColor(bg: (Int, Int, Int)): (Int, Int, Int) = {
     val luminance = 0.299 * bg._1 + 0.587 * bg._2 + 0.114 * bg._3

@@ -41,8 +41,7 @@ object PHash {
     var i = 0
     while (i < N * N) {
       val o = i * 3
-      g(i) = (299 * (small.rgb(o) & 0xff) + 587 * (small.rgb(o + 1) & 0xff) +
-        114 * (small.rgb(o + 2) & 0xff)) / 1000
+      g(i) = ImageDecode.lumaInt(small.rgb, o).toLong
       i += 1
     }
     // row pass: r(y)(u) = Σ_x g(y,x)·table(u)(x)

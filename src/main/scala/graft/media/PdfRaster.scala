@@ -109,7 +109,12 @@ object PdfRaster {
   private final case class GState(fill: (Int, Int, Int), stroke: (Int, Int, Int),
                                   lineWidth: Double, tx: Double, ty: Double,
                                   ma: Double, mb: Double, mc: Double, md: Double,
-                                  textRender: Int, clip: (Int, Int, Int, Int))
+                                  textRender: Int, clip: (Int, Int, Int, Int),
+                                  // text state is PART of graphics state
+                                  // (PDF §8.4.2): Tf's size+font and TL's
+                                  // leading must revert at Q exactly like Tr
+                                  fontSize: Double, leading: Double,
+                                  font: Option[PdfText.CMapFont])
 
   /** One path subpath: translated user-space points (curves already
     * flattened), plus whether `h` closed it (fills close implicitly;
@@ -183,7 +188,8 @@ object PdfRaster {
 
     // current graphics state — declared before the painters so they read
     // the live clip box at paint time
-    var st = GState((0, 0, 0), (0, 0, 0), 1.0, 0.0, 0.0, 1.0, 0.0, 0.0, 1.0, 0, (0, 0, w, h))
+    var st = GState((0, 0, 0), (0, 0, 0), 1.0, 0.0, 0.0, 1.0, 0.0, 0.0, 1.0, 0, (0, 0, w, h),
+      0.0, 0.0, None)
 
     def fillRect(ux: Double, uy: Double, uw: Double, uh: Double, c: (Int, Int, Int)): Unit = {
       val cx0 = math.max(st.clip._1, px(ux)); val cx1 = math.min(st.clip._3, px(ux + uw))
@@ -434,10 +440,7 @@ object PdfRaster {
     var inText = false
     var pendingClip = false
     var lineX = 0.0; var lineY = 0.0
-    var leading = 0.0
-    var fontSize = 0.0
     var penPx = 0 // pixel-space pen offset within the current line position
-    var curCMap: Option[PdfText.CMapFont] = None
     val operands = mutable.ArrayBuffer.empty[Tok]
     var arr: mutable.ArrayBuffer[Tok] = null
     var arrDone: Vector[Tok] = null
@@ -450,15 +453,15 @@ object PdfRaster {
       require(v >= 0.0 && v <= 1.0, s"color component $v outside [0,1]")
       math.rint(v * 255).toInt
     }
-    def decodeShow(raw: String): String = curCMap match {
+    def decodeShow(raw: String): String = st.font match {
       case Some(cm) => cm.decode(raw)
       case None if raw.length >= 2 && raw.charAt(0) == 0xFE.toChar && raw.charAt(1) == 0xFF.toChar =>
         PdfText.decodeBomUtf16(raw)
       case None => raw
     }
     def iscale: Int = {
-      require(fontSize > 0, "show before Tf set a font size")
-      math.max(1, math.rint(fontSize * s / GlyphFont.GlyphH).toInt)
+      require(st.fontSize > 0, "show before Tf set a font size")
+      math.max(1, math.rint(st.fontSize * s / GlyphFont.GlyphH).toInt)
     }
     def show(text: String): Unit = {
       require(inText, "text-show operator outside BT/ET")
@@ -477,11 +480,14 @@ object PdfRaster {
         }
       }
     }
-    def nextLine(): Unit = { lineY -= leading; penPx = 0 }
+    def nextLine(): Unit = { lineY -= st.leading; penPx = 0 }
 
     toks.foreach {
       case TArrOpen =>
         require(arr == null, "nested array in content stream")
+        // LOUD contract: a second array before the first is consumed (TJ/d)
+        // would silently drop the first's text — reject, never approximate
+        require(arrDone == null, "unconsumed content-stream array before '['")
         arr = mutable.ArrayBuffer.empty[Tok]
       case TArrClose =>
         require(arr != null, "unbalanced ]")
@@ -645,12 +651,13 @@ object PdfRaster {
           case "ET" => inText = false
           case "Tf" =>
             require(operands.length >= 2, "Tf needs /Name size")
-            operands(operands.length - 2) match {
-              case TName(n) => curCMap = fonts.get(n)
+            val fname = operands(operands.length - 2) match {
+              case TName(n) => n
               case other => throw new IllegalArgumentException(s"Tf on $other")
             }
-            fontSize = num(operands.last)
-            require(fontSize > 0, s"page $pageNum: non-positive font size $fontSize")
+            val size = num(operands.last)
+            require(size > 0, s"page $pageNum: non-positive font size $size")
+            st = st.copy(fontSize = size, font = fonts.get(fname))
           case "Td" =>
             require(operands.length >= 2, "Td needs 2 operands")
             lineX += num(operands(operands.length - 2)); lineY += num(operands.last)
@@ -658,7 +665,7 @@ object PdfRaster {
           case "TD" =>
             require(operands.length >= 2, "TD needs 2 operands")
             val ty = num(operands.last)
-            leading = -ty
+            st = st.copy(leading = -ty)
             lineX += num(operands(operands.length - 2)); lineY += ty
             penPx = 0
           case "Tm" =>
@@ -669,7 +676,7 @@ object PdfRaster {
             lineX = e; lineY = f
             penPx = 0
           case "T*" => nextLine()
-          case "TL" => leading = num(operands.last)
+          case "TL" => st = st.copy(leading = num(operands.last))
           case "Tj" =>
             operands.last match {
               case TStr(raw) => show(decodeShow(raw))

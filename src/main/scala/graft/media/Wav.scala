@@ -41,8 +41,13 @@ object Wav {
     var data: Array[Short] = null
     while (pos + 8 <= bytes.length) {
       val id = tag(bytes, pos)
-      val len = u32(bytes, pos + 4).toInt
-      require(pos + 8 + len <= bytes.length, s"chunk '$id' overruns the file")
+      // keep the declared size in Long: a corrupt u32 ≥ 2^31 truncated
+      // through toInt goes NEGATIVE, the overrun require passes spuriously,
+      // and the word-aligned advance moves ≤ 0 — an infinite loop on an
+      // unknown chunk, NegativeArraySizeException on a data chunk
+      val lenL = u32(bytes, pos + 4)
+      require(pos + 8 + lenL <= bytes.length, s"chunk '$id' overruns the file")
+      val len = lenL.toInt
       id match {
         case "fmt " =>
           require(len >= 16, s"fmt chunk too short ($len)")

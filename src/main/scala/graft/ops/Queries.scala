@@ -836,19 +836,22 @@ object Queries {
     // broadcast-sized at any query volume (see AnnKMeans.probes /
     // BENCH.md §7: a qv-carrying probe table can outgrow the broadcast
     // threshold and force a corpus shuffle over few skewed keys)
-    val pw = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("cent_id").asc)
-    val probePairs = qs.crossJoin(broadcast(cents))
+    val scoredProbes = qs.crossJoin(broadcast(cents))
       .withColumn("qcos", cosExpr("qv", "cv"))
-      .withColumn("prn", row_number().over(pw))
-      .filter(col("prn") <= EmbedIvfProbes)
+      .select(col("q_id"), col("cent_id"), col("qcos"))
+    val probePairs = TopM.topM(scoredProbes, "q_id",
+        Seq(("qcos", false), ("cent_id", true)), EmbedIvfProbes, "prn")
       .select(col("q_id"), col("cent_id"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    // corpus on the streaming side: pairs + query vectors both broadcast
-    assigned.join(broadcast(probePairs), "cent_id")
+    // corpus on the streaming side: pairs + query vectors both broadcast;
+    // the final rank goes through the two-phase bounded TopM — a
+    // Window.partitionBy(q_id) here would sort EVERY probed candidate for a
+    // query in one task (corpus/centroids × probes rows at 10^9 vectors),
+    // the identical funnel AnnKMeans.bfTop3/search already avoid
+    val reranked = assigned.join(broadcast(probePairs), "cent_id")
       .join(broadcast(qs), "q_id")
       .withColumn("cos", cosExpr("qv", "v"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("vec_id"), col("cos"))
+    TopM.topM(reranked, "q_id", Seq(("cos", false), ("vec_id", true)), 3, "rn")
       .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos4"), col("rn"))
       .orderBy("q_id", "rn")
   }

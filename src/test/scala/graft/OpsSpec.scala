@@ -107,7 +107,11 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q_warc_schedule joined round 5: per-host top-budget selection through
     // the same TopM machinery — a window would funnel a mega-host's whole
     // frontier backlog through one task
-    for (name <- Seq("q_embed_topk", "q_embed_lsh", "q_warc_schedule")) {
+    // q_embed_ivf_fixed joined round 5: its probe-list and final reranks
+    // now go through TopM too (the rerank window sorted every probed
+    // candidate for a query — corpus/centroids × probes rows — in one task)
+    for (name <- Seq("q_embed_topk", "q_embed_lsh", "q_warc_schedule",
+        "q_embed_ivf_fixed")) {
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.sparkPlan.toString
       assert(!plan.contains("Window"), s"$name must not plan a window:\n${plan.take(2000)}")
@@ -400,6 +404,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("WAVE"))
     assert(intercept[IllegalArgumentException](
       graft.media.Wav.decode(java.util.Arrays.copyOf(ok, 100)))
+      .getMessage.contains("overruns"))
+    // a corrupt chunk size ≥ 2^31 must hit the overrun require LOUDLY —
+    // a truncating toInt made it negative, the check passed spuriously,
+    // and the word-aligned walk advanced by ≤ 0: an infinite loop
+    val huge = new Array[Byte](44)
+    "RIFF".getBytes("US-ASCII").copyToArray(huge, 0)
+    "WAVE".getBytes("US-ASCII").copyToArray(huge, 8)
+    "LIST".getBytes("US-ASCII").copyToArray(huge, 12)
+    huge(16) = 0xF8.toByte; huge(17) = 0xFF.toByte
+    huge(18) = 0xFF.toByte; huge(19) = 0xFF.toByte // size = 0xFFFFFFF8
+    assert(intercept[IllegalArgumentException](graft.media.Wav.decode(huge))
       .getMessage.contains("overruns"))
   }
 

@@ -245,6 +245,34 @@ class PdfRasterSpec extends AnyFunSuite {
     assert(!empty.rgb.exists(_ == 0x00.toByte), "empty clip paints nothing")
   }
 
+  test("Q restores the TEXT state too: font size and leading revert like Tr") {
+    // text state is part of graphics state (PDF 8.4.2): a q /F1 14 Tf Q
+    // bracket must leave the outer 7pt size in force — pre-fix fontSize
+    // lived outside GState and the inner Tf leaked through Q, silently
+    // rendering at double scale
+    val base = PdfRaster.rasterize(
+      tinyPdf("BT /F1 7 Tf 2 25 Td (OK) Tj ET"), 72).head.image
+    val bracketed = PdfRaster.rasterize(
+      tinyPdf("BT /F1 7 Tf q /F1 14 Tf Q 2 25 Td (OK) Tj ET"), 72).head.image
+    assert(ImageDecode.sha256Hex(base.rgb) == ImageDecode.sha256Hex(bracketed.rgb),
+      "inner Tf must not survive Q")
+    // same for TL leading driving T*
+    val lbase = PdfRaster.rasterize(
+      tinyPdf("BT /F1 7 Tf 14 TL 2 30 Td T* (OK) Tj ET"), 72).head.image
+    val lbrk = PdfRaster.rasterize(
+      tinyPdf("BT /F1 7 Tf 14 TL q 28 TL Q 2 30 Td T* (OK) Tj ET"), 72).head.image
+    assert(ImageDecode.sha256Hex(lbase.rgb) == ImageDecode.sha256Hex(lbrk.rgb),
+      "inner TL must not survive Q")
+  }
+
+  test("an unconsumed content-stream array is rejected, never silently dropped") {
+    // [ (A) ] [ (B) ] TJ would render only B if the second '[' could
+    // overwrite the first array — the loud contract requires a throw
+    val ex = intercept[IllegalArgumentException](PdfRaster.rasterize(
+      tinyPdf("BT /F1 7 Tf 2 25 Td [ (A) ] [ (B) ] TJ ET"), 72))
+    assert(ex.getMessage.contains("unconsumed"), ex.getMessage)
+  }
+
   test("dpi scales the canvas and the same page stays deterministic") {
     val at72 = PdfRaster.rasterize(fixture(), 72)
     val at144 = PdfRaster.rasterize(fixture(), 144)

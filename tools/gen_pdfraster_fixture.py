@@ -367,6 +367,9 @@ def render(content, fonts, mbw, mbh, dpi, images=None):
     for kind, val in _tokens(content):
         if kind == 'arr_open':
             assert arr is None
+            # mirror PdfRaster: a second array before TJ/d consumed the
+            # first would silently drop text — reject loudly
+            assert arr_done is None, "unconsumed content-stream array before '['"
             arr = []
         elif kind == 'arr_close':
             arr_done, arr = arr, None
@@ -376,9 +379,13 @@ def render(content, fonts, mbw, mbh, dpi, images=None):
         elif kind == 'op':
             assert not pending_clip or val == 'n', f"W followed by '{val}'"
             if val == 'q':
-                stack.append((fill, stroke, line_w, tx, ty, ma, mb, mc, md, trmode, clip))
+                # text state (Tf size+font, TL leading) is PART of graphics
+                # state (PDF 8.4.2) — Q must restore it, mirroring PdfRaster
+                stack.append((fill, stroke, line_w, tx, ty, ma, mb, mc, md,
+                              trmode, clip, font_size, leading, cur_dec))
             elif val == 'Q':
-                fill, stroke, line_w, tx, ty, ma, mb, mc, md, trmode, clip = stack.pop()
+                (fill, stroke, line_w, tx, ty, ma, mb, mc, md, trmode, clip,
+                 font_size, leading, cur_dec) = stack.pop()
             elif val == 'cm':
                 a, b, c, d = (operands[-6][1], operands[-5][1],
                               operands[-4][1], operands[-3][1])
