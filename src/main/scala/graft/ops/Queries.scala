@@ -2400,10 +2400,21 @@ object Queries {
         graft.sources.Warc.records(b)
           .filter(r => r.warcType == "response" && r.httpStatus == 200 &&
             graft.text.UrlResolve.parse(r.targetUri).path == "/robots.txt")
-          .flatMap(r => graft.text.UrlResolve.originOf(r.targetUri).map(o =>
-            (o, new String(r.body, java.nio.charset.StandardCharsets.UTF_8))))
+          .flatMap { r =>
+            // parse ONCE per origin, here on the tiny robots side — the
+            // old per-row urlAllowed call re-parsed the whole robots.txt
+            // body for EVERY frontier URL of the host (O(frontier ×
+            // body)); what rides the broadcast is the agent-resolved rule
+            // list, exactly the pre-parsed broadcast-table shape the
+            // Robots scaladoc prescribes
+            val body = new String(r.body, java.nio.charset.StandardCharsets.UTF_8)
+            val rules = graft.text.Robots
+              .rulesFor(graft.text.Robots.parse(body), "graftbot")
+              .map(ru => (ru.allow, ru.pattern))
+            graft.text.UrlResolve.originOf(r.targetUri).map(o => (o, rules))
+          }
           .toSeq
-      }.toDF("origin", "robots_body")
+      }.toDF("origin", "rules")
     val frontier = warcOutlinks(spark)
       .map { case (_, u) =>
         (u, graft.text.UrlResolve.hostOf(u),
@@ -2412,10 +2423,17 @@ object Queries {
       .toDF("url", "host", "origin")
       .groupBy("url", "host", "origin").agg(count(lit(1)).as("n_refs"))
     frontier.join(broadcast(robots), Seq("origin"), "left")
-      .as[(String, String, String, Long, Option[String])]
-      .map { case (_, url, host, n, body) =>
-        (url, host, n,
-          body.forall(graft.text.Robots.urlAllowed(_, "graftbot", url)))
+      .as[(String, String, String, Long, Option[Seq[(Boolean, String)]])]
+      .map { case (_, url, host, n, rules) =>
+        val ok = rules.forall { rs =>
+          val u = graft.text.UrlResolve.parse(url)
+          val target = (if (u.path.isEmpty) "/" else u.path) +
+            u.query.fold("")("?" + _)
+          graft.text.Robots.allowed(
+            rs.iterator.map(t => graft.text.Robots.Rule(t._1, t._2)).toVector,
+            target)
+        }
+        (url, host, n, ok)
       }
       .toDF("url", "host", "n_refs", "allowed")
   }

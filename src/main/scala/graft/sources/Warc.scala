@@ -1,7 +1,6 @@
 package graft.sources
 
 import java.io.{BufferedInputStream, ByteArrayInputStream, DataInputStream, EOFException, InputStream}
-import java.util.zip.GZIPInputStream
 
 /** WARC (ISO 28500 / WARC-1.x) record reader — the web-archive container
   * the web-scale extraction tier ingests (Common-Crawl-style captures).
@@ -17,9 +16,12 @@ import java.util.zip.GZIPInputStream
   *    blank line, `Content-Length`-delimited payload, exactly one CRLF CRLF
   *    after the payload;
   *  - whole files either PLAIN or GZIP — including the Common Crawl
-  *    convention of one gzip MEMBER per record (Java's GZIPInputStream
-  *    concatenates members; record boundaries come from the WARC headers,
-  *    not member boundaries, so both layouts read identically);
+  *    convention of one gzip MEMBER per record (members are concatenated
+  *    by a STRICT walker that validates every header and CRC32/ISIZE
+  *    trailer; record boundaries come from the WARC headers, not member
+  *    boundaries, so both layouts read identically — a corrupt member
+  *    boundary throws rather than reading as the silent EOF Java's
+  *    GZIPInputStream reports there);
   *  - `response` records with `Content-Type: application/http…`: the HTTP
   *    status line and headers are parsed; the record's `body` is the HTTP
   *    message body. `Transfer-Encoding: chunked` is rejected loudly (the
@@ -56,12 +58,117 @@ object Warc {
   private def isGzip(bytes: Array[Byte]): Boolean =
     bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
 
-  /** Parse all records of one WARC file (plain or gzip). */
+  /** Parse all records of one WARC file (plain or gzip). Gzip input goes
+    * through [[StrictMembersInputStream]], NOT `GZIPInputStream`: the JDK
+    * stream's member-concatenation treats a malformed next-member header
+    * as clean EOF (`readTrailer` swallows the exception), so one flipped
+    * byte at a member boundary would SILENTLY drop every record after it —
+    * data loss no guard can see. The strict walker throws with member
+    * context instead, which the ingest job's torn-file guard quarantines.
+    */
   def records(bytes: Array[Byte]): Iterator[WarcRecord] = {
-    val raw = new ByteArrayInputStream(bytes)
     val in: InputStream =
-      if (isGzip(bytes)) new GZIPInputStream(raw, 1 << 16) else raw
+      if (isGzip(bytes)) new StrictMembersInputStream(bytes)
+      else new ByteArrayInputStream(bytes)
     recordIterator(new DataInputStream(new BufferedInputStream(in, 1 << 16)))
+  }
+
+  /** Parse one member's fixed + optional header fields (RFC 1952), with
+    * every scan BOUNDS-CHECKED so a truncated FNAME/FEXTRA throws with
+    * member context, never a raw ArrayIndexOutOfBoundsException. Returns
+    * the deflate-data start offset.
+    */
+  private def memberDataStart(bytes: Array[Byte], pos: Int, ctx: => String): Int = {
+    def u8(i: Int): Int = {
+      if (i >= bytes.length)
+        throw new IllegalArgumentException(s"$ctx: truncated gzip header fields")
+      bytes(i) & 0xff
+    }
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (pos + 10 > bytes.length || u8(pos) != 0x1f || u8(pos + 1) != 0x8b)
+      throw new IllegalArgumentException(s"$ctx: not a gzip member header")
+    if (u8(pos + 2) != 8)
+      throw new IllegalArgumentException(
+        s"$ctx: compression method ${u8(pos + 2)} is not deflate")
+    val flg = u8(pos + 3)
+    var p = pos + 10
+    if ((flg & 4) != 0) p += 2 + u16(p) // FEXTRA
+    if ((flg & 8) != 0) { while (u8(p) != 0) p += 1; p += 1 } // FNAME
+    if ((flg & 16) != 0) { while (u8(p) != 0) p += 1; p += 1 } // FCOMMENT
+    if ((flg & 2) != 0) p += 2 // FHCRC
+    p
+  }
+
+  /** Streaming decompression of a multi-member gzip file with STRICT
+    * member framing: each member's header is parsed (bounds-checked), its
+    * CRC32 + ISIZE trailer validated, and the next member must start
+    * immediately after — anything malformed throws with member context.
+    * Decompresses one buffer at a time (no whole-payload materialization),
+    * so a single-member multi-record file still streams.
+    */
+  private final class StrictMembersInputStream(bytes: Array[Byte])
+      extends InputStream {
+    private var pos = 0
+    private var idx = 0
+    private var memberStart = 0
+    private var dataStart = 0
+    private var inf: java.util.zip.Inflater = null
+    private val crc = new java.util.zip.CRC32
+    private var isize = 0L
+    openNext()
+
+    private def ctx = s"gzip member $idx at offset $memberStart"
+    private def u32(i: Int): Long = {
+      def u8(j: Int): Long = (bytes(j) & 0xff).toLong
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    }
+
+    private def openNext(): Unit =
+      if (pos >= bytes.length) inf = null
+      else {
+        memberStart = pos
+        dataStart = memberDataStart(bytes, pos, ctx)
+        inf = new java.util.zip.Inflater(true)
+        inf.setInput(bytes, dataStart, bytes.length - dataStart)
+        crc.reset(); isize = 0L
+      }
+
+    private def finishMember(): Unit = {
+      val trailer = dataStart + inf.getBytesRead.toInt
+      inf.end(); inf = null
+      if (trailer + 8 > bytes.length)
+        throw new IllegalArgumentException(s"$ctx: truncated gzip trailer")
+      if (crc.getValue != u32(trailer))
+        throw new IllegalArgumentException(s"$ctx: CRC32 mismatch")
+      if ((isize & 0xffffffffL) != u32(trailer + 4))
+        throw new IllegalArgumentException(s"$ctx: ISIZE mismatch")
+      pos = trailer + 8
+      idx += 1
+    }
+
+    override def read(): Int = {
+      val one = new Array[Byte](1)
+      val n = read(one, 0, 1)
+      if (n < 0) -1 else one(0) & 0xff
+    }
+
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      while (inf != null) {
+        val n =
+          try inf.inflate(b, off, len)
+          catch {
+            case e: java.util.zip.DataFormatException =>
+              throw new IllegalArgumentException(
+                s"$ctx: corrupt deflate stream: ${e.getMessage}")
+          }
+        if (n > 0) { crc.update(b, off, n); isize += n; return n }
+        if (inf.finished()) { finishMember(); openNext() }
+        else if (inf.needsInput())
+          throw new IllegalArgumentException(s"$ctx: truncated deflate stream")
+      }
+      -1
+    }
   }
 
   /** One gzip member of a member-per-record WARC file: the member's exact
@@ -95,16 +202,7 @@ object Warc {
         def u8(i: Int): Int = bytes(i) & 0xff
         def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
         def u32(i: Int): Long = u16(i).toLong | (u16(i + 2).toLong << 16)
-        if (pos + 10 > bytes.length || u8(pos) != 0x1f || u8(pos + 1) != 0x8b)
-          throw new IllegalArgumentException(s"$ctx: not a gzip member header")
-        if (u8(pos + 2) != 8)
-          throw new IllegalArgumentException(s"$ctx: compression method ${u8(pos + 2)} is not deflate")
-        val flg = u8(pos + 3)
-        var p = pos + 10
-        if ((flg & 4) != 0) p += 2 + u16(p) // FEXTRA
-        if ((flg & 8) != 0) { while (u8(p) != 0) p += 1; p += 1 } // FNAME
-        if ((flg & 16) != 0) { while (u8(p) != 0) p += 1; p += 1 } // FCOMMENT
-        if ((flg & 2) != 0) p += 2 // FHCRC
+        val p = memberDataStart(bytes, pos, ctx) // bounds-checked header walk
         val inf = new java.util.zip.Inflater(true)
         inf.setInput(bytes, p, bytes.length - p)
         val out = new java.io.ByteArrayOutputStream(1 << 16)
@@ -199,7 +297,9 @@ object Warc {
             val len = h.getOrElse("content-length",
               throw new IllegalArgumentException(s"$ctx: missing Content-Length")).toInt
             val payload = new Array[Byte](len)
-            in.readFully(payload)
+            try in.readFully(payload)
+            catch { case _: EOFException =>
+              throw new IllegalArgumentException(s"$ctx: EOF inside payload") }
             val sep = new Array[Byte](4)
             try in.readFully(sep)
             catch { case _: EOFException =>
@@ -285,13 +385,31 @@ object Warc {
     * the HTTP header carries no charset parameter (header wins, per the
     * spec's precedence).
     */
+  /** One `name="value"` / `name='value'` / `name=bare` attribute. */
+  private val MetaAttrRe =
+    """(?i)([a-z][a-z0-9\-]*)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+))""".r
+
   private[graft] def metaCharset(body: Array[Byte]): Option[String] = {
     val window = new String(body, 0, math.min(body.length, 1024),
       java.nio.charset.StandardCharsets.ISO_8859_1)
-    MetaTagRe.findAllIn(window).matchData
-      .flatMap(m => CharsetAttrRe.findFirstMatchIn(m.matched))
-      .map(_.group(1).toLowerCase(java.util.Locale.ROOT))
-      .nextOption()
+    MetaTagRe.findAllIn(window).matchData.flatMap { m =>
+      // per the prescan, ONLY two declaration forms count: a `charset`
+      // ATTRIBUTE, or `charset=` inside the `content` value of an
+      // http-equiv=Content-Type tag. A blind substring scan also matched
+      // <meta name="keywords" content="charset=shift_jis tips"> and
+      // mis-decoded (or quarantined) a perfectly valid page.
+      val attrs = MetaAttrRe.findAllMatchIn(m.matched).map { a =>
+        val v = Option(a.group(2)).orElse(Option(a.group(3)))
+          .orElse(Option(a.group(4))).getOrElse("")
+        a.group(1).toLowerCase(java.util.Locale.ROOT) -> v
+      }.toMap
+      attrs.get("charset").map(_.trim).filter(_.nonEmpty).orElse {
+        if (attrs.get("http-equiv").exists(_.equalsIgnoreCase("content-type")))
+          attrs.get("content")
+            .flatMap(c => CharsetAttrRe.findFirstMatchIn(c).map(_.group(1)))
+        else None
+      }
+    }.map(_.toLowerCase(java.util.Locale.ROOT)).nextOption()
   }
 
   /** A successfully captured HTML page — the records [[htmlPages]] and the

@@ -44,6 +44,12 @@ object Snapshots {
     */
   def stage(df: DataFrame, root: String, id: Long,
             partitionBy: Seq[String] = Nil): Unit = {
+    // immutability backstop: a COMMITTED snapshot may be concurrently
+    // time-travel read, so overwriting its directory would tear those
+    // reads; a correct caller never picks a committed id ([[latest]] is
+    // marker-derived), so reaching this is a bug worth a loud stop
+    require(!isCommitted(root, id),
+      s"snapshot $id under $root is committed — snapshot directories are immutable")
     val dir = snapshotDir(root, id)
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
@@ -73,8 +79,28 @@ object Snapshots {
     spark.read.parquet(snapshotDir(root, id))
   }
 
+  /** Latest committed snapshot id. Derived from the COMMIT MARKERS, not
+    * the `LATEST` file: the marker rename is the single atomic publish
+    * point, and the pointer is written after it — a crash between the two
+    * renames must not resurrect the previous snapshot (the next run would
+    * compute the same new id and overwrite a committed, possibly
+    * concurrently-read directory in place). `LATEST` stays as a
+    * human-readable convenience pointer.
+    */
   def latest(root: String): Option[Long] = {
-    val p = Paths.get(s"$root/LATEST")
-    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+    val dir = Paths.get(root)
+    if (!Files.exists(dir)) return None
+    val re = "snapshot-(\\d+)\\.committed".r
+    val listing = Files.list(dir)
+    try {
+      var max = Option.empty[Long]
+      listing.forEach { p =>
+        p.getFileName.toString match {
+          case re(id) => if (!max.exists(_ >= id.toLong)) max = Some(id.toLong)
+          case _ => ()
+        }
+      }
+      max
+    } finally listing.close()
   }
 }

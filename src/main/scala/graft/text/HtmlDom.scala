@@ -188,8 +188,20 @@ object HtmlDom {
       if (lt < 0) { addText(html.substring(i)); i = n }
       else {
         addText(html.substring(i, lt))
-        if (lt + 1 >= n) fail(html, lt, "EOF after '<'")
-        html.charAt(lt + 1) match {
+        if (lt + 1 >= n) {
+          if (lenient) { addText("<"); i = n } else fail(html, lt, "EOF after '<'")
+        } else if (lenient && html.charAt(lt + 1) != '!' && html.charAt(lt + 1) != '?' &&
+            html.charAt(lt + 1) != '/' && !isNameStart(html.charAt(lt + 1))) {
+          // HTML5 data state: '<' before a non-letter is LITERAL TEXT
+          // ("if x < 10" is everywhere on the real web) — strict mode still
+          // rejects, the crawl path must not quarantine the whole page
+          addText("<"); i = lt + 1
+        } else if (lenient && html.charAt(lt + 1) == '/' &&
+            (lt + 2 >= n || !isNameStart(html.charAt(lt + 2)))) {
+          // '</' before a non-letter is a bogus comment per spec: skip to '>'
+          val end = html.indexOf('>', lt + 2)
+          i = if (end < 0) n else end + 1
+        } else html.charAt(lt + 1) match {
           case '!' =>
             if (html.startsWith("<!--", lt)) {
               val end = html.indexOf("-->", lt + 4)

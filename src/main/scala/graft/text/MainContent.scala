@@ -173,26 +173,46 @@ object MainContent {
       pending.setLength(0)
       if (s.nonEmpty) emit("text", s, "")
     }
+    def emitImg(c: Elem): Unit =
+      emit("image", c.attr("alt").getOrElse(""), c.attr("src").getOrElse(""))
+    // a block leaf / heading's inline content, IMAGE-AWARE: text flows into
+    // one `kind` run per segment, and a nested <img> splits the run and
+    // emits its own image span (an image inside <p>/<h2> must not lose its
+    // media_ref — the old inlineText flatten silently dropped it)
+    def inlineSpans(kind: String, e: Elem): Unit = {
+      val t = new java.lang.StringBuilder
+      def emitRun(): Unit = {
+        val s = t.toString.trim; t.setLength(0)
+        if (s.nonEmpty) emit(kind, s, "")
+      }
+      def go(x: Elem): Unit = x.children.foreach {
+        case Text(d) => t.append(d)
+        case cc: Elem if isChrome(cc) => ()
+        case cc: Elem if cc.tag == "img" => emitRun(); emitImg(cc)
+        case cc: Elem if cc.tag == "br" => t.append('\n')
+        case cc: Elem => go(cc)
+      }
+      go(e)
+      emitRun()
+    }
     def walk(e: Elem): Unit = e.children.foreach {
       case Text(d) => pending.append(d)
       case c: Elem if isChrome(c) => () // invisible: chrome never breaks an inline run
-      case c: Elem if c.tag == "img" =>
-        flush()
-        emit("image", c.attr("alt").getOrElse(""), c.attr("src").getOrElse(""))
+      case c: Elem if c.tag == "img" => flush(); emitImg(c)
       case c: Elem if c.tag == "br" => pending.append('\n')
-      case c: Elem if isHeading(c.tag) => flush(); emit("heading", inlineText(c), "")
-      case c: Elem if BlockLeafTags.contains(c.tag) => flush(); emit("text", inlineText(c), "")
+      case c: Elem if isHeading(c.tag) => flush(); inlineSpans("heading", c)
+      case c: Elem if BlockLeafTags.contains(c.tag) => flush(); inlineSpans("text", c)
       case c: Elem if InlineTags.contains(c.tag) =>
-        // inline markup flattens into the surrounding run
-        val t = new java.lang.StringBuilder
+        // inline markup flattens into the surrounding run; a nested <img>
+        // splits the run like a direct-child one would
         def inl(x: Elem): Unit = x.children.foreach {
-          case Text(d) => t.append(d)
+          case Text(d) => pending.append(d)
           case cc: Elem if isChrome(cc) => ()
-          case cc: Elem if cc.tag == "br" => t.append('\n')
+          case cc: Elem if cc.tag == "img" => flush(); emitImg(cc)
+          case cc: Elem if cc.tag == "br" => pending.append('\n')
           case cc: Elem => inl(cc)
         }
         inl(c)
-        pending.append(t)
       case c: Elem => flush(); walk(c); flush() // container: recurse block-wise
     }
     walk(container)

@@ -50,9 +50,14 @@ object PageMeta {
         case "html" if !langSeen =>
           e.attr("lang").foreach { v => langSeen = true; lang = v }
         case "meta" if !descSeen &&
-            e.attr("name").contains("description") =>
+            // name is ASCII-case-insensitive per HTML (<meta name="Description">)
+            e.attr("name").exists(_.equalsIgnoreCase("description")) =>
           descSeen = true; description = e.attr("content").getOrElse("")
-        case "link" if !canonSeen && e.attr("rel").contains("canonical") =>
+        case "link" if !canonSeen &&
+            // rel is a space-separated TOKEN SET per HTML, not a scalar —
+            // rel="canonical alternate" must still match (the ingest job
+            // already treats Link.rel as tokens for nofollow)
+            e.attr("rel").exists(_.split("\\s+").exists(_.equalsIgnoreCase("canonical"))) =>
           canonSeen = true; canonical = e.attr("href").getOrElse("")
         case "a" =>
           e.attr("href").foreach { h =>

@@ -48,12 +48,15 @@ object Robots {
       }
       val ci = line.indexOf(':')
       if (ci > 0) {
-        val key = line.substring(0, ci).trim.toLowerCase
+        // Locale.ROOT: under a tr-TR default locale "DISALLOW" folds to
+        // "dısallow" (dotless ı) and every uppercase rule silently drops —
+        // the crawler would fetch disallowed URLs on such a JVM
+        val key = line.substring(0, ci).trim.toLowerCase(java.util.Locale.ROOT)
         val value = line.substring(ci + 1).trim
         key match {
           case "user-agent" =>
             if (inRules) flush()
-            agents :+= value.toLowerCase
+            agents :+= value.toLowerCase(java.util.Locale.ROOT)
           case "allow" if agents.nonEmpty =>
             inRules = true; rules :+= Rule(allow = true, value)
           case "disallow" if agents.nonEmpty =>
@@ -84,7 +87,7 @@ object Robots {
 
   /** The merged rule list governing `agent` (§2.2.1). */
   def rulesFor(groups: Vector[Group], agent: String): Vector[Rule] = {
-    val a = agent.toLowerCase
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
     val exact = groups.filter(_.agents.contains(a))
     val chosen = if (exact.nonEmpty) exact else groups.filter(_.agents.contains("*"))
     chosen.flatMap(_.rules)

@@ -34,6 +34,13 @@ object Sitemaps {
         factory.setNamespaceAware(true)
         factory.setFeature(XMLConstants.FEATURE_SECURE_PROCESSING, true)
         factory.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
+        // crawled XML is hostile input: a DOCTYPE with an internal-subset
+        // SYSTEM entity still resolves under the two features above (they
+        // only stop external-DTD fetches and bound expansion) — XXE reads
+        // local files / SSRFs from the executor into extracted URLs.
+        // Rejecting the DOCTYPE outright closes the class; real sitemaps
+        // never carry one.
+        factory.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
         factory.newDocumentBuilder()
       }
     }

@@ -119,7 +119,7 @@ object UrlResolve {
   /** Frontier canonical form; None = not a crawlable http(s) URL. */
   def normalizeHttp(url: String): Option[String] = {
     val u = parse(url)
-    u.scheme.map(_.toLowerCase) match {
+    u.scheme.map(_.toLowerCase(java.util.Locale.ROOT)) match {
       case Some(sch @ ("http" | "https")) =>
         u.authority.map { auth =>
           // authority = [userinfo@]host[:port]; host case-folds, the
@@ -136,7 +136,7 @@ object UrlResolve {
           Uri(
             scheme = Some(sch),
             authority = Some(
-              userinfo + host.toLowerCase + (if (keepPort) ":" + port else "")),
+              userinfo + host.toLowerCase(java.util.Locale.ROOT) + (if (keepPort) ":" + port else "")),
             path = if (u.path.isEmpty) "/" else u.path,
             query = u.query,
             fragment = None).recompose
@@ -190,7 +190,7 @@ object UrlResolve {
       val host =
         if (ci < 0 || hostport.lastIndexOf(']') > ci) hostport
         else hostport.substring(0, ci)
-      host.toLowerCase
+      host.toLowerCase(java.util.Locale.ROOT)
     }
   }
 }

@@ -28,6 +28,10 @@ object XmlFlatten {
         factory.setNamespaceAware(true)
         factory.setFeature(XMLConstants.FEATURE_SECURE_PROCESSING, true)
         factory.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
+        // XXE guard (same as Sitemaps): an internal-subset SYSTEM entity
+        // resolves under the two features above; model output never needs
+        // a DOCTYPE, and a parse failure already falls back to ""
+        factory.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
         factory.newDocumentBuilder()
       }
     }

@@ -252,4 +252,52 @@ class HtmlSpec extends AnyFunSuite {
     // strict mode still refuses the same page
     intercept[IllegalArgumentException](MainContent.extractHtml(page))
   }
+
+  test("lenient: bare '<' before a non-letter is literal text, not a dead page") {
+    // HTML5 data state: unescaped comparisons are everywhere on the real
+    // web — pre-fix the whole page quarantined as one error row
+    val root = HtmlDom.parse("<div><p>if x < 10 and y <3 then</p></div>", lenient = true)
+    val p = root.children.head.asInstanceOf[Elem].children.head.asInstanceOf[Elem]
+    val text = p.children.collect { case graft.text.HtmlDom.Text(d) => d }.mkString
+    assert(text == "if x < 10 and y <3 then")
+    // '</' before a non-letter is a bogus comment: skipped to the next '>'
+    val r2 = HtmlDom.parse("<div>a</3 junk>b</div>", lenient = true)
+    val d2 = r2.children.head.asInstanceOf[Elem]
+    assert(d2.children.collect { case graft.text.HtmlDom.Text(t) => t }.mkString == "ab")
+    // a '<' before whitespace mid-div is text too
+    val r3 = HtmlDom.parse("<div>a < b</div>", lenient = true)
+    val d3 = r3.children.head.asInstanceOf[Elem]
+    assert(d3.children.collect { case graft.text.HtmlDom.Text(t) => t }.mkString == "a < b")
+    // strict mode still rejects all three shapes
+    intercept[IllegalArgumentException](HtmlDom.parse("<p>x < 10</p>"))
+    intercept[IllegalArgumentException](HtmlDom.parse("<div>a</3>b</div>"))
+  }
+
+  test("images nested inside block leaves, headings, and inline markup emit image spans") {
+    // pre-fix the inlineText flatten silently dropped the media_ref
+    val html =
+      """<body><nav><a href="/">chrome</a></nav><article><h2>Title <img src="m://h" alt="hero"></h2>
+        |<p>See <img src="m://f" alt="figure 1"> here</p>
+        |<p>and <em>emphatic <img src="m://e" alt="inline"></em> tail</p></article></body>""".stripMargin
+    val ex = MainContent.extractHtml(html)
+    assert(ex.spans.map(s => (s.kind, s.text, s.media_ref)) == Vector(
+      ("heading", "Title", ""),
+      ("image", "hero", "m://h"),
+      ("text", "See", ""),
+      ("image", "figure 1", "m://f"),
+      ("text", "here", ""),
+      ("text", "and emphatic", ""),
+      ("image", "inline", "m://e"),
+      ("text", "tail", "")))
+    assert(ex.spans.map(_.offset) == (0 until 8).toVector)
+  }
+
+  test("page meta: rel token lists and ASCII-case-insensitive meta names") {
+    val meta = graft.text.PageMeta.ofHtml(
+      """<html><head><meta name="Description" content="d-text">
+        |<link rel="canonical alternate" href="https://h/c"></head>
+        |<body><p>x</p></body></html>""".stripMargin)
+    assert(meta.description == "d-text")
+    assert(meta.canonical == "https://h/c")
+  }
 }

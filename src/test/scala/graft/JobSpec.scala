@@ -177,6 +177,24 @@ class JobSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](Snapshots.read(spark, root, 3L))
   }
 
+  test("latest is marker-derived: a crash between marker and pointer cannot resurrect") {
+    import spark.implicits._
+    val root = tmpDir()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), root, 1L)
+    // simulate publish() crashing AFTER the commit-marker rename but BEFORE
+    // the LATEST flip: stage snapshot 2 and write only its marker
+    Snapshots.stage(Seq((1L, "a2")).toDF("id", "v"), root, 2L)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/snapshot-2.committed"), "2")
+    // pre-fix latest() read the stale LATEST file (1), so the next run
+    // staged id 2 again — overwriting a committed, possibly concurrently
+    // read snapshot directory in place
+    assert(Snapshots.latest(root).contains(2L))
+    // the immutability backstop: staging over a committed id is refused
+    intercept[IllegalArgumentException](
+      Snapshots.stage(Seq((9L, "x")).toDF("id", "v"), root, 2L))
+  }
+
   test("lineage append is atomic and readable per group") {
     val root = tmpDir()
     Lineage.append(spark, root, Seq(LineageRow(42L, 0, "h0", 10, 100, 0.0, 1L)))

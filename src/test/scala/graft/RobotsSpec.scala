@@ -140,4 +140,19 @@ class RobotsSpec extends AnyFunSuite {
     assert(!Robots.urlAllowed(body, "bot", "https://h/x"))
     assert(Robots.urlAllowed(body, "bot", "https://h/y"))
   }
+
+  test("case folding is locale-independent: uppercase rules hold under tr-TR") {
+    // under a Turkish default locale "DISALLOW".toLowerCase yields dotless
+    // 'dısallow' — pre-fix every uppercase Disallow rule silently dropped
+    // and the crawler fetched disallowed URLs; host folding diverged too
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+    try {
+      val body = "USER-AGENT: *\nDISALLOW: /private\n"
+      assert(!Robots.urlAllowed(body, "GraftBot", "https://h/private/x"))
+      assert(Robots.urlAllowed(body, "GraftBot", "https://h/public"))
+      assert(graft.text.UrlResolve.hostOf("https://IStanbul.example/p") ==
+        "istanbul.example")
+    } finally java.util.Locale.setDefault(prev)
+  }
 }

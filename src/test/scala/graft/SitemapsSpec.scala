@@ -48,4 +48,20 @@ class SitemapsSpec extends AnyFunSuite {
       Sitemaps.parse("", "ctx-C"))
     assert(empty.getMessage.startsWith("ctx-C:"))
   }
+
+  test("XXE: a DOCTYPE with an internal-subset SYSTEM entity is rejected, never resolved") {
+    // crawled sitemaps are hostile input: load-external-dtd=false and
+    // secure processing do NOT stop an internal-subset SYSTEM entity from
+    // reading local files / SSRFing into extracted loc URLs — the parser
+    // must refuse the DOCTYPE outright
+    val xxe =
+      """<?xml version="1.0"?><!DOCTYPE u [<!ENTITY x SYSTEM "file:///etc/passwd">]>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<url><loc>http://e/&x;</loc></url></urlset>""".stripMargin
+    val e = intercept[IllegalArgumentException](Sitemaps.parse(xxe, "ctx-X"))
+    assert(e.getMessage.startsWith("ctx-X:"))
+    // a plain DOCTYPE (no entities) is rejected too — real sitemaps never carry one
+    val doct = "<!DOCTYPE urlset><urlset><url><loc>http://e/a</loc></url></urlset>"
+    intercept[IllegalArgumentException](Sitemaps.parse(doct, "ctx-Y"))
+  }
 }

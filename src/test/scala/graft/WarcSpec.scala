@@ -369,5 +369,48 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = Warc.htmlPages(cap("text/html; charset=iso-8859-1",
       conflicted.getBytes(ISO_8859_1))).toVector
     assert(got.head._2.contains("café")) // decoded latin-1 per header, not ascii per meta
+    // ONLY the two declaration forms count: a charset= inside an unrelated
+    // meta attribute value must NOT be taken (pre-fix this quarantined or
+    // mojibaked a perfectly valid page)
+    assert(Warc.metaCharset(
+      b("<meta name=\"keywords\" content=\"charset=shift_jis converter tips\">")) == None)
+    assert(Warc.metaCharset(
+      b("<meta name=\"description\" content=\"how charset=latin-1 works\">")) == None)
+    // http-equiv is ASCII-case-insensitive; a non-Content-Type equiv is ignored
+    assert(Warc.metaCharset(b("<meta HTTP-EQUIV=\"content-type\" " +
+      "content=\"text/html; charset=ISO-8859-1\">")) == Some("iso-8859-1"))
+    assert(Warc.metaCharset(b("<meta http-equiv=\"refresh\" " +
+      "content=\"0; url=x?charset=utf-16\">")) == None)
+  }
+
+  test("a corrupt member BOUNDARY throws from records() — never silent truncation") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/media/warc/sample_01.warc.gz"))
+    val members = graft.sources.Warc.memberRecords(bytes).toVector
+    // flip member 3's gzip magic: GZIPInputStream's readTrailer treats a
+    // malformed next-member header as clean EOF, so records() used to
+    // return members 0-2 and SILENTLY drop 3-5 with no error for any
+    // guard to quarantine
+    val corrupt = bytes.clone()
+    corrupt(members(3).offset.toInt) = 0x00
+    val it = graft.sources.Warc.records(corrupt)
+    var good = 0
+    val e = intercept[IllegalArgumentException] {
+      while (it.hasNext) { it.next(); good += 1 }
+    }
+    // the good prefix still parses (the record iterator's one-ahead advance
+    // costs the record just before the tear at most), then a LOUD throw
+    assert(good >= 2 && good <= 3, s"good=$good")
+    assert(e.getMessage.contains("member 3") &&
+      e.getMessage.contains("not a gzip member header"))
+    // a truncated FNAME field throws with member context, not a raw AIOOBE
+    val fname = Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 8,
+      0, 0, 0, 0, 0, 0, 'n'.toByte, 'a'.toByte) // FLG=FNAME, no NUL before EOF
+    assert(intercept[IllegalArgumentException] {
+      graft.sources.Warc.records(fname).toVector
+    }.getMessage.contains("truncated gzip header fields"))
+    assert(intercept[IllegalArgumentException] {
+      graft.sources.Warc.memberRecords(fname).toVector
+    }.getMessage.contains("truncated gzip header fields"))
   }
 }
