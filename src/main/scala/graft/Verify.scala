@@ -17,9 +17,13 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // sweep stale dumps from a REUSED outDir: a query renamed/removed since
     // the last run would otherwise leave its old parquet behind and read as
-    // a rows_only regression in the compare
+    // a rows_only regression in the compare. CONTAINMENT: only names shaped
+    // like catalog dumps (q_*/pipeline_*) are swept — a mistyped outDir
+    // pointing at a directory with unrelated content must never recursively
+    // delete it
     Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !SparkEntry.queries.contains(f.getName))
+      .filter(f => f.isDirectory && !SparkEntry.queries.contains(f.getName) &&
+        (f.getName.startsWith("q_") || f.getName.startsWith("pipeline_")))
       .foreach { f =>
         System.err.println(s"[verify] sweeping stale dump ${f.getName}")
         def rm(x: java.io.File): Unit = {

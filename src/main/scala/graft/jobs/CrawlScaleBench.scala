@@ -64,7 +64,7 @@ object CrawlScaleBench {
               val spanRows = graft.text.MainContent.extract(dom).spans
                 .map(s => (r.targetUri, s.offset, false))
               val linkRows = graft.text.PageMeta.of(dom).links.iterator
-                .filterNot(_.rel.split(' ').contains("nofollow"))
+                .filterNot(_.noFollow)
                 .flatMap(l => graft.text.UrlResolve.normalizeHttp(
                   graft.text.UrlResolve.resolve(r.targetUri, l.href)))
                 .map(u => (u, 0, true))

@@ -169,7 +169,7 @@ object WarcIngestJob {
             val spanRows = graft.text.MainContent.extract(dom).spans
               .map(s => (fileIdx, r.targetUri, s.offset, s.kind, s.text, s.media_ref))
             val linkRows = graft.text.PageMeta.of(dom).links.iterator
-              .filterNot(_.rel.split(' ').contains("nofollow"))
+              .filterNot(_.noFollow)
               .flatMap(l => graft.text.UrlResolve.normalizeHttp(
                 graft.text.UrlResolve.resolve(r.targetUri, l.href)))
               .zipWithIndex
@@ -224,16 +224,32 @@ object WarcIngestJob {
       groupsDone += 1
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
     // once EVERY file is committed, publish the docs-shaped snapshot AND
-    // the crawl frontier for the next fetch wave (both skipped when a
-    // prior run already published them and nothing changed)
+    // the crawl frontier for the next fetch wave. Snapshot directories are
+    // IMMUTABLE once committed, so a GROW rerun (--files larger over a
+    // completed output) publishes at the NEXT id instead of overwriting
+    // snapshot-<seed> in place (the first complete run still publishes at
+    // the seed). The marker records how many files the last successful
+    // publish covered, making the gate exact: a no-op rerun skips, a grow
+    // rerun republishes, and a crash between the two publishes republishes
+    // BOTH at a fresh id — a torn docs/frontier pair never becomes latest.
     if (args.nest &&
         Lineage.committedPartitions(spark, args.out).size == args.files) {
-      if (todo.nonEmpty ||
-          !graft.storage.Snapshots.isCommitted(s"${args.out}/docs", args.seed))
-        nestDocs(spark, args.out, args.seed)
-      if (todo.nonEmpty ||
-          !graft.storage.Snapshots.isCommitted(s"${args.out}/frontier", args.seed))
-        publishFrontier(spark, args.out, args.seed)
+      val marker = java.nio.file.Paths.get(s"${args.out}/published_files")
+      val published =
+        if (java.nio.file.Files.exists(marker))
+          java.nio.file.Files.readString(marker).trim.toLong
+        else -1L
+      if (published != args.files) {
+        val id = graft.storage.Snapshots.latest(s"${args.out}/docs")
+          .map(l => math.max(l + 1, args.seed)).getOrElse(args.seed)
+        nestDocs(spark, args.out, id)
+        publishFrontier(spark, args.out, id)
+        val tmp = java.nio.file.Paths.get(s"${args.out}/.published_files.tmp")
+        java.nio.file.Files.writeString(tmp, args.files.toString)
+        java.nio.file.Files.move(tmp, marker,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     }
     (todo.size, pagesDone, errorsDone)
   }

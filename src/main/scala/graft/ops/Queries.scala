@@ -2064,6 +2064,10 @@ object Queries {
       .flatMap { case (n, bytes) =>
         val a = graft.media.Wav.decode(bytes)
         val win = a.sampleRate / 50 // 20 ms
+        // reject-loudly contract: a <50 Hz rate truncates win to 0 and the
+        // frame division below would throw a bare ArithmeticException
+        require(win > 0, s"$n: sample rate ${a.sampleRate} Hz below the " +
+          "50 Hz minimum for 20 ms windows")
         (0 until a.frames / win).map { wi =>
           var energy = 0L
           var zc = 0L
@@ -2284,7 +2288,7 @@ object Queries {
       .flatMap { bytes =>
         graft.sources.Warc.htmlPages(bytes).flatMap { case (uri, html) =>
           graft.text.PageMeta.ofHtml(html).links.iterator
-            .filterNot(_.rel.split(' ').contains("nofollow"))
+            .filterNot(_.noFollow)
             .flatMap(l => graft.text.UrlResolve.normalizeHttp(
               graft.text.UrlResolve.resolve(uri, l.href))
               .map(u => (u, uri, graft.text.UrlResolve.hostOf(uri), l.anchor)))
@@ -2367,7 +2371,7 @@ object Queries {
       .flatMap { bytes =>
         graft.sources.Warc.htmlPages(bytes).flatMap { case (uri, html) =>
           graft.text.PageMeta.ofHtml(html).links.iterator
-            .filterNot(_.rel.split(' ').contains("nofollow"))
+            .filterNot(_.noFollow)
             .flatMap(l => graft.text.UrlResolve.normalizeHttp(
               graft.text.UrlResolve.resolve(uri, l.href)))
             .map(u => (uri, u))
@@ -2702,8 +2706,14 @@ object Queries {
       .withColumn("full", array_join(col("lines"), " "))
       .select(col("doc_id"), col("lines"), length(col("full")).as("total_chars"),
         split(col("full"), " ").as("w2")))
+    // guard the sub-n-word doc: Spark's sequence(0, negative) DESCENDS
+    // ([0,-1,…] — negative slice starts throw), where the DuckDB oracle's
+    // range(0, negative) is EMPTY; the CASE makes both sides emit no grams
     def gramsOf(n: Int) = base.select(col("doc_id"),
-      explode(expr(s"transform(sequence(0, size(w2) - $n), i -> concat_ws(' ', slice(w2, i + 1, $n)))")).as("g"))
+      explode(expr(
+        s"""CASE WHEN size(w2) >= $n THEN
+           |  transform(sequence(0, size(w2) - $n), i -> concat_ws(' ', slice(w2, i + 1, $n)))
+           |ELSE CAST(array() AS array<string>) END""".stripMargin)).as("g"))
     val top2 = gramsOf(2)
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id")).agg(max(struct(col("cnt"), col("g"))).as("top"))
@@ -2823,7 +2833,11 @@ object Queries {
     */
   def warcMirrors(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pages = spark.read.format("binaryFile")
+    // tracked: `pages` feeds BOTH the digest group-by and the join-back
+    // probe — uncached, the binaryFile scan + full WARC parse + SHA-256
+    // of every capture would run twice (the same reason warcAnchors
+    // caches its shared link frame)
+    val pages = tracked(spark.read.format("binaryFile")
       .load(s"$mediaDir/warc/*")
       .select(col("content")).as[Array[Byte]]
       .flatMap { b =>
@@ -2835,7 +2849,7 @@ object Queries {
             (d.map("%02x".format(_)).mkString, r.targetUri)
           }
           .toSeq
-      }.toDF("body_sha", "url")
+      }.toDF("body_sha", "url"))
     val groups = pages.groupBy("body_sha")
       .agg(min(col("url")).as("canonical_url"), count(lit(1)).as("n_copies"))
     pages.join(groups, "body_sha")

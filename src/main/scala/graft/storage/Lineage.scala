@@ -34,7 +34,17 @@ object Lineage {
     val d = dir(root)
     if (!Files.exists(Paths.get(d)) || !Files.list(Paths.get(d)).findFirst().isPresent)
       spark.emptyDataset[LineageRow]
-    else spark.read.parquet(d).as[LineageRow]
+    else {
+      // schema tolerance: lineage written before `error_count` was added to
+      // [[LineageRow]] must still resume (the encoder would otherwise fail
+      // analysis with "cannot resolve 'error_count'" — aborting the exact
+      // job this table exists to make resumable); absent means zero errors
+      val raw = spark.read.parquet(d)
+      val full =
+        if (raw.columns.contains("error_count")) raw
+        else raw.withColumn("error_count", org.apache.spark.sql.functions.lit(0L))
+      full.as[LineageRow]
+    }
   }
 
   /** Buckets already committed — the resume filter is a left-anti join of the

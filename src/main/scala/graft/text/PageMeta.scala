@@ -15,7 +15,15 @@ object PageMeta {
   /** One outlink: href, flattened anchor text, `rel` attribute ("" when
     * absent).
     */
-  final case class Link(href: String, anchor: String, rel: String)
+  final case class Link(href: String, anchor: String, rel: String) {
+    /** `rel` is an ASCII-case-insensitive, whitespace-separated TOKEN SET
+      * per HTML — `rel="NOFOLLOW"` and `rel="external\tnofollow"` both opt
+      * out; a case-sensitive space-only split would leak those links into
+      * the crawl frontier and fetch pages the site opted out of.
+      */
+    def noFollow: Boolean =
+      rel.split("\\s+").exists(_.equalsIgnoreCase("nofollow"))
+  }
 
   final case class Meta(
       title: String,

@@ -300,4 +300,16 @@ class HtmlSpec extends AnyFunSuite {
     assert(meta.description == "d-text")
     assert(meta.canonical == "https://h/c")
   }
+
+  test("rel nofollow is an ASCII-case-insensitive whitespace-separated token set") {
+    import graft.text.PageMeta.Link
+    // pre-fix a case-sensitive space-only split leaked these into the
+    // frontier — the crawler fetched pages the site opted out of
+    assert(Link("/a", "x", "NOFOLLOW").noFollow)
+    assert(Link("/a", "x", "external\tnofollow").noFollow)
+    assert(Link("/a", "x", "NoFollow noopener").noFollow)
+    assert(!Link("/a", "x", "").noFollow)
+    assert(!Link("/a", "x", "noopener").noFollow)
+    assert(!Link("/a", "x", "nofollowed").noFollow) // token, not substring
+  }
 }

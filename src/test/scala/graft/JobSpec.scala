@@ -381,4 +381,19 @@ class JobSpec extends AnyFunSuite with BeforeAndAfterAll {
     Snapshots.stage(df, root, 9)
     assert(Snapshots.latest(root).contains(2L) && !Snapshots.isCommitted(root, 9))
   }
+
+  test("lineage written before error_count existed still reads and resumes") {
+    import spark.implicits._
+    val root = tmpDir()
+    // a legacy table: the LineageRow columns MINUS error_count — the typed
+    // read must default it to 0, not fail encoder analysis and abort the
+    // resume it exists to serve
+    val legacy = Seq((42L, 0, "h0", 10L, 100L, 0.0, 1L))
+      .toDF("snapshot_id", "partition_id", "partition_hash", "doc_count",
+        "span_count", "divergence", "committed_at")
+    legacy.coalesce(1).write.mode("overwrite").parquet(s"$root/lineage")
+    val rows = Lineage.read(spark, root).collect()
+    assert(rows.length == 1 && rows(0).error_count == 0L)
+    assert(Lineage.committedPartitions(spark, root) == Set(0))
+  }
 }

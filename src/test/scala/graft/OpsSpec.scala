@@ -485,4 +485,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rows.contains("https://example.org/p/2"))
     assert(!rows.contains("https://example.org/hidden"))
   }
+
+  test("gopher repetition survives sub-n-word documents (no descending-sequence crash)") {
+    import spark.implicits._
+    // Spark's sequence(0, negative) DESCENDS ([0,-1]) where DuckDB's range
+    // is empty — pre-fix a 1-word doc crashed slice() inside gramsOf; the
+    // CASE guard makes short docs emit no grams on both engines
+    val tmp = java.nio.file.Files.createTempDirectory("gophershort").toString
+    Seq((1L, "one"), (2L, "two words"), (3L, "three tiny words"),
+        (8L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val rows = graft.ops.Queries.gopherRepetition(spark, tmp).collect()
+    graft.ops.Queries.releaseCaches()
+    // docs with <2 words have no bigrams, <5 words no 5-grams: the inner
+    // joins drop them (matching the oracle); the 8-word doc survives
+    assert(rows.map(_.getLong(0)).toSet == Set(8L))
+    assert(!rows(0).getDouble(1).isNaN && !rows(0).getDouble(2).isNaN)
+  }
 }

@@ -108,10 +108,13 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       .parquet("src/test/resources/expected/warc_links.parquet")
       .select("name", "uri", "link_idx", "href", "anchor", "rel")
       .orderBy("name", "uri", "link_idx").collect().map(_.toSeq).toVector
-    assert(exp.size == 38)
+    assert(exp.size == 39)
     assert(got == exp)
     // the planted nofollow is carried through
     assert(got.exists(r => r(3) == "/p/2" && r(5) == "nofollow"))
+    // the shouty tab-separated variant is carried verbatim too (the
+    // FRONTIER must exclude it: rel is a case-insensitive token set)
+    assert(got.exists(r => r(3) == "/hidden2" && r(5) == "External\tNOFOLLOW"))
   }
 
   test("crawl frontier matches the urllib-computed expected table") {
@@ -122,6 +125,9 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("url").collect().map(_.toSeq).toVector
     assert(exp.size == 31)
     assert(got == exp)
+    // both nofollow plantings are excluded — including the shouty
+    // tab-separated one (token set, ASCII-case-insensitive)
+    assert(!got.exists(_.exists(_.toString.contains("/hidden"))))
     // the cross-page duplicate deduped with its reference count
     assert(got.exists(r => r(0) == "https://example.org/p/1" && r(2) == 2L))
     // canonicalization collapsed case + default port

@@ -153,7 +153,10 @@ F_LINKS = [
     ('mailto:team@example.org', 'mail link', ''),
     ('javascript:void(0)', 'script link', ''),
     ('/p/1', 'cross page duplicate link', ''),
-    ('/hidden', 'nofollowed link', 'nofollow noopener')]
+    ('/hidden', 'nofollowed link', 'nofollow noopener'),
+    # rel is an ASCII-case-insensitive whitespace-separated token set:
+    # a shouty tab-separated NOFOLLOW must be honored too
+    ('/hidden2', 'shouty nofollow link', 'External\tNOFOLLOW')]
 PAGE_F = ('<html><head><title>Links playground</title></head><body>'
           '<nav><ul>'
           + ''.join(
@@ -609,7 +612,7 @@ def main():
              (f_uri, F_LINKS), (g_uri, G_LINKS)]
     for uri, links in pages:
         for href, _anchor, rel in links:
-            if 'nofollow' in rel.split():
+            if 'nofollow' in rel.lower().split():
                 continue
             norm = normalize_http(urljoin(uri, href))
             if norm is not None:
@@ -627,7 +630,7 @@ def main():
         (normalize_http(urljoin(uri, href)), uri, host_of(uri), anchor)
         for uri, links in pages
         for href, anchor, rel in links
-        if 'nofollow' not in rel.split()
+        if 'nofollow' not in rel.lower().split()
         and normalize_http(urljoin(uri, href)) is not None)
 
     # ---- politeness expectation: the frontier through the robots twin ------
@@ -670,7 +673,7 @@ def main():
     edges = set()
     for uri, links in pages:
         for href, _anchor, rel in links:
-            if 'nofollow' in rel.split():
+            if 'nofollow' in rel.lower().split():
                 continue
             norm = normalize_http(urljoin(uri, href))
             if norm is not None and host_of(uri) != host_of(norm):
