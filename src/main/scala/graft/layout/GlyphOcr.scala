@@ -47,11 +47,13 @@ object GlyphOcr {
     // (an image block hundreds of pixels tall) pays a GlyphH·isc × CellW·isc
     // phase scan at a scale no glyph render can ever match. Result-neutral:
     // the divisibility is a necessary condition of the acceptance test.
+    // word-level popcount rows, not per-bit reads: the large non-glyph
+    // region this gate exists to skip is exactly where a bit-at-a-time
+    // O(area) scan would cost more than the gate saves
     var inkCount = 0
     var cy = line.y0
     while (cy < line.y1) {
-      var cx = line.x0
-      while (cx < line.x1) { if (ink(cy * w + cx)) inkCount += 1; cx += 1 }
+      inkCount += ink.popCount(cy * w + line.x0, cy * w + line.x1)
       cy += 1
     }
     // candidate scales: an accepted phase re-renders the line as isc×isc

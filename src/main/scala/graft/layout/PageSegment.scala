@@ -81,6 +81,26 @@ object PageSegment {
       }
       (words(wLast) & hi) != 0
     }
+    /** Set-bit count in [from, until) — [[anySet]]'s counting twin (same
+      * edge masks, `Long.bitCount` per word): a per-bit loop over a large
+      * region is exactly the bandwidth-bound scan the packed mask exists
+      * to avoid.
+      */
+    def popCount(from: Int, until: Int): Int = {
+      if (from >= until) return 0
+      var wi = from >>> 6
+      val wLast = (until - 1) >>> 6
+      val lo = -1L << from // shift auto-masked to & 63
+      val hi = -1L >>> ((64 - (until & 63)) & 63)
+      if (wi == wLast) return java.lang.Long.bitCount(words(wi) & lo & hi)
+      var n = java.lang.Long.bitCount(words(wi) & lo)
+      wi += 1
+      while (wi < wLast) {
+        n += java.lang.Long.bitCount(words(wi))
+        wi += 1
+      }
+      n + java.lang.Long.bitCount(words(wLast) & hi)
+    }
   }
 
   /** Ink mask by integer luma, row-major w×h. */

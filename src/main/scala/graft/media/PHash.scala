@@ -44,12 +44,15 @@ object PHash {
       g(i) = ImageDecode.lumaInt(small.rgb, o).toLong
       i += 1
     }
-    // row pass: r(y)(u) = Σ_x g(y,x)·table(u)(x)
-    val r = Array.ofDim[Long](N, N)
+    // row pass: r(y)(u) = Σ_x g(y,x)·table(u)(x) — only u < 8 is ever read
+    // by the low-frequency column pass, so computing all N frequency
+    // columns would spend 4× the multiply-adds of the whole DCT for rows
+    // that are thrown away (this is the per-image hot path)
+    val r = Array.ofDim[Long](N, 8)
     var y = 0
     while (y < N) {
       var u = 0
-      while (u < N) {
+      while (u < 8) {
         var acc = 0L
         var x = 0
         while (x < N) { acc += g(y * N + x) * table(u)(x); x += 1 }

@@ -92,11 +92,47 @@ object PdfRaster {
   /** Ops with no effect on the rasterized subset (caps/joins/miter — the
     * stroke model is per-segment butt-capped quads with no joins — text
     * spacing we have no metrics for, marked content). Everything not here,
-    * not a supported op, throws.
+    * not a supported op, throws. `gs` is NOT ignored: an ExtGState can
+    * carry /LW (applied), a dash, alpha, a blend mode — each resource is
+    * validated up front ([[parseExtGState]]) so blindly skipping the op
+    * can never silently drop a parameter that changes pixels.
     */
   private val IgnoredOps: Set[String] = Set(
-    "gs", "J", "j", "M", "ri", "i",
+    "J", "j", "M", "ri", "i",
     "Tc", "Tw", "Tz", "Ts", "BMC", "BDC", "EMC", "MP", "DP")
+
+  private val ExtGStateRe = """/ExtGState\s*<<([^>]*)>>""".r
+  private val LwRe = """/LW\s+([0-9.]+)""".r
+
+  /** Validate one ExtGState dict against the raster subset and return its
+    * /LW line-width override. The decision per key mirrors the inline
+    * operator it shadows: /LW ≡ `w` (applied), caps/joins/miter/intent/
+    * flatness ≡ the ignored J/j/M/ri/i, a solid /D ≡ `[] 0 d`; anything
+    * that would change pixels — a real dash, /CA /ca ≠ 1, a non-Normal
+    * /BM, a soft mask, /Font — throws, same LOUD contract as the op loop
+    * (ignoring `gs` wholesale would render those silently wrong).
+    */
+  private def parseExtGState(dict: String, ctx: String): Option[Double] = {
+    val lw = LwRe.findFirstMatchIn(dict).map(_.group(1).toDouble)
+    val benign = Seq(
+      """/Type\s*/ExtGState""",
+      """/LW\s+[0-9.]+""",
+      """/(?:LC|LJ|OPM)\s+\d+""",
+      """/(?:ML|FL|SM)\s+[0-9.]+""",
+      """/(?:SA|TK|AIS|OP|op)\s+(?:true|false)""",
+      """/RI\s*/\w+""",
+      """/CA\s+1(?:\.0*)?(?![0-9.])""",
+      """/ca\s+1(?:\.0*)?(?![0-9.])""",
+      """/BM\s*/(?:Normal|Compatible)""",
+      """/SMask\s*/None""",
+      """/D\s*\[\s*\[\s*\]\s*[0-9.]+\s*\]""")
+    var residue = dict
+    benign.foreach(p => residue = residue.replaceAll(p, " "))
+    require(!residue.contains('/'),
+      s"$ctx: ExtGState parameters '${residue.replaceAll("[<>\\s]+", " ").trim}' " +
+        "are outside the raster subset")
+    lw
+  }
 
   /** textRender: PDF Tr mode — 0 fill, 3 invisible (the OCR text layer of
     * a scanned+OCR'd page); (ma,mb,mc,md): the CTM's 2×2, restricted to the
@@ -166,8 +202,22 @@ object PdfRaster {
             mm.group(1) -> decodedCache.getOrElseUpdate(ref, decodeImageObject(pdfBytes, obj, objs))
           }.toMap)
           .getOrElse(Map.empty)
+      // validate every /ExtGState up front (name → /LW override): a `gs`
+      // naming a state with pixel-changing parameters fails before any
+      // pixel is painted, like a dangling/form XObject does
+      val gstates: Map[String, Option[Double]] =
+        ExtGStateRe.findFirstMatchIn(page.dict)
+          .orElse(ExtGStateRe.findFirstMatchIn(pagesNode.dict))
+          .map(m => XObjEntryRe.findAllMatchIn(m.group(1)).map { mm =>
+            val ref = mm.group(2).toInt
+            val obj = objs.getOrElse(ref, throw new IllegalArgumentException(
+              s"page $pageNum: ExtGState /${mm.group(1)} ref $ref R is dangling"))
+            mm.group(1) -> parseExtGState(obj.dict, s"page $pageNum: /${mm.group(1)}")
+          }.toMap)
+          .getOrElse(Map.empty)
       RasterPage(pageIdx,
-        render(contentText(pdfBytes, page, objs), fonts, xobjects, mbW, mbH, dpi, pageNum))
+        render(contentText(pdfBytes, page, objs), fonts, xobjects, gstates,
+          mbW, mbH, dpi, pageNum))
     }
   }
 
@@ -176,6 +226,7 @@ object PdfRaster {
 
   private def render(content: String, fonts: Map[String, PdfText.CMapFont],
                      xobjects: Map[String, ImageDecode.Decoded],
+                     gstates: Map[String, Option[Double]],
                      mbW: Double, mbH: Double, dpi: Int, pageNum: Int): ImageDecode.Decoded = {
     import PdfText.{TArrClose, TArrOpen, TName, TNum, TOp, TStr, Tok}
     val s = dpi / 72.0
@@ -547,6 +598,16 @@ object PdfRaster {
             require(arrDone != null && arrDone.isEmpty,
               s"page $pageNum: non-empty dash pattern unsupported")
             arrDone = null
+          case "gs" =>
+            val nm = operands.last match {
+              case TName(n) => n
+              case other => throw new IllegalArgumentException(s"gs on $other")
+            }
+            // pre-validated: only benign keys + an optional /LW, which
+            // applies exactly like inline `w` (q/Q-scoped via st)
+            val lw = gstates.getOrElse(nm, throw new IllegalArgumentException(
+              s"page $pageNum: gs of unknown ExtGState /$nm"))
+            lw.foreach(v => st = st.copy(lineWidth = v))
           case "re" =>
             requireUnitScale("re")
             require(operands.length >= 4, "re needs 4 operands")

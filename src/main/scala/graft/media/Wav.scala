@@ -50,6 +50,10 @@ object Wav {
       val len = lenL.toInt
       id match {
         case "fmt " =>
+          // duplicate fmt would silently re-bind channels/rate AFTER data
+          // validated against the first one (stereo samples re-read as mono
+          // doubles `frames` and strides L/R as one channel) — reject
+          require(channels < 0, "duplicate fmt chunk")
           require(len >= 16, s"fmt chunk too short ($len)")
           val fmt = u16(bytes, pos + 8)
           require(fmt == 1, s"audio format $fmt unsupported (PCM=1 only)")
@@ -61,6 +65,7 @@ object Wav {
           require(bits == 16, s"$bits-bit samples unsupported (16-bit PCM only)")
         case "data" =>
           require(channels > 0, "data chunk before fmt")
+          require(data == null, "duplicate data chunk") // never silently keep only the last
           require(len % 2 == 0, "odd data length for 16-bit PCM")
           val out = new Array[Short](len / 2)
           var i = 0

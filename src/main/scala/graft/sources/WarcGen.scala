@@ -77,7 +77,10 @@ object WarcGen {
   def hasFigure(pageId: Long): Boolean = pageId % 4 == 0
 
   /** The chrome-wrapped article page (utf-8). */
-  def pageHtml(pageId: Long, ps: Vector[String], seed: Long = 42L): String = {
+  // no default seed: `ps` is seed-derived too, and a caller mixing
+  // pieces(p, s) with a defaulted 42 here would emit footer links that
+  // silently disagree with expectedOutlinks(p, s)
+  def pageHtml(pageId: Long, ps: Vector[String], seed: Long): String = {
     val sb = new java.lang.StringBuilder(1400)
     sb.append("<!DOCTYPE html>\n<html><head><title>Page ").append(pageId)
       .append("</title><style>article{margin:0}</style>")

@@ -41,14 +41,16 @@ class PdfRasterSpec extends AnyFunSuite {
     }
   }
 
-  private def tinyPdf(content: String): Array[Byte] = {
+  private def tinyPdf(content: String, extg: Option[String] = None): Array[Byte] = {
+    val gsRes = extg.fold("")(_ => " /ExtGState << /GS0 6 0 R >>")
     val objs = Seq(
       1 -> "<< /Type /Catalog /Pages 2 0 R >>",
       2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
       3 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 50 40] " +
-        "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"),
+        s"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >>$gsRes >> >>"),
       4 -> s"<< /Length ${content.length} >>\nstream\n$content\nendstream",
-      5 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+      5 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") ++
+      extg.map(d => 6 -> d).toSeq
     val out = new StringBuilder("%PDF-1.4\n")
     val offsets = objs.map { case (n, body) =>
       val off = out.length
@@ -281,5 +283,37 @@ class PdfRasterSpec extends AnyFunSuite {
     val again = PdfRaster.rasterize(fixture(), 144)
     assert(ImageDecode.sha256Hex(again(1).image.rgb) ==
       ImageDecode.sha256Hex(at144(1).image.rgb))
+  }
+
+  test("ExtGState: /LW applies like inline w; pixel-changing parameters reject loudly") {
+    val stroke = "10 20 m 40 20 l S"
+    // a gs-set /LW 4 must render the SAME pixels as inline `4 w` — blindly
+    // ignoring gs (pre-fix) stroked at width 1 with no error
+    val viaGs = PdfRaster.rasterize(
+      tinyPdf(s"/GS0 gs $stroke", Some("<< /Type /ExtGState /LW 4 >>")), 72)
+    val viaW = PdfRaster.rasterize(tinyPdf(s"4 w $stroke"), 72)
+    assert(viaGs.head.image.rgb.sameElements(viaW.head.image.rgb))
+    assert(!viaGs.head.image.rgb.sameElements(
+      PdfRaster.rasterize(tinyPdf(stroke), 72).head.image.rgb))
+    // benign caps/joins/intent keys pass; pixel-changing ones throw at
+    // page setup, BEFORE any pixel is painted
+    PdfRaster.rasterize(tinyPdf(s"/GS0 gs $stroke",
+      Some("<< /Type /ExtGState /LC 1 /LJ 1 /ML 10 /SA true /CA 1 /ca 1.0 " +
+        "/BM /Normal /SMask /None /D [ [ ] 0 ] >>")), 72)
+    def rejectsGs(dict: String, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException](
+        PdfRaster.rasterize(tinyPdf(s"/GS0 gs $stroke", Some(dict)), 72))
+      assert(ex.getMessage.contains(needle), s"for [$dict] got: ${ex.getMessage}")
+    }
+    rejectsGs("<< /Type /ExtGState /CA 0.5 >>", "outside the raster subset")
+    rejectsGs("<< /Type /ExtGState /ca .3 >>", "outside the raster subset")
+    rejectsGs("<< /Type /ExtGState /BM /Multiply >>", "outside the raster subset")
+    rejectsGs("<< /Type /ExtGState /D [ [ 2 2 ] 0 ] >>", "outside the raster subset")
+    rejectsGs("<< /Type /ExtGState /SMask 9 0 R >>", "outside the raster subset")
+    rejectsGs("<< /Type /ExtGState /Font [ 5 0 R 10 ] >>", "outside the raster subset")
+    // gs naming an absent state throws too
+    val ex = intercept[IllegalArgumentException](
+      PdfRaster.rasterize(tinyPdf(s"/Nope gs $stroke"), 72))
+    assert(ex.getMessage.contains("unknown ExtGState"))
   }
 }

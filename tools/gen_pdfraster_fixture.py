@@ -89,7 +89,7 @@ FONT = {
     '!': [0x04, 0x04, 0x04, 0x04, 0x04, 0x00, 0x04],
 }
 
-IGNORED = {'gs', 'J', 'j', 'M', 'ri', 'i',
+IGNORED = {'J', 'j', 'M', 'ri', 'i',
            'Tc', 'Tw', 'Tz', 'Ts', 'BMC', 'BDC', 'EMC', 'MP', 'DP'}
 BEZIER_CHORDS = 16
 
@@ -164,7 +164,10 @@ def build_pdf(pages, cmap=None, images=None):
     return bytes(out)
 
 
-def render(content, fonts, mbw, mbh, dpi, images=None):
+def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None):
+    # gstates: name -> line-width override (None = no /LW); every
+    # reachable ExtGState was pre-validated to carry only benign keys
+    gstates = gstates or {}
     s = dpi / 72.0
     W, H = int(round(mbw * s)), int(round(mbh * s))
     assert W > 0 and H > 0
@@ -547,6 +550,11 @@ def render(content, fonts, mbw, mbh, dpi, images=None):
                         buf.append(' ')
                 arr_done = None
                 show(''.join(buf))
+            elif val == 'gs':
+                name = operands[-1][1]
+                assert name in gstates, f'gs of unknown ExtGState /{name}'
+                if gstates[name] is not None:
+                    line_w = gstates[name]
             elif val in IGNORED:
                 pass
             else:
