@@ -48,9 +48,16 @@ object PdfPages {
     ("""q\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+""" +
       """([\d.+-]+)\s+([\d.+-]+)\s+cm\s*/(\w+)\s+Do\s+Q""").r
 
-  /** Latin-1 view: 1:1 byte↔char, so string offsets are byte offsets. */
-  private[media] def latin1(bytes: Array[Byte], from: Int, until: Int): String =
+  /** Latin-1 view: 1:1 byte↔char, so string offsets are byte offsets.
+    * Range-checked here, once, for every caller: a corrupt xref/startxref
+    * offset lands out of bounds and must throw the typed loud error, not a
+    * raw negative-count StringIndexOutOfBoundsException (fuzz finding).
+    */
+  private[media] def latin1(bytes: Array[Byte], from: Int, until: Int): String = {
+    require(from >= 0 && from <= until && until <= bytes.length,
+      s"byte range [$from, $until) outside the ${bytes.length}-byte file (corrupt offset)")
     new String(bytes, from, until - from, StandardCharsets.ISO_8859_1)
+  }
 
   /** One parsed object: header/dict text + exact stream payload bounds. */
   private[media] final case class PdfObject(num: Int, dict: String,
@@ -147,7 +154,16 @@ object PdfPages {
     val out = new java.io.ByteArrayOutputStream(data.length * 4)
     val buf = new Array[Byte](8192)
     while (!inf.finished()) {
-      val n = inf.inflate(buf)
+      val n =
+        try inf.inflate(buf)
+        catch {
+          // a corrupt deflate body must surface as the typed loud error the
+          // ingest/quarantine layer matches on, not a raw checked zip
+          // exception (fuzz: single-byte flips inside a Flate stream)
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"corrupt Flate stream: ${e.getMessage}")
+        }
       if (n == 0) {
         // stalled: truncated input, preset-dictionary header, or corrupt
         if (inf.needsInput() || inf.needsDictionary())

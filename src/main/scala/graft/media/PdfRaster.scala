@@ -552,7 +552,10 @@ object PdfRaster {
         // every generator emits)
         require(!pendingClip || op == "n",
           s"page $pageNum: W followed by '$op' is outside the raster subset (only W n)")
-        op match {
+        // a corrupt stream can hand any operator an empty/short operand
+        // stack; the per-op arity requires catch most shapes, this converts
+        // the rest (`operands.last` on empty) to the typed loud error
+        try op match {
           case "q" => stack.push(st)
           case "Q" =>
             require(stack.nonEmpty, "Q with empty graphics-state stack")
@@ -773,6 +776,10 @@ object PdfRaster {
             // approximated
             throw new IllegalArgumentException(
               s"page $pageNum: content-stream operator '$unknown' is outside the raster subset")
+        } catch {
+          case _: NoSuchElementException | _: IndexOutOfBoundsException =>
+            throw new IllegalArgumentException(
+              s"page $pageNum: operator '$op' with a malformed operand stack")
         }
         operands.clear()
       case t => operands += t

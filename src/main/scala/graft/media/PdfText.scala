@@ -391,7 +391,10 @@ object PdfText {
         arr = null
       case t if arr != null => arr += t
       case TOp(op) =>
-        op match {
+        // same operand-stack conversion as PdfRaster: a corrupt stream can
+        // hand any operator an empty stack; `operands.last` on it must
+        // surface as the typed loud error
+        try op match {
           case "BT" => inText = true; lineX = 0.0; lineY = 0.0
           case "ET" => inText = false
           case "Td" =>
@@ -462,6 +465,10 @@ object PdfText {
             // silently-partial text
             throw new IllegalArgumentException(
               s"unsupported content-stream operator '$unknown' (outside the text subset)")
+        } catch {
+          case _: NoSuchElementException | _: IndexOutOfBoundsException =>
+            throw new IllegalArgumentException(
+              s"operator '$op' with a malformed operand stack")
         }
         operands.clear()
       case t => operands += t
