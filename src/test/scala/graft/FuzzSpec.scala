@@ -146,4 +146,41 @@ class FuzzSpec extends AnyFunSuite {
       legal(s"pdf text soup $k")(graft.media.PdfText.lines(soup))
     }
   }
+
+  test("URL/robots/sitemap string parsers: soup never escapes the typed contract") {
+    // every extracted href runs through resolve+normalizeHttp inside the
+    // ingest flatMap; robots bodies and sitemap XML are fetched captures —
+    // all hostile. UrlResolve's functions are TOTAL (any string parses as
+    // some Uri), Robots.urlAllowed is total over (body, url), and
+    // Sitemaps.parse must throw ONLY the ctx-prefixed IAE.
+    val metas = "/:?#@[]%&=+.~!$'()*,;\u00e9\u4e2d "
+    def soupStr(seed: Long, n: Int): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < n) {
+        val r = mix(seed * 31 + i)
+        sb += (if ((r & 3) == 0) metas(((r >>> 8) % metas.length).toInt)
+               else (33 + ((r >>> 8) % 94)).toChar)
+        i += 1
+      }
+      sb.toString
+    }
+    (0 until 400).foreach { k =>
+      val u = soupStr(0x471L + k, 4 + k % 96)
+      legal(s"url parse $k")(graft.text.UrlResolve.parse(u))
+      legal(s"url normalize $k")(graft.text.UrlResolve.normalizeHttp(u))
+      legal(s"url host $k")(graft.text.UrlResolve.hostOf(u))
+      legal(s"url surt $k")(graft.text.UrlResolve.surt(u))
+      legal(s"url resolve $k")(
+        graft.text.UrlResolve.resolve("https://example.org/dir/page", u))
+      legal(s"robots $k")(
+        graft.text.Robots.urlAllowed(soupStr(0xb07L + k, 64 + k * 2), "bot",
+          "https://h/" + u))
+    }
+    (0 until 200).foreach { k =>
+      val xml = (if (k % 3 == 0) "<?xml version=\"1.0\"?><urlset>" else "") +
+        soupStr(0x51e3L + k, 32 + k * 4)
+      legal(s"sitemap soup $k")(graft.text.Sitemaps.parse(xml, s"fuzz-$k"))
+    }
+  }
 }
