@@ -45,6 +45,19 @@ object ExprImpl {
     * form and to DuckDB's list_reduce fold.
     */
   def signBits(v: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.util.ArrayData = {
+    // reject-loudly: getDouble past the end of (or on a null slot of) an
+    // UnsafeArrayData returns GARBAGE, not an error — a malformed embedding
+    // would get a fabricated signature and land in wrong ANN buckets with
+    // nothing to trace
+    if (v.numElements() != SignDims)
+      throw new IllegalArgumentException(
+        s"sign_bits: expected a $SignDims-element vector, got ${v.numElements()}")
+    var j = 0
+    while (j < SignDims) {
+      if (v.isNullAt(j))
+        throw new IllegalArgumentException(s"sign_bits: null element at $j")
+      j += 1
+    }
     val out = new Array[Int](SignPlanes)
     var p = 0
     while (p < SignPlanes) {
@@ -64,10 +77,21 @@ object ExprImpl {
     */
   def hammingBits(a: org.apache.spark.sql.catalyst.util.ArrayData,
                   b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    // reject-loudly: a length mismatch would read garbage past the shorter
+    // side (and make the function asymmetric); a Hamming distance between
+    // different-length signatures is malformed input, not a number
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"hamming_bits: length mismatch ${a.numElements()} vs ${b.numElements()}")
     val n = a.numElements()
     var i = 0
     var d = 0
-    while (i < n) { if (a.getInt(i) != b.getInt(i)) d += 1; i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(s"hamming_bits: null element at $i")
+      if (a.getInt(i) != b.getInt(i)) d += 1
+      i += 1
+    }
     d
   }
 

@@ -146,20 +146,25 @@ object CompactJob {
     // visible to any reader until the checksum below verifies it; a
     // diverged or crashed rewrite leaves the source snapshot as latest.
     if (parts.isEmpty) {
-      // zero-shuffle path: the scan's own split packing is the bin-packer
-      val conf = spark.conf
-      val savedMax = conf.get("spark.sql.files.maxPartitionBytes")
-      val savedOpen = conf.get("spark.sql.files.openCostInBytes")
-      try {
-        conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
-        // a 4 MiB default open cost makes tiny files "fill" a split long
-        // before the byte target; compaction wants byte-true packing
-        conf.set("spark.sql.files.openCostInBytes", (64L << 10).toString)
-        Snapshots.stage(withObs(spark.read.parquet(srcDir.toString)), root, newId)
-      } finally {
-        conf.set("spark.sql.files.maxPartitionBytes", savedMax)
-        conf.set("spark.sql.files.openCostInBytes", savedOpen)
-      }
+      // zero-shuffle path: the scan's own split packing is the bin-packer.
+      // The split-size confs are set on a CLONED session (newSession shares
+      // the SparkContext but owns its SQLConf), never on the caller's —
+      // mutating the shared session would silently re-split every
+      // concurrently planned scan to the compaction's target, and a
+      // save/restore is not exception-safe against other threads' conf sets
+      val iso = spark.newSession()
+      iso.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+      // a 4 MiB default open cost makes tiny files "fill" a split long
+      // before the byte target; compaction wants byte-true packing
+      iso.conf.set("spark.sql.files.openCostInBytes", (64L << 10).toString)
+      // split size is min(target, max(openCost, totalBytes/minPartitionNum))
+      // and minPartitionNum DEFAULTS TO THE CORE COUNT — on a table smaller
+      // than cores×target the parallelism floor shreds the packing (observed:
+      // one 503 KB file "compacted" into 2); a compaction wants the byte
+      // target, not a parallelism floor, and at 100 TB totalBytes/1 still
+      // exceeds the target so big-table packing is unchanged
+      iso.conf.set("spark.sql.files.minPartitionNum", "1")
+      Snapshots.stage(withObs(iso.read.parquet(srcDir.toString)), root, newId)
     } else {
       // partition-aligned single exchange; writer emits one file per value
       // (observe sits below the exchange: metrics are of the source rows)

@@ -30,6 +30,18 @@ object WetExport {
 
   /** One WET record in the exact framing [[graft.sources.Warc]] parses. */
   private[jobs] def wetRecord(uri: String, text: String, date: String): Array[Byte] = {
+    // the URI is spliced into a CRLF-framed header: a control char would
+    // inject a bogus header line and desynchronize the Content-Length
+    // framing for the rest of the file, and a char > 0xFF cannot round-trip
+    // through the reader's Latin-1 header decode (US_ASCII getBytes would
+    // silently mangle it to '?') — reject both loudly
+    var i = 0
+    while (i < uri.length) {
+      val c = uri.charAt(i)
+      require(c >= 0x20 && c != 0x7f && c <= 0xff,
+        s"WET uri contains unwritable char U+${c.toInt.toHexString} at $i: $uri")
+      i += 1
+    }
     val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val recId = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(uri).toLong & 0xffffffffL)
@@ -37,7 +49,10 @@ object WetExport {
       s"WARC-Record-ID: <urn:graft:wet:$recId>\r\n" +
       s"WARC-Date: $date\r\nWARC-Target-URI: $uri\r\n" +
       s"Content-Type: text/plain\r\nContent-Length: ${body.length}\r\n\r\n")
-      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      // ISO-8859-1, not US_ASCII: the reader decodes header bytes 1:1 as
+      // Latin-1, so chars 0x80-0xFF round-trip exactly (ASCII would mangle
+      // them to '?'); the guard above already rejected anything above 0xFF
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     head ++ body ++ "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
   }
 

@@ -43,20 +43,34 @@ object TopM {
     val ordIdx: Array[(Int, Boolean, DataType)] =
       ord.map { case (c, asc) => (schema.fieldIndex(c), asc, schema(c).dataType) }.toArray
 
-    // "better" = smaller under this ordering
+    // "better" = smaller under this ordering. Null and string semantics
+    // MATCH THE WINDOW FORM this helper replaces: Spark orders nulls FIRST
+    // ascending / LAST descending (null = smallest before the direction
+    // flip — a primitive getter on a null cell would NPE instead), and
+    // strings sort in UTF8String BINARY order (java.lang.String.compareTo
+    // ranks supplementary-plane chars below U+E000..U+FFFF because it
+    // compares UTF-16 code units — a different top-m than the SQL oracle).
     val rowOrd: Ordering[Row] = new Ordering[Row] {
       override def compare(x: Row, y: Row): Int = {
         var i = 0
         while (i < ordIdx.length) {
           val (idx, asc, dt) = ordIdx(i)
-          val c = dt match {
-            case IntegerType => java.lang.Integer.compare(x.getInt(idx), y.getInt(idx))
-            case LongType => java.lang.Long.compare(x.getLong(idx), y.getLong(idx))
-            case DoubleType => java.lang.Double.compare(x.getDouble(idx), y.getDouble(idx))
-            case FloatType => java.lang.Float.compare(x.getFloat(idx), y.getFloat(idx))
-            case StringType => x.getString(idx).compareTo(y.getString(idx))
-            case other => throw new IllegalArgumentException(s"unsupported ordering type $other")
-          }
+          val xn = x.isNullAt(idx)
+          val yn = y.isNullAt(idx)
+          val c =
+            if (xn && yn) 0
+            else if (xn) -1
+            else if (yn) 1
+            else dt match {
+              case IntegerType => java.lang.Integer.compare(x.getInt(idx), y.getInt(idx))
+              case LongType => java.lang.Long.compare(x.getLong(idx), y.getLong(idx))
+              case DoubleType => java.lang.Double.compare(x.getDouble(idx), y.getDouble(idx))
+              case FloatType => java.lang.Float.compare(x.getFloat(idx), y.getFloat(idx))
+              case StringType =>
+                org.apache.spark.unsafe.types.UTF8String.fromString(x.getString(idx))
+                  .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y.getString(idx)))
+              case other => throw new IllegalArgumentException(s"unsupported ordering type $other")
+            }
           if (c != 0) return if (asc) c else -c
           i += 1
         }

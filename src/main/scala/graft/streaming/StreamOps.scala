@@ -117,7 +117,7 @@ object StreamOps {
   // ---- streaming near-dup dedup ---------------------------------------------
 
   final case class BandRow(doc_id: Long, ts: java.sql.Timestamp, band_id: Int, bv: String)
-  final case class BucketFirst(ts: Long, docId: Long)
+  final case class BucketFirst(ts: Long, docId: Long, lastTs: Long = 0L)
   final case class DupEvidence(doc_id: Long, band_id: Int)
 
   /** Per-(band, bucket) state function: O(1) state — only the EARLIEST
@@ -154,8 +154,14 @@ object StreamOps {
         }
       }
       first.foreach { f =>
-        state.update(f)
-        state.setTimeoutTimestamp(sorted.map(_.ts.getTime).max + gapMs)
+        // lastTs carries the max activity EVER seen: a late out-of-order
+        // batch must never move the timeout backward (that would expire
+        // state early and silently treat a true near-dup as new)
+        val last = math.max(
+          state.getOption.map(_.lastTs).getOrElse(Long.MinValue),
+          sorted.map(_.ts.getTime).max)
+        state.update(BucketFirst(f.ts, f.docId, last))
+        state.setTimeoutTimestamp(last + gapMs)
       }
       out.result().iterator
     }
@@ -236,40 +242,73 @@ object StreamOps {
     */
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  /** A user's OPEN sessions. A list, not a scalar: a late-but-admissible
+    * event can belong to a SEPARATE earlier session (t < start − gap of the
+    * current one) or can extend the current session backward — a
+    * single-session state either absorbed it (wrong counts, lost session
+    * row) or, in the old emit-on-split form, had already emitted a session
+    * a late event was still allowed to touch.
+    */
+  final case class SessionsState(sessions: Seq[SessionState])
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                               session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
   def sessionizeFn(gapMs: Long)(
       userId: Long,
       events: Iterator[SessionEvent],
-      state: GroupState[SessionState]): Iterator[SessionOut] = {
+      state: GroupState[SessionsState]): Iterator[SessionOut] = {
+    def toOut(s: SessionState) = SessionOut(userId, new java.sql.Timestamp(s.start),
+      new java.sql.Timestamp(s.end), s.n, s.sum)
     if (state.hasTimedOut) {
-      val s = state.get
-      state.remove()
-      Iterator.single(SessionOut(userId, new java.sql.Timestamp(s.start),
-        new java.sql.Timestamp(s.end), s.n, s.sum))
+      // the timeout is armed at the EARLIEST open session's close — emit
+      // everything the watermark has passed and re-arm for the next one
+      // (an active user's old sessions must not wait for the whole key to
+      // go idle)
+      val wm = state.getCurrentWatermarkMs()
+      val ss = state.get.sessions.toVector.sortBy(_.start)
+      val (closed, open) = ss.partition(_.end + gapMs <= wm)
+      if (open.nonEmpty) {
+        state.update(SessionsState(open))
+        state.setTimeoutTimestamp(math.max(open.map(_.end + gapMs).min, wm + 1))
+      } else state.remove()
+      closed.iterator.map(toOut)
     } else {
       val sorted = events.toSeq.sortBy(_.ts.getTime)
-      var out = Vector.empty[SessionOut]
-      var cur = state.getOption
+      var sessions = state.getOption.map(_.sessions.toVector).getOrElse(Vector.empty)
       sorted.foreach { e =>
         val t = e.ts.getTime
-        cur match {
-          case Some(s) if t - s.end <= gapMs =>
-            cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
-          case Some(s) =>
-            out :+= SessionOut(userId, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.end), s.n, s.sum)
-            cur = Some(SessionState(t, t, 1, e.value))
-          case None =>
-            cur = Some(SessionState(t, t, 1, e.value))
+        // an event joins a session it is within gap of ON EITHER SIDE —
+        // min() extends start backward for a late first event
+        val idx = sessions.indexWhere(s => t >= s.start - gapMs && t <= s.end + gapMs)
+        if (idx >= 0) {
+          val s = sessions(idx)
+          sessions = sessions.updated(idx, SessionState(math.min(s.start, t),
+            math.max(s.end, t), s.n + 1, s.sum + e.value))
+        } else sessions :+= SessionState(t, t, 1, e.value)
+      }
+      // one event can BRIDGE two previously-separate sessions: coalesce
+      val merged = sessions.sortBy(_.start)
+        .foldLeft(Vector.empty[SessionState]) { (acc, s) =>
+          acc.lastOption match {
+            case Some(p) if s.start - p.end <= gapMs =>
+              acc.init :+ SessionState(p.start, math.max(p.end, s.end),
+                p.n + s.n, p.sum + s.sum)
+            case _ => acc :+ s
+          }
         }
-      }
-      cur.foreach { s =>
-        state.update(s)
-        state.setTimeoutTimestamp(s.end + gapMs)
-      }
-      out.iterator
+      // emit ONLY sessions the watermark has closed (end + gap < wm means
+      // no admissible event can still extend or precede-into them) — the
+      // old emit-on-split emitted as soon as a later event arrived, which a
+      // late-but-above-watermark event could contradict
+      val wm = state.getCurrentWatermarkMs()
+      val (closed, open) = merged.partition(_.end + gapMs < wm)
+      if (open.nonEmpty) {
+        state.update(SessionsState(open))
+        // arm at the EARLIEST close, not the latest: each firing emits the
+        // sessions the watermark has passed and re-arms for the next
+        state.setTimeoutTimestamp(math.max(open.map(_.end + gapMs).min, wm + 1))
+      } else state.remove()
+      closed.sortBy(_.start).iterator.map(toOut)
     }
   }
 

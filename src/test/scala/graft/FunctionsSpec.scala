@@ -106,6 +106,28 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
+  test("sign_bits / hamming_bits reject malformed vectors loudly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // UnsafeArrayData getters past the end (or on a null slot) return
+    // GARBAGE, not an error — a malformed embedding must throw, not land
+    // in a fabricated ANN bucket with nothing to trace
+    def fails(df: org.apache.spark.sql.DataFrame, needle: String): Unit = {
+      val e = intercept[Exception](df.collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(needle)), s"wanted '$needle' in ${msgs(e)}")
+    }
+    fails(Seq(Seq(1.0, 2.0)).toDF("v").select(ChurroFunctions.sign_bits($"v")),
+      "expected a 64-element vector")
+    fails(Seq(Seq.tabulate(64)(i => if (i == 7) null else java.lang.Double.valueOf(i)))
+      .toDF("v").select(ChurroFunctions.sign_bits($"v")), "null element at 7")
+    fails(Seq((Seq(1, 2, 3), Seq(1, 2))).toDF("a", "b")
+      .select(ChurroFunctions.hamming_bits($"a", $"b")), "length mismatch 3 vs 2")
+    fails(Seq((Seq[Integer](1, null), Seq[Integer](1, 2))).toDF("a", "b")
+      .select(ChurroFunctions.hamming_bits($"a", $"b")), "null element at 1")
+  }
+
   test("cosine_sim equals the interpreted fold bit-for-bit, inside codegen") {
     import org.apache.spark.sql.functions._
     // deterministic mixed-sign vectors; same fold order ⇒ bitwise equality

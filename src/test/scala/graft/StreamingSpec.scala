@@ -138,29 +138,99 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() == batch.length)
   }
 
-  test("sessionizeFn splits same-batch events farther apart than the gap") {
-    import org.apache.spark.sql.streaming.GroupStateTimeout
-    // pure-function check through the batch path: two sessions in one group
-    import spark.implicits._
-    val events = Seq(
+  test("sessionizeFn: watermark-gated emission, late-event merge, and separate late sessions") {
+    // pure-function checks on the state function (the streaming API path is
+    // exercised by the end-to-end test above)
+    val gap = 10 * 60 * 1000L
+    // (1) two sessions in one batch: NOTHING emits while the watermark has
+    // not closed them (the old emit-on-split emitted a session a late
+    // event was still allowed to extend); both are held in state
+    val s1 = new TestState
+    val out1 = StreamOps.sessionizeFn(gap)(9L, Seq(
       SessionEvent(9L, ts("09:00"), 1.0),
       SessionEvent(9L, ts("09:04"), 1.0),
-      SessionEvent(9L, ts("11:00"), 5.0))
-    // batch flatMapGroupsWithState is exercised via the streaming API in the
-    // test above; here assert the split logic directly on the state function
-    val state = new TestState
-    val out = StreamOps.sessionizeFn(10 * 60 * 1000)(9L, events.iterator, state).toSeq
-    assert(out.map(o => (o.n_events, o.sum_value)) == Seq((2L, 2.0))) // first session closed by the gap
-    assert(state.updated.exists(s => s.n == 1 && s.sum == 5.0)) // second session left open in state
+      SessionEvent(9L, ts("11:00"), 5.0)).iterator, s1).toSeq
+    assert(out1.isEmpty)
+    assert(s1.updated.get.sessions.map(x => (x.n, x.sum)) == Seq((2L, 2.0), (1L, 5.0)))
+    assert(s1.timeoutTs == ts("09:14").getTime) // EARLIEST end + gap
+    // (2) once the watermark passes a session's close, it emits and leaves
+    // only the open one in state
+    val s2 = new TestState
+    s2.updated = s1.updated
+    s2.watermark = ts("10:00").getTime // 09:04 + gap < 10:00 → closed
+    val out2 = StreamOps.sessionizeFn(gap)(9L, Iterator.empty, s2).toSeq
+    assert(out2.map(o => (o.n_events, o.sum_value)) == Seq((2L, 2.0)))
+    assert(s2.updated.get.sessions.map(x => (x.n, x.sum)) == Seq((1L, 5.0)))
+    // (3) a late-but-admissible event EXTENDS a session backward: start is
+    // min'd (the old single-session fold kept the later start)
+    val s3 = new TestState
+    val out3a = StreamOps.sessionizeFn(gap)(7L,
+      Iterator.single(SessionEvent(7L, ts("09:10"), 1.0)), s3).toSeq
+    assert(out3a.isEmpty)
+    StreamOps.sessionizeFn(gap)(7L,
+      Iterator.single(SessionEvent(7L, ts("09:05"), 2.0)), s3)
+    assert(s3.updated.get.sessions.map(x =>
+      (x.start, x.end, x.n, x.sum)) ==
+      Seq((ts("09:05").getTime, ts("09:10").getTime, 2L, 3.0)))
+    // (4) a late event FARTHER than the gap before the current session is a
+    // SEPARATE earlier session, not absorbed into the current one
+    StreamOps.sessionizeFn(gap)(7L,
+      Iterator.single(SessionEvent(7L, ts("07:00"), 9.0)), s3)
+    assert(s3.updated.get.sessions.map(x => (x.n, x.sum)) == Seq((1L, 9.0), (2L, 3.0)))
+    // timed out with the watermark past every close: all sessions emit,
+    // in start order
+    s3.timedOut = true
+    s3.watermark = ts("12:00").getTime
+    val out3b = StreamOps.sessionizeFn(gap)(7L, Iterator.empty, s3).toSeq
+    assert(out3b.map(o => (o.n_events, o.sum_value)) == Seq((1L, 9.0), (2L, 3.0)))
+    assert(s3.updated.isEmpty)
   }
 
-  private class TestState extends org.apache.spark.sql.streaming.GroupState[StreamOps.SessionState] {
-    var updated: Option[StreamOps.SessionState] = None
+  private class TestState extends org.apache.spark.sql.streaming.GroupState[StreamOps.SessionsState] {
+    var updated: Option[StreamOps.SessionsState] = None
+    var timeoutTs: Long = -1L
+    var watermark: Long = 0L
+    var timedOut: Boolean = false
+    override def exists: Boolean = updated.isDefined
+    override def get: StreamOps.SessionsState = updated.get
+    override def getOption: Option[StreamOps.SessionsState] = updated
+    override def update(s: StreamOps.SessionsState): Unit = updated = Some(s)
+    override def remove(): Unit = updated = None
+    override def hasTimedOut: Boolean = timedOut
+    override def setTimeoutDuration(durationMs: Long): Unit = ()
+    override def setTimeoutDuration(duration: String): Unit = ()
+    override def setTimeoutTimestamp(timestampMs: Long): Unit = timeoutTs = timestampMs
+    override def setTimeoutTimestamp(timestampMs: Long, additionalDuration: String): Unit = ()
+    override def setTimeoutTimestamp(timestamp: java.sql.Date): Unit = ()
+    override def setTimeoutTimestamp(timestamp: java.sql.Date, additionalDuration: String): Unit = ()
+    override def getCurrentWatermarkMs(): Long = watermark
+    override def getCurrentProcessingTimeMs(): Long = 0L
+  }
+
+  test("nearDupBucketFn never rewinds its timeout on a late out-of-order batch") {
+    import StreamOps.{BandRow, BucketFirst}
+    val gap = 2 * 60 * 60 * 1000L
+    val st = new BucketTestState
+    StreamOps.nearDupBucketFn(gap)((0, "b"),
+      Iterator.single(BandRow(10L, ts("10:00"), 0, "b")), st).toSeq
+    assert(st.timeoutTs == ts("10:00").getTime + gap)
+    // a LATE batch (above watermark) must not move the timeout backward —
+    // pre-fix it was re-set from the batch max alone, expiring the state
+    // 90 minutes early and silently missing later true near-dups
+    val dup = StreamOps.nearDupBucketFn(gap)((0, "b"),
+      Iterator.single(BandRow(99L, ts("08:30"), 0, "b")), st).toSeq
+    assert(dup.map(_.doc_id) == Seq(10L)) // earlier row takes over as first
+    assert(st.timeoutTs == ts("10:00").getTime + gap)
+    assert(st.updated.get.lastTs == ts("10:00").getTime)
+  }
+
+  private class BucketTestState extends org.apache.spark.sql.streaming.GroupState[StreamOps.BucketFirst] {
+    var updated: Option[StreamOps.BucketFirst] = None
     var timeoutTs: Long = -1L
     override def exists: Boolean = updated.isDefined
-    override def get: StreamOps.SessionState = updated.get
-    override def getOption: Option[StreamOps.SessionState] = updated
-    override def update(s: StreamOps.SessionState): Unit = updated = Some(s)
+    override def get: StreamOps.BucketFirst = updated.get
+    override def getOption: Option[StreamOps.BucketFirst] = updated
+    override def update(s: StreamOps.BucketFirst): Unit = updated = Some(s)
     override def remove(): Unit = updated = None
     override def hasTimedOut: Boolean = false
     override def setTimeoutDuration(durationMs: Long): Unit = ()
