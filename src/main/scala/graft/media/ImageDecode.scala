@@ -16,11 +16,48 @@ object ImageDecode {
 
   final case class Decoded(width: Int, height: Int, rgb: Array[Byte])
 
+  /** Decompression-bomb ceiling, PIL parity: `Image.MAX_IMAGE_PIXELS` is
+    * 89,478,485 and PIL raises `DecompressionBombError` at 2× that. A web
+    * crawl WILL contain 100000×100000 PNGs whose header is 100 bytes but
+    * whose raster is 30 GB — the dims are checked from the header BEFORE
+    * any pixel is inflated.
+    */
+  val MaxPixels: Long = 2L * 89478485L
+
   /** Decode to 8-bit RGB, row-major [r,g,b]* (alpha dropped, like the
     * reference's `ensure_rgb`).
+    *
+    * Hostile-input contract: malformed payloads only ever throw
+    * `IllegalArgumentException`. The JDK codecs escape with IIOException
+    * on truncation and with unchecked index/size errors on some corrupt
+    * streams — all are caught at this boundary and rethrown typed, so a
+    * bad image fails one ROW loudly instead of killing the task with an
+    * untyped error no caller can distinguish from an engine bug.
     */
   def decode(bytes: Array[Byte]): Decoded = {
-    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    val img =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext, "undecodable image payload")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            // header-only dimension read: the bomb check must precede decode
+            val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+            require(w > 0 && h > 0, s"undecodable image payload: ${w}x$h")
+            require(w.toLong * h <= MaxPixels,
+              s"decompression bomb: ${w}x$h = ${w.toLong * h} px exceeds $MaxPixels")
+            reader.read(0)
+          } finally reader.dispose()
+        } finally iis.close()
+      } catch {
+        case e: IllegalArgumentException => throw e
+        case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"undecodable image payload: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     require(img != null, "undecodable image payload")
     val w = img.getWidth
     val h = img.getHeight
@@ -58,6 +95,10 @@ object ImageDecode {
       val marker = jpeg(pos + 1) & 0xFF
       if (marker == 0xDA || marker == 0xD9) return 1 // SOS / EOI: no APP1 seen
       val len = ((jpeg(pos + 2) & 0xFF) << 8) | (jpeg(pos + 3) & 0xFF)
+      // a segment length < 2 is malformed framing (the length field counts
+      // itself): treat as no-orientation — and without this, len=0 would
+      // hand copyOfRange a from > to below
+      if (len < 2) return 1
       if (marker == 0xE1 && pos + 4 + len - 2 <= jpeg.length) {
         val seg = java.util.Arrays.copyOfRange(jpeg, pos + 4, pos + 2 + len)
         val o = orientationFromExifPayload(seg)
@@ -82,8 +123,13 @@ object ImageDecode {
       if (little) (u16(off) & 0xFFFFL) | ((u16(off + 2) & 0xFFFFL) << 16)
       else ((u16(off) & 0xFFFFL) << 16) | (u16(off + 2) & 0xFFFFL)
     if (u16(t + 2) != 0x2A) return 0
-    val ifd = t + u32(t + 4).toInt
-    if (ifd + 2 > seg.length) return 0
+    // bounds-check the IFD offset in Long space: a hostile u32 ≥ 2^31 would
+    // truncate NEGATIVE through .toInt, pass an `ifd + 2 > length` check,
+    // and index seg(negative) — malformed EXIF must mean "no orientation",
+    // not an array fault
+    val ifdL = t + u32(t + 4)
+    if (ifdL + 2 > seg.length) return 0
+    val ifd = ifdL.toInt
     val n = u16(ifd)
     var e = 0
     while (e < n) {

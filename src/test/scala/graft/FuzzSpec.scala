@@ -183,4 +183,65 @@ class FuzzSpec extends AnyFunSuite {
       legal(s"sitemap soup $k")(graft.text.Sitemaps.parse(xml, s"fuzz-$k"))
     }
   }
+
+  test("image decoder + EXIF parser: soup and mutated images never escape the typed contract") {
+    import graft.media.ImageDecode
+    // soup, optionally wearing a real magic so a codec engages and walks
+    // into garbage (the deep path — magic-less soup dies at reader lookup)
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val jpgSig = Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte)
+    (0 until 150).foreach { k =>
+      val b = randBytes(0x1ac0de00L + k, 32 + k * 5)
+      legal(s"img soup $k")(ImageDecode.loadImage(b))
+      legal(s"img png-soup $k")(ImageDecode.loadImage(pngSig ++ b))
+      legal(s"img jpg-soup $k")(ImageDecode.loadImage(jpgSig ++ b))
+    }
+    // single-byte mutations of a real PNG fixture and of a real JPEG
+    // carrying a spliced EXIF APP1 — chunk CRCs, IDAT deflate, TIFF IFDs
+    val png = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/media/img_00.png"))
+    val img = new java.awt.image.BufferedImage(12, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 12) img.setRGB(x, y, (x << 16) | (y << 8))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = ImageDecode.spliceApp1(bos.toByteArray, ImageDecode.exifSegment(6, littleEndian = true))
+    (0 until 300).foreach { k =>
+      val (src, label) = if (k % 2 == 0) (png, "png") else (jpeg, "jpeg")
+      val pos = ((mix(0x5eed + k.toLong) >>> 1) % src.length).toInt
+      val m = src.clone()
+      m(pos) = (m(pos) ^ (1 + (mix(k.toLong) & 0x7f))).toByte
+      legal(s"img $label mutation @$pos")(ImageDecode.loadImage(m))
+      // exifOrientation is TOTAL by contract (malformed → 1, like PIL):
+      // it must RETURN in range, never throw at all
+      val o = ImageDecode.exifOrientation(m)
+      assert(o >= 1 && o <= 8, s"exifOrientation($label @$pos) = $o")
+    }
+    // EXIF TIFF payload soup behind a valid "Exif\0\0" + byte-order prelude:
+    // orientationFromExifPayload is total (malformed → 0)
+    (0 until 200).foreach { k =>
+      val order = if (k % 2 == 0) "II" else "MM"
+      val seg = "Exif  ".getBytes("ISO-8859-1") ++
+        order.getBytes("ISO-8859-1") ++ randBytes(0xe41fL + k, 8 + k)
+      val o = ImageDecode.orientationFromExifPayload(seg)
+      assert(o >= 0 && o <= 8, s"payload soup $k = $o")
+    }
+  }
+
+  test("GFV1 video container: soup and mutated containers only ever throw IAE") {
+    import graft.media.VideoFrames
+    val valid = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/media/vid_00.gfv"))
+    (0 until 150).foreach { k =>
+      val b = randBytes(0x6f51L + k, 16 + k * 6)
+      legal(s"gfv soup $k")(VideoFrames.sampledFrames(b))
+      legal(s"gfv magic-soup $k")(
+        VideoFrames.sampledFrames("GFV1".getBytes("ISO-8859-1") ++ b))
+    }
+    (0 until 300).foreach { k =>
+      val pos = ((mix(0x91dL + k) >>> 1) % valid.length).toInt
+      val m = valid.clone()
+      m(pos) = (m(pos) ^ (1 + (mix(k.toLong) & 0x7f))).toByte
+      legal(s"gfv mutation @$pos")(VideoFrames.sampledFrames(m))
+    }
+  }
 }

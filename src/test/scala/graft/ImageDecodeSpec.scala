@@ -43,6 +43,16 @@ class ImageDecodeSpec extends AnyFunSuite {
       assert(ImageDecode.orientationFromExifPayload(seg) == o, s"o=$o le=$le")
     }
     assert(ImageDecode.exifOrientation(pngBytes("img_00.png")) == 1) // not a JPEG
+    // hostile-EXIF regression pins: an IFD offset >= 2^31 truncates negative
+    // through .toInt (pre-fix: seg(-10) -> ArrayIndexOutOfBounds), and an
+    // APP1 with segment length < 2 handed copyOfRange a from > to
+    val negIfd = "Exif  II".getBytes("ISO-8859-1") ++
+      Array[Byte](0x2a, 0x00) ++ Array(0xf0, 0xff, 0xff, 0xff).map(_.toByte) ++
+      new Array[Byte](8)
+    assert(ImageDecode.orientationFromExifPayload(negIfd) == 0)
+    val shortSeg = Array(0xff, 0xd8, 0xff, 0xe1, 0x00, 0x00).map(_.toByte) ++
+      new Array[Byte](16)
+    assert(ImageDecode.exifOrientation(shortSeg) == 1)
     assert(ImageDecode.orientationFromExifPayload("Exif\u0000\u0000XX".getBytes) == 0)
   }
 
@@ -129,6 +139,26 @@ class ImageDecodeSpec extends AnyFunSuite {
     val t = ImageDecode.cropPolygon(d, tri, trimMargin = 0)
     assert(px(t, t.width - 1, t.height - 1) == Seq(255, 255, 255))
     assert(px(t, 1, 1) != Seq(255, 255, 255))
+  }
+
+  test("decompression bomb: huge declared dims are rejected from the header, before decode") {
+    // a syntactically valid PNG signature + IHDR declaring 100000×100000
+    // (30 GB of RGB) in ~60 bytes — the guard must fire off the header
+    // dims without ever inflating pixel data
+    def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val len = java.nio.ByteBuffer.allocate(4).putInt(payload.length).array()
+      val body = typ.getBytes("ISO-8859-1") ++ payload
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      len ++ body ++ java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(100000).putInt(100000).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val bomb = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", Array[Byte](0x78, 0x9c.toByte)) ++
+      chunk("IEND", Array.empty)
+    val e = intercept[IllegalArgumentException](ImageDecode.decode(bomb))
+    assert(e.getMessage.contains("decompression bomb"))
   }
 
   test("PNG round-trip: encodePng output decodes back to identical pixels") {
