@@ -25,9 +25,11 @@ import graft.media.ImageDecode.Decoded
   *    gaps ≥ minGapX; the larger gap wins, a tie prefers the row cut —
   *    EXCEPT that a valid row cut beats a wider column cut whose two
   *    sides are vertically disjoint, because left-before-right is only
-  *    reading order for sides that vertically interleave), recurse
-  *    top-then-bottom / left-then-right — the DFS leaf order IS the
-  *    reading order (Manhattan-layout XY-cut ordering);
+  *    reading order for sides that vertically interleave; and when NO
+  *    valid row cut exists, a column cut whose right side lies entirely
+  *    above its left side emits the upper (right) side first), recurse
+  *    top-then-bottom / upper-side-then-lower — the DFS leaf order IS
+  *    the reading order (Manhattan-layout XY-cut ordering);
   *  - lines: maximal ink-row runs of the block's horizontal projection
   *    profile;
   *  - components: 8-connected ink components within the block;
@@ -168,20 +170,35 @@ object PageSegment {
         // is mandatory — a wider gutter must not beat a valid row cut, or
         // the DFS would emit a lower-left block before the block that
         // dominates it (lies entirely above).
-        val useRow = rowGap >= colGap || (rowGap > 0 && {
-          (trim(ink, w, Box(b.x0, b.y0, cx0, b.y1)),
-            trim(ink, w, Box(cx1, b.y0, b.x1, b.y1))) match {
+        if (rowGap == 0 && colGap == 0) Vector(b)
+        else {
+          // trimmed sides of the column cut, computed once (a maximal
+          // interior gap guarantees ink on both sides); lazy — a plain
+          // row cut never scans them
+          lazy val sides =
+            (trim(ink, w, Box(b.x0, b.y0, cx0, b.y1)),
+              trim(ink, w, Box(cx1, b.y0, b.x1, b.y1)))
+          val useRow = rowGap >= colGap || (rowGap > 0 && (sides match {
             case (Some(l), Some(r)) => l.y1 <= r.y0 || r.y1 <= l.y0
             case _ => true // an inkless side cannot happen (maximal gap)
+          }))
+          if (useRow) // tie prefers the horizontal cut
+            xyCut(ink, w, Box(b.x0, b.y0, b.x1, ry0), minGapX, minGapY) ++
+              xyCut(ink, w, Box(b.x0, ry1, b.x1, b.y1), minGapX, minGapY)
+          else {
+            val left = xyCut(ink, w, Box(b.x0, b.y0, cx0, b.y1), minGapX, minGapY)
+            val right = xyCut(ink, w, Box(cx1, b.y0, b.x1, b.y1), minGapX, minGapY)
+            sides match {
+              // No valid row cut exists (the sides' row gap is below
+              // minGapY) yet the RIGHT side's ink lies entirely above the
+              // left's: every right block dominates every left block, so
+              // the upper side must be emitted first — a left-first column
+              // cut here would violate the dominance topology.
+              case (Some(l), Some(r)) if r.y1 <= l.y0 => right ++ left
+              case _ => left ++ right
+            }
           }
-        })
-        if (rowGap == 0 && colGap == 0) Vector(b)
-        else if (useRow) // tie prefers the horizontal cut
-          xyCut(ink, w, Box(b.x0, b.y0, b.x1, ry0), minGapX, minGapY) ++
-            xyCut(ink, w, Box(b.x0, ry1, b.x1, b.y1), minGapX, minGapY)
-        else
-          xyCut(ink, w, Box(b.x0, b.y0, cx0, b.y1), minGapX, minGapY) ++
-            xyCut(ink, w, Box(cx1, b.y0, b.x1, b.y1), minGapX, minGapY)
+        }
     }
 
   /** Text lines of a block: maximal ink-row runs of its projection profile. */
@@ -296,11 +313,13 @@ object PageSegment {
   /** `a` must be read before `b`: entirely above, or vertically
     * overlapping and entirely left — the dominance partial order the
     * XY-cut DFS order must topologically respect (spec-asserted). The
-    * vertical-disjointness override in [[xyCut]] is what upholds the
-    * "entirely above" clause across a column gutter; the one layout class
-    * XY-cut cannot order is a bridged one (a third block spanning the band
-    * between two vertically-disjoint blocks on opposite sides of the
-    * gutter leaves no legal cut that separates them top-first).
+    * vertical-disjointness override in [[xyCut]] (row cut preferred when
+    * one exists; otherwise the column cut emits the upper side first)
+    * is what upholds the "entirely above" clause across a column gutter;
+    * the one layout class XY-cut cannot order is a bridged one (a third
+    * block spanning the band between two vertically-disjoint blocks on
+    * opposite sides of the gutter leaves no legal cut that separates
+    * them top-first).
     */
   def dominates(a: Box, b: Box): Boolean =
     a.y1 <= b.y0 || (a.y0 < b.y1 && b.y0 < a.y1 && a.x1 <= b.x0)

@@ -93,6 +93,24 @@ class PageSegmentSpec extends AnyFunSuite with BeforeAndAfterAll {
       Box(10, 30, 40, 60), Box(10, 90, 40, 115), Box(160, 5, 190, 100)))
   }
 
+  test("xy-cut: a column cut with NO valid row gap still emits the upper side first") {
+    // upper-RIGHT block and lower-LEFT block with a SUB-threshold row gap
+    // (10 < MinGapY=16): no row cut exists, so the gutter (60 >= MinGapX)
+    // column cut runs — and must emit the right side first because it lies
+    // entirely above the left (every right block dominates every left one).
+    // Pre-fix this emitted the lower-left block first (bottom-up reading).
+    val img = page(200, 120, bar(120, 5, 190, 40) ++ bar(10, 50, 60, 110))
+    val blocks = PageSegment.xyCut(PageSegment.inkMask(img), 200, Box(0, 0, 200, 120))
+    assert(blocks == Vector(Box(120, 5, 190, 40), Box(10, 50, 60, 110)))
+    for (i <- blocks.indices; j <- i + 1 until blocks.size)
+      assert(!PageSegment.dominates(blocks(j), blocks(i)))
+    // mirror image (upper-LEFT / lower-RIGHT): left-first is already the
+    // dominance order — unchanged
+    val m = page(200, 120, bar(10, 5, 60, 40) ++ bar(120, 50, 190, 110))
+    assert(PageSegment.xyCut(PageSegment.inkMask(m), 200, Box(0, 0, 200, 120))
+      == Vector(Box(10, 5, 60, 40), Box(120, 50, 190, 110)))
+  }
+
   test("projection-profile lines and stroke regularity") {
     val img = page(100, 60, bar(5, 5, 90, 12) ++ bar(5, 20, 90, 27) ++ bar(5, 40, 90, 47))
     val ink = PageSegment.inkMask(img)

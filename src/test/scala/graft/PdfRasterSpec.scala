@@ -27,7 +27,7 @@ class PdfRasterSpec extends AnyFunSuite {
     val byName = (0 until exp.size()).map(exp.get).groupBy(_.get("name").asText)
     assert(byName.keySet ==
       Set("raster_00.pdf", "raster_01.pdf", "raster_02.pdf", "raster_03.pdf",
-        "raster_04.pdf", "raster_05.pdf", "raster_06.pdf"))
+        "raster_04.pdf", "raster_05.pdf", "raster_06.pdf", "raster_07.pdf"))
     byName.foreach { case (name, pageExp) =>
       val pages = PdfRaster.rasterize(fixture(name), dpi)
       assert(pages.length == pageExp.length, s"$name page count")

@@ -633,16 +633,24 @@ def _xycut(ink, W, region):
         return [b]
     # A valid row cut beats a wider column cut whose two sides are
     # vertically DISJOINT: left-before-right is only reading order for
-    # sides that vertically interleave (mirrors PageSegment.xyCut).
-    use_row = row_gap >= col_gap
-    if not use_row and row_gap > 0:
+    # sides that vertically interleave; and when NO valid row cut exists,
+    # a column cut whose RIGHT side lies entirely above its left side
+    # emits the upper (right) side first (mirrors PageSegment.xyCut).
+    lt = rt = None
+    if col_gap > 0:
         lt = _trim(ink, W, (x0, y0, cx0, y1))
         rt = _trim(ink, W, (cx1, y0, x1, y1))
+    use_row = row_gap >= col_gap
+    if not use_row and row_gap > 0:
         if lt is None or rt is None or lt[3] <= rt[1] or rt[3] <= lt[1]:
             use_row = True
     if use_row:
         return _xycut(ink, W, (x0, y0, x1, ry0)) + _xycut(ink, W, (x0, ry1, x1, y1))
-    return _xycut(ink, W, (x0, y0, cx0, y1)) + _xycut(ink, W, (cx1, y0, x1, y1))
+    left = _xycut(ink, W, (x0, y0, cx0, y1))
+    right = _xycut(ink, W, (cx1, y0, x1, y1))
+    if lt is not None and rt is not None and rt[3] <= lt[1]:
+        return right + left
+    return left + right
 
 
 def _line_boxes(ink, W, b):
@@ -985,6 +993,19 @@ def main():
         "160 30 m 160 110 l 190 110 l 190 30 l h 168 45 15 20 re B")
     pages6 = [(p9, 200.0, 150.0, False)]
 
+    # raster_07.pdf: the dominance-across-a-gutter page — an upper-RIGHT
+    # text block and a lower-LEFT text block whose ink row gap (12 px at
+    # dpi 144) is BELOW MIN_GAP_Y, so no valid row cut exists and the
+    # column cut (30 px gutter) must emit the upper (right) side first: a
+    # left-first column cut would read the page bottom-up (the round-5
+    # review finding in PageSegment.xyCut).
+    p10 = (
+        "0 0 0 rg BT /F1 8 Tf 120 100 Td 12 TL (UPPER RIGHT NOTE) Tj T* "
+        "(READS FIRST HERE) Tj ET "
+        "BT /F1 8 Tf 10 75 Td 12 TL (LOWER LEFT BLOCK) Tj T* "
+        "(READS SECOND NOW) Tj ET")
+    pages7 = [(p10, 200.0, 120.0, True)]
+
     fonts = {'F2': cmap_decoder(cmap)}
     docs = [('raster_00.pdf', pages, cmap, None),
             ('raster_01.pdf', pages1, None, None),
@@ -992,7 +1013,8 @@ def main():
             ('raster_03.pdf', pages3, None, images3),
             ('raster_04.pdf', pages4, None, images4),
             ('raster_05.pdf', pages5, None, images5),
-            ('raster_06.pdf', pages6, None, None)]
+            ('raster_06.pdf', pages6, None, None),
+            ('raster_07.pdf', pages7, None, None)]
     rows = []
     seg_rows = []
     ocr_out = []
