@@ -95,19 +95,28 @@ object CompactJob {
     out.toSeq
   }
 
-  /** Order-independent content checksum over every column — columns hashed
-    * in SORTED-NAME order on both sides, because a partitioned read-back
-    * appends partition columns after the data columns (source order
-    * `[..., c1, c2]` vs read-back `[..., c2, c1]` would falsely diverge).
+  /** The ONE definition of the verification aggregate — row count plus an
+    * order-independent content checksum (`bit_xor(xxhash64(struct(*)))`,
+    * no overflow at any row count), columns hashed in SORTED-NAME order on
+    * both sides because a partitioned read-back appends partition columns
+    * after the data columns (source order `[..., c1, c2]` vs read-back
+    * `[..., c2, c1]` would falsely diverge). The source side rides these
+    * through `Dataset.observe`, the output side through a plain select; the
+    * divergence gate depends on the two sides computing byte-identical
+    * expressions, so both MUST build them here.
     */
-  private def checksumCols(df: DataFrame) = df.columns.sorted.map(col).toIndexedSeq
+  private def checksumAggs(df: DataFrame): Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n"),
+    coalesce(
+      bit_xor(xxhash64(struct(df.columns.sorted.map(col).toIndexedSeq: _*))),
+      lit(0L)).as("x"))
+
+  private def checksumString(n: Long, x: Long): String =
+    s"$n:${java.lang.Long.toHexString(x)}"
 
   private def checksum(df: DataFrame): String = {
-    val row = df.select(
-      count(lit(1)).as("n"),
-      coalesce(bit_xor(xxhash64(struct(checksumCols(df): _*))), lit(0L)).as("x"))
-      .collect()(0)
-    s"${row.getLong(0)}:${java.lang.Long.toHexString(row.getLong(1))}"
+    val row = df.select(checksumAggs(df): _*).collect()(0)
+    checksumString(row.getLong(0), row.getLong(1))
   }
 
   /** Compact the latest snapshot under `root` to ~`targetBytes` files.
@@ -124,7 +133,7 @@ object CompactJob {
     // a crash in the publish→lineage window, so a scheduler firing the job
     // blindly never rewrites a current table
     val done = Lineage.read(spark, compactRoot).collect()
-      .exists(r => (r.snapshot_id == sourceId || r.partition_id.toLong == sourceId) &&
+      .exists(r => (r.snapshot_id == sourceId || r.partition_id == sourceId) &&
         r.divergence == 0.0)
     val alreadyCompact = Files.exists(srcDir.resolve("_compacted_from"))
     val filesIn = dataFiles(srcDir).size.toLong
@@ -138,9 +147,8 @@ object CompactJob {
     // THIRD full read of a 100 TB table per compaction
     val obs = org.apache.spark.sql.Observation(s"graft_compact_$sourceId")
     def withObs(df: DataFrame): DataFrame = {
-      val cs = checksumCols(df)
-      df.observe(obs, count(lit(1)).as("n"),
-        coalesce(bit_xor(xxhash64(struct(cs: _*))), lit(0L)).as("x"))
+      val aggs = checksumAggs(df)
+      df.observe(obs, aggs.head, aggs.tail: _*)
     }
     // STAGE only — no commit marker, no LATEST flip. The rewrite is not
     // visible to any reader until the checksum below verifies it; a
@@ -174,8 +182,7 @@ object CompactJob {
     }
     val observed = obs.get
     val rows = observed("n").asInstanceOf[Long]
-    val beforeSum =
-      s"$rows:${java.lang.Long.toHexString(observed("x").asInstanceOf[Long])}"
+    val beforeSum = checksumString(rows, observed("x").asInstanceOf[Long])
 
     val newDir = Paths.get(Snapshots.snapshotDir(root, newId))
     val afterSum = checksum(spark.read.parquet(newDir.toString))
@@ -185,7 +192,7 @@ object CompactJob {
       // divergence==1 row does NOT satisfy the done check, so the next
       // run retries the compaction instead of no-opping over a bad table
       Lineage.append(spark, compactRoot, Seq(LineageRow(
-        snapshot_id = sourceId, partition_id = newId.toInt,
+        snapshot_id = sourceId, partition_id = newId,
         partition_hash = afterSum, doc_count = rows, span_count = filesOut,
         divergence = 1.0, committed_at = System.currentTimeMillis())))
       throw new IllegalStateException(
@@ -197,7 +204,7 @@ object CompactJob {
     Files.writeString(newDir.resolve("_compacted_from"), sourceId.toString)
     Snapshots.publish(root, newId)
     Lineage.append(spark, compactRoot, Seq(LineageRow(
-      snapshot_id = sourceId, partition_id = newId.toInt,
+      snapshot_id = sourceId, partition_id = newId,
       partition_hash = afterSum, doc_count = rows, span_count = filesOut,
       divergence = 0.0, committed_at = System.currentTimeMillis())))
     Result(sourceId, newId, filesIn, filesOut, rows)

@@ -73,7 +73,7 @@ object DataPrepJob {
     // would pay a full extra pass over every stage input just for the
     // lineage doc_count (only stage 0, whose input is the raw corpus with
     // no lineage row yet, pays a count)
-    val outCounts = scala.collection.mutable.Map.empty[Int, Long] ++
+    val outCounts = scala.collection.mutable.Map.empty[Long, Long] ++
       Lineage.read(spark, args.out).collect()
         .map(r => r.partition_id -> r.span_count)
     val committed = outCounts.keySet.toSet

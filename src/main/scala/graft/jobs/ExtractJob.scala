@@ -79,7 +79,7 @@ object ExtractJob {
   def run(spark: SparkSession, args: Args): (Int, Long) = {
     import spark.implicits._
     val committed = Lineage.committedPartitions(spark, args.out)
-    val todo = (0 until args.buckets).filterNot(committed.contains)
+    val todo = (0 until args.buckets).filterNot(b => committed.contains(b.toLong))
     var processedDocs = 0L
     var groupsDone = 0
     // per-run progress surface (tail -f <out>/progress.jsonl mid-run)

@@ -121,7 +121,7 @@ object WarcIngestJob {
     import spark.implicits._
     materializeCrawl(spark, args)
     val committed = Lineage.committedPartitions(spark, args.out)
-    val todo = (0 until args.files).filterNot(committed.contains)
+    val todo = (0 until args.files).filterNot(f => committed.contains(f.toLong))
     var pagesDone = 0L
     var errorsDone = 0L
     var groupsDone = 0

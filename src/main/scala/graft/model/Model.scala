@@ -15,10 +15,16 @@ final case class OutSpan(kind: String, text: String, media_ref: String, order: I
 /** Output document row. */
 final case class DocOut(doc_id: String, spans: Seq[OutSpan])
 
-/** Per-partition lineage row (north_rule: resumable with lineage + metrics). */
+/** Per-partition lineage row (north_rule: resumable with lineage + metrics).
+  * `partition_id` is a Long: bucket/file/stage indices fit an Int, but
+  * CompactJob keys its rows by the PUBLISHED SNAPSHOT ID, and snapshot ids
+  * may be clock-derived (WarcIngestJob seeds) — an Int here silently
+  * truncated those, breaking the compaction no-op check and colliding
+  * lineage group files for ids congruent mod 2^32.
+  */
 final case class LineageRow(
     snapshot_id: Long,
-    partition_id: Int,
+    partition_id: Long,
     partition_hash: String,
     doc_count: Long,
     span_count: Long,

@@ -35,22 +35,29 @@ object Lineage {
     if (!Files.exists(Paths.get(d)) || !Files.list(Paths.get(d)).findFirst().isPresent)
       spark.emptyDataset[LineageRow]
     else {
-      // schema tolerance: lineage written before `error_count` was added to
-      // [[LineageRow]] must still resume (the encoder would otherwise fail
-      // analysis with "cannot resolve 'error_count'" — aborting the exact
-      // job this table exists to make resumable); absent means zero errors
-      val raw = spark.read.parquet(d)
-      val full =
-        if (raw.columns.contains("error_count")) raw
-        else raw.withColumn("error_count", org.apache.spark.sql.functions.lit(0L))
-      full.as[LineageRow]
+      // schema tolerance, two axes — read with the CURRENT encoder schema
+      // pinned so every group file is decoded against it:
+      //  - lineage written before `error_count` existed yields nulls for it
+      //    (absent parquet column), coalesced to zero below;
+      //  - lineage written while `partition_id` was an Int arrives as
+      //    parquet INT32 and widens to the declared Long (parquet type
+      //    widening) — a footer-inferred schema over a MIXED directory
+      //    would instead pick whichever file lists first and misread the
+      //    rest, aborting the exact job this table makes resumable.
+      val raw = spark.read
+        .schema(org.apache.spark.sql.Encoders.product[LineageRow].schema)
+        .parquet(d)
+      raw.withColumn("error_count",
+          org.apache.spark.sql.functions.coalesce(
+            raw("error_count"), org.apache.spark.sql.functions.lit(0L)))
+        .as[LineageRow]
     }
   }
 
   /** Buckets already committed — the resume filter is a left-anti join of the
     * work list against this set.
     */
-  def committedPartitions(spark: SparkSession, root: String): Set[Int] = {
+  def committedPartitions(spark: SparkSession, root: String): Set[Long] = {
     import spark.implicits._
     read(spark, root).map(_.partition_id).collect().toSet
   }

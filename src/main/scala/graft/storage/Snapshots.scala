@@ -96,7 +96,15 @@ object Snapshots {
       var max = Option.empty[Long]
       listing.forEach { p =>
         p.getFileName.toString match {
-          case re(id) => if (!max.exists(_ >= id.toLong)) max = Some(id.toLong)
+          case re(id) =>
+            // a digit run beyond Long range is not a snapshot this code ever
+            // wrote (ids are Longs) — a stray/corrupt marker-shaped file must
+            // be IGNORED like any other foreign file, not abort every job
+            // that resolves the table's latest snapshot
+            try {
+              val v = id.toLong
+              if (!max.exists(_ >= v)) max = Some(v)
+            } catch { case _: NumberFormatException => () }
           case _ => ()
         }
       }

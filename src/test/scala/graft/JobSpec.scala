@@ -382,6 +382,38 @@ class JobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.latest(root).contains(2L) && !Snapshots.isCommitted(root, 9))
   }
 
+  test("compaction keyed by a snapshot id beyond Int range: lineage no-op holds") {
+    import spark.implicits._
+    import graft.jobs.CompactJob
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val root = tmpDir()
+    // clock-derived ids (the WarcIngestJob seed shape) exceed Int range;
+    // pre-fix the lineage row stored (big+1).toInt and the no-op check
+    // never matched once the sidecar was gone
+    val big = 3000000000L
+    val df = spark.range(500).select($"id", md5($"id".cast("string")).as("sha"))
+    Snapshots.commit(df.repartition(8), root, big)
+    val r = CompactJob.compact(spark, root, targetBytes = 256L << 20)
+    assert(r.newId == big + 1)
+    val lin = Lineage.read(spark, s"$root/compact").collect()
+    assert(lin.head.partition_id == big + 1, "published id must round-trip exactly")
+    // delete the sidecar: the lineage row keyed by the published id must
+    // alone no-op a blind rerun
+    JFiles.delete(
+      JPaths.get(Snapshots.snapshotDir(root, big + 1)).resolve("_compacted_from"))
+    val r2 = CompactJob.compact(spark, root, targetBytes = 256L << 20)
+    assert(r2.newId == -1L && !Snapshots.isCommitted(root, big + 2))
+  }
+
+  test("latest() ignores a marker-shaped file whose digits exceed Long range") {
+    val root = tmpDir()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/snapshot-99999999999999999999.committed"), "")
+    assert(Snapshots.latest(root).isEmpty)
+    Snapshots.commit(spark.range(3).toDF("id"), root, 5)
+    assert(Snapshots.latest(root).contains(5L))
+  }
+
   test("lineage written before error_count existed still reads and resumes") {
     import spark.implicits._
     val root = tmpDir()
