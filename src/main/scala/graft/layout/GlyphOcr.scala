@@ -29,9 +29,18 @@ object GlyphOcr {
 
   final case class OcrLine(box: Box, iscale: Int, kind: String, text: String)
 
-  /** bit-rows pattern → glyph (the inverted font table). */
-  private val inverse: Map[Seq[Int], Char] =
-    GlyphFont.rows.map { case (c, bits) => bits -> c }
+  /** 35-bit packed pattern (7 rows × 5 bits, top row in the high bits) →
+    * glyph: the inverted font table keyed by a primitive Long, so the
+    * per-cell lookup in the phase search is one Long map probe instead of
+    * an Array→Seq copy + structural hash (the phase search runs up to
+    * 42·isc² lookups per candidate scale on a block that defeats the
+    * ink-count gate).
+    */
+  private val inverse: scala.collection.immutable.LongMap[Char] =
+    scala.collection.immutable.LongMap.from(
+      GlyphFont.rows.iterator.map { case (c, bits) =>
+        bits.foldLeft(0L)((k, b) => (k << GlyphFont.GlyphW) | b) -> c
+      })
 
   private val CellW = GlyphFont.GlyphW + GlyphFont.Spacing
 
@@ -66,6 +75,16 @@ object GlyphOcr {
     // gate above.
     val lo = math.max(1, (h + GlyphFont.GlyphH - 1) / GlyphFont.GlyphH)
     val cands = (lo to h).filter(d => h % d == 0 && inkCount % (d * d) == 0)
+    // phase-search working state, allocated ONCE per line and reused across
+    // every (scale, phase): the re-render mask is epoch-stamped (a pixel is
+    // lit iff it holds the current phase's epoch), so a failing phase costs
+    // no Arrays.fill and no fresh allocation — a non-glyph block that slips
+    // past the ink-count gate used to allocate (and zero) a line-sized
+    // Boolean mask for each of up to 42·isc² phases per scale
+    val lw = line.width
+    val rendered = new Array[Int](lw * h)
+    val sb = new java.lang.StringBuilder
+    var epoch = 0
     cands.foreach { isc =>
       val cellW = CellW * isc
       var q = 0
@@ -74,7 +93,9 @@ object GlyphOcr {
         var p = 0
         while (p < cellW) {
           val gridLeft = line.x0 - p
-          recognizeAt(ink, w, line, gridLeft, gridTop, isc) match {
+          if (epoch == Int.MaxValue) { java.util.Arrays.fill(rendered, 0); epoch = 0 }
+          epoch += 1
+          recognizeAt(ink, w, line, gridLeft, gridTop, isc, rendered, epoch, sb) match {
             case Some(text) => return Some((text, isc))
             case None =>
           }
@@ -86,31 +107,32 @@ object GlyphOcr {
     None
   }
 
-  /** Try one grid placement: sample, map, re-render, compare. Allocation
-    * kept to the line-local `rendered` mask — the hot path of the
-    * pages/sec bench runs this once per line at the correct first phase.
+  /** Try one grid placement: sample, map, re-render, compare. No
+    * allocation on the (overwhelmingly common) failing path — `rendered`,
+    * `sb`, and the packed-pattern accumulator are caller-owned and reused;
+    * a pixel of the epoch-stamped mask is lit iff it equals this phase's
+    * `epoch`. Block painting is DEFERRED until a cell's pattern resolves in
+    * the inverse table, so a cell that rejects costs only the 35 sample
+    * reads, never the isc×isc fills.
     */
   private def recognizeAt(ink: PageSegment.Mask, w: Int, line: Box,
-                          gridLeft: Int, gridTop: Int, isc: Int): Option[String] = {
+                          gridLeft: Int, gridTop: Int, isc: Int,
+                          rendered: Array[Int], epoch: Int,
+                          sb: java.lang.StringBuilder): Option[String] = {
     val cellW = CellW * isc
     val nCells = {
       val span = line.x1 - gridLeft
       (span + cellW - 1) / cellW
     }
     val lw = line.width
-    // re-render mask over the line box, filled while sampling: a lit bit
-    // paints its isc×isc block; a block pixel OUTSIDE the box = bleed =
-    // immediate reject (a correct phase never has bits outside the bbox)
-    val rendered = new Array[Boolean](lw * line.height)
-    val sb = new java.lang.StringBuilder(nCells)
-    val pattern = new Array[Int](GlyphFont.GlyphH)
+    sb.setLength(0)
     var c = 0
     while (c < nCells) {
       val cx = gridLeft + c * cellW
-      java.util.Arrays.fill(pattern, 0)
-      var blank = true
+      var packed = 0L
       var r = 0
       while (r < GlyphFont.GlyphH) {
+        var rowBits = 0
         var g = 0
         while (g < GlyphFont.GlyphW) {
           val x = cx + g * isc
@@ -119,26 +141,44 @@ object GlyphOcr {
           // exact ink bbox, and a neighboring block's ink must not leak in
           if (x >= line.x0 && x < line.x1 && y >= line.y0 && y < line.y1 &&
               ink(y * w + x)) {
-            pattern(r) |= 1 << (GlyphFont.GlyphW - 1 - g)
-            blank = false
-            if (x + isc > line.x1 || y + isc > line.y1) return None // bleed
-            var dy = 0
-            while (dy < isc) {
-              var dx = 0
-              while (dx < isc) {
-                rendered((y + dy - line.y0) * lw + (x + dx - line.x0)) = true
-                dx += 1
-              }
-              dy += 1
-            }
+            // a lit bit whose isc×isc block would extend OUTSIDE the box =
+            // bleed = immediate reject (a correct phase never has one)
+            if (x + isc > line.x1 || y + isc > line.y1) return None
+            rowBits |= 1 << (GlyphFont.GlyphW - 1 - g)
           }
           g += 1
         }
+        packed = (packed << GlyphFont.GlyphW) | rowBits
         r += 1
       }
-      if (blank) sb.append(' ')
-      else inverse.get(pattern.toSeq) match {
-        case Some(ch) => sb.append(ch)
+      if (packed == 0L) sb.append(' ')
+      else inverse.get(packed) match {
+        case Some(ch) =>
+          sb.append(ch)
+          // the cell resolved — NOW paint its blocks (re-derived from the
+          // packed bits; top row sits in the high bits)
+          var pr = 0
+          var shift = (GlyphFont.GlyphH - 1) * GlyphFont.GlyphW
+          while (pr < GlyphFont.GlyphH) {
+            val bits = ((packed >>> shift) & ((1 << GlyphFont.GlyphW) - 1)).toInt
+            var g = 0
+            while (g < GlyphFont.GlyphW) {
+              if ((bits & (1 << (GlyphFont.GlyphW - 1 - g))) != 0) {
+                val x = cx + g * isc
+                val y = gridTop + pr * isc
+                var dy = 0
+                while (dy < isc) {
+                  val base = (y + dy - line.y0) * lw + (x - line.x0)
+                  var dx = 0
+                  while (dx < isc) { rendered(base + dx) = epoch; dx += 1 }
+                  dy += 1
+                }
+              }
+              g += 1
+            }
+            shift -= GlyphFont.GlyphW
+            pr += 1
+          }
         case None => return None
       }
       c += 1
@@ -151,7 +191,8 @@ object GlyphOcr {
     while (y < line.y1) {
       var x = line.x0
       while (x < line.x1) {
-        if (ink(y * w + x) != rendered((y - line.y0) * lw + (x - line.x0)))
+        if (ink(y * w + x) !=
+            (rendered((y - line.y0) * lw + (x - line.x0)) == epoch))
           return None
         x += 1
       }

@@ -182,6 +182,17 @@ class PageSegmentSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.layout.GlyphOcr.recognizePage(rectScene).forall(_._3.kind == "unrecognized"))
   }
 
+  test("glyph OCR: a filled rectangle that defeats the ink-count gate still rejects") {
+    // 200×100 solid fill: ink = 20000 and h = 100, so the isc² divisibility
+    // gate passes for isc ∈ {20, 25, 50, 100} and the full phase search
+    // runs at each — the worst-case block for the phase loop (the round-5
+    // review's allocation-churn scenario; measured 2.03 s → 29 ms/call
+    // after the epoch-stamped reuse + deferred painting)
+    val img = page(220, 120, bar(10, 10, 210, 110))
+    val ink = PageSegment.inkMask(img)
+    assert(graft.layout.GlyphOcr.recognizeLine(ink, 220, Box(10, 10, 210, 110)).isEmpty)
+  }
+
   test("differential: OCR spans match the Python twin's expected table") {
     val got = ops.Queries.pageOcr(spark, "").collect().map(_.toSeq).toVector
     val exp = spark.read
