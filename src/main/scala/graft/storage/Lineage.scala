@@ -23,7 +23,10 @@ object Lineage {
     val groupId = rows.map(_.partition_id).min
     val tmp = s"$root/.lineage-tmp-$groupId"
     spark.createDataset(rows).coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val listing = Files.list(Paths.get(tmp))
+    val part =
+      try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally listing.close() // Files.list holds a directory fd until closed
     Files.move(part, Paths.get(s"$d/group-$groupId.parquet"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
@@ -32,7 +35,11 @@ object Lineage {
   def read(spark: SparkSession, root: String): Dataset[LineageRow] = {
     import spark.implicits._
     val d = dir(root)
-    if (!Files.exists(Paths.get(d)) || !Files.list(Paths.get(d)).findFirst().isPresent)
+    val isEmpty = !Files.exists(Paths.get(d)) || {
+      val listing = Files.list(Paths.get(d))
+      try !listing.findFirst().isPresent finally listing.close()
+    }
+    if (isEmpty)
       spark.emptyDataset[LineageRow]
     else {
       // schema tolerance, two axes — read with the CURRENT encoder schema
