@@ -64,7 +64,11 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange hashpartitioning"),
         s"html extraction must not hash-shuffle:\n${plan.take(2000)}")
-      assert(!plan.contains("WindowExec"),
+      // NB "Window", not "WindowExec" — physical nodes print with the Exec
+      // suffix stripped, so a "WindowExec" grep matches nothing and passes
+      // vacuously (also catches the benign WindowGroupLimit, which these
+      // narrow plans must not contain either)
+      assert(!plan.contains("Window"),
         s"html extraction must not plan a window:\n${plan.take(2000)}")
     }
   }
@@ -453,7 +457,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("shuffle shard: permutation covers the corpus, no per-shard window sort") {
     val df = SparkEntry.queries("q_shuffle_shard")(spark, dir)
-    assert(!df.queryExecution.executedPlan.toString.contains("WindowExec"))
+    // "Window", not "WindowExec": plan strings strip the Exec suffix
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
     val rows = df.collect()
     assert(rows.map(_.getInt(0)).toSeq == (0 until 8))
     val total = spark.read.parquet(s"$dir/documents.parquet").count()
