@@ -1,47 +1,59 @@
 package graft.jobs
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
 
 /** Sweep every catalog query's PHYSICAL plan for scale-hostile shapes.
   *
   * This is the plan-level audit the per-operator OpsSpec asserts sample:
   * instead of asserting a handful of known-fixed plans, it prints one line
   * per catalog query with the operators that become bottlenecks at 100 TB —
-  * CartesianProduct (a join that lost its equi-condition), WindowExec (a
-  * per-key sort funnel unless the key cardinality provably scales),
+  * CartesianProduct (a join that lost its equi-condition), Window (a per-key
+  * sort funnel unless the key cardinality provably scales; the node prints
+  * WITHOUT the Exec suffix — grepping "WindowExec" passes vacuously),
   * BroadcastNestedLoopJoin (fine for a tiny side, fatal for two big ones),
-  * and the Exchange / SortMergeJoin counts. Usage:
+  * and the Exchange / SortMergeJoin counts. Counting walks the plan TREE,
+  * not the pretty-printed string: a cached subplan prints once per
+  * InMemoryTableScan reference (q_warc_rank's 10 rank rounds re-print the
+  * edge subplan 43×, inflating a string grep to 170 "exchanges" where the
+  * tree has a handful), and AQE's isFinalPlan=false wrapper hides the tree
+  * from traversal — so the audit session plans with AQE off. Usage:
   *
   *   PlanAudit [sfDir]            — plan-only sweep (no query execution
   *                                  beyond what a builder runs eagerly)
   *   PlanAudit [sfDir] dump <q>   — print one query's full physical plan
   *
-  * The output is for HUMAN review: WindowExec over (doc_id) is fine (bounded
-  * rows per doc), WindowExec over (q_id) against a corpus cross product is
-  * the round-2 funnel. The audit surfaces them; the operator's comment must
-  * justify them.
+  * The output is for HUMAN review: Window over (doc_id) is fine (bounded
+  * rows per doc), Window over (q_id) against a corpus cross product is the
+  * round-2 funnel. The audit surfaces them; the operator's comment must
+  * justify them. WindowGroupLimit is reported separately because it is the
+  * GOOD shape (rank predicates pre-limited before the per-key sort).
   */
 object PlanAudit {
-  // NB physical nodes print with the Exec suffix STRIPPED: the window node
-  // is "Window [", never "WindowExec" (grepping the latter passes vacuously).
-  // "Window \[" deliberately excludes WindowGroupLimit, which is the GOOD
-  // shape (rank predicates pre-limited before the per-key sort).
-  private val Flags = Seq(
-    "CartesianProduct" -> "CartesianProduct",
-    "Window" -> "Window \\[",
-    "WindowGroupLimit" -> "WindowGroupLimit",
-    "BroadcastNestedLoopJoin" -> "BroadcastNestedLoopJoin",
-    "SortMergeJoin" -> "SortMergeJoin",
-    "Exchange hashpartitioning" -> "Exchange hashpartitioning",
-    "Exchange rangepartitioning" -> "Exchange rangepartitioning",
-    "Exchange SinglePartition" -> "Exchange SinglePartition")
+  private val Interesting = Seq(
+    "CartesianProduct",
+    "Window",
+    "WindowGroupLimit",
+    "BroadcastNestedLoopJoin",
+    "SortMergeJoin",
+    "Exchange",
+    "InMemoryTableScan")
+
+  /** nodeName counts over the whole tree, treating InMemoryTableScan as a
+    * leaf (its cached plan executes once, not once per reference).
+    */
+  private def nodeCounts(plan: SparkPlan): Map[String, Int] =
+    plan.collect { case p => p.nodeName }
+      .groupBy(identity).map { case (k, v) => k -> v.size }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE off: AdaptiveSparkPlanExec has no children pre-execution, so a
+      // tree walk under AQE sees nothing; the audit inspects STATIC shapes
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -58,10 +70,9 @@ object PlanAudit {
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val line =
         try {
-          val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-          val hits = Flags.flatMap { case (label, re) =>
-            val n = re.r.findAllIn(plan).size
-            if (n > 0) Some(s"$label=$n") else None
+          val counts = nodeCounts(fn(spark, sfDir).queryExecution.executedPlan)
+          val hits = Interesting.flatMap { k =>
+            counts.get(k).map(n => s"$k=$n")
           }
           if (hits.isEmpty) s"$name: clean" else s"$name: ${hits.mkString(" ")}"
         } catch { case e: Throwable => s"$name: ERROR ${e.getClass.getSimpleName}: ${e.getMessage}" }
