@@ -80,6 +80,7 @@ object SparkEntry {
     "q_ann_recall" -> ((s, _) => graft.ops.AnnKMeans.annRecall(s)),
     // text analysis
     "q_token_rarity" -> (Queries.tokenRarity(_, _)),
+    "q_heavy_hitters" -> (Queries.heavyHitters(_, _)),
     "q_boilerplate_strip" -> (Queries.boilerplateStrip(_, _)),
     "q_decontaminate" -> (Queries.decontaminate(_, _)),
     "q_chunk_windows" -> (Queries.chunkWindows(_, _)),
@@ -364,6 +365,13 @@ object SparkEntry {
     // exact integers + one double division (log-domain perplexity would
     // differ from DuckDB's libm in final ulps); DuckDB SUM(BIGINT) is
     // HUGEINT, hence the explicit BIGINT cast
+    // Exact regime: the 31-token fixture vocabulary never exceeds the
+    // 64-counter bound, so the Misra-Gries sketch's counts equal the plain
+    // GROUP BY (the ε-bound under m ≪ vocab is FunctionsSpec-asserted)
+    "q_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |freq AS (SELECT w AS token, count(*) AS cnt FROM toks GROUP BY w)
+        |SELECT token, cnt FROM freq ORDER BY cnt DESC, token LIMIT 10""".stripMargin,
     "q_token_rarity" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |freq AS (SELECT w, count(*) AS wc FROM toks GROUP BY w)

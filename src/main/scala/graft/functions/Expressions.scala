@@ -664,6 +664,8 @@ object ChurroFunctions {
   def argmax_cosine(v: Column, cents: Column): Column = col(ArgmaxCosine(e(v), e(cents)))
   def collect_list_capped(c: Column, maxElems: Int): Column =
     col(CollectListCapped(e(c), maxElems).toAggregateExpression())
+  def heavy_hitters(tokens: Column, m: Int, k: Int): Column =
+    col(HeavyHitters(e(tokens), m, k).toAggregateExpression())
   def minhash_sigs(grams: Column, hashes: Int, mod: Long): Column =
     col(MinhashSigsExpr(e(grams), hashes, mod))
   def simhash_hex(words: Column): Column = col(SimhashHex(e(words)))

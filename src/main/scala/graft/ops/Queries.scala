@@ -930,6 +930,34 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Counter bound / returned-k for the heavy-hitters sketch query. The
+    * fixture vocabulary (31 distinct tokens at every sf tier) sits far
+    * below the 64-counter bound, so no Misra-Gries compress ever fires and
+    * the emitted counts are EXACT — the regime the DuckDB oracle can pin
+    * with a plain GROUP BY. The ε ≤ N/(m+1) approximation guarantee under
+    * m ≪ vocabulary is FunctionsSpec-asserted on a Zipf stream instead.
+    */
+  val HeavyHittersM = 64
+  val HeavyHittersK = 10
+
+  /** Frequent-items top-k via the mergeable Misra-Gries aggregate
+    * ([[graft.functions.HeavyHitters]]). The alternative plan —
+    * `groupBy(token).count + TopM` — is right when the distinct key set is
+    * vocabulary-bounded (q_token_rarity's first pass), but top URLs /
+    * hosts / shingles over a 10^12-doc crawl has a distinct set that grows
+    * with the corpus: hashing every distinct key through an Exchange IS
+    * the bottleneck. Here each map task folds its input into one 64-entry
+    * summary, the single Exchange carries partitions×64 rows regardless of
+    * corpus size, and the final merge is a bounded fold.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .agg(graft.functions.ChurroFunctions
+        .heavy_hitters(split(col("text"), " "), HeavyHittersM, HeavyHittersK).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.token").as("token"), col("h.cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+
   /** A sentence is boilerplate when it appears in at least this many
     * DISTINCT documents (CCNet-style line-level dedup threshold).
     */

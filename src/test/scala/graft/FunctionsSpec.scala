@@ -245,6 +245,67 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st(0).getInt(1) == 3 && st(1).getInt(1) == cap + 1)
   }
 
+  test("heavy_hitters: exact when distinct keys fit the bound, any partitioning") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 12 distinct tokens, deterministic skewed counts (token i appears
+    // 3*(12-i)+1 times), shipped as per-row arrays like the catalog query
+    val tokens = (0 until 12).flatMap(i => Seq.fill(3 * (12 - i) + 1)(f"t$i%02d"))
+    val truth = tokens.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val docs = tokens.grouped(7).map(_.toSeq).toSeq
+    for (parts <- Seq(1, 5)) { // single buffer vs partials + merge
+      val got = docs.toDF("ws").repartition(parts)
+        .agg(ChurroFunctions.heavy_hitters($"ws", 16, 12).as("hh"))
+        .select(explode($"hh").as("h")).select($"h.token", $"h.cnt")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      // exact counts AND the (cnt desc, token asc) order
+      assert(got == truth.toSeq.sortBy { case (w, c) => (-c, w) })
+    }
+  }
+
+  test("heavy_hitters: Misra-Gries ε-bound and head survival under m << vocab") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Zipf-ish stream: 4-key head carrying half the mass over a 500-key
+    // tail, deterministically interleaved; m = 16 counters over 504
+    // distinct keys — compress fires constantly
+    val head = (0 until 4).flatMap(i => Seq.fill(800 - 100 * i)(s"h$i"))
+    val tail = (0 until 2600).map(i => f"w${i % 500}%03d")
+    val stream = (head ++ tail).zipWithIndex
+      .sortBy { case (w, i) => (i * 2654435761L) % 5501 } // deterministic shuffle
+      .map(_._1)
+    val n = stream.size
+    val m = 16
+    val truth = stream.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val got = stream.grouped(11).map(_.toSeq).toSeq.toDF("ws").repartition(4)
+      .agg(ChurroFunctions.heavy_hitters($"ws", m, m).as("hh"))
+      .select(explode($"hh").as("h")).select($"h.token", $"h.cnt")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val eps = n.toDouble / (m + 1)
+    // every estimate is an underestimate within N/(m+1)
+    got.foreach { case (w, est) =>
+      val t = truth(w)
+      assert(est <= t, s"$w overestimated: $est > $t")
+      assert(t - est <= eps, s"$w under by ${t - est} > eps $eps")
+    }
+    // every key with true count > N/(m+1) must survive (the MG guarantee);
+    // all four planted head keys clear that bar by construction
+    (0 until 4).foreach { i =>
+      assert(truth(s"h$i") > eps && got.contains(s"h$i"), s"head key h$i evicted")
+    }
+  }
+
+  test("heavy_hitters: null arrays and null elements contribute nothing") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = Seq(Some(Seq(Some("a"), None, Some("a"))), None, Some(Seq(Some("b"))))
+      .toDF("ws")
+      .agg(ChurroFunctions.heavy_hitters($"ws", 8, 8).as("hh"))
+      .select(explode($"hh").as("h")).select($"h.token", $"h.cnt")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == Seq("a" -> 2L, "b" -> 1L))
+  }
+
   test("registry-based registration works on a plain session") {
     ChurroFunctions.register(spark)
     assert(spark.sql("SELECT churro_normalize('A  B')").collect()(0).getString(0) == "a b")
