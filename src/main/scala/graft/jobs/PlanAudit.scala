@@ -40,9 +40,10 @@ object PlanAudit {
     "InMemoryTableScan")
 
   /** nodeName counts over the whole tree, treating InMemoryTableScan as a
-    * leaf (its cached plan executes once, not once per reference).
+    * leaf (its cached plan executes once, not once per reference). Public:
+    * PlanAuditSpec reuses it to gate the same sweep in `sbt test`.
     */
-  private def nodeCounts(plan: SparkPlan): Map[String, Int] =
+  def nodeCounts(plan: SparkPlan): Map[String, Int] =
     plan.collect { case p => p.nodeName }
       .groupBy(identity).map { case (k, v) => k -> v.size }
 
