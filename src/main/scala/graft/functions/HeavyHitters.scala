@@ -23,16 +23,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * one m-entry summary, the shuffle carries partitions×m rows, and the
   * final merge is a bounded fold — corpus keys never shuffle.
   *
-  * Semantics (Misra-Gries with the PODS'12 mergeable compress): insert adds
-  * weight 1; when the map exceeds m entries the (m+1)-th largest count c is
-  * subtracted from every entry and non-positive entries drop (on element
-  * insert the overflow is exactly one entry, so c is the minimum). merge
-  * sums two summaries then compresses once the same way. Estimates are
-  * underestimates with error ≤ N/(m+1) (N = total weight seen), so every
-  * key with true count > N/(m+1) survives. When the distinct key count
-  * never exceeds m, no compress ever fires and counts are EXACT — the
-  * regime the DuckDB oracle pins; the approximation bound is spec-asserted
-  * separately on a Zipf stream with m far below the vocabulary.
+  * Semantics (Misra-Gries with the PODS'12 mergeable compress, batched):
+  * insert adds weight 1; the map may grow to 2m entries, and crossing that
+  * capacity triggers one compress — the (m+1)-th largest count c is
+  * subtracted from every entry and non-positive entries drop, leaving at
+  * most m survivors (only counts strictly above c remain). merge sums two
+  * summaries then compresses the same way. Batching is what makes the
+  * sketch O(log m) AMORTIZED per insert in its target regime (a tail of
+  * once-seen keys): a compress that frees ≥ m slots is paid for by the ≥ m
+  * novel-key inserts that filled them — the compress-at-m+1 variant would
+  * pay O(m) per tail insert, quadratic exactly where the sketch matters.
+  * The error bound is unchanged: each compress removes ≥ c·(m+1) count
+  * mass (the m+1 largest entries each lose exactly c) and mass only enters
+  * via real arrivals, so Σc ≤ N/(m+1) — estimates are underestimates with
+  * error ≤ N/(m+1) (N = total weight seen), and every key with true count
+  * > N/(m+1) survives. When the distinct key count never exceeds the
+  * capacity, no compress ever fires and counts are EXACT — the regime the
+  * DuckDB oracle pins; the approximation bound is spec-asserted separately
+  * on a Zipf stream with m far below the vocabulary.
   *
   * Null handling: a null array contributes nothing (mirrors
   * `unnest(string_split(NULL, ' '))` = no rows); null elements are skipped.
@@ -56,13 +64,18 @@ case class HeavyHitters(
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty[String, Long]
 
+  /** Buffer capacity: compress only once the map exceeds 2m entries, so a
+    * compress (which leaves ≤ m survivors) amortizes over the ≥ m novel-key
+    * inserts that refilled it.
+    */
+  private val capacity = 2 * m
+
   /** One PODS'12 compress: subtract the (m+1)-th largest count from every
-    * entry, drop non-positives. At most m entries can exceed that value, so
-    * a single pass restores the bound; entries equal to it (the minimum, on
-    * element insert) go to zero and drop.
+    * entry, drop non-positives. At most m entries can strictly exceed that
+    * value, so a single pass restores the bound.
     */
   private def compress(buf: mutable.HashMap[String, Long]): Unit =
-    if (buf.size > m) {
+    if (buf.size > capacity) {
       val counts = buf.values.toArray
       java.util.Arrays.sort(counts)
       val c = counts(counts.length - (m + 1)) // (m+1)-th largest
@@ -112,7 +125,7 @@ case class HeavyHitters(
     UnsafeProjection.create(Array[DataType](HeavyHitters.resultType))
 
   /** The FULL summary round-trips (sorted for byte determinism), not just
-    * the top-k — partial aggregation ships the whole m-entry state.
+    * the top-k — partial aggregation ships the whole (≤ 2m-entry) state.
     */
   override def serialize(obj: mutable.HashMap[String, Long]): Array[Byte] = {
     val rows = obj.toArray.sortBy(_._1).map { case (key, cnt) =>
