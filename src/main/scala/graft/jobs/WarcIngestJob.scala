@@ -129,11 +129,16 @@ object WarcIngestJob {
     // shuffle the file BYTES (gigabytes per group at production segment
     // sizes); instead, with maxPartitionBytes below the 4 MiB open cost
     // the scan planner refuses to pack two files into one split, so each
-    // task owns one whole file with zero data movement (the conf must be
-    // live at ACTION time — physical scan planning — hence run-scoped)
-    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    spark.conf.set("spark.sql.files.maxPartitionBytes", s"${1 << 20}")
-    try todo.grouped(args.groupSize).foreach { group =>
+    // task owns one whole file with zero data movement. The conf must be
+    // live at ACTION time (physical scan planning), and it lives on a
+    // CLONED session (newSession shares the SparkContext but owns its
+    // SQLConf) — same reasoning as CompactJob: mutating the caller's
+    // session would silently re-split every concurrently planned scan to
+    // this job's 1 MiB target for the whole group loop, and a save/restore
+    // is not exception-safe against other threads' conf sets
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.files.maxPartitionBytes", s"${1 << 20}")
+    todo.grouped(args.groupSize).foreach { group =>
       if (args.failAfterGroups >= 0 && groupsDone >= args.failAfterGroups)
         throw new RuntimeException(s"injected failure after $groupsDone groups")
       // the scan reads EXACTLY this group's files — path-list pruning.
@@ -144,7 +149,7 @@ object WarcIngestJob {
       // files into one split, so each task owns one whole file with zero
       // data movement.
       val paths = group.map(f => filePath(args.out, f))
-      val bytes = spark.read.format("binaryFile").load(paths: _*)
+      val bytes = iso.read.format("binaryFile").load(paths: _*)
         .withColumn("name", element_at(split(col("path"), "/"), -1))
         .select(col("name"), col("content"))
         .as[(String, Array[Byte])]
@@ -222,7 +227,7 @@ object WarcIngestJob {
       pagesDone += rows.map(_.doc_count).sum
       errorsDone += rows.map(_.error_count).sum
       groupsDone += 1
-    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+    }
     // once EVERY file is committed, publish the docs-shaped snapshot AND
     // the crawl frontier for the next fetch wave. Snapshot directories are
     // IMMUTABLE once committed, so a GROW rerun (--files larger over a

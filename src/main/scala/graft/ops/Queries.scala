@@ -2872,10 +2872,7 @@ object Queries {
         graft.sources.Warc.records(b)
           .filter(r => r.warcType == "response" && r.httpStatus == 200 &&
             r.httpContentType.startsWith("text/html"))
-          .map { r =>
-            val d = java.security.MessageDigest.getInstance("SHA-256").digest(r.body)
-            (d.map("%02x".format(_)).mkString, r.targetUri)
-          }
+          .map(r => (graft.media.ImageDecode.sha256Hex(r.body), r.targetUri))
           .toSeq
       }.toDF("body_sha", "url"))
     val groups = pages.groupBy("body_sha")
@@ -2914,10 +2911,9 @@ object Queries {
           .flatMap { m =>
             val r = m.record
             graft.text.UrlResolve.surt(r.targetUri).map { key =>
-              val d = java.security.MessageDigest.getInstance("SHA-256").digest(r.body)
               (key, r.date.filter(_.isDigit), r.targetUri,
                 r.httpContentType.split(';')(0).trim, r.httpStatus,
-                d.map("%02x".format(_)).mkString, m.offset, m.length, name)
+                graft.media.ImageDecode.sha256Hex(r.body), m.offset, m.length, name)
             }
           }
       }

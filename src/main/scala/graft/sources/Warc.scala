@@ -39,6 +39,13 @@ import java.io.{BufferedInputStream, ByteArrayInputStream, DataInputStream, EOFE
   */
 object Warc {
 
+  /** Hard per-record payload ceiling (256 MiB). WARC itself has no limit,
+    * but a reader that trusts Content-Length allocates whatever a hostile
+    * header asks for; real crawl records are single pages, orders of
+    * magnitude below this. Oversized records throw the reader's typed IAE.
+    */
+  val MaxPayloadBytes: Long = 256L * 1024 * 1024
+
   /** One parsed record. For `response` records carrying HTTP, `httpStatus`
     * / `httpContentType` come from the embedded message and `body` is the
     * HTTP body; for every other record type they are `0` / `""` and `body`
@@ -294,9 +301,17 @@ object Warc {
             if (v != "WARC/1.0" && v != "WARC/1.1")
               throw new IllegalArgumentException(s"$ctx: unsupported version line '$v'")
             val h = readHeaders(in, ctx)
+            // parse in Long space and validate BEFORE allocating: a negative
+            // length would escape as NegativeArraySizeException (not the
+            // typed IAE this reader's contract promises) and a huge one
+            // would pre-allocate gigabytes off a one-line hostile header
+            // before any payload byte is read
             val len = h.getOrElse("content-length",
-              throw new IllegalArgumentException(s"$ctx: missing Content-Length")).toInt
-            val payload = new Array[Byte](len)
+              throw new IllegalArgumentException(s"$ctx: missing Content-Length")).toLong
+            if (len < 0 || len > Warc.MaxPayloadBytes)
+              throw new IllegalArgumentException(
+                s"$ctx: Content-Length $len outside [0, ${Warc.MaxPayloadBytes}]")
+            val payload = new Array[Byte](len.toInt)
             try in.readFully(payload)
             catch { case _: EOFException =>
               throw new IllegalArgumentException(s"$ctx: EOF inside payload") }

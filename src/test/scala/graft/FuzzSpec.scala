@@ -65,6 +65,25 @@ class FuzzSpec extends AnyFunSuite {
       legal(s"warc mutation @$pos")(Warc.records(m).foreach(_ => ()))
       legal(s"warc memberRecords mutation @$pos")(Warc.memberRecords(m).foreach(_ => ()))
     }
+    // hostile Content-Length values: negative escaped as
+    // NegativeArraySizeException before the Long-space validation, and a
+    // huge value pre-allocated gigabytes off one header line; both must be
+    // the reader's typed IAE, thrown BEFORE any allocation
+    Seq("-4", "-9999999999", s"${Warc.MaxPayloadBytes + 1}", "99999999999999")
+      .foreach { cl =>
+        val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Record-ID: x\r\nContent-Length: $cl\r\n\r\n").getBytes("US-ASCII")
+        val thrown = intercept[IllegalArgumentException](
+          Warc.records(gzipBytes(rec)).foreach(_ => ()))
+        assert(thrown.getMessage.contains("Content-Length"))
+      }
+  }
+
+  private def gzipBytes(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(raw); gz.close()
+    bos.toByteArray
   }
 
   test("lenient HTML parser: char soup and mutated pages never escape or hang") {
@@ -220,7 +239,7 @@ class FuzzSpec extends AnyFunSuite {
     // orientationFromExifPayload is total (malformed → 0)
     (0 until 200).foreach { k =>
       val order = if (k % 2 == 0) "II" else "MM"
-      val seg = "Exif  ".getBytes("ISO-8859-1") ++
+      val seg = "Exif\u0000\u0000".getBytes("ISO-8859-1") ++
         order.getBytes("ISO-8859-1") ++ randBytes(0xe41fL + k, 8 + k)
       val o = ImageDecode.orientationFromExifPayload(seg)
       assert(o >= 0 && o <= 8, s"payload soup $k = $o")
