@@ -86,6 +86,7 @@ object SparkEntry {
     "q_chunk_windows" -> (Queries.chunkWindows(_, _)),
     "pipeline_dataprep" -> (Queries.dataprepPipeline(_, _)),
     "q_stream_neardup" -> ((s, d) => graft.streaming.StreamOps.streamNearDupQuery(s, d)),
+    "q_stream_heavy_hitters" -> ((s, d) => graft.streaming.StreamOps.streamHeavyHittersQuery(s, d)),
     "q_html_spans" -> (Queries.htmlSpans(_, _)),
     "q_html_sloppy" -> (Queries.htmlSpansSloppy(_, _)),
     "q_html_main" -> (Queries.htmlMain(_, _)),
@@ -369,6 +370,11 @@ object SparkEntry {
     // 64-counter bound, so the Misra-Gries sketch's counts equal the plain
     // GROUP BY (the ε-bound under m ≪ vocab is FunctionsSpec-asserted)
     "q_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |freq AS (SELECT w AS token, count(*) AS cnt FROM toks GROUP BY w)
+        |SELECT token, cnt FROM freq ORDER BY cnt DESC, token LIMIT 10""".stripMargin,
+    // streaming twin: same exact-regime sketch through micro-batched state
+    "q_stream_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
         |freq AS (SELECT w AS token, count(*) AS cnt FROM toks GROUP BY w)
         |SELECT token, cnt FROM freq ORDER BY cnt DESC, token LIMIT 10""".stripMargin,

@@ -35,6 +35,40 @@ object StreamOps {
       .orderBy("hour", "event_type")
   }
 
+  /** Streaming heavy hitters: the Misra-Gries sketch aggregate
+    * ([[graft.functions.HeavyHitters]]) as a complete-mode streaming
+    * aggregation — the running top-k over an unbounded stream with
+    * STATE BOUNDED AT 2m COUNTERS regardless of how many distinct keys
+    * flow past (a plain streaming groupBy(token).count grows state by one
+    * row per distinct key forever — the unbounded-state shape watermarks
+    * exist to prevent, except no watermark can bound a key dimension).
+    * The sketch buffer serializes into the state store between
+    * micro-batches like any TypedImperativeAggregate; micro-batch
+    * boundaries land wherever the source cuts them, and the PODS'12 merge
+    * bound is partition-order independent, so the eventual top-k equals
+    * the batch query's in the exact regime (the oracle) and stays within
+    * ε = N/(m+1) in general (FunctionsSpec). */
+  def streamHeavyHittersQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Queries
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val agg = docs.agg(graft.functions.ChurroFunctions.heavy_hitters(
+      split(col("text"), " "), Queries.HeavyHittersM, Queries.HeavyHittersK).as("hh"))
+    val queryName = "graft_stream_heavy_hitters"
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.token").as("token"), col("h.cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+  }
+
   /** The SCALE shape of the streaming aggregation: append output mode with a
     * watermark, so state for closed windows is dropped instead of growing
     * without bound (the complete-mode memory sink above is the oracle twin,

@@ -55,6 +55,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: sketch state survives micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Seq[String]]
+    val agg = in.toDF().toDF("ws")
+      .agg(graft.functions.ChurroFunctions.heavy_hitters(col("ws"), 16, 12).as("hh"))
+    val q = agg.writeStream.format("memory").queryName("stream_hh").outputMode("complete").start()
+    try {
+      // three micro-batches over 12 distinct keys (exact regime) — the
+      // serialized buffer must round-trip through the state store between
+      // batches, not restart at zero
+      val tokens = (0 until 12).flatMap(i => Seq.fill(3 * (12 - i) + 1)(f"t$i%02d"))
+      val truth = tokens.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+      tokens.grouped(7).map(_.toSeq).toSeq.grouped(8).foreach { batch =>
+        in.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("stream_hh")
+        .select(explode(col("hh")).as("h")).select(col("h.token"), col("h.cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      assert(got == truth.toSeq.sortBy { case (w, c) => (-c, w) })
+    } finally q.stop()
+  }
+
   test("streaming dedup drops the planted in-stream copies, bounded state") {
     val dir = "/root/testdata/sf0.001"
     val out = StreamOps.streamDedupQuery(spark, dir).collect()
