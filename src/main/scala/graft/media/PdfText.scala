@@ -14,8 +14,11 @@ import scala.collection.mutable
   * Supported subset (same classic-xref container contract as PdfPages, plus
   * the text operator set; everything else throws with a reason):
   *  - content streams (plain or /FlateDecode) with BT/ET text blocks;
-  *  - positioning: Td, TD (sets leading = −ty), Tm (translation-only — a
-  *    rotated/skewed text matrix is rejected loudly), T*, TL;
+  *  - positioning: Td, TD (sets leading = −ty), Tm (axis-aligned positive
+  *    scale — the common "S 0 0 S x y Tm" size-via-matrix form; Td/TD/TL
+  *    displacements are in unscaled text units and multiply through the
+  *    active scale; rotated/skewed/mirrored matrices are rejected loudly),
+  *    T*, TL;
   *  - showing: Tj, ' (T* + show), " (pops word/char spacing, T* + show),
   *    TJ arrays where a kern ≤ [[KernSpaceThreshold]] thousandths inserts
   *    one space (the standard extraction heuristic — glyph advance widths
@@ -350,7 +353,14 @@ object PdfText {
     val toks = tokenize(content)
     val shows = Vector.newBuilder[Show]
     var lineX = 0.0; var lineY = 0.0 // line-start (the PDF line matrix origin)
-    var leading = 0.0
+    // active Tm scale: Td/TD/TL/T* displacements are in UNSCALED text-space
+    // units and multiply through the text matrix — the common
+    // "S 0 0 S x y Tm" with a size-1 font positions lines S units apart in
+    // device space per 1 unit of leading (accepting the scale but applying
+    // displacements unscaled was the round-4 advice finding: lines merged
+    // under the 0.1-unit y-rounding)
+    var scaleX = 1.0; var scaleY = 1.0
+    var leading = 0.0 // in unscaled text units; scaled at application time
     var inText = false
     var seq = 0
     var curCMap: Option[CMapFont] = None
@@ -378,7 +388,7 @@ object PdfText {
       val text = decodeShow(raw)
       if (text.nonEmpty) { shows += Show(lineY, lineX, seq, text); seq += 1 }
     }
-    def nextLine(): Unit = { lineY -= leading }
+    def nextLine(): Unit = { lineY -= leading * scaleY }
 
     toks.foreach {
       case TArrOpen =>
@@ -396,24 +406,27 @@ object PdfText {
         // surface as the typed loud error
         try op match {
           case "BT" => inText = true; lineX = 0.0; lineY = 0.0
+            scaleX = 1.0; scaleY = 1.0 // BT resets Tm to identity
           case "ET" => inText = false
           case "Td" =>
             require(operands.length >= 2, "Td needs 2 operands")
-            lineX += num(operands(operands.length - 2)); lineY += num(operands.last)
+            lineX += num(operands(operands.length - 2)) * scaleX
+            lineY += num(operands.last) * scaleY
           case "TD" =>
             require(operands.length >= 2, "TD needs 2 operands")
             val ty = num(operands.last)
-            leading = -ty
-            lineX += num(operands(operands.length - 2)); lineY += ty
+            leading = -ty // unscaled text units, like TL
+            lineX += num(operands(operands.length - 2)) * scaleX
+            lineY += ty * scaleY
           case "Tm" =>
             require(operands.length >= 6, "Tm needs 6 operands")
             val Seq(a, b, c, d, e, f) = operands.takeRight(6).map(num).toSeq
-            // translation-ONLY: a scaled matrix (a=d=S≠1, the common
-            // "S 0 0 S x y Tm" with a size-1 font) would pass an a>0,d>0
-            // check yet leave subsequent Td/TD/TL displacements unscaled —
-            // lines merge under the y-rounding or misgroup silently
-            require(b == 0.0 && c == 0.0 && a == 1.0 && d == 1.0,
-              s"scaled/rotated/skewed text matrix unsupported (a=$a b=$b c=$c d=$d)")
+            // axis-aligned POSITIVE scale only: rotation/skew reorders text
+            // geometrically (extraction order would be wrong) and mirrored
+            // text reads backwards — both stay loud rejections
+            require(b == 0.0 && c == 0.0 && a > 0.0 && d > 0.0,
+              s"rotated/skewed/mirrored text matrix unsupported (a=$a b=$b c=$c d=$d)")
+            scaleX = a; scaleY = d
             lineX = e; lineY = f
           case "T*" => nextLine()
           case "TL" => leading = num(lastOperand("TL"))

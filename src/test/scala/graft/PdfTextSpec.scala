@@ -119,6 +119,32 @@ class PdfTextSpec extends AnyFunSuite {
     assert(lines.map(l => (l.lineIndex, l.text)) == Vector((0, "part one"), (1, "part two")))
   }
 
+  test("scaled Tm fixture: displacements multiply through the active scale") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/media/textpdf/text_02.pdf"))
+    val got = PdfText.lines(bytes)
+    val texts = got.map(l => (l.pageIndex, l.lineIndex) -> l.text).toMap
+    val ys = got.map(l => (l.pageIndex, l.lineIndex) -> l.y).toMap
+    // 14x block: "0 -1.5 Td" moves 21 device units, "1.2 TL T*" moves 16.8
+    assert(texts((0, 0)) == "Scaled heading" && ys((0, 0)) == 700.0)
+    assert(texts((0, 1)) == "second at 14x" && ys((0, 1)) == 679.0)
+    assert(texts((0, 2)) == "third via T star" && math.abs(ys((0, 2)) - 662.2) < 1e-9)
+    // BT resets the matrix: plain block lands where unscaled Td says
+    assert(texts((0, 3)) == "unscaled after reset" && ys((0, 3)) == 600.0)
+    // anisotropic 6x/10x: "20 0 Td" keeps the baseline (x moves 120),
+    // so both runs join one line; TD/T* descend 20 per 2-unit leading
+    assert(texts((0, 4)) == "aniso right")
+    assert(texts((0, 5)) == "below" && ys((0, 5)) == 540.0)
+    assert(texts((0, 6)) == "again" && ys((0, 6)) == 520.0)
+    // leading is stored in TEXT units: the same 2-unit leading moves 20
+    // under the 10x matrix and 10 after a 5x Tm replaces it
+    assert(texts((1, 0)) == "lead at 10x" && ys((1, 0)) == 680.0)
+    assert(texts((1, 1)) == "same lead at 5x" && ys((1, 1)) == 490.0)
+    // ' under an 8x matrix with 3-unit leading: 24 device units per line
+    assert(texts((1, 3)) == "q one" && ys((1, 3)) == 376.0)
+    assert(texts((1, 4)) == "q two" && ys((1, 4)) == 352.0)
+  }
+
   test("rotated text matrices and malformed streams are rejected loudly") {
     val raw = new String(fixture, ISO_8859_1)
     // the uncompressed page-1 stream has no Tm; surgery on it: turn a Td
@@ -148,11 +174,15 @@ class PdfTextSpec extends AnyFunSuite {
     val rot = intercept[IllegalArgumentException](
       PdfText.lines(tinyPdf("BT 0 1 -1 0 72 700 Tm (x) Tj ET")))
     assert(rot.getMessage.contains("rotated/skewed"))
-    // scaled Tm ("S 0 0 S x y Tm" with a size-1 font): would pass an
-    // a>0,d>0 check but leave Td/TD/TL displacements unscaled — reject
-    val scaledTm = intercept[IllegalArgumentException](
-      PdfText.lines(tinyPdf("BT 12 0 0 12 72 700 Tm (x) Tj ET")))
-    assert(scaledTm.getMessage.contains("scaled/rotated"))
+    // mirrored Tm (negative scale): text would read backwards — reject
+    val mirrored = intercept[IllegalArgumentException](
+      PdfText.lines(tinyPdf("BT -12 0 0 12 72 700 Tm (x) Tj ET")))
+    assert(mirrored.getMessage.contains("rotated/skewed/mirrored"))
+    // scaled Tm ("S 0 0 S x y Tm" with a size-1 font) is SUPPORTED: the
+    // displacements multiply through the scale (full coverage in the
+    // scaled-Tm fixture test below; minimal smoke here)
+    assert(PdfText.lines(tinyPdf("BT 12 0 0 12 72 700 Tm (x) Tj ET")).map(_.text)
+      == Vector("x"))
     // show outside BT
     val outside = intercept[IllegalArgumentException](
       PdfText.lines(tinyPdf("(x) Tj")))

@@ -247,6 +247,7 @@ def interpret(content, fonts=None):
     # side would refuse fails HERE, at generation time
     shows = []
     lx = ly = leading = 0.0
+    sx = sy = 1.0  # active Tm scale; Td/TD/TL are unscaled text units
     seq = 0
     in_text = False
     cur_decoder = None  # active font's CMap decoder, if any
@@ -275,21 +276,23 @@ def interpret(content, fonts=None):
             if val == 'BT':
                 in_text = True
                 lx = ly = 0.0
+                sx = sy = 1.0  # BT resets Tm to identity
+            elif val == 'Td':
+                lx += operands[-2][1] * sx; ly += operands[-1][1] * sy
             elif val == 'ET':
                 in_text = False
-            elif val == 'Td':
-                lx += operands[-2][1]; ly += operands[-1][1]
             elif val == 'TD':
                 leading = -operands[-1][1]
-                lx += operands[-2][1]; ly += operands[-1][1]
+                lx += operands[-2][1] * sx; ly += operands[-1][1] * sy
             elif val == 'Tm':
                 a, b, c, d = (operands[-6][1], operands[-5][1],
                               operands[-4][1], operands[-3][1])
-                assert b == 0.0 and c == 0.0 and a == 1.0 and d == 1.0, \
-                    f'scaled/rotated/skewed text matrix unsupported (a={a} b={b} c={c} d={d})'
+                assert b == 0.0 and c == 0.0 and a > 0.0 and d > 0.0, \
+                    f'rotated/skewed/mirrored text matrix unsupported (a={a} b={b} c={c} d={d})'
+                sx, sy = a, d
                 lx, ly = operands[-2][1], operands[-1][1]
             elif val == 'T*':
-                ly -= leading
+                ly -= leading * sy
             elif val == 'TL':
                 leading = operands[-1][1]
             elif val == 'Tf':
@@ -298,7 +301,7 @@ def interpret(content, fonts=None):
             elif val in ('Tj', "'", '"'):
                 assert in_text, 'text-show operator outside BT/ET'
                 if val in ("'", '"'):
-                    ly -= leading
+                    ly -= leading * sy
                 text = dec(operands[-1][1])
                 if text:
                     shows.append((ly, lx, seq, text)); seq += 1
@@ -405,6 +408,34 @@ def main():
     for pi, content in enumerate(cpages):
         for (li, y, text) in interpret(content, fonts):
             rows.append(dict(name=cname, page_index=pi, line_index=li, y=y, text=text))
+    # text_02.pdf: scaled text matrices ("S 0 0 S x y Tm" with a size-1
+    # font — size via the matrix): Td/TD/TL/T* displacements are unscaled
+    # text units and must multiply through the active scale; BT resets it
+    s1 = (
+        "BT /F1 1 Tf 14 0 0 14 72 700 Tm (Scaled heading) Tj "
+        "0 -1.5 Td (second at 14x) Tj "                        # dy = -21
+        "1.2 TL T* (third via T star) Tj ET "                  # dy = -16.8
+        # fresh BT: scale resets to identity — plain 12pt block below
+        "BT /F1 12 Tf 72 600 Td (unscaled after reset) Tj ET "
+        # anisotropic scale: x advances at 6/unit, y at 10/unit
+        "BT /F1 1 Tf 6 0 0 10 72 560 Tm (aniso) Tj 20 0 Td (right) Tj "
+        "0 -2 TD (below) Tj T* (again) Tj ET")
+    s2 = (
+        # TD sets leading in TEXT units; a later Tm rescales how far T*
+        # moves — leading survives the matrix change unscaled
+        "BT /F1 1 Tf 10 0 0 10 72 700 Tm 0 -2 TD (lead at 10x) Tj "
+        "5 0 0 5 72 500 Tm T* (same lead at 5x) Tj ET "        # dy = -10
+        "BT /F1 12 Tf 72 400 Td (' under scale:) Tj ET "
+        "BT /F1 1 Tf 8 0 0 8 200 400 Tm 3 TL (q one) ' (q two) ' ET")
+    spages = [s1, s2]
+    spdf = build_pdf(spages, compress_mask=[False, True])
+    sname = 'text_02.pdf'
+    with open(f'{OUTDIR}/{sname}', 'wb') as f:
+        f.write(spdf)
+    for pi, content in enumerate(spages):
+        for (li, y, text) in interpret(content):
+            rows.append(dict(name=sname, page_index=pi, line_index=li, y=y, text=text))
+
     import duckdb
     import pandas as pd
     df = pd.DataFrame(rows)
