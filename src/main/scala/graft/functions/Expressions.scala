@@ -129,12 +129,24 @@ object ExprImpl {
     */
   def packBits(bits: org.apache.spark.sql.catalyst.util.ArrayData, width: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val n = bits.numElements()
+    // reject-loudly, like every sibling: a trailing n % width remainder
+    // would vanish silently, and a null slot read through getInt returns
+    // garbage that lands the row in a fabricated signature word
+    if (n % width != 0)
+      throw new IllegalArgumentException(
+        s"bits_pack: $n bits do not fill whole $width-bit words")
     val out = new Array[Long](n / width)
     var w = 0
     while (w < out.length) {
       var acc = 0L
       var i = 0
-      while (i < width) { acc = (acc << 1) | bits.getInt(w * width + i); i += 1 }
+      while (i < width) {
+        val j = w * width + i
+        if (bits.isNullAt(j))
+          throw new IllegalArgumentException(s"bits_pack: null bit at index $j")
+        acc = (acc << 1) | bits.getInt(j)
+        i += 1
+      }
       out(w) = acc
       w += 1
     }

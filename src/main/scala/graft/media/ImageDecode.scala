@@ -219,10 +219,11 @@ object ImageDecode {
     (r, g, b)
   }
 
-  /** Encode RGB pixels as PNG bytes (the `page_%04d.png` sink,
-    * `cli.py:247-250`, now real).
+  /** RGB byte triples → BufferedImage — the ONE pixel-packing definition
+    * every ImageIO encode goes through (PNG sink here, JPEG data URI in
+    * TableMask); a layout fix applied to one copy must not miss the other.
     */
-  def encodePng(d: Decoded): Array[Byte] = {
+  def toBufferedImage(d: Decoded): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(d.width, d.height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     val px = new Array[Int](d.width * d.height)
@@ -232,10 +233,20 @@ object ImageDecode {
       i += 1
     }
     img.setRGB(0, 0, d.width, d.height, px, 0, d.width)
+    img
+  }
+
+  /** Encode RGB pixels with the named ImageIO writer ("png", "jpg"). */
+  def encode(d: Decoded, format: String): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(toBufferedImage(d), format, bos)
     bos.toByteArray
   }
+
+  /** Encode RGB pixels as PNG bytes (the `page_%04d.png` sink,
+    * `cli.py:247-250`, now real).
+    */
+  def encodePng(d: Decoded): Array[Byte] = encode(d, "png")
 
   /** `_rotate_image_by_angle` (`_mineru25.py:294-299`): PIL rotate(angle,
     * expand=True) is COUNTERclockwise; non-{90,180,270} angles are identity.

@@ -148,7 +148,15 @@ object PdfPages {
     java.util.Arrays.copyOfRange(bytes, obj.streamStart, obj.streamStart + len)
   }
 
-  private[media] def inflate(data: Array[Byte]): Array[Byte] = {
+  /** Decompression-bomb ceiling for Flate streams with no tighter caller
+    * bound (content streams, CMaps): 64 MiB of inflated text is far past
+    * any real page description. Image streams pass their exact expected
+    * byte count instead (w·h·3, itself bounded by ImageDecode.MaxPixels).
+    */
+  val MaxInflateBytes: Long = 64L * 1024 * 1024
+
+  private[media] def inflate(
+      data: Array[Byte], maxBytes: Long = MaxInflateBytes): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(data)
     val out = new java.io.ByteArrayOutputStream(data.length * 4)
@@ -170,6 +178,12 @@ object PdfPages {
           throw new IllegalArgumentException("unsupported or truncated Flate stream")
       }
       out.write(buf, 0, n)
+      // bound the OUTPUT as it grows, before the next inflate round —
+      // deflate compresses ~1000:1, so a small hostile stream can expand
+      // to gigabytes; the check must not wait for finished()
+      if (out.size() > maxBytes)
+        throw new IllegalArgumentException(
+          s"Flate stream inflates past $maxBytes bytes (decompression bomb)")
     }
     inf.end()
     out.toByteArray
@@ -187,9 +201,16 @@ object PdfPages {
         .getOrElse(throw new IllegalArgumentException(s"object ${obj.num}: no /Width"))
       val h = """/Height\s+(\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt)
         .getOrElse(throw new IllegalArgumentException(s"object ${obj.num}: no /Height"))
-      val raw = inflate(data)
-      require(raw.length == w * h * 3,
-        s"object ${obj.num}: expected ${w * h * 3} RGB bytes, got ${raw.length}")
+      // dimension gate BEFORE inflating (the DCT path gets the same check
+      // from ImageDecode's header pre-pass): hostile /Width × /Height must
+      // not size the inflate bound, and the expected-byte math must be
+      // Long — 37838² × 3 wraps Int to 175,436, letting a tiny stream pass
+      require(w > 0 && h > 0 && w.toLong * h <= ImageDecode.MaxPixels,
+        s"object ${obj.num}: decompression bomb: ${w}x$h px exceeds ${ImageDecode.MaxPixels}")
+      val expected = w.toLong * h * 3
+      val raw = inflate(data, expected)
+      require(raw.length == expected,
+        s"object ${obj.num}: expected $expected RGB bytes, got ${raw.length}")
       ImageDecode.Decoded(w, h, raw)
     } else throw new IllegalArgumentException(s"object ${obj.num}: unsupported /Filter")
   }
@@ -261,6 +282,28 @@ object PdfPages {
       ImageDecode.Decoded(w, h, rgb)
     }
 
+  /** Shared document prologue for the three PDF legs (PdfPages / PdfText /
+    * PdfRaster): header check, classic-xref walk, object parse, /Pages node
+    * lookup (both spellings), /Kids order. ONE definition — a container-
+    * level change (e.g. /Prev incremental xref) must not be applied three
+    * times and missed once, silently diverging the legs.
+    */
+  private[media] def documentKids(
+      pdfBytes: Array[Byte]): (Map[Int, PdfObject], PdfObject, Vector[Int]) = {
+    require(pdfBytes.length > 8 && latin1(pdfBytes, 0, 5) == "%PDF-", "not a PDF")
+    val objs: Map[Int, PdfObject] = xrefOffsets(pdfBytes).map { case (num, off) =>
+      num -> parseObjectAt(pdfBytes, num, off)
+    }
+    val pagesNode = objs.values
+      .find(o => o.dict.contains("/Type /Pages") || o.dict.contains("/Type/Pages"))
+      .getOrElse(throw new IllegalArgumentException("no /Pages node"))
+    val kids = KidsRe.findFirstMatchIn(pagesNode.dict)
+      .map(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toVector)
+      .getOrElse(Vector.empty)
+    require(kids.nonEmpty, "empty /Kids")
+    (objs, pagesNode, kids)
+  }
+
   /** Extract the per-page images in /Kids order — the reference's page
     * fan-out (`pdf.py:36-50`, `page_index` sequential). One raster per page;
     * multi-strip scanned pages (N same-width image XObjects — the
@@ -269,17 +312,7 @@ object PdfPages {
     * with the LARGEST ty renders highest on the page and comes first).
     */
   def pages(pdfBytes: Array[Byte]): Vector[PdfPage] = {
-    require(pdfBytes.length > 8 && latin1(pdfBytes, 0, 5) == "%PDF-", "not a PDF")
-    val offsets = xrefOffsets(pdfBytes)
-    val objs: Map[Int, PdfObject] = offsets.map { case (num, off) =>
-      num -> parseObjectAt(pdfBytes, num, off)
-    }
-    val pagesNode = objs.values.find(o => o.dict.contains("/Type /Pages") || o.dict.contains("/Type/Pages"))
-      .getOrElse(throw new IllegalArgumentException("no /Pages node"))
-    val kids = KidsRe.findFirstMatchIn(pagesNode.dict)
-      .map(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toVector)
-      .getOrElse(Vector.empty)
-    require(kids.nonEmpty, "empty /Kids")
+    val (objs, _, kids) = documentKids(pdfBytes)
     kids.zipWithIndex.map { case (pageNum, idx) =>
       val page = objs.getOrElse(pageNum,
         throw new IllegalArgumentException(s"missing page object $pageNum"))

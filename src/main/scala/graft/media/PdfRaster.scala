@@ -163,16 +163,7 @@ object PdfRaster {
   def rasterize(pdfBytes: Array[Byte], dpi: Int): Vector[RasterPage] = {
     import PdfPages._
     require(dpi > 0, "dpi must be positive")
-    require(pdfBytes.length > 8 && latin1(pdfBytes, 0, 5) == "%PDF-", "not a PDF")
-    val objs = xrefOffsets(pdfBytes).map { case (num, off) =>
-      num -> parseObjectAt(pdfBytes, num, off)
-    }
-    val pagesNode = objs.values.find(o => o.dict.contains("/Type /Pages") || o.dict.contains("/Type/Pages"))
-      .getOrElse(throw new IllegalArgumentException("no /Pages node"))
-    val kids = KidsRe.findFirstMatchIn(pagesNode.dict)
-      .map(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toVector)
-      .getOrElse(Vector.empty)
-    require(kids.nonEmpty, "empty /Kids")
+    val (objs, pagesNode, kids) = documentKids(pdfBytes)
     // decoded-XObject cache keyed by object ref: a multi-page document
     // sharing one /Pages-level resource dict decodes each stream ONCE, not
     // once per page (a 100-page archive was re-inflating the same Flate
@@ -233,6 +224,12 @@ object PdfRaster {
     val w = math.rint(mbW * s).toInt
     val h = math.rint(mbH * s).toInt
     require(w > 0 && h > 0, s"page $pageNum: degenerate canvas ${w}x$h")
+    // bomb ceiling in Long space BEFORE allocating: a ~200-byte PDF with a
+    // hostile /MediaBox can otherwise demand gigabytes (or wrap w*h*3 past
+    // Int into an untyped NegativeArraySizeException) — same MaxPixels
+    // gate as every other decoder surface
+    require(w.toLong * h <= ImageDecode.MaxPixels,
+      s"page $pageNum: decompression bomb: ${w}x$h px canvas exceeds ${ImageDecode.MaxPixels}")
     val rgb = Array.fill[Byte](w * h * 3)(0xFF.toByte) // white
 
     def px(u: Double): Int = math.rint(u * s).toInt

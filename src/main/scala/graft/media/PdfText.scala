@@ -393,6 +393,10 @@ object PdfText {
     toks.foreach {
       case TArrOpen =>
         require(arr == null, "nested array in content stream")
+        // same guard as PdfRaster: two completed arrays before one TJ would
+        // silently overwrite (and so DROP) the first array's text —
+        // "[(lost)] [(kept)] TJ" must be loud, never silently-partial
+        require(arrDone == null, "unconsumed content-stream array before '['")
         arr = mutable.ArrayBuffer.empty[Tok]
       case TArrClose =>
         require(arr != null, "unbalanced ]")
@@ -522,16 +526,7 @@ object PdfText {
   /** Extract the text lines of every page, in /Kids order. */
   def lines(pdfBytes: Array[Byte]): Vector[TextLine] = {
     import PdfPages._
-    require(pdfBytes.length > 8 && latin1(pdfBytes, 0, 5) == "%PDF-", "not a PDF")
-    val objs = xrefOffsets(pdfBytes).map { case (num, off) =>
-      num -> parseObjectAt(pdfBytes, num, off)
-    }
-    val pagesNode = objs.values.find(o => o.dict.contains("/Type /Pages") || o.dict.contains("/Type/Pages"))
-      .getOrElse(throw new IllegalArgumentException("no /Pages node"))
-    val kids = KidsRe.findFirstMatchIn(pagesNode.dict)
-      .map(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toVector)
-      .getOrElse(Vector.empty)
-    require(kids.nonEmpty, "empty /Kids")
+    val (objs, _, kids) = documentKids(pdfBytes)
     kids.zipWithIndex.flatMap { case (pageNum, pageIdx) =>
       val page = objs.getOrElse(pageNum,
         throw new IllegalArgumentException(s"missing page object $pageNum"))

@@ -40,20 +40,9 @@ object TableMask {
   /** `_pil_image_to_jpg_data_uri` (`_mineru25.py:283-287`): JPEG encode +
     * base64 data URI (unchunked).
     */
-  def jpegDataUri(d: ImageDecode.Decoded): String = {
-    val img = new java.awt.image.BufferedImage(d.width, d.height,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val px = new Array[Int](d.width * d.height)
-    var i = 0
-    while (i < px.length) {
-      px(i) = ((d.rgb(i * 3) & 0xFF) << 16) | ((d.rgb(i * 3 + 1) & 0xFF) << 8) | (d.rgb(i * 3 + 2) & 0xFF)
-      i += 1
-    }
-    img.setRGB(0, 0, d.width, d.height, px, 0, d.width)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", bos)
-    "data:image/jpeg;base64," + java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
-  }
+  def jpegDataUri(d: ImageDecode.Decoded): String =
+    "data:image/jpeg;base64," +
+      java.util.Base64.getEncoder.encodeToString(ImageDecode.encode(d, "jpg"))
 
   /** `_rotate_box_in_image` (`_mineru25.py:301-315`). */
   def rotateBoxInImage(box: (Int, Int, Int, Int), imageSize: (Int, Int), angle: Int): (Int, Int, Int, Int) = {

@@ -75,12 +75,24 @@ object VideoFrames {
     }
   }
 
-  /** Decode ONLY the sampled frames of a container. */
+  /** Decode ONLY the sampled frames of a container. Sample positions are
+    * non-decreasing in frame index, and at fps < 2 consecutive 500 ms
+    * samples land on the SAME frame — the one-frame memo keeps decode cost
+    * proportional to DISTINCT sampled frames (a 1 fps clip would otherwise
+    * decode every frame twice).
+    */
   def sampledFrames(bytes: Array[Byte]): Seq[Sampled] = {
     val (fps, frames) = index(bytes)
+    var lastIdx = -1L
+    var lastDecoded: ImageDecode.Decoded = null
     samplePositions(fps, frames.length).map { case (ts, idx) =>
-      val (off, len) = frames(idx.toInt)
-      Sampled(ts, idx, ImageDecode.loadImage(java.util.Arrays.copyOfRange(bytes, off, off + len)))
+      if (idx != lastIdx) {
+        val (off, len) = frames(idx.toInt)
+        lastDecoded =
+          ImageDecode.loadImage(java.util.Arrays.copyOfRange(bytes, off, off + len))
+        lastIdx = idx
+      }
+      Sampled(ts, idx, lastDecoded)
     }
   }
 }

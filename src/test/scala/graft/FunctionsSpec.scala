@@ -245,6 +245,24 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st(0).getInt(1) == 3 && st(1).getInt(1) == cap + 1)
   }
 
+  test("bits_pack rejects remainder bits and null slots loudly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 10 bits into 8-bit words: 2 trailing bits would vanish silently
+    // constant-foldable inputs throw driver-side (bare IAE); distributed
+    // inputs arrive wrapped in SparkException — match the message, not the
+    // wrapper class
+    val rem = intercept[Exception](
+      Seq(Seq.fill(10)(1)).toDF("bits")
+        .select(ChurroFunctions.bits_pack($"bits", 8)).collect())
+    assert(rem.getMessage.contains("do not fill whole"))
+    // a null slot read through getInt returns garbage — must throw instead
+    val nul = intercept[Exception](
+      Seq(Seq[Option[Int]](Some(1), None, Some(0), Some(1), Some(1), Some(0), Some(1), Some(0)))
+        .toDF("bits").select(ChurroFunctions.bits_pack($"bits", 8)).collect())
+    assert(nul.getMessage.contains("null bit"))
+  }
+
   test("heavy_hitters: exact when distinct keys fit the bound, any partitioning") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

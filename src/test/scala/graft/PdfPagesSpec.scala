@@ -170,6 +170,56 @@ class PdfPagesSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("overruns"))
   }
 
+  test("hostile Flate image dims and deflate bombs throw before allocating") {
+    // tiny content that inflates fine — the DIMENSIONS are the attack
+    val raw = Array.fill[Byte](4 * 4 * 3)(9)
+    val flate = {
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val out = new Array[Byte](256); val n = d.deflate(out); d.end()
+      java.util.Arrays.copyOf(out, n)
+    }
+    def withDims(w: Int, h: Int): Array[Byte] = {
+      val content = s"q 4 0 0 4 0 0 cm /Im0 Do Q".getBytes("ISO-8859-1")
+      val b = new PdfBuilder
+      b.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+      b.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+      b.obj(3, "<< /Type /Page /Parent 2 0 R /Contents 5 0 R " +
+        "/Resources << /XObject << /Im0 4 0 R >> >> >>")
+      b.obj(4, s"<< /Type /XObject /Subtype /Image /Width $w /Height $h " +
+        s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode /Length ${flate.length} >>",
+        stream = Some(flate))
+      b.obj(5, s"<< /Length ${content.length} >>", stream = Some(content))
+      b.build()
+    }
+    // 37838^2 * 3 wraps Int to 175,436 — without Long math a small stream
+    // could satisfy the byte-count require against fabricated dimensions
+    val wrap = intercept[IllegalArgumentException](PdfPages.pages(withDims(37838, 37838)))
+    assert(wrap.getMessage.contains("decompression bomb"))
+    // dims above MaxPixels: typed bomb rejection BEFORE any inflate
+    val big = intercept[IllegalArgumentException](PdfPages.pages(withDims(100000, 100000)))
+    assert(big.getMessage.contains("decompression bomb"))
+    // a real deflate bomb under honest small dims: inflate output is capped
+    // at the expected byte count, not materialized to exhaustion
+    val bomb = {
+      val zeros = new Array[Byte](8 * 1024 * 1024)
+      val d = new java.util.zip.Deflater(9); d.setInput(zeros); d.finish()
+      val out = new Array[Byte](1 << 20); val n = d.deflate(out); d.end()
+      java.util.Arrays.copyOf(out, n)
+    }
+    val b3 = new PdfBuilder
+    b3.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b3.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    val content3 = "q 4 0 0 4 0 0 cm /Im0 Do Q".getBytes("ISO-8859-1")
+    b3.obj(3, "<< /Type /Page /Parent 2 0 R /Contents 5 0 R " +
+      "/Resources << /XObject << /Im0 4 0 R >> >> >>")
+    b3.obj(4, "<< /Type /XObject /Subtype /Image /Width 4 /Height 4 " +
+      s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode /Length ${bomb.length} >>",
+      stream = Some(bomb))
+    b3.obj(5, s"<< /Length ${content3.length} >>", stream = Some(content3))
+    val exBomb = intercept[IllegalArgumentException](PdfPages.pages(b3.build()))
+    assert(exBomb.getMessage.contains("inflates past"))
+  }
+
   test("single-XObject pages validate the cm placement too") {
     // round-4 gap: xmap.size == 1 skipped contentDraws entirely, so a
     // mirrored/scaled single-strip placement composited silently while the

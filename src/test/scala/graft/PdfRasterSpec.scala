@@ -316,4 +316,34 @@ class PdfRasterSpec extends AnyFunSuite {
       PdfRaster.rasterize(tinyPdf(s"/Nope gs $stroke"), 72))
     assert(ex.getMessage.contains("unknown ExtGState"))
   }
+
+  test("hostile MediaBox canvas sizes throw the typed bomb error, never allocate") {
+    def withBox(box: String): Array[Byte] = {
+      val content = "0 0 10 10 re f"
+      val objs = Seq(
+        1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3 -> (s"<< /Type /Page /Parent 2 0 R /MediaBox [$box] /Contents 4 0 R >>"),
+        4 -> s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
+      val out = new StringBuilder("%PDF-1.4\n")
+      val offsets = objs.map { case (n, body) =>
+        val off = out.length
+        out ++= s"$n 0 obj\n$body\nendobj\n"
+        n -> off
+      }.toMap
+      val xrefAt = out.length
+      out ++= s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n"
+      (1 to objs.length).foreach(n => out ++= f"${offsets(n)}%010d 00000 n \n")
+      out ++= s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n"
+      out.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    // w*h*3 wraps Int (NegativeArraySizeException without the Long gate)
+    val wrap = intercept[IllegalArgumentException](
+      PdfRaster.rasterize(withBox("0 0 90000000 90000000"), 72))
+    assert(wrap.getMessage.contains("decompression bomb"))
+    // just under Int wrap but a multi-GB allocation: same typed rejection
+    val big = intercept[IllegalArgumentException](
+      PdfRaster.rasterize(withBox("0 0 26000 26000"), 72))
+    assert(big.getMessage.contains("decompression bomb"))
+  }
 }

@@ -183,6 +183,11 @@ class PdfTextSpec extends AnyFunSuite {
     // scaled-Tm fixture test below; minimal smoke here)
     assert(PdfText.lines(tinyPdf("BT 12 0 0 12 72 700 Tm (x) Tj ET")).map(_.text)
       == Vector("x"))
+    // two completed arrays before one TJ: the first would be silently
+    // OVERWRITTEN (text lost) — must be loud (mirrors PdfRaster's guard)
+    val twoArrays = intercept[IllegalArgumentException](
+      PdfText.lines(tinyPdf("BT [(lost)] [(kept)] TJ ET")))
+    assert(twoArrays.getMessage.contains("unconsumed content-stream array"))
     // show outside BT
     val outside = intercept[IllegalArgumentException](
       PdfText.lines(tinyPdf("(x) Tj")))

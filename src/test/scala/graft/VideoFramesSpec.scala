@@ -34,6 +34,22 @@ class VideoFramesSpec extends AnyFunSuite {
     assert(sampled.map(s => graft.media.ImageDecode.sha256Hex(s.frame.rgb)).distinct.size == 3)
   }
 
+  test("repeated sample indices reuse one decode (fps < 2 memo)") {
+    // fps 1: consecutive 500 ms samples land on the SAME frame index —
+    // build a 1 fps container by patching vid_00's header (magic | u16be
+    // fps | u32be count; frames themselves are untouched)
+    val bytes = fixture("vid_00.gfv").clone()
+    bytes(4) = 0; bytes(5) = 1 // fps 24 → 1
+    val sampled = VideoFrames.sampledFrames(bytes)
+    // 30 frames at 1 fps = 30,000 ms → 60 samples over 30 frames
+    assert(sampled.length == 60)
+    assert(sampled.map(_.frameIdx) == (0L until 30L).flatMap(i => Seq(i, i)))
+    // the memo hands BOTH samples of a frame the same Decoded instance
+    sampled.grouped(2).foreach { case Seq(a, b) =>
+      assert(a.frame eq b.frame, s"frame ${a.frameIdx} decoded twice")
+    }
+  }
+
   test("malformed containers are rejected loudly") {
     val bytes = fixture("vid_01.gfv")
     intercept[IllegalArgumentException](VideoFrames.index("nope".getBytes))

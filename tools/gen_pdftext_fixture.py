@@ -266,6 +266,7 @@ def interpret(content, fonts=None):
     for kind, val in _tokens(content):
         if kind == 'arr_open':
             assert arr is None, 'nested array in content stream'
+            assert arr_done is None, "unconsumed content-stream array before '['"
             arr = []
         elif kind == 'arr_close':
             arr_done, arr = arr, None
