@@ -519,22 +519,32 @@ object Queries {
     // the intersection join and the per-doc counts — 4 consumers (the cache
     // is released by the caller via releaseCaches after the action)
     val grams = tracked(shingled(spark, dir))
+    jaccardVerify(grams, minhashPairs(spark, dir), 0.7)
+      .select(col("a"), col("b"), col("inter"), col("uni"), col("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  /** The ONE Jaccard-verify core shared by the catalog query
+    * ([[ngramJaccard]]) and the composed pipeline stage ([[nearDupKeep]]):
+    * exploded (doc, gram) equi-join intersection counted per pair — gram
+    * arrays never ship whole to the pair join — union via |A|+|B|−|A∩B|
+    * from per-doc gram counts, pairs kept at `jaccard >= threshold`.
+    * A fix to the join shape or the arithmetic lands in both consumers.
+    */
+  private def jaccardVerify(
+      grams: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
     val gramRows = grams.select(col("doc_id"), explode(col("grams")).as("g"))
     val gramCounts = grams.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
-    val pairs = minhashPairs(spark, dir)
-    val inter = pairs
+    pairs
       .join(gramRows.select(col("doc_id").as("a"), col("g")), "a")
       .join(gramRows.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
-    inter
       .join(gramCounts.select(col("doc_id").as("a"), col("n_grams").as("na")), "a")
       .join(gramCounts.select(col("doc_id").as("b"), col("n_grams").as("nb")), "b")
       .withColumn("uni", col("na") + col("nb") - col("inter"))
-      .select(col("a"), col("b"), col("inter"), col("uni"),
-        (col("inter").cast("double") / col("uni")).as("jaccard"))
-      .filter(col("jaccard") >= 0.7)
-      .orderBy("a", "b")
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash over md5 word hashes, emitted as a 16-hex-char string.
@@ -1321,16 +1331,7 @@ object Queries {
   private[graft] def nearDupKeep(spark: SparkSession, docs: DataFrame): DataFrame = {
     val grams = tracked(shingledFrom(docs))
     val pairs = minhashPairsCore(minhashSigCoreFrom(grams))
-    val gramRows = grams.select(col("doc_id"), explode(col("grams")).as("g"))
-    val gramCounts = grams.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
-    val verified = pairs
-      .join(gramRows.select(col("doc_id").as("a"), col("g")), "a")
-      .join(gramRows.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-      .join(gramCounts.select(col("doc_id").as("a"), col("n_grams").as("na")), "a")
-      .join(gramCounts.select(col("doc_id").as("b"), col("n_grams").as("nb")), "b")
-      .filter(col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
-        >= NearDupJaccard)
+    val verified = jaccardVerify(grams, pairs, NearDupJaccard)
       .select(col("a"), col("b"))
     val comp = dedupComponentsFrom(spark, verified)
     val nonCanon = comp.filter(col("doc_id") =!= col("component")).select(col("doc_id"))
@@ -1644,12 +1645,12 @@ object Queries {
         // escapes, not raw glyphs: the mojibake chars (U+20AC, U+201D, …)
         // must be byte-exact for the repair to re-derive the UTF-8 stream
         when(id % 6 === 0,
-          lit(" cafÃ© niÃ±o Ã¼ber")).otherwise(lit("")),
+          lit(" caf\u00c3\u00a9 ni\u00c3\u00b1o \u00c3\u00bcber")).otherwise(lit("")),
         when(id % 9 === 0,
-          lit(" â€” dash â€“ â€˜qâ€™")).otherwise(lit("")),
-        when(id % 14 === 0, lit(" â‚¬ 3 â„¢")).otherwise(lit("")),
+          lit(" \u00e2\u20ac\u201d dash \u00e2\u20ac\u201c \u00e2\u20ac\u02dcq\u00e2\u20ac\u2122")).otherwise(lit("")),
+        when(id % 14 === 0, lit(" \u00e2\u201a\u00ac 3 \u00e2\u201e\u00a2")).otherwise(lit("")),
         when(id % 17 === 0,
-          lit(" Ã plain lone â end")).otherwise(lit(""))
+          lit(" \u00c3 plain lone \u00e2 end")).otherwise(lit(""))
       ).as("text"))
     planted
       .withColumn("fixed", graft.functions.ChurroFunctions.mojibake_fix(col("text")))
@@ -1674,7 +1675,7 @@ object Queries {
       concat(col("text"),
         when(id % 8 === 0,
           lit(" résumé Ångström")).otherwise(lit("")),
-        when(id % 11 === 0, lit(" café fixe")).otherwise(lit(""))
+        when(id % 11 === 0, lit(" caf\u00e9 fixe")).otherwise(lit(""))
       ).as("text"))
     planted
       .withColumn("nfc", graft.functions.ChurroFunctions.unicode_nfc(col("text")))
@@ -2869,9 +2870,11 @@ object Queries {
       .load(s"$mediaDir/warc/*")
       .select(col("content")).as[Array[Byte]]
       .flatMap { b =>
+        // SAME html gate as every extraction leg (case-insensitive): a
+        // mirror copy served with 'Text/HTML' must not dodge dedup while
+        // warcExtract still processes it
         graft.sources.Warc.records(b)
-          .filter(r => r.warcType == "response" && r.httpStatus == 200 &&
-            r.httpContentType.startsWith("text/html"))
+          .filter(graft.sources.Warc.isHtml200)
           .map(r => (graft.media.ImageDecode.sha256Hex(r.body), r.targetUri))
           .toSeq
       }.toDF("body_sha", "url"))
@@ -2943,9 +2946,12 @@ object Queries {
       .select(col("content")).as[Array[Byte]]
     val xmlDocs = tracked(bytes.flatMap { b =>
       graft.sources.Warc.records(b)
-        .filter(r => r.warcType == "response" && r.httpStatus == 200 &&
-          (r.httpContentType.startsWith("application/xml") ||
-            r.httpContentType.startsWith("text/xml")))
+        .filter { r =>
+          // case-insensitive like isHtml200 — header casing varies by server
+          val ct = r.httpContentType.toLowerCase(java.util.Locale.ROOT)
+          r.warcType == "response" && r.httpStatus == 200 &&
+            (ct.startsWith("application/xml") || ct.startsWith("text/xml"))
+        }
         .flatMap(r => graft.text.UrlResolve.normalizeHttp(r.targetUri)
           .map(u => (u, new String(r.body, java.nio.charset.StandardCharsets.UTF_8))))
         .toSeq

@@ -17,8 +17,8 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *  2. raw payload cleanup: stop-token trim → chat-scaffold strip → output-tag
   *     unwrap (the reference's `clean_response` + default postprocessor),
   *  3. layout-token payloads parsed into positioned blocks; XML payloads
-  *     flattened (HistoricalDocument); plain payloads become full-width
-  *     blocks with non-overlapping row-strip bboxes,
+  *     flattened (HistoricalDocument); plain payloads carry the shared
+  *     zero-area sentinel bbox (never in containment joins — see PlainBBox),
   *  4. caption containment drop, table⊃image absorption (token map),
   *  5. per-kind content fixes (OTSL→HTML, equation wrap, math fixes),
   *     equation-block combining, abandon filters,
@@ -59,7 +59,6 @@ object Extract {
     }
     if (!isSorted)
       scala.util.Sorting.stableSort(sorted, (a: Span, b: Span) => a.offset < b.offset)
-    val n = math.max(1, sorted.length)
     val out = Vector.newBuilder[Block]
     var idx = 0
     while (idx < sorted.length) {
@@ -69,10 +68,10 @@ object Extract {
         out ++= LayoutParse.parse(cleaned, span.media_ref)
       } else if (span.kind == "xml") {
         val flat = XmlFlatten.extractActualTextFromXml(cleaned)
-        out += Block("text", stripBBox(idx, n), content = someNonEmpty(flat),
+        out += Block("text", PlainBBox, content = someNonEmpty(flat),
           mediaRef = span.media_ref)
       } else if (Blocks.SupportedTypes.contains(span.kind)) {
-        out += Block(span.kind, stripBBox(idx, n), content = someNonEmpty(cleaned),
+        out += Block(span.kind, PlainBBox, content = someNonEmpty(cleaned),
           mediaRef = span.media_ref)
       }
       // unsupported kinds are dropped, like parse_layout_output's whitelist
@@ -88,7 +87,6 @@ object Extract {
     * blocks carry real positions.
     */
   private val PlainBBox: Array[Double] = Array(0.0, 0.0, 0.0, 0.0)
-  private def stripBBox(idx: Int, n: Int): Array[Double] = PlainBBox
 
   private def someNonEmpty(s: String): Option[String] =
     if (s == null || s.isEmpty) None else Some(s)

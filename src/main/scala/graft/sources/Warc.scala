@@ -220,6 +220,14 @@ object Warc {
             if (n == 0 && inf.needsInput())
               throw new IllegalArgumentException(s"$ctx: truncated deflate stream")
             out.write(buf, 0, n)
+            // bomb ceiling, checked as the output GROWS: a member holds
+            // exactly one record (contract above), so anything past the
+            // per-record payload cap plus header slack is hostile — without
+            // this a few-MB member inflating to GBs OOMs before the
+            // MaxPayloadBytes check inside records() ever runs
+            if (out.size() > Warc.MaxPayloadBytes + (1 << 20))
+              throw new IllegalArgumentException(
+                s"$ctx: member inflates past ${Warc.MaxPayloadBytes + (1 << 20)} bytes (decompression bomb)")
           }
         } catch {
           case e: java.util.zip.DataFormatException =>
@@ -306,8 +314,17 @@ object Warc {
             // typed IAE this reader's contract promises) and a huge one
             // would pre-allocate gigabytes off a one-line hostile header
             // before any payload byte is read
-            val len = h.getOrElse("content-length",
-              throw new IllegalArgumentException(s"$ctx: missing Content-Length")).toLong
+            val lenStr = h.getOrElse("content-length",
+              throw new IllegalArgumentException(s"$ctx: missing Content-Length"))
+            val len =
+              try lenStr.toLong
+              catch { case _: NumberFormatException =>
+                // NFE is an IAE subclass so the CATCH contract holds either
+                // way, but its message carries no record context — rethrow
+                // with the position a quarantine log needs
+                throw new IllegalArgumentException(
+                  s"$ctx: unparsable Content-Length '$lenStr'")
+              }
             if (len < 0 || len > Warc.MaxPayloadBytes)
               throw new IllegalArgumentException(
                 s"$ctx: Content-Length $len outside [0, ${Warc.MaxPayloadBytes}]")
@@ -357,7 +374,11 @@ object Warc {
     val parts = statusLine.split(" ", 3)
     if (parts.length < 2)
       throw new IllegalArgumentException(s"$ctx: bad HTTP status line '$statusLine'")
-    val status = parts(1).toInt
+    val status =
+      try parts(1).toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"$ctx: bad HTTP status line '$statusLine'")
+      }
     val h = readHeaders(in, ctx)
     if (h.getOrElse("transfer-encoding", "").toLowerCase(java.util.Locale.ROOT)
         .contains("chunked"))

@@ -300,7 +300,12 @@ object StreamOps {
       // go idle)
       val wm = state.getCurrentWatermarkMs()
       val ss = state.get.sessions.toVector.sortBy(_.start)
-      val (closed, open) = ss.partition(_.end + gapMs <= wm)
+      // STRICT <, same as the data branch below: Spark admits events with
+      // ts == watermark, and such an event satisfies t <= end + gap when
+      // end + gap == wm — emitting at equality would close a session an
+      // admissible event can still legally extend (two overlapping session
+      // rows where the batch oracle has one)
+      val (closed, open) = ss.partition(_.end + gapMs < wm)
       if (open.nonEmpty) {
         state.update(SessionsState(open))
         state.setTimeoutTimestamp(math.max(open.map(_.end + gapMs).min, wm + 1))

@@ -245,7 +245,13 @@ object HtmlDom {
               var closing = true
               while (closing && stack.length > 1) {
                 val top = stack.last._1
-                if ((top == "p" && PClosingTags.contains(name)) || sib.contains(top))
+                // a sibling-closer (li/dt/dd/tr/td/th/option) ALSO closes an
+                // open p above the sibling it closes — WHATWG "generate
+                // implied end tags" runs before the sibling pop, so
+                // `<li><p>text<li>` closes the p then the li (previously
+                // the second li nested inside the first item's p)
+                if ((top == "p" && (PClosingTags.contains(name) || sib.nonEmpty)) ||
+                    sib.contains(top))
                   closeTop()
                 else closing = false
               }

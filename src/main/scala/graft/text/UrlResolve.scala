@@ -116,21 +116,29 @@ object UrlResolve {
   def resolve(base: String, ref: String): String =
     resolve(parse(base), parse(ref)).recompose
 
+  /** authority = [userinfo@]host[:port] split, IPv6-aware (a ':' before the
+    * closing ']' of an address literal is not a port separator). Userinfo
+    * keeps its trailing '@'; port comes back WITHOUT the ':'. The ONE
+    * definition for normalizeHttp / surt / hostOf — an edge-case fix here
+    * cannot diverge the three.
+    */
+  private def splitAuthority(auth: String): (String, String, String) = {
+    val at = auth.lastIndexOf('@')
+    val (userinfo, hostport) =
+      if (at < 0) ("", auth) else (auth.substring(0, at + 1), auth.substring(at + 1))
+    val ci = hostport.lastIndexOf(':')
+    if (ci < 0 || hostport.lastIndexOf(']') > ci) (userinfo, hostport, "")
+    else (userinfo, hostport.substring(0, ci), hostport.substring(ci + 1))
+  }
+
   /** Frontier canonical form; None = not a crawlable http(s) URL. */
   def normalizeHttp(url: String): Option[String] = {
     val u = parse(url)
     u.scheme.map(_.toLowerCase(java.util.Locale.ROOT)) match {
       case Some(sch @ ("http" | "https")) =>
         u.authority.map { auth =>
-          // authority = [userinfo@]host[:port]; host case-folds, the
-          // default port drops, userinfo is preserved as-is
-          val at = auth.lastIndexOf('@')
-          val (userinfo, hostport) =
-            if (at < 0) ("", auth) else (auth.substring(0, at + 1), auth.substring(at + 1))
-          val ci = hostport.lastIndexOf(':')
-          val (host, port) =
-            if (ci < 0 || hostport.lastIndexOf(']') > ci) (hostport, "")
-            else (hostport.substring(0, ci), hostport.substring(ci + 1))
+          // host case-folds, the default port drops, userinfo is kept as-is
+          val (userinfo, host, port) = splitAuthority(auth)
           val defPort = if (sch == "http") "80" else "443"
           val keepPort = port.nonEmpty && port != defPort
           Uri(
@@ -169,14 +177,9 @@ object UrlResolve {
     */
   def surt(url: String): Option[String] = normalizeHttp(url).map { n =>
     val u = parse(n)
-    val auth = u.authority.getOrElse("")
-    val at = auth.lastIndexOf('@')
-    val hostport = if (at < 0) auth else auth.substring(at + 1)
-    val ci = hostport.lastIndexOf(':')
-    val (host, port) =
-      if (ci < 0 || hostport.lastIndexOf(']') > ci) (hostport, "")
-      else (hostport.substring(0, ci), hostport.substring(ci))
-    host.split('.').reverse.mkString(",") + port + ")" +
+    val (_, host, port) = splitAuthority(u.authority.getOrElse(""))
+    host.split('.').reverse.mkString(",") +
+      (if (port.nonEmpty) ":" + port else "") + ")" +
       u.path + u.query.fold("")("?" + _)
   }
 
@@ -184,12 +187,7 @@ object UrlResolve {
   def hostOf(url: String): String = {
     val u = parse(url)
     u.authority.fold("") { auth =>
-      val at = auth.lastIndexOf('@')
-      val hostport = if (at < 0) auth else auth.substring(at + 1)
-      val ci = hostport.lastIndexOf(':')
-      val host =
-        if (ci < 0 || hostport.lastIndexOf(']') > ci) hostport
-        else hostport.substring(0, ci)
+      val (_, host, _) = splitAuthority(auth)
       host.toLowerCase(java.util.Locale.ROOT)
     }
   }
