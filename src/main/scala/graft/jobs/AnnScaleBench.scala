@@ -79,22 +79,30 @@ object AnnScaleBench {
     // measurement: the probe join is exactly the broadcast-against-a-
     // partition-column shape DPP optimizes, so with it on the "unpruned"
     // baseline silently prunes anyway and measures nothing
-    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
-    val t3 = System.nanoTime()
-    val prbAll = CacheTracker.track(TopM.topM(
-      qs.crossJoin(broadcast(graft.storage.Snapshots.read(spark, s"$indexDir/centroids", 1L)))
-        .withColumn("qcos", cosC("qv", "cv"))
-        .select(col("q_id"), col("cent_id"), col("qcos")),
-      "q_id", Seq(("qcos", false), ("cent_id", true)), probes, "prn")
-      .select(col("q_id"), col("cent_id")))
-    val fullScan = graft.storage.Snapshots.read(spark, s"$indexDir/postings", 1L)
-      .join(broadcast(prbAll), "cent_id")
-      .join(broadcast(qs), "q_id")
-      .withColumn("c", cosC("qv", "v"))
-      .select(col("q_id"), col("vec_id"), col("c"))
-    TopM.topM(fullScan, "q_id", Seq(("c", false), ("vec_id", true)), TopK, "rn").count()
-    val fullScanSec = (System.nanoTime() - t3) / 1e9
-    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    // save/restore the PRIOR value in a finally (this main owns its session,
+    // but an exception mid-measurement must not leave DPP off for the rest
+    // of the run, and restoring a hardcoded "true" would clobber an
+    // operator-supplied override)
+    val dppKey = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    val prevDpp = spark.conf.get(dppKey)
+    spark.conf.set(dppKey, "false")
+    val fullScanSec =
+      try {
+        val t3 = System.nanoTime()
+        val prbAll = CacheTracker.track(TopM.topM(
+          qs.crossJoin(broadcast(graft.storage.Snapshots.read(spark, s"$indexDir/centroids", 1L)))
+            .withColumn("qcos", cosC("qv", "cv"))
+            .select(col("q_id"), col("cent_id"), col("qcos")),
+          "q_id", Seq(("qcos", false), ("cent_id", true)), probes, "prn")
+          .select(col("q_id"), col("cent_id")))
+        val fullScan = graft.storage.Snapshots.read(spark, s"$indexDir/postings", 1L)
+          .join(broadcast(prbAll), "cent_id")
+          .join(broadcast(qs), "q_id")
+          .withColumn("c", cosC("qv", "v"))
+          .select(col("q_id"), col("vec_id"), col("c"))
+        TopM.topM(fullScan, "q_id", Seq(("c", false), ("vec_id", true)), TopK, "rn").count()
+        (System.nanoTime() - t3) / 1e9
+      } finally spark.conf.set(dppKey, prevDpp)
 
     val t2 = System.nanoTime()
     val bf3 = TopM.topM(

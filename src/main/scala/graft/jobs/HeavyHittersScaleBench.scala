@@ -92,11 +92,15 @@ object HeavyHittersScaleBench {
     val maxErr = sketch.map { case (w, est) =>
       math.abs(exactMap.getOrElse(w, 0L) - est)
     }.max
+    // set equality FIRST: a sketch key outside the exact top-K has no
+    // exactMap entry, so maxErr would read as its whole estimate and the
+    // eps require would fire with a misleading per-key-bound message
+    // instead of the set diff that actually explains the failure
+    require(setMatch, // separation > ε by construction, so a miss is a bug
+      s"top-$K sets differ:\n exact=${exact.map(_._1).mkString(",")}\n sketch=${sketch.map(_._1).mkString(",")}")
     require(maxErr <= eps, s"sketch estimate off by $maxErr > eps $eps")
     require(sketch.forall { case (w, est) => est <= exactMap.getOrElse(w, Long.MaxValue) },
       "sketch overestimated a key")
-    require(setMatch, // separation > ε by construction, so a miss is a bug
-      s"top-$K sets differ:\n exact=${exact.map(_._1).mkString(",")}\n sketch=${sketch.map(_._1).mkString(",")}")
 
     CacheTracker.releaseAll()
     println(

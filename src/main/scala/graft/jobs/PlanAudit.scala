@@ -48,7 +48,7 @@ object PlanAudit {
       .groupBy(identity).map { case (k, v) => k -> v.size }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val sfDir = args.headOption.filter(_ != "dump").getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -60,8 +60,15 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    if (args.length >= 3 && args(1) == "dump") {
-      val df = graft.SparkEntry.queries(args(2))(spark, sfDir)
+    // both documented spellings work: `PlanAudit [sfDir] dump <q>` AND
+    // `PlanAudit dump <q>` (sfDir optional) — previously the 2-arg form
+    // used "dump" as the sfDir and swept the whole catalog against it
+    val dumpQuery =
+      if (args.length >= 3 && args(1) == "dump") Some(args(2))
+      else if (args.length >= 2 && args(0) == "dump") Some(args(1))
+      else None
+    if (dumpQuery.isDefined) {
+      val df = graft.SparkEntry.queries(dumpQuery.get)(spark, sfDir)
       println(df.queryExecution.executedPlan.toString)
       graft.ops.Queries.releaseCaches()
       spark.stop()

@@ -48,7 +48,10 @@ object Transcribe {
     }
     val selected = docId match {
       case Some(id) => docs.filter((d: Doc) => d.doc_id == id)
-      case None => docs
+      // the first-N cap applies to EVERY source, not just the generated
+      // one — an --input pointing at a crawl-sized docs snapshot must not
+      // collect the whole table to the driver
+      case None => docs.limit(if (nDocs <= Int.MaxValue) nDocs.toInt else Int.MaxValue)
     }
     val rendered = selected.map(d => (d.doc_id, Extract.renderMarkdown(d, ExtractConfig.Default)))
     out match {

@@ -181,7 +181,16 @@ object WarcIngestJob {
               .map { case (u, i) =>
                 (fileIdx, r.targetUri, i, "link", u, graft.text.UrlResolve.hostOf(u))
               }
-            spanRows ++ linkRows
+            // a page that parses cleanly but yields ZERO content spans must
+            // still be visible in lineage (doc_count) — without a marker it
+            // vanished from the job's accounting entirely (neither a doc
+            // nor an error). offset −1 keeps it out of every offset >= 0
+            // consumer, like the error quarantine rows.
+            val marker =
+              if (spanRows.isEmpty)
+                Seq((fileIdx, r.targetUri, -1, "empty", "", ""))
+              else Seq.empty
+            spanRows ++ linkRows ++ marker
           } catch { case scala.util.control.NonFatal(e) =>
             Seq((fileIdx, r.targetUri, -1,
               "error", s"${e.getClass.getSimpleName}: " +
@@ -196,8 +205,10 @@ object WarcIngestJob {
         // never fires) — a group whose every record fails isHtml200 must
         // commit zero counts, not NPE the resumable job on every rerun
         Seq(
-          coalesce(sum(when(col("bucket") === f && !col("kind").isin("error", "link"), 1L).otherwise(0L)), lit(0L)).as(s"spans_$f"),
-          coalesce(sum(when(col("bucket") === f && col("offset") === 0 && col("kind") =!= "link", 1L).otherwise(0L)), lit(0L)).as(s"pages_$f"),
+          coalesce(sum(when(col("bucket") === f && !col("kind").isin("error", "link", "empty"), 1L).otherwise(0L)), lit(0L)).as(s"spans_$f"),
+          // zero-span pages count as processed pages via their marker row
+          coalesce(sum(when(col("bucket") === f &&
+            ((col("offset") === 0 && col("kind") =!= "link") || col("kind") === "empty"), 1L).otherwise(0L)), lit(0L)).as(s"pages_$f"),
           coalesce(sum(when(col("bucket") === f && col("kind") === "error", 1L).otherwise(0L)), lit(0L)).as(s"errors_$f"),
           expr(s"bit_xor(CASE WHEN bucket = $f AND offset = 0 AND kind <> 'link' THEN xxhash64(uri) END)").as(s"hash_$f"))
       }

@@ -72,18 +72,24 @@ object Eval {
     */
   def groupedMetrics(results: Dataset[EvalRow]): DataFrame = {
     val spark = results.sparkSession
-    results.createOrReplaceTempView("eval_rows")
-    spark.sql(
-      """SELECT coalesce(main_language, '(all)') AS language_g,
+    // unique per-call view name, dropped once the plan is ANALYZED (analysis
+    // resolves the view into the returned DataFrame's plan eagerly) — a
+    // fixed "eval_rows" name was shared mutable session state that a
+    // concurrent caller could rebind between registration and use
+    val view = "eval_rows_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    results.createOrReplaceTempView(view)
+    try spark.sql(
+      s"""SELECT coalesce(main_language, '(all)') AS language_g,
         |       coalesce(document_type, '(all)') AS type_g,
         |       round(100.0 * SUM(CAST(round(nls * 1000000) AS BIGINT)) / (1000000.0 * COUNT(*)), 1) AS nls_pct,
         |       round(100.0 * SUM(CAST(round(bleu * 1000000) AS BIGINT)) / (1000000.0 * COUNT(*)), 1) AS bleu_pct,
         |       round(100.0 * SUM(repetition) / COUNT(*), 1) AS repetition_pct,
         |       round(100.0 * SUM(is_empty) / COUNT(*), 1) AS is_empty_pct,
         |       COUNT(*) AS n
-        |FROM eval_rows
+        |FROM $view
         |GROUP BY GROUPING SETS ((main_language), (document_type), (main_language, document_type))
         |ORDER BY language_g, type_g""".stripMargin)
+    finally spark.catalog.dropTempView(view)
   }
 
   /** Deterministic (gold, pred) pairs synthesized from the documents table,

@@ -62,6 +62,12 @@ final class Heartbeat(spark: SparkSession, outDir: String, intervalMs: Long = 10
     running = false
     thread.interrupt()
     spark.sparkContext.removeSparkListener(listener)
-    tick()
+    // stop() runs in callers' finally blocks: an IO failure writing the
+    // closing line (out dir removed mid-run) must not REPLACE the real
+    // exception that unwound the job
+    try tick()
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[heartbeat] closing tick failed: ${e.getMessage}")
+    }
   }
 }
