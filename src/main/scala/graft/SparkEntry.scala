@@ -109,6 +109,7 @@ object SparkEntry {
     "q_incremental_update" -> (Queries.incrementalUpdate(_, _)),
     "q_gopher_quality" -> (Queries.gopherQuality(_, _)),
     "q_gopher_repetition" -> (Queries.gopherRepetition(_, _)),
+    "q_lm_quality" -> (Queries.lmQuality(_, _)),
     "q_c4_filter" -> (Queries.c4Filter(_, _)),
     "q_substring_dedup" -> (Queries.substringDedup(_, _)),
     "q_stratified_sample" -> (Queries.stratifiedSample(_, _)),
@@ -832,6 +833,49 @@ object SparkEntry {
         |    AND CAST(dupline_chars AS DOUBLE) / allline_chars <= ${Queries.RepDupLineMaxFrac}) AS INT) AS keep
         |FROM b JOIN top2 USING (doc_id) JOIN d5 USING (doc_id) JOIN dl USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // the full stupid-backoff LM retrained and rescored from scratch: same
+    // training slice, same pruning, same integer micro-unit arithmetic
+    // (DuckDB `//` == Spark `DIV` on positive BIGINTs — the q_warc_rank
+    // integer-exact protocol)
+    "q_lm_quality" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+        |docs0 AS (SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 600000 AS doc_id,
+        |    array_to_string(list_transform(string_split(text, ' '),
+        |      w -> substring(md5(w), 1, 6)), ' ') AS text
+        |  FROM base WHERE doc_id % 29 = 0),
+        |docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM docs0),
+        |train AS (SELECT string_split(text, ' ') AS words FROM base
+        |          WHERE doc_id % ${Queries.LmTrainMod} = 0),
+        |uni AS (SELECT w, count(*) AS cnt_uni
+        |  FROM (SELECT unnest(words) AS w FROM train) GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt_uni) AS BIGINT) AS total FROM uni),
+        |bi AS (SELECT w1, w2, count(*) AS cnt_bi FROM (
+        |    SELECT words[i] AS w1, words[i + 1] AS w2
+        |    FROM (SELECT words, unnest(range(1, len(words))) AS i FROM train
+        |          WHERE len(words) >= 2))
+        |  GROUP BY 1, 2 HAVING count(*) >= ${Queries.LmPruneMinCount}),
+        |pairs AS (SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
+        |  FROM (SELECT doc_id, words, unnest(range(1, len(words))) AS i FROM docs
+        |        WHERE len(words) >= 2)),
+        |scored AS (SELECT doc_id,
+        |    CASE WHEN bi.cnt_bi IS NOT NULL
+        |         THEN (${Queries.LmMicro} * bi.cnt_bi) // up.cnt_uni
+        |         ELSE (${Queries.LmBackoffMicroNum} * COALESCE(un.cnt_uni, 0)) // tot.total
+        |    END AS p_micro,
+        |    CASE WHEN bi.cnt_bi IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM pairs
+        |  LEFT JOIN bi ON pairs.w1 = bi.w1 AND pairs.w2 = bi.w2
+        |  LEFT JOIN uni up ON pairs.w1 = up.w
+        |  LEFT JOIN uni un ON pairs.w2 = un.w
+        |  CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_scored,
+        |  CAST(SUM(hit) AS BIGINT) AS bigram_hits,
+        |  CAST(SUM(p_micro) AS BIGINT) // COUNT(*) AS mean_p_micro,
+        |  CAST(CAST(SUM(p_micro) AS BIGINT) // COUNT(*)
+        |       >= ${Queries.LmKeepMinMicroMean} AS INT) AS keep
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the C4 line/document rules replanted and re-judged independently;
     // order-preserving reassembly via string_agg ORDER BY pos
     "q_c4_filter" ->

@@ -2770,6 +2770,120 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** LM quality-filter parameters (Wenzek et al. 2020, "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data", §3: a small
+    * in-domain language model scores every crawled document and the
+    * worst-predicted tail is dropped). [[LmTrainMod]] selects the bounded
+    * in-domain training slice (doc_id ≡ 0 mod 10 — CCNet trains its KenLM
+    * on Wikipedia, a fixed reference corpus, NOT on the corpus being
+    * scored; the slice plays that role here and is what makes the model a
+    * bounded artifact at any corpus scale). [[LmPruneMinCount]] is the
+    * model-pruning threshold (KenLM's `--prune`: singleton n-grams are
+    * dropped, which both shrinks the artifact and exercises the backoff
+    * path on every pruned gram). [[LmBackoffMicroNum]]/[[LmMicro]] encode
+    * the stupid-backoff weight α = 0.4 (Brants et al. 2007, "Large
+    * Language Models in Machine Translation", §4) in the micro-unit
+    * integer space. [[LmKeepMinMicroMean]] is the keep cutoff, chosen to
+    * discriminate on the synthetic corpus (~the head+middle fraction CCNet
+    * keeps); any constant is oracle-exact since both engines compare the
+    * same integer.
+    */
+  val LmTrainMod = 10
+  val LmPruneMinCount = 2
+  val LmMicro = 1000000L
+  val LmBackoffMicroNum = 400000L
+  val LmKeepMinMicroMean = 10000L
+
+  /** CCNet-style LM quality scoring: a bigram stupid-backoff model trained
+    * on a CLEAN in-domain reference slice (CCNet trains its KenLM on
+    * Wikipedia, never on the crawl being scored) scores every document;
+    * badly-modeled documents (gibberish, wrong-language residue, binary
+    * spill decoded as text) score low and are flagged for the drop the
+    * CCNet tail bucket gets. The planted failure class is exactly that:
+    * every 29th doc gets an out-of-vocabulary twin (tokens replaced by
+    * md5-fragment gibberish, deterministic in both engines) whose every
+    * bigram AND unigram misses the model — unigram statistics alone
+    * ([[tokenRarity]], [[gopherQuality]]) would need the vocabulary too,
+    * but the LM filter is the member of the family that ALSO kills
+    * well-formed-vocabulary word salad on real corpora via the bigram
+    * term.
+    *
+    * Scoring is in LINEAR micro-unit probabilities, not log space — the
+    * deliberate integer-exact twin of a float classic, exactly like the
+    * integer-micro-unit PageRank ([[graft.SparkEntry.oracleSql]]
+    * q_warc_rank): per-token score = ⌊10^6·cnt(w₁w₂)/cnt(w₁)⌋ when the
+    * bigram survives pruning, else the backoff ⌊0.4·10^6·cnt(w₂)/N⌋, all
+    * BIGINT division identical in Spark (`DIV`) and DuckDB (`//`), so the
+    * oracle is hash-exact where a log-domain perplexity would drift in
+    * libm ulps (the same adjudication [[tokenRarity]] documents). The mean
+    * micro-prob ranks documents monotonically opposite to perplexity for a
+    * fixed length regime, which is all a quantile/threshold filter uses.
+    *
+    * Plan shape at 10^12 docs: the model is trained from the bounded
+    * reference slice with two partial-aggregated counts (one exchange each,
+    * keyed on the gram — slice-sized, not corpus-sized), pruned, and
+    * BROADCAST: the scored corpus never shuffles on a gram key, and the
+    * per-doc re-aggregation collapses map-side because an exploded doc's
+    * grams are co-located (one exchange of one row per doc). If a
+    * reference corpus ever outgrew the broadcast threshold, the escape
+    * hatch is the ordinary gram-keyed hash join — the measured
+    * [[tokenRarityFrom]] adjudication.
+    */
+  def lmQuality(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val scoredSide = base.unionAll(base.filter(col("doc_id") % 29 === 0)
+      .select((col("doc_id") + 600000).as("doc_id"),
+        expr("array_join(transform(split(text, ' '), w -> substring(md5(w), 1, 6)), ' ')")
+          .as("text")))
+    lmQualityFrom(base.filter(col("doc_id") % LmTrainMod === 0), scoredSide)
+      .orderBy("doc_id")
+  }
+
+  /** The scoring core: train the backoff model on `trainIn`, score every
+    * document of `docsIn` (both (doc_id, text); no presentation sort) —
+    * shared by [[lmQuality]] and scale benches. Separate train/score
+    * inputs are the production shape: the reference model corpus is a
+    * fixed curated artifact, the scored corpus is the crawl.
+    */
+  private[graft] def lmQualityFrom(trainIn: DataFrame, docsIn: DataFrame): DataFrame = {
+    val docs = docsIn.select(col("doc_id"), split(col("text"), " ").as("words"))
+    val train = trainIn.select(split(col("text"), " ").as("words"))
+    // unigram counts over the training slice: feeds the prefix denominator,
+    // the backoff numerator AND the total — tracked, released by the caller
+    val uni = tracked(train.select(explode(col("words")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt_uni")))
+    val tot = uni.agg(sum(col("cnt_uni")).as("total"))
+    def bigrams(df: DataFrame, keep: Column*): DataFrame = df
+      .filter(size(col("words")) >= 2)
+      .select(keep :+ explode(expr(
+        """transform(sequence(0, size(words) - 2),
+          |  i -> named_struct('w1', element_at(words, i + 1), 'w2', element_at(words, i + 2)))"""
+          .stripMargin)).as("g"): _*)
+      .select(keep :+ col("g.w1").as("w1") :+ col("g.w2").as("w2"): _*)
+    val bi = bigrams(train)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt_bi"))
+      .filter(col("cnt_bi") >= LmPruneMinCount)
+    bigrams(docs, col("doc_id"))
+      .join(broadcast(bi), Seq("w1", "w2"), "left_outer")
+      .join(broadcast(uni.select(col("w").as("w1"), col("cnt_uni").as("cnt_prefix"))),
+        Seq("w1"), "left_outer")
+      .join(broadcast(uni.select(col("w").as("w2"), col("cnt_uni").as("cnt_next"))),
+        Seq("w2"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        when(col("cnt_bi").isNotNull, expr(s"($LmMicro * cnt_bi) DIV cnt_prefix"))
+          .otherwise(expr(s"($LmBackoffMicroNum * coalesce(cnt_next, 0L)) DIV total"))
+          .as("p_micro"),
+        col("cnt_bi").isNotNull.cast("long").as("hit"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(col("hit")).as("bigram_hits"),
+        sum(col("p_micro")).as("score_sum"))
+      .select(col("doc_id"), col("n_scored"), col("bigram_hits"),
+        expr("score_sum DIV n_scored").as("mean_p_micro"),
+        (expr("score_sum DIV n_scored") >= LmKeepMinMicroMean).cast("int").as("keep"))
+  }
+
   /** Exact-substring dedup gram length, in words (Lee et al. 2021,
     * "Deduplicating Training Data Makes Language Models Better", use 50
     * BPE tokens; 10 words here because the synthetic docs are ~50 words).

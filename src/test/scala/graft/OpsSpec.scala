@@ -198,6 +198,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.ops.Queries.releaseCaches()
   }
 
+  test("lm quality filter drops the out-of-vocabulary plants and never shuffles the corpus on a gram key") {
+    val df = SparkEntry.queries("q_lm_quality")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the pruned model and the unigram table are bounded reference-corpus
+    // artifacts and must BROADCAST — a SortMergeJoin would shuffle the
+    // whole scored corpus keyed on Zipf-skewed grams; a WindowExec has no
+    // business here at all
+    assert(!plan.contains("SortMergeJoin"), "model joins must broadcast")
+    assert(!plan.contains("Window"), "no per-doc window sort")
+    val rows = df.collect()
+    rows.foreach { r =>
+      val (id, mean, keep) = (r.getLong(0), r.getLong(3), r.getInt(4))
+      assert(keep == (if (mean >= graft.ops.Queries.LmKeepMinMicroMean) 1 else 0), s"doc $id")
+      if (id >= 600000) {
+        // planted gibberish twin: every unigram misses the model, so the
+        // score is the all-backoff floor — far under the cutoff
+        assert(keep == 0 && mean < graft.ops.Queries.LmKeepMinMicroMean / 2, s"plant $id mean=$mean")
+        assert(r.getLong(2) == 0L, s"plant $id should hit no model bigram")
+      } else {
+        assert(keep == 1, s"clean doc $id mean=$mean dropped")
+      }
+    }
+    assert(rows.exists(_.getLong(0) >= 600000), "plants present")
+    graft.ops.Queries.releaseCaches()
+  }
+
   test("c4 filter drops lorem-ipsum and code docs wholesale, keeps >=3-line survivors") {
     val kept = SparkEntry.queries("q_c4_filter")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
