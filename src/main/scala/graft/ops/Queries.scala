@@ -2824,10 +2824,12 @@ object Queries {
     * keyed on the gram — slice-sized, not corpus-sized), pruned, and
     * BROADCAST: the scored corpus never shuffles on a gram key, and the
     * per-doc re-aggregation collapses map-side because an exploded doc's
-    * grams are co-located (one exchange of one row per doc). If a
-    * reference corpus ever outgrew the broadcast threshold, the escape
-    * hatch is the ordinary gram-keyed hash join — the measured
-    * [[tokenRarityFrom]] adjudication.
+    * grams are co-located (one exchange of one row per doc). The backoff
+    * denominator (the slice's token total) is collected into a LITERAL at
+    * build time — the IVF-centroid pattern — so no per-gram-row join exists
+    * just to attach a constant. If a reference corpus ever outgrew the
+    * broadcast threshold, the escape hatch is the ordinary gram-keyed hash
+    * join — the measured [[tokenRarityFrom]] adjudication.
     */
   def lmQuality(spark: SparkSession, dir: String): DataFrame = {
     val base = t(spark, dir, "documents").select(col("doc_id"), col("text"))
@@ -2852,7 +2854,15 @@ object Queries {
     // the backoff numerator AND the total — tracked, released by the caller
     val uni = tracked(train.select(explode(col("words")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt_uni")))
-    val tot = uni.agg(sum(col("cnt_uni")).as("total"))
+    // the backoff denominator is ONE number from the bounded slice —
+    // collect it into a literal (the IVF-centroid pattern) instead of
+    // crossJoin(broadcast(1 row)): a BroadcastNestedLoopJoin per gram row
+    // is a whole join stage spent attaching a constant, and the catalog
+    // plan audit rightly rejects the shape
+    val totRow = uni.agg(sum(col("cnt_uni"))).collect()(0)
+    require(!totRow.isNullAt(0) && totRow.getLong(0) > 0L,
+      "LM training slice is empty — the backoff model has no denominator")
+    val total = totRow.getLong(0)
     def bigrams(df: DataFrame, keep: Column*): DataFrame = df
       .filter(size(col("words")) >= 2)
       .select(keep :+ explode(expr(
@@ -2869,10 +2879,9 @@ object Queries {
         Seq("w1"), "left_outer")
       .join(broadcast(uni.select(col("w").as("w2"), col("cnt_uni").as("cnt_next"))),
         Seq("w2"), "left_outer")
-      .crossJoin(broadcast(tot))
       .select(col("doc_id"),
         when(col("cnt_bi").isNotNull, expr(s"($LmMicro * cnt_bi) DIV cnt_prefix"))
-          .otherwise(expr(s"($LmBackoffMicroNum * coalesce(cnt_next, 0L)) DIV total"))
+          .otherwise(expr(s"($LmBackoffMicroNum * coalesce(cnt_next, 0L)) DIV ${total}L"))
           .as("p_micro"),
         col("cnt_bi").isNotNull.cast("long").as("hit"))
       .groupBy(col("doc_id"))

@@ -207,6 +207,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // business here at all
     assert(!plan.contains("SortMergeJoin"), "model joins must broadcast")
     assert(!plan.contains("Window"), "no per-doc window sort")
+    // the backoff total is a collected literal, not a crossJoin(1 row) —
+    // no join stage may exist whose only job is attaching a constant
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "total must be a literal")
     val rows = df.collect()
     rows.foreach { r =>
       val (id, mean, keep) = (r.getLong(0), r.getLong(3), r.getInt(4))
