@@ -53,11 +53,17 @@ import scala.collection.mutable
   *    character, and glyph coverage is NOT required (the OCR-overlay text
   *    layer of a scanned+OCR'd page is arbitrary recognizer output);
   *    stroke/clip text modes 1-2 and 4-7 throw;
-  *  - clipping: the `re W n` RECTANGLE idiom intersects the current clip
+  *  - clipping: the single-rect `re W n` idiom intersects the current clip
   *    box (device-pixel bounds under the same rint rule as rect fills,
-  *    q/Q-scoped, possibly empty); every painter — rect/scanline fills,
-  *    strokes, glyphs, image blits — clamps to it. Polygon clips, `W*`,
-  *    and `W` followed by a painting op other than `n` throw;
+  *    q/Q-scoped, possibly empty) — the exact round-4 rule, digest-stable.
+  *    GENERAL clip paths (polygons/curves/multi-rect, `W` nonzero or `W*`
+  *    even-odd) rasterize the region into a per-pixel clip MASK under the
+  *    SAME pixel-center scanline rules as fills, intersected with the
+  *    clip in force (box AND mask) at `n` time; the clip box tightens to
+  *    the set-bit bounding box (empty region → empty box). Every
+  *    painter — rect/scanline fills, strokes, glyphs, image blits —
+  *    clamps to the box and tests the mask per pixel. `W` followed by a
+  *    painting op other than `n` throws;
   *  - shading (sh), inline images (BI), even-odd fill+stroke (B*), and
   *    path ops without a current point all throw with a reason.
   *
@@ -140,12 +146,17 @@ object PdfRaster {
     * quarter turns, mirrors), identity except around `Do`; a row-vector
     * user point maps to (ma·u + mc·v + tx, mb·u + md·v + ty);
     * clip: device-pixel box (x0, y0, x1, y1) every painter clamps to —
-    * intersection-only (the `re W n` idiom), possibly empty, q/Q-scoped.
+    * intersection-only, possibly empty, q/Q-scoped; clipMask: present once
+    * a GENERAL clip path (polygon/curve/multi-rect/even-odd) is active —
+    * bit-packed row-major w×h region every painter additionally tests per
+    * pixel (None = the box alone governs, the digest-stable rect idiom).
+    * Masks are immutable after construction, so q/Q shares references.
     */
   private final case class GState(fill: (Int, Int, Int), stroke: (Int, Int, Int),
                                   lineWidth: Double, tx: Double, ty: Double,
                                   ma: Double, mb: Double, mc: Double, md: Double,
                                   textRender: Int, clip: (Int, Int, Int, Int),
+                                  clipMask: Option[Array[Long]],
                                   // text state is PART of graphics state
                                   // (PDF §8.4.2): Tf's size+font and TL's
                                   // leading must revert at Q exactly like Tr
@@ -237,17 +248,28 @@ object PdfRaster {
     // current graphics state — declared before the painters so they read
     // the live clip box at paint time
     var st = GState((0, 0, 0), (0, 0, 0), 1.0, 0.0, 0.0, 1.0, 0.0, 0.0, 1.0, 0, (0, 0, w, h),
-      0.0, 0.0, None)
+      None, 0.0, 0.0, None)
+
+    // per-pixel test against a general clip mask (row-major bit-packed);
+    // painters hoist st.clipMask.orNull so the rect-only path (mask null)
+    // costs one reference compare per pixel
+    def maskOk(mk: Array[Long], x: Int, y: Int): Boolean = {
+      val idx = y * w + x
+      (mk(idx >>> 6) & (1L << (idx & 63))) != 0L
+    }
 
     def fillRect(ux: Double, uy: Double, uw: Double, uh: Double, c: (Int, Int, Int)): Unit = {
       val cx0 = math.max(st.clip._1, px(ux)); val cx1 = math.min(st.clip._3, px(ux + uw))
       val ry0 = math.max(st.clip._2, h - px(uy + uh)); val ry1 = math.min(st.clip._4, h - px(uy))
+      val mk = st.clipMask.orNull
       var y = ry0
       while (y < ry1) {
         var x = cx0
         while (x < cx1) {
-          val o = (y * w + x) * 3
-          rgb(o) = c._1.toByte; rgb(o + 1) = c._2.toByte; rgb(o + 2) = c._3.toByte
+          if (mk == null || maskOk(mk, x, y)) {
+            val o = (y * w + x) * 3
+            rgb(o) = c._1.toByte; rgb(o + 1) = c._2.toByte; rgb(o + 2) = c._3.toByte
+          }
           x += 1
         }
         y += 1
@@ -256,6 +278,7 @@ object PdfRaster {
 
     def drawCells(text: String, xPx: Int, topPx: Int, iscale: Int, c: (Int, Int, Int)): Int = {
       // returns the pen advance in pixels; throws on unmapped glyphs
+      val mk = st.clipMask.orNull
       var penDx = 0
       var ci = 0
       while (ci < text.length) {
@@ -281,7 +304,8 @@ object PdfRaster {
                     var bx = 0
                     while (bx < iscale) {
                       val xx = xPx + penDx + gc * iscale + bx
-                      if (xx >= st.clip._1 && xx < st.clip._3) {
+                      if (xx >= st.clip._1 && xx < st.clip._3 &&
+                        (mk == null || maskOk(mk, xx, yy))) {
                         val o = (yy * w + xx) * 3
                         rgb(o) = c._1.toByte; rgb(o + 1) = c._2.toByte; rgb(o + 2) = c._3.toByte
                       }
@@ -307,9 +331,13 @@ object PdfRaster {
     // sampling; the rect-only `f` fast path keeps the rint box rule above).
     val hD = h.toDouble
 
-    // each ring is a device-space point list, implicitly closed
-    def scanFill(rings: Seq[IndexedSeq[(Double, Double)]], evenOdd: Boolean,
-                 c: (Int, Int, Int)): Unit = {
+    // Shared scanline walker (fills, strokes AND general clip-path
+    // rasterization): emits each inside span as (row, xa, xb) already
+    // clamped to the live clip BOX — every formula in the exact round-4
+    // scanFill order so existing digests cannot drift. Each ring is a
+    // device-space point list, implicitly closed.
+    def scanSpans(rings: Seq[IndexedSeq[(Double, Double)]], evenOdd: Boolean)
+                 (emit: (Int, Int, Int) => Unit): Unit = {
       val edges = mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
       var yMin = Double.MaxValue; var yMax = -Double.MaxValue
       rings.foreach { ring =>
@@ -350,17 +378,27 @@ object PdfRaster {
               if (inside) {
                 val xa = math.max(st.clip._1, math.ceil(sorted(i)._1 - 0.5).toInt)
                 val xb = math.min(st.clip._3, math.ceil(sorted(i + 1)._1 - 0.5).toInt)
-                var x = xa
-                while (x < xb) {
-                  val o = (row * w + x) * 3
-                  rgb(o) = c._1.toByte; rgb(o + 1) = c._2.toByte; rgb(o + 2) = c._3.toByte
-                  x += 1
-                }
+                emit(row, xa, xb)
               }
               i += 1
             }
           }
           row += 1
+        }
+      }
+    }
+
+    def scanFill(rings: Seq[IndexedSeq[(Double, Double)]], evenOdd: Boolean,
+                 c: (Int, Int, Int)): Unit = {
+      val mk = st.clipMask.orNull
+      scanSpans(rings, evenOdd) { (row, xa, xb) =>
+        var x = xa
+        while (x < xb) {
+          if (mk == null || maskOk(mk, x, row)) {
+            val o = (row * w + x) * 3
+            rgb(o) = c._1.toByte; rgb(o + 1) = c._2.toByte; rgb(o + 2) = c._3.toByte
+          }
+          x += 1
         }
       }
     }
@@ -419,26 +457,29 @@ object PdfRaster {
       // sample counts along the DEVICE axes (transposed for quarter turns)
       val kx = if (diag) img.width else img.height
       val ky = if (diag) img.height else img.width
+      val mk = st.clipMask.orNull
       var y = math.max(st.clip._2, by0)
       val yEnd = math.min(st.clip._4, by1); val xEnd = math.min(st.clip._3, bx1)
       while (y < yEnd) {
         val iy = math.min(ky - 1, ((y - by0 + 0.5) * ky / boxH).toInt)
         var x = math.max(st.clip._1, bx0)
         while (x < xEnd) {
-          val ix = math.min(kx - 1, ((x - bx0 + 0.5) * kx / boxW).toInt)
-          // orientation: device x runs along image u (diagonal) or v
-          // (anti-diagonal); a negative coefficient reverses that axis.
-          // Derivations: device y grows DOWN while user y grows up, and
-          // image row 0 is the TOP of the unit square (v = 1).
-          val scol =
-            if (diag) { if (st.ma > 0) ix else img.width - 1 - ix }
-            else { if (st.mb > 0) img.width - 1 - iy else iy }
-          val srow =
-            if (diag) { if (st.md > 0) iy else img.height - 1 - iy }
-            else { if (st.mc > 0) img.height - 1 - ix else ix }
-          val so = (srow * img.width + scol) * 3
-          val o = (y * w + x) * 3
-          rgb(o) = img.rgb(so); rgb(o + 1) = img.rgb(so + 1); rgb(o + 2) = img.rgb(so + 2)
+          if (mk == null || maskOk(mk, x, y)) {
+            val ix = math.min(kx - 1, ((x - bx0 + 0.5) * kx / boxW).toInt)
+            // orientation: device x runs along image u (diagonal) or v
+            // (anti-diagonal); a negative coefficient reverses that axis.
+            // Derivations: device y grows DOWN while user y grows up, and
+            // image row 0 is the TOP of the unit square (v = 1).
+            val scol =
+              if (diag) { if (st.ma > 0) ix else img.width - 1 - ix }
+              else { if (st.mb > 0) img.width - 1 - iy else iy }
+            val srow =
+              if (diag) { if (st.md > 0) iy else img.height - 1 - iy }
+              else { if (st.mc > 0) img.height - 1 - ix else ix }
+            val so = (srow * img.width + scol) * 3
+            val o = (y * w + x) * 3
+            rgb(o) = img.rgb(so); rgb(o + 1) = img.rgb(so + 1); rgb(o + 2) = img.rgb(so + 2)
+          }
           x += 1
         }
         y += 1
@@ -487,6 +528,7 @@ object PdfRaster {
     }
     var inText = false
     var pendingClip = false
+    var pendingClipEO = false
     var lineX = 0.0; var lineY = 0.0
     var penPx = 0 // pixel-space pen offset within the current line position
     val operands = mutable.ArrayBuffer.empty[Tok]
@@ -679,19 +721,51 @@ object PdfRaster {
                 evenOdd = false, st.fill)
             strokeAll()
             clearPath()
-          case "W" =>
-            require(rects.length == 1 && subs.isEmpty,
-              s"page $pageNum: W clip supports exactly one rectangle path " +
-                s"(got ${rects.length} rects, ${subs.length} subpaths)")
+          case "W" | "W*" =>
+            require(rects.nonEmpty || subs.nonEmpty,
+              s"page $pageNum: $op with no current path to clip by")
             pendingClip = true
+            pendingClipEO = op == "W*"
           case "n" =>
             if (pendingClip) {
-              val (x, y, rw, rh) = rects.head
-              // same device box rule as rect fills; intersection may be
-              // empty — painters then no-op
-              st = st.copy(clip = (
-                math.max(st.clip._1, px(x)), math.max(st.clip._2, h - px(y + rh)),
-                math.min(st.clip._3, px(x + rw)), math.min(st.clip._4, h - px(y))))
+              if (!pendingClipEO && subs.isEmpty && rects.length == 1) {
+                // the digest-stable single-rect `re W n` idiom: integer box
+                // intersection under the same device rule as rect fills;
+                // may be empty — painters then no-op
+                val (x, y, rw, rh) = rects.head
+                st = st.copy(clip = (
+                  math.max(st.clip._1, px(x)), math.max(st.clip._2, h - px(y + rh)),
+                  math.min(st.clip._3, px(x + rw)), math.min(st.clip._4, h - px(y))))
+              } else {
+                // GENERAL clip path (polygon/curve/multi-rect, or even-odd
+                // via W*): rasterize the region into a per-pixel bit mask
+                // under the SAME scanline rules as fills — spans are already
+                // clamped to the clip box by scanSpans, and each pixel must
+                // pass the mask in force, so nested clips intersect. The
+                // clip box tightens to the set-bit bounding box (an
+                // off-canvas region leaves an empty box: painters no-op).
+                val rings = (rects.map(rectSub) ++ subs).map(deviceRing).toSeq
+                val bits = new Array[Long]((w * h + 63) >>> 6)
+                val prev = st.clipMask.orNull
+                var nx0 = w; var ny0 = h; var nx1 = 0; var ny1 = 0
+                scanSpans(rings, pendingClipEO) { (row, xa, xb) =>
+                  var x = xa
+                  while (x < xb) {
+                    if (prev == null || maskOk(prev, x, row)) {
+                      val idx = row * w + x
+                      bits(idx >>> 6) |= 1L << (idx & 63)
+                      if (x < nx0) nx0 = x
+                      if (x + 1 > nx1) nx1 = x + 1
+                      if (row < ny0) ny0 = row
+                      if (row + 1 > ny1) ny1 = row + 1
+                    }
+                    x += 1
+                  }
+                }
+                st =
+                  if (nx1 <= nx0) st.copy(clip = (0, 0, 0, 0), clipMask = Some(bits))
+                  else st.copy(clip = (nx0, ny0, nx1, ny1), clipMask = Some(bits))
+              }
               pendingClip = false
             }
             clearPath()

@@ -27,7 +27,8 @@ class PdfRasterSpec extends AnyFunSuite {
     val byName = (0 until exp.size()).map(exp.get).groupBy(_.get("name").asText)
     assert(byName.keySet ==
       Set("raster_00.pdf", "raster_01.pdf", "raster_02.pdf", "raster_03.pdf",
-        "raster_04.pdf", "raster_05.pdf", "raster_06.pdf", "raster_07.pdf"))
+        "raster_04.pdf", "raster_05.pdf", "raster_06.pdf", "raster_07.pdf",
+        "raster_08.pdf"))
     byName.foreach { case (name, pageExp) =>
       val pages = PdfRaster.rasterize(fixture(name), dpi)
       assert(pages.length == pageExp.length, s"$name page count")
@@ -74,9 +75,8 @@ class PdfRasterSpec extends AnyFunSuite {
       val ex = intercept[IllegalArgumentException](PdfRaster.rasterize(tinyPdf(content), 72))
       assert(ex.getMessage.contains(needle), s"for [$content] got: ${ex.getMessage}")
     }
-    rejects("10 10 m 30 10 l 30 30 l h W n", "exactly one rectangle path") // polygon clip
-    rejects("5 5 10 10 re 20 20 5 5 re W n", "exactly one rectangle path") // multi-rect clip
-    rejects("5 5 10 10 re W* n", "outside the raster subset") // even-odd clip
+    rejects("W n", "no current path to clip by") // clip with nothing to clip
+    rejects("W* n", "no current path to clip by")
     rejects("5 5 10 10 re W f", "W followed by 'f'") // clip+paint combo
     rejects("10 10 m 30 10 l 30 30 l h B*", "outside the raster subset") // even-odd fill+stroke
     rejects("0 0 0.5 0 k 5 5 10 10 re f", "outside the raster subset") // CMYK fill
@@ -245,6 +245,48 @@ class PdfRasterSpec extends AnyFunSuite {
     val empty = PdfRaster.rasterize(tinyPdf(
       "q 5 5 10 10 re W n 30 30 10 5 re W n 0 0 0 rg 0 0 50 40 re f Q"), 72).head.image
     assert(!empty.rgb.exists(_ == 0x00.toByte), "empty clip paints nothing")
+  }
+
+  test("general clip paths mask per pixel: polygon W, even-odd W*, box∩mask") {
+    def at(img: ImageDecode.Decoded, x: Int, y: Int): Byte =
+      img.rgb(((40 - y) * img.width + x) * 3)
+    // triangle clip (10,10)-(40,10)-(25,30): full-page fill only lands inside
+    val tri = PdfRaster.rasterize(tinyPdf(
+      "q 10 10 m 40 10 l 25 30 l h W n 0 0 0 rg 0 0 50 40 re f Q 0 0 0 rg 45 2 4 4 re f"), 72).head.image
+    assert(at(tri, 25, 15) == 0x00.toByte, "inside the triangle")
+    assert(at(tri, 12, 25) == 0xFF.toByte, "inside the bbox but outside the triangle")
+    assert(at(tri, 5, 5) == 0xFF.toByte, "outside the triangle's bbox")
+    assert(at(tri, 46, 3) == 0x00.toByte, "after Q the painter is unclipped")
+    // even-odd star clip: the center pentagon is OUTSIDE the W* region, so a
+    // full fill must leave it white while painting the points
+    val star = "25 35 m 16.18 7.86 l 39.27 24.64 l 10.73 24.64 l 33.82 7.86 l h"
+    val eo = PdfRaster.rasterize(tinyPdf(
+      s"q $star W* n 0 0 0 rg 0 0 50 40 re f Q"), 72).head.image
+    assert(at(eo, 25, 20) == 0xFF.toByte, "even-odd clip excludes the star center")
+    assert(at(eo, 25, 30) == 0x00.toByte, "a star point is inside the clip")
+    // nonzero W on the same star INCLUDES the center
+    val nz = PdfRaster.rasterize(tinyPdf(
+      s"q $star W n 0 0 0 rg 0 0 50 40 re f Q"), 72).head.image
+    assert(at(nz, 25, 20) == 0x00.toByte, "nonzero clip includes the star center")
+    // rect box clip then polygon mask clip intersect: triangle ∩ x>=20
+    val both = PdfRaster.rasterize(tinyPdf(
+      "q 20 0 30 40 re W n 10 10 m 40 10 l 25 30 l h W n 0 0 0 rg 0 0 50 40 re f Q"), 72).head.image
+    assert(at(both, 25, 15) == 0x00.toByte, "inside both clips")
+    assert(at(both, 15, 12) == 0xFF.toByte, "triangle-only region is clipped out")
+    // multi-rect clip path (the round-4 rejection case) now masks the union
+    val two = PdfRaster.rasterize(tinyPdf(
+      "q 5 5 10 10 re 30 25 10 10 re W n 0 0 0 rg 0 0 50 40 re f Q"), 72).head.image
+    assert(at(two, 8, 8) == 0x00.toByte && at(two, 35, 30) == 0x00.toByte, "both rects fill")
+    assert(at(two, 20, 20) == 0xFF.toByte, "between the rects stays white")
+    // strokes and glyphs honor the mask too
+    val stk = PdfRaster.rasterize(tinyPdf(
+      "q 10 10 m 40 10 l 25 30 l h W n 0 0 0 RG 4 w 0 15 m 50 15 l S Q"), 72).head.image
+    assert(at(stk, 25, 15) == 0x00.toByte, "stroke inside the triangle clip")
+    assert(at(stk, 5, 15) == 0xFF.toByte, "stroke clipped outside the triangle")
+    // an off-canvas clip region empties the box: painting no-ops, no throw
+    val off = PdfRaster.rasterize(tinyPdf(
+      "q 100 100 m 120 100 l 110 120 l h W n 0 0 0 rg 0 0 50 40 re f Q"), 72).head.image
+    assert(!off.rgb.exists(_ == 0x00.toByte), "empty general clip paints nothing")
   }
 
   test("Q restores the TEXT state too: font size and leading revert like Tr") {

@@ -181,8 +181,9 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None):
         ry0, ry1 = max(clip[1], H - px(y + h)), min(clip[3], H - px(y))
         for yy in range(ry0, ry1):
             for xx in range(cx0, cx1):
-                o = (yy * W + xx) * 3
-                rgb[o:o + 3] = bytes(c)
+                if clip_mask is None or clip_mask[yy * W + xx]:
+                    o = (yy * W + xx) * 3
+                    rgb[o:o + 3] = bytes(c)
 
     import math as _math
     HD = float(H)
@@ -190,8 +191,12 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None):
     def device_ring(pts):
         return [(ux * s, HD - uy * s) for (ux, uy) in pts]
 
-    def scan_fill(rings, even_odd, c):
-        # rings: device-space point lists, implicitly closed
+    def scan_spans(rings, even_odd):
+        # Shared scanline walker (fills, strokes AND general clip-path
+        # rasterization): yields each inside span as (row, xa, xb) already
+        # clamped to the live clip BOX — every formula in the Scala
+        # scanSpans order. rings: device-space point lists, implicitly
+        # closed.
         edges = []
         y_min, y_max = float('inf'), float('-inf')
         for ring in rings:
@@ -228,9 +233,14 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None):
                 if inside:
                     xa = max(clip[0], _math.ceil(xs[i][0] - 0.5))
                     xb = min(clip[2], _math.ceil(xs[i + 1][0] - 0.5))
-                    for x in range(xa, xb):
-                        o = (row * W + x) * 3
-                        rgb[o:o + 3] = bytes(c)
+                    yield row, xa, xb
+
+    def scan_fill(rings, even_odd, c):
+        for row, xa, xb in scan_spans(rings, even_odd):
+            for x in range(xa, xb):
+                if clip_mask is None or clip_mask[row * W + x]:
+                    o = (row * W + x) * 3
+                    rgb[o:o + 3] = bytes(c)
 
     def stroke_subs(sub_list, lw_dev, c):
         assert lw_dev > 0, f'non-positive stroke width {lw_dev}'
@@ -281,7 +291,9 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None):
                                 if clip[1] <= yy < clip[3]:
                                     for bx in range(isc):
                                         xx = x_px + pen + gc * isc + bx
-                                        if clip[0] <= xx < clip[2]:
+                                        if (clip[0] <= xx < clip[2] and
+                                                (clip_mask is None or
+                                                 clip_mask[yy * W + xx])):
                                             o = (yy * W + xx) * 3
                                             rgb[o:o + 3] = bytes(c)
             pen += (GLYPH_W + SPACING) * isc
@@ -304,6 +316,8 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None):
         for y in range(max(clip[1], by0), min(clip[3], by1)):
             iy = min(ky - 1, int((y - by0 + 0.5) * ky / box_h))
             for x in range(max(clip[0], bx0), min(clip[2], bx1)):
+                if clip_mask is not None and not clip_mask[y * W + x]:
+                    continue
                 ix = min(kx - 1, int((x - bx0 + 0.5) * kx / box_w))
                 if diag:
                     scol = ix if ma > 0 else iw - 1 - ix
@@ -322,7 +336,9 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None):
     ma, mb, mc, md = 1.0, 0.0, 0.0, 1.0
     trmode = 0
     clip = (0, 0, W, H)
+    clip_mask = None  # bytearray(W*H) once a GENERAL clip path is active
     pending_clip = False
+    pending_clip_eo = False
     stack = []
     rects = []
     subs = []  # [pts:list[(x,y)], closed:bool] — mutated in place
@@ -385,10 +401,11 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None):
                 # text state (Tf size+font, TL leading) is PART of graphics
                 # state (PDF 8.4.2) — Q must restore it, mirroring PdfRaster
                 stack.append((fill, stroke, line_w, tx, ty, ma, mb, mc, md,
-                              trmode, clip, font_size, leading, cur_dec))
+                              trmode, clip, clip_mask, font_size, leading,
+                              cur_dec))
             elif val == 'Q':
                 (fill, stroke, line_w, tx, ty, ma, mb, mc, md, trmode, clip,
-                 font_size, leading, cur_dec) = stack.pop()
+                 clip_mask, font_size, leading, cur_dec) = stack.pop()
             elif val == 'cm':
                 a, b, c, d = (operands[-6][1], operands[-5][1],
                               operands[-4][1], operands[-3][1])
@@ -497,14 +514,38 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None):
                                [rect_sub(r) for r in rects] + subs], False, fill)
                 stroke_subs([rect_sub(r) for r in rects] + subs, line_w * s, stroke)
                 rects, subs = [], []
-            elif val == 'W':
-                assert len(rects) == 1 and not subs, 'W clip needs exactly one rect'
+            elif val in ('W', 'W*'):
+                assert rects or subs, f'{val} with no current path to clip by'
                 pending_clip = True
+                pending_clip_eo = val == 'W*'
             elif val == 'n':
                 if pending_clip:
-                    x, y, w2, h2 = rects[0]
-                    clip = (max(clip[0], px(x)), max(clip[1], H - px(y + h2)),
-                            min(clip[2], px(x + w2)), min(clip[3], H - px(y)))
+                    if not pending_clip_eo and not subs and len(rects) == 1:
+                        # the digest-stable single-rect `re W n` idiom
+                        x, y, w2, h2 = rects[0]
+                        clip = (max(clip[0], px(x)), max(clip[1], H - px(y + h2)),
+                                min(clip[2], px(x + w2)), min(clip[3], H - px(y)))
+                    else:
+                        # GENERAL clip path: rasterize the region into a
+                        # per-pixel mask under the SAME scanline rules as
+                        # fills (spans already box-clamped), AND'd with the
+                        # mask in force; the clip box tightens to the set
+                        # bounding box (empty region -> empty box)
+                        rings = [device_ring(p) for (p, _) in
+                                 [rect_sub(r) for r in rects] + subs]
+                        bits = bytearray(W * H)
+                        prev = clip_mask
+                        nx0, ny0, nx1, ny1 = W, H, 0, 0
+                        for row, xa, xb in scan_spans(rings, pending_clip_eo):
+                            for x in range(xa, xb):
+                                if prev is None or prev[row * W + x]:
+                                    bits[row * W + x] = 1
+                                    nx0 = min(nx0, x)
+                                    nx1 = max(nx1, x + 1)
+                                    ny0 = min(ny0, row)
+                                    ny1 = max(ny1, row + 1)
+                        clip_mask = bits
+                        clip = (0, 0, 0, 0) if nx1 <= nx0 else (nx0, ny0, nx1, ny1)
                     pending_clip = False
                 rects, subs = [], []
             elif val == 'BT':
@@ -1006,6 +1047,31 @@ def main():
         "(READS SECOND NOW) Tj ET")
     pages7 = [(p10, 200.0, 120.0, True)]
 
+    # raster_08.pdf: GENERAL clip paths — the round-5 mask extension. A
+    # triangle polygon clip over a full-page fill, the self-intersecting
+    # star as an EVEN-ODD (W*) clip whose pentagon hole stays white, a
+    # multi-rect single-path clip, a NESTED rect-box-then-polygon clip
+    # (box AND mask intersect), a checkerboard image blit through a
+    # triangle clip, glyphs sliced by a slanted clip edge, a thick stroke
+    # through an even-odd band clip, an entirely off-canvas clip region
+    # (empty mask — paints nothing, must not throw), and an unclipped
+    # marker after Q proving the mask restores.
+    images8 = {'Px': (16, 16, checker(16, 16))}
+    p11 = (
+        "q 10 90 m 70 90 l 40 140 l h W n 0.8 0 0 rg 0 0 200 150 re f Q "
+        f"q 1 0 0 1 120 110 cm {star} W* n 0 0 0.8 rg -40 -40 80 80 re f Q "
+        "q 10 10 30 20 re 50 10 30 20 re W n 0 0.5 0 rg 0 0 200 150 re f Q "
+        "q 100 10 60 40 re W n 90 15 m 170 15 l 130 60 l h W n "
+        "0 0 0 rg 0 0 200 150 re f Q "
+        "q 20 40 m 80 40 l 50 85 l h W n q 64 0 0 48 15 38 cm /Px Do Q Q "
+        "q 95 95 m 195 95 l 195 115 l 95 108 l h W n "
+        "0 0 0 rg BT /F1 10 Tf 96 96 Td (CLIP POLY) Tj ET Q "
+        "q 100 60 m 190 60 l 190 80 l 100 80 l h W* n "
+        "0 0 1 RG 6 w 95 50 m 200 90 l S Q "
+        "q 300 300 m 320 300 l 310 320 l h W n 1 0 0 rg 0 0 200 150 re f Q "
+        "0.3 0.3 0.3 rg 180 140 10 6 re f")
+    pages8 = [(p11, 200.0, 150.0, True)]
+
     fonts = {'F2': cmap_decoder(cmap)}
     docs = [('raster_00.pdf', pages, cmap, None),
             ('raster_01.pdf', pages1, None, None),
@@ -1014,7 +1080,8 @@ def main():
             ('raster_04.pdf', pages4, None, images4),
             ('raster_05.pdf', pages5, None, images5),
             ('raster_06.pdf', pages6, None, None),
-            ('raster_07.pdf', pages7, None, None)]
+            ('raster_07.pdf', pages7, None, None),
+            ('raster_08.pdf', pages8, None, images8)]
     rows = []
     seg_rows = []
     ocr_out = []
