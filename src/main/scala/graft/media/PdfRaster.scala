@@ -24,23 +24,26 @@ import scala.collection.mutable
   *  - color: `rg`/`g` fill, `RG`/`G` stroke (RGB 0..1 / gray); CMYK/ICC
   *    (`k`/`K`/`cs`/`sc`/`scn`) is rejected (no profile math offline);
   *  - graphics state: `q`/`Q` save/restore (fill+stroke color, line
-  *    width, CTM, text render mode), `cm` restricted to the
-  *    AXIS-PRESERVING family: diagonal (scale / mirror / 180°, any signs)
-  *    or anti-diagonal (±90° quarter turns, any signs); skew throws. A
-  *    non-identity CTM is accepted ONLY as the placement transform for an
-  *    image XObject (the `q <w> 0 0 <h> <tx> <ty> cm /Im Do Q` idiom every
-  *    scanned-page generator emits, plus its rotated/mirrored variants for
-  *    landscape and flipped scans) — a path or text op under a
-  *    non-identity CTM throws;
+  *    width, CTM, text render mode), `cm` accepts ANY invertible matrix
+  *    (singular throws — no inverse, no pixel model). A non-identity CTM
+  *    is accepted ONLY as the placement transform for an image XObject
+  *    (the `q <w> 0 0 <h> <tx> <ty> cm /Im Do Q` idiom every scanned-page
+  *    generator emits, plus rotated/mirrored/arbitrary-angle variants for
+  *    landscape, flipped and deskew-scanned pages) — a path or text op
+  *    under a non-identity CTM throws;
   *  - image XObjects: `Do` composites a /Subtype /Image XObject
-  *    (Flate/DeviceRGB or DCT, decoded by [[PdfPages.decodeImageObject]])
-  *    into the device-aligned box the unit square maps to, by
-  *    nearest-neighbor sampling: box bounds under the same rint rule as
+  *    (Flate/DeviceRGB or DCT, decoded by [[PdfPages.decodeImageObject]]).
+  *    Under the AXIS-PRESERVING family (diagonal / anti-diagonal, any
+  *    signs) the unit square maps to a device-aligned box sampled by the
+  *    digest-stable forward rule: box bounds under the same rint rule as
   *    rect fills, device pixel (X, Y) sampling index
   *    i = ⌊(X−bx0+0.5)·k/boxW⌋ (k = imgW, or imgH under a quarter turn,
   *    min-clamped to k−1), with the source column/row axes transposed for
   *    quarter turns and reversed where the active matrix coefficient is
-  *    negative. Form XObjects throw;
+  *    negative. Any OTHER invertible placement (arbitrary rotation, skew)
+  *    inverse-maps each device pixel center in the transformed corners'
+  *    ceil/floor bbox back to the half-open [0,1)² unit square and samples
+  *    texel (⌊u·iw⌋, ⌊(1−v)·ih⌋), min-clamped. Form XObjects throw;
   *  - text: the same BT/ET operator subset as [[PdfText]] (Td, TD, Tm,
   *    T-star, TL positioning; Tj/'/"/TJ shows; per-font /ToUnicode CMap or
   *    Latin-1/UTF-16BE-BOM string decoding), drawn with the built-in
@@ -441,7 +444,62 @@ object PdfRaster {
     // flips along each axis by the sign of the active coefficient. For the
     // positive-diagonal case this reduces formula-for-formula to the
     // axis-aligned blit, so existing goldens are unchanged.
+    // inverse-mapped nearest-neighbor blit for a ROTATED/SKEWED placement
+    // (anything outside the axis-preserving family, which keeps the
+    // digest-stable forward blit in [[blitImage]]): each device pixel
+    // center in the ceil/floor bbox of the 4 transformed unit-square
+    // corners maps back through the inverse CTM; centers inside the
+    // half-open [0,1)² unit square sample texel (⌊u·iw⌋, ⌊(1−v)·ih⌋)
+    // (min-clamped), the rest are untouched — so the rotated footprint is
+    // exact to the pixel-center rule, same as scanline fills.
+    def blitImageGeneral(img: ImageDecode.Decoded): Unit = {
+      val det = st.ma * st.md - st.mb * st.mc // cm rejected singular: det ≠ 0
+      val xs = Array(st.tx, st.ma + st.tx, st.mc + st.tx, st.ma + st.mc + st.tx)
+      val ys = Array(st.ty, st.mb + st.ty, st.md + st.ty, st.mb + st.md + st.ty)
+      var dx0 = Double.MaxValue; var dx1 = -Double.MaxValue
+      var dy0 = Double.MaxValue; var dy1 = -Double.MaxValue
+      var i = 0
+      while (i < 4) {
+        val dX = xs(i) * s; val dY = hD - ys(i) * s
+        if (dX < dx0) dx0 = dX
+        if (dX > dx1) dx1 = dX
+        if (dY < dy0) dy0 = dY
+        if (dY > dy1) dy1 = dY
+        i += 1
+      }
+      val bx0 = math.max(st.clip._1, math.floor(dx0).toInt)
+      val bx1 = math.min(st.clip._3, math.ceil(dx1).toInt)
+      val by0 = math.max(st.clip._2, math.floor(dy0).toInt)
+      val by1 = math.min(st.clip._4, math.ceil(dy1).toInt)
+      val mk = st.clipMask.orNull
+      var y = by0
+      while (y < by1) {
+        val uy = (hD - (y + 0.5)) / s // device row center → user y
+        var x = bx0
+        while (x < bx1) {
+          if (mk == null || maskOk(mk, x, y)) {
+            val ux = (x + 0.5) / s
+            val rx = ux - st.tx; val ry = uy - st.ty
+            val u = (rx * st.md - ry * st.mc) / det
+            val v = (ry * st.ma - rx * st.mb) / det
+            if (u >= 0.0 && u < 1.0 && v >= 0.0 && v < 1.0) {
+              val scol = math.min(img.width - 1, (u * img.width).toInt)
+              val srow = math.min(img.height - 1, ((1.0 - v) * img.height).toInt)
+              val so = (srow * img.width + scol) * 3
+              val o = (y * w + x) * 3
+              rgb(o) = img.rgb(so); rgb(o + 1) = img.rgb(so + 1); rgb(o + 2) = img.rgb(so + 2)
+            }
+          }
+          x += 1
+        }
+        y += 1
+      }
+    }
+
     def blitImage(img: ImageDecode.Decoded): Unit = {
+      if (!((st.mb == 0.0 && st.mc == 0.0) || (st.ma == 0.0 && st.md == 0.0))) {
+        blitImageGeneral(img); return
+      }
       val diag = st.mb == 0.0 && st.mc == 0.0
       // unit-square extent: exactly one of (ma, mc) is nonzero, and one of
       // (mb, md) — the sums below are the single active coefficient
@@ -602,13 +660,14 @@ object PdfRaster {
           case "cm" =>
             require(operands.length >= 6, "cm needs 6 operands")
             val Seq(a, b, c, d, e, f) = operands.takeRight(6).map(num).toSeq
-            // axis-preserving only: diagonal (scale/mirror/180°) or
-            // anti-diagonal (quarter turns). A skew matrix has no pixel
-            // model here and throws. Products of axis-preserving matrices
-            // stay axis-preserving, so the cumulative CTM needs no recheck.
-            require((b == 0.0 && c == 0.0 && a != 0.0 && d != 0.0) ||
-              (a == 0.0 && d == 0.0 && b != 0.0 && c != 0.0),
-              s"page $pageNum: skewed cm unsupported (a=$a b=$b c=$c d=$d)")
+            // any INVERTIBLE matrix composes; each painter decides what it
+            // can render under the cumulative CTM (paths/text/strokes
+            // require identity — requireUnitScale; image blits keep the
+            // digest-stable forward blit for the axis-preserving family
+            // and inverse-map everything else). A singular matrix has no
+            // inverse and therefore no pixel model: loud.
+            require(a * d - b * c != 0.0,
+              s"page $pageNum: singular cm (a=$a b=$b c=$c d=$d) has no pixel model")
             // premultiplied row-vector composition: CTM' = cm × CTM
             st = st.copy(
               ma = a * st.ma + b * st.mc, mb = a * st.mb + b * st.md,

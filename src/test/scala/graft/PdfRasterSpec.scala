@@ -28,7 +28,7 @@ class PdfRasterSpec extends AnyFunSuite {
     assert(byName.keySet ==
       Set("raster_00.pdf", "raster_01.pdf", "raster_02.pdf", "raster_03.pdf",
         "raster_04.pdf", "raster_05.pdf", "raster_06.pdf", "raster_07.pdf",
-        "raster_08.pdf"))
+        "raster_08.pdf", "raster_09.pdf"))
     byName.foreach { case (name, pageExp) =>
       val pages = PdfRaster.rasterize(fixture(name), dpi)
       assert(pages.length == pageExp.length, s"$name page count")
@@ -85,8 +85,10 @@ class PdfRasterSpec extends AnyFunSuite {
     rejects("q 2 0 0 2 0 0 cm BT /F1 7 Tf 2 5 Td (A) Tj ET Q", "under a non-identity cm")
     rejects("q 0 1 -1 0 0 0 cm 5 5 10 10 re f Q", "under a non-identity cm") // rotated path
     rejects("q 1 0 0 -1 0 40 cm 5 5 10 10 re f Q", "under a non-identity cm") // mirrored path
-    rejects("q 1 0.5 0 1 0 0 cm 5 5 10 10 re f Q", "skewed cm unsupported") // shear
-    rejects("q 0.7 0.7 -0.7 0.7 0 0 cm 5 5 10 10 re f Q", "skewed cm unsupported") // 45 deg
+    rejects("q 1 0.5 0 1 0 0 cm 5 5 10 10 re f Q", "under a non-identity cm") // sheared path
+    rejects("q 0.7 0.7 -0.7 0.7 0 0 cm 5 5 10 10 re f Q", "under a non-identity cm") // rotated path
+    rejects("q 2 0 0 0 0 0 cm /Nope Do Q", "singular cm") // rank-1 matrix
+    rejects("q 1 2 2 4 0 0 cm /Nope Do Q", "singular cm") // det = 0
     rejects("q 10 0 0 10 5 5 cm /Nope Do Q", "unknown XObject") // dangling Do name
     rejects("BT 1 Tr /F1 7 Tf 2 25 Td (A) Tj ET", "text render mode 1") // stroke text
     rejects("BT /F1 7 Tf 2 25 Td (#) Tj ET", "outside the built-in glyph font")
@@ -223,6 +225,25 @@ class PdfRasterSpec extends AnyFunSuite {
     // in the 90° region the scan's line bands run VERTICALLY: moving along
     // y stays in the band (srow=53 fixed; iy=44 → scol=35 → r=45)
     assert(at(126, 368) == ((45, 45, 35)), "band must run vertically after 90°")
+  }
+
+  test("arbitrary-angle image placement inverse-maps pixel centers to texels") {
+    // raster_09's 30° leg: cm (96cos30, 96sin30, -120sin30, 120cos30, 30, 10)
+    // at dpi 144 (s = 2). Derivations done by hand from the documented rule:
+    // device pixel (83,408) center (83.5,408.5) → user (41.75, 85.75) →
+    // (u,v) = ((rx·md − ry·mc)/det, (ry·ma − rx·mb)/det) ≈ (0.5005, 0.4977)
+    // with det = 96·120 = 11520 → texel (col 40, row 50): row 50 is
+    // parchment, v = 205 + (40·13 + 50·7) % 40 = 235 → RGB (235, 229, 210)
+    val p = PdfRaster.rasterize(fixture("raster_09.pdf"), 144).head.image
+    assert(p.width == 800 && p.height == 580)
+    def at(x: Int, y: Int): (Int, Int, Int) = {
+      val o = (y * p.width + x) * 3
+      (p.rgb(o) & 0xFF, p.rgb(o + 1) & 0xFF, p.rgb(o + 2) & 0xFF)
+    }
+    assert(at(83, 408) == ((235, 229, 210)), "30°-rotated parchment texel")
+    // a pixel inside the transformed-corner BBOX but outside the rotated
+    // footprint maps to u ≈ 1.54 > 1 and must stay white
+    assert(at(226, 256) == ((255, 255, 255)), "bbox corner outside the footprint")
   }
 
   test("re W n clips every painter, intersects when nested, restores on Q") {

@@ -31,6 +31,7 @@ tokenizer + CMap decoder).
 """
 import hashlib
 import json
+import math as _m
 import zlib
 
 from gen_pdftext_fixture import _tokens, cmap_decoder
@@ -302,8 +303,35 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None):
     def blit_image(img):
         # nearest-neighbor under the axis-preserving CTM — formulas in the
         # Scala order; transposed indices for quarter turns, reversed axes
-        # for negative coefficients
+        # for negative coefficients. Anything else (arbitrary rotation,
+        # skew) inverse-maps each device pixel center in the transformed
+        # corners' ceil/floor bbox back to the half-open [0,1)^2 unit
+        # square and samples texel (floor(u*iw), floor((1-v)*ih)).
         iw, ih, irgb = img
+        if not ((mb == 0.0 and mc == 0.0) or (ma == 0.0 and md == 0.0)):
+            det = ma * md - mb * mc
+            dxs = [x * s for x in (tx, ma + tx, mc + tx, ma + mc + tx)]
+            dys = [HD - y * s for y in (ty, mb + ty, md + ty, mb + md + ty)]
+            bx0 = max(clip[0], _math.floor(min(dxs)))
+            bx1 = min(clip[2], _math.ceil(max(dxs)))
+            by0 = max(clip[1], _math.floor(min(dys)))
+            by1 = min(clip[3], _math.ceil(max(dys)))
+            for y in range(by0, by1):
+                uy = (HD - (y + 0.5)) / s
+                for x in range(bx0, bx1):
+                    if clip_mask is not None and not clip_mask[y * W + x]:
+                        continue
+                    ux = (x + 0.5) / s
+                    rx, ry = ux - tx, uy - ty
+                    u = (rx * md - ry * mc) / det
+                    v = (ry * ma - rx * mb) / det
+                    if 0.0 <= u < 1.0 and 0.0 <= v < 1.0:
+                        scol = min(iw - 1, int(u * iw))
+                        srow = min(ih - 1, int((1.0 - v) * ih))
+                        so = (srow * iw + scol) * 3
+                        o = (y * W + x) * 3
+                        rgb[o:o + 3] = irgb[so:so + 3]
+            return
         diag = mb == 0.0 and mc == 0.0
         xlo, xhi = tx + min(0.0, ma + mc), tx + max(0.0, ma + mc)
         ylo, yhi = ty + min(0.0, mb + md), ty + max(0.0, mb + md)
@@ -409,9 +437,8 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None):
             elif val == 'cm':
                 a, b, c, d = (operands[-6][1], operands[-5][1],
                               operands[-4][1], operands[-3][1])
-                assert ((b == 0.0 and c == 0.0 and a != 0.0 and d != 0.0) or
-                        (a == 0.0 and d == 0.0 and b != 0.0 and c != 0.0)), \
-                    f'skewed cm unsupported (a={a} b={b} c={c} d={d})'
+                assert a * d - b * c != 0.0, \
+                    f'singular cm (a={a} b={b} c={c} d={d}) has no pixel model'
                 e, f2 = operands[-2][1], operands[-1][1]
                 # premultiplied row-vector composition (Scala order)
                 ma, mb, mc, md, tx, ty = (
@@ -1072,6 +1099,30 @@ def main():
         "0.3 0.3 0.3 rg 180 140 10 6 re f")
     pages8 = [(p11, 200.0, 150.0, True)]
 
+    # raster_09.pdf: ARBITRARY-ANGLE image placements — the deskew-scanned
+    # class a real archive produces (pages photographed slightly rotated).
+    # The SAME 80×100 scan is composited at 30° (rotation+scale cm), at
+    # −12° (a small skew-correction angle), through a rect clip at 45°
+    # (clip ∩ rotated footprint), and once SHEARED (a≠0,b≠0,c≠0,d≠0 with
+    # no rotation structure) — each exercises the inverse-mapped blit;
+    # the caption and border stay on the identity CTM.
+    images9 = {'Im0': (80, 100, scan_pixels(80, 100))}
+    cos30, sin30 = _m.cos(_m.radians(30.0)), _m.sin(_m.radians(30.0))
+    cosm12, sinm12 = _m.cos(_m.radians(-12.0)), _m.sin(_m.radians(-12.0))
+    cos45, sin45 = _m.cos(_m.radians(45.0)), _m.sin(_m.radians(45.0))
+    r30 = (f"q {96 * cos30} {96 * sin30} {-120 * sin30} {120 * cos30} "
+           "30 10 cm /Im0 Do Q ")
+    rm12 = (f"q {80 * cosm12} {80 * sinm12} {-100 * sinm12} {100 * cosm12} "
+            "170 40 cm /Im0 Do Q ")
+    r45clip = ("q 290 60 50 80 re W n "
+               f"q {90 * cos45} {90 * sin45} {-110 * sin45} {110 * cos45} "
+               "290 30 cm /Im0 Do Q Q ")
+    shear = "q 70 18 -25 95 30 170 cm /Im0 Do Q "
+    p12 = (r30 + rm12 + r45clip + shear +
+           "0 0 0 RG 1 w 5 5 390 270 re S "
+           "0 0 0 rg BT /F1 8 Tf 150 274 Td (DESKEW SCANS) Tj ET")
+    pages9 = [(p12, 400.0, 290.0, True)]
+
     fonts = {'F2': cmap_decoder(cmap)}
     docs = [('raster_00.pdf', pages, cmap, None),
             ('raster_01.pdf', pages1, None, None),
@@ -1081,7 +1132,8 @@ def main():
             ('raster_05.pdf', pages5, None, images5),
             ('raster_06.pdf', pages6, None, None),
             ('raster_07.pdf', pages7, None, None),
-            ('raster_08.pdf', pages8, None, images8)]
+            ('raster_08.pdf', pages8, None, images8),
+            ('raster_09.pdf', pages9, None, images9)]
     rows = []
     seg_rows = []
     ocr_out = []
