@@ -67,8 +67,16 @@ import scala.collection.mutable
   *    painter — rect/scanline fills, strokes, glyphs, image blits —
   *    clamps to the box and tests the mask per pixel. `W` followed by a
   *    painting op other than `n` throws;
-  *  - shading (sh), inline images (BI), even-odd fill+stroke (B*), and
-  *    path ops without a current point all throw with a reason.
+  *  - shading: `sh` paints an AXIAL (/ShadingType 2) DeviceRGB gradient
+  *    with a type-2 exponential function of INTEGER exponent across the
+  *    entire clip region in force (box ∩ mask): each pixel center projects
+  *    onto the axis, t clamps per /Extend (non-extended ends leave pixels
+  *    untouched), color = rint(255·(C0 + t^N·(C1−C0))) with t^N by
+  *    repeated multiplication so the twins agree bit-for-bit. Radial/mesh
+  *    shading types, sampled/stitching/PostScript functions, non-[0 1]
+  *    domains and fractional exponents throw at page setup;
+  *  - inline images (BI), even-odd fill+stroke (B*), and path ops without
+  *    a current point all throw with a reason.
   *
   * Pixel rules (the differential contract with the pure-Python twin,
   * tools/gen_pdfraster_fixture.py): scale s = dpi/72; canvas
@@ -112,6 +120,80 @@ object PdfRaster {
 
   private val ExtGStateRe = """/ExtGState\s*<<([^>]*)>>""".r
   private val LwRe = """/LW\s+([0-9.]+)""".r
+
+  private val ShadingResRe = """/Shading\s*<<([^>]*)>>""".r
+  private val ShTypeRe = """/ShadingType\s+(\d+)""".r
+  private val CoordsRe =
+    """/Coords\s*\[\s*([0-9.+-]+)\s+([0-9.+-]+)\s+([0-9.+-]+)\s+([0-9.+-]+)\s*\]""".r
+  private val FuncRefRe = """/Function\s+(\d+)\s+0\s+R""".r
+  private val ExtendRe = """/Extend\s*\[\s*(true|false)\s+(true|false)\s*\]""".r
+  private val FuncTypeRe = """/FunctionType\s+(\d+)""".r
+  private val CompsRe = """\[\s*([0-9.]+)\s+([0-9.]+)\s+([0-9.]+)\s*\]"""
+  private val C0Re = ("""/C0\s*""" + CompsRe).r
+  private val C1Re = ("""/C1\s*""" + CompsRe).r
+  private val ExpNRe = """/N\s+([0-9.]+)""".r
+  private val DomainRe = """/Domain\s*\[\s*([0-9.]+)\s+([0-9.]+)\s*\]""".r
+
+  /** An axial (ShadingType 2) DeviceRGB shading with a type-2 exponential
+    * function of INTEGER exponent: C(t) = C0 + t^N·(C1−C0). The integer-N
+    * restriction keeps the pixel contract exact — t^N evaluates by repeated
+    * multiplication (IEEE-754-specified, unlike pow) so the Scala and
+    * Python twins agree bit-for-bit.
+    */
+  private final case class Axial(x0: Double, y0: Double, x1: Double, y1: Double,
+                                 c0: (Double, Double, Double), c1: (Double, Double, Double),
+                                 n: Int, e0: Boolean, e1: Boolean)
+
+  /** Validate one /Shading resource against the raster subset. Everything
+    * outside — radial/function/mesh shading types, sampled/stitching/
+    * PostScript functions, non-DeviceRGB color, a non-[0 1] /Domain, a
+    * fractional exponent, a degenerate axis — throws BEFORE any pixel is
+    * painted, same loud contract as ExtGState validation.
+    */
+  private def parseShading(dict: String, objs: Map[Int, PdfPages.PdfObject],
+                           ctx: String): Axial = {
+    val stype = ShTypeRe.findFirstMatchIn(dict).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(s"$ctx: shading without /ShadingType"))
+    require(stype == 2,
+      s"$ctx: /ShadingType $stype is outside the raster subset (only axial, type 2)")
+    require(dict.contains("/DeviceRGB"),
+      s"$ctx: shading /ColorSpace must be /DeviceRGB")
+    val co = CoordsRe.findFirstMatchIn(dict)
+      .getOrElse(throw new IllegalArgumentException(s"$ctx: axial shading without /Coords"))
+    val (x0, y0, x1, y1) = (co.group(1).toDouble, co.group(2).toDouble,
+      co.group(3).toDouble, co.group(4).toDouble)
+    require((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0) > 0.0,
+      s"$ctx: degenerate shading axis ($x0,$y0)->($x1,$y1)")
+    val (e0, e1) = ExtendRe.findFirstMatchIn(dict)
+      .map(m => (m.group(1) == "true", m.group(2) == "true"))
+      .getOrElse((false, false))
+    val fref = FuncRefRe.findFirstMatchIn(dict).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$ctx: shading /Function must be an indirect reference"))
+    val fdict = objs.getOrElse(fref, throw new IllegalArgumentException(
+      s"$ctx: shading /Function ref $fref R is dangling")).dict
+    val ftype = FuncTypeRe.findFirstMatchIn(fdict).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(s"$ctx: function without /FunctionType"))
+    require(ftype == 2,
+      s"$ctx: /FunctionType $ftype is outside the raster subset (only exponential, type 2)")
+    DomainRe.findFirstMatchIn(fdict).foreach { m =>
+      require(m.group(1).toDouble == 0.0 && m.group(2).toDouble == 1.0,
+        s"$ctx: function /Domain [${m.group(1)} ${m.group(2)}] unsupported (only [0 1])")
+    }
+    def comps(re: scala.util.matching.Regex, default: (Double, Double, Double)) =
+      re.findFirstMatchIn(fdict).map { m =>
+        val t = (m.group(1).toDouble, m.group(2).toDouble, m.group(3).toDouble)
+        require(t._1 <= 1.0 && t._2 <= 1.0 && t._3 <= 1.0,
+          s"$ctx: function color component outside [0,1]")
+        t
+      }.getOrElse(default) // spec defaults: C0 black, C1 white
+    val nRaw = ExpNRe.findFirstMatchIn(fdict).map(_.group(1).toDouble)
+      .getOrElse(throw new IllegalArgumentException(s"$ctx: function without /N"))
+    require(nRaw == math.rint(nRaw) && nRaw >= 0.0 && nRaw <= 8.0,
+      s"$ctx: function exponent /N $nRaw unsupported (integer 0..8 keeps t^N exact)")
+    Axial(x0, y0, x1, y1, comps(C0Re, (0.0, 0.0, 0.0)), comps(C1Re, (1.0, 1.0, 1.0)),
+      nRaw.toInt, e0, e1)
+  }
 
   /** Validate one ExtGState dict against the raster subset and return its
     * /LW line-width override. The decision per key mirrors the inline
@@ -220,9 +302,22 @@ object PdfRaster {
             mm.group(1) -> parseExtGState(obj.dict, s"page $pageNum: /${mm.group(1)}")
           }.toMap)
           .getOrElse(Map.empty)
+      // validate every /Shading resource up front too — `sh` naming a
+      // radial/mesh shading or a non-exponential function fails before any
+      // pixel is painted
+      val shadings: Map[String, Axial] =
+        ShadingResRe.findFirstMatchIn(page.dict)
+          .orElse(ShadingResRe.findFirstMatchIn(pagesNode.dict))
+          .map(m => XObjEntryRe.findAllMatchIn(m.group(1)).map { mm =>
+            val ref = mm.group(2).toInt
+            val obj = objs.getOrElse(ref, throw new IllegalArgumentException(
+              s"page $pageNum: shading /${mm.group(1)} ref $ref R is dangling"))
+            mm.group(1) -> parseShading(obj.dict, objs, s"page $pageNum: /${mm.group(1)}")
+          }.toMap)
+          .getOrElse(Map.empty)
       RasterPage(pageIdx,
         render(contentText(pdfBytes, page, objs), fonts, xobjects, gstates,
-          mbW, mbH, dpi, pageNum))
+          shadings, mbW, mbH, dpi, pageNum))
     }
   }
 
@@ -232,6 +327,7 @@ object PdfRaster {
   private def render(content: String, fonts: Map[String, PdfText.CMapFont],
                      xobjects: Map[String, ImageDecode.Decoded],
                      gstates: Map[String, Option[Double]],
+                     shadings: Map[String, Axial],
                      mbW: Double, mbH: Double, dpi: Int, pageNum: Int): ImageDecode.Decoded = {
     import PdfText.{TArrClose, TArrOpen, TName, TNum, TOp, TStr, Tok}
     val s = dpi / 72.0
@@ -544,6 +640,42 @@ object PdfRaster {
       }
     }
 
+    // axial-shading painter: every clip-passing pixel projects its USER-
+    // space center onto the gradient axis — t' = ((p−p0)·(p1−p0))/|p1−p0|²;
+    // outside [0,1] the pixel is painted only where /Extend allows (clamped
+    // t), otherwise left untouched; the pixel color is
+    // rint(255·(c0 + t^N·(c1−c0))) per component with t^N by repeated
+    // multiplication (exact in IEEE-754, so the Python twin agrees
+    // bit-for-bit — the reason /N is restricted to integers).
+    def paintShading(a: Axial): Unit = {
+      val mk = st.clipMask.orNull
+      val dx = a.x1 - a.x0; val dy = a.y1 - a.y0
+      val len2 = dx * dx + dy * dy // parse validated > 0
+      var y = st.clip._2
+      while (y < st.clip._4) {
+        val uy = (hD - (y + 0.5)) / s - st.ty
+        var x = st.clip._1
+        while (x < st.clip._3) {
+          if (mk == null || maskOk(mk, x, y)) {
+            val ux = (x + 0.5) / s - st.tx
+            val tRaw = ((ux - a.x0) * dx + (uy - a.y0) * dy) / len2
+            if ((tRaw >= 0.0 || a.e0) && (tRaw <= 1.0 || a.e1)) {
+              val t = if (tRaw < 0.0) 0.0 else if (tRaw > 1.0) 1.0 else tRaw
+              var tn = 1.0
+              var i = 0
+              while (i < a.n) { tn *= t; i += 1 }
+              val o = (y * w + x) * 3
+              rgb(o) = math.rint((a.c0._1 + tn * (a.c1._1 - a.c0._1)) * 255).toInt.toByte
+              rgb(o + 1) = math.rint((a.c0._2 + tn * (a.c1._2 - a.c0._2)) * 255).toInt.toByte
+              rgb(o + 2) = math.rint((a.c0._3 + tn * (a.c1._3 - a.c0._3)) * 255).toInt.toByte
+            }
+          }
+          x += 1
+        }
+        y += 1
+      }
+    }
+
     val toks = PdfText.tokenize(content)
     val stack = mutable.Stack.empty[GState]
     val rects = mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
@@ -835,6 +967,20 @@ object PdfRaster {
                   s"page $pageNum: Do of unknown XObject /$nm"))
                 blitImage(img)
               case other => throw new IllegalArgumentException(s"Do on $other")
+            }
+          case "sh" =>
+            // paints the axial gradient across the ENTIRE clip region in
+            // force (box ∩ mask) — the PDF-native way to shade a shaped
+            // area is a clip path followed by sh. Coords live in user
+            // space, so a translation cm shifts them; scale/rotation has
+            // no gradient-density model here and rejects like paths do.
+            requireUnitScale("sh")
+            operands.lastOption match {
+              case Some(TName(nm)) =>
+                val a = shadings.getOrElse(nm, throw new IllegalArgumentException(
+                  s"page $pageNum: sh of unknown shading /$nm"))
+                paintShading(a)
+              case other => throw new IllegalArgumentException(s"sh on $other")
             }
           case "Tr" =>
             val mode = num(operands.last).toInt

@@ -28,7 +28,7 @@ class PdfRasterSpec extends AnyFunSuite {
     assert(byName.keySet ==
       Set("raster_00.pdf", "raster_01.pdf", "raster_02.pdf", "raster_03.pdf",
         "raster_04.pdf", "raster_05.pdf", "raster_06.pdf", "raster_07.pdf",
-        "raster_08.pdf", "raster_09.pdf"))
+        "raster_08.pdf", "raster_09.pdf", "raster_10.pdf"))
     byName.foreach { case (name, pageExp) =>
       val pages = PdfRaster.rasterize(fixture(name), dpi)
       assert(pages.length == pageExp.length, s"$name page count")
@@ -42,26 +42,36 @@ class PdfRasterSpec extends AnyFunSuite {
     }
   }
 
-  private def tinyPdf(content: String, extg: Option[String] = None): Array[Byte] = {
+  private def tinyPdf(content: String, extg: Option[String] = None,
+                      shading: Option[(String, String)] = None): Array[Byte] = {
+    // numbering stays DENSE: 6 = ExtGState when present; the shading dict
+    // and its /Function take the next two slots after whatever precedes
     val gsRes = extg.fold("")(_ => " /ExtGState << /GS0 6 0 R >>")
+    val shNum = if (extg.isDefined) 7 else 6
+    val shRes = shading.fold("")(_ => s" /Shading << /Sh0 $shNum 0 R >>")
     val objs = Seq(
       1 -> "<< /Type /Catalog /Pages 2 0 R >>",
       2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
       3 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 50 40] " +
-        s"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >>$gsRes >> >>"),
+        s"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >>$gsRes$shRes >> >>"),
       4 -> s"<< /Length ${content.length} >>\nstream\n$content\nendstream",
       5 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") ++
-      extg.map(d => 6 -> d).toSeq
+      extg.map(d => 6 -> d).toSeq ++
+      shading.toSeq.flatMap { case (sd, fd) =>
+        // the shading dict references its function as the NEXT object
+        Seq(shNum -> sd.replace("FUNC", s"${shNum + 1} 0 R"), shNum + 1 -> fd)
+      }
     val out = new StringBuilder("%PDF-1.4\n")
     val offsets = objs.map { case (n, body) =>
       val off = out.length
       out ++= s"$n 0 obj\n$body\nendobj\n"
       n -> off
     }.toMap
+    val maxNum = objs.map(_._1).max // numbering may be sparse (7-8 sans 6)
     val xrefAt = out.length
-    out ++= s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n"
-    (1 to objs.length).foreach(n => out ++= f"${offsets(n)}%010d 00000 n \n")
-    out ++= s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n"
+    out ++= s"xref\n0 ${maxNum + 1}\n0000000000 65535 f \n"
+    (1 to maxNum).foreach(n => out ++= f"${offsets.getOrElse(n, 0)}%010d 00000 n \n")
+    out ++= s"trailer\n<< /Size ${maxNum + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n"
     out.toString.getBytes(ISO_8859_1)
   }
 
@@ -244,6 +254,52 @@ class PdfRasterSpec extends AnyFunSuite {
     // a pixel inside the transformed-corner BBOX but outside the rotated
     // footprint maps to u ≈ 1.54 > 1 and must stay white
     assert(at(226, 256) == ((255, 255, 255)), "bbox corner outside the footprint")
+  }
+
+  test("sh paints the axial gradient across the clip; subset violations throw") {
+    def shPdf(content: String, sd: String, fd: String): Array[Byte] =
+      tinyPdf(content, None, Some((sd, fd)))
+    val axial = "<< /ShadingType 2 /ColorSpace /DeviceRGB " +
+      "/Coords [10 0 40 0] /Function FUNC /Extend [true true] >>"
+    val axialNoExt = axial.replace("[true true]", "[false false]")
+    val lin = "<< /FunctionType 2 /Domain [0 1] /C0 [0 0 0] /C1 [1 1 1] /N 1 >>"
+    // horizontal black→white ramp, extend both, clipped to a band:
+    // t = (x+0.5−10)/30, clamped; gray = rint(t·255)
+    val p = PdfRaster.rasterize(
+      shPdf("q 5 10 40 20 re W n /Sh0 sh Q", axial, lin), 72).head.image
+    def gray(img: ImageDecode.Decoded, x: Int, y: Int): Int =
+      img.rgb(((40 - y) * img.width + x) * 3) & 0xFF
+    assert(gray(p, 5, 20) == 0, "left of the axis start clamps to C0 (extend)")
+    assert(gray(p, 44, 20) == 255, "right of the axis end clamps to C1 (extend)")
+    assert(gray(p, 25, 20) == math.rint(15.5 / 30.0 * 255).toInt, "mid-axis t")
+    assert(gray(p, 25, 35) == 255, "above the clip band stays white")
+    // NON-extended ends leave pixels untouched — white witness at x=5
+    val ne = PdfRaster.rasterize(
+      shPdf("q 5 10 40 20 re W n /Sh0 sh Q", axialNoExt, lin), 72).head.image
+    assert(gray(ne, 5, 20) == 255, "before a non-extended start: untouched")
+    assert(gray(ne, 25, 20) == math.rint(15.5 / 30.0 * 255).toInt, "inside the axis still paints")
+    // N=2 quadratic falloff at the same mid pixel
+    val sq = PdfRaster.rasterize(shPdf("q 5 10 40 20 re W n /Sh0 sh Q",
+      axial, lin.replace("/N 1", "/N 2")), 72).head.image
+    val t = 15.5 / 30.0
+    assert(gray(sq, 25, 20) == math.rint(t * t * 255).toInt, "t^2 by repeated multiplication")
+    def rejectsSh(sd: String, fd: String, needle: String, content: String = "/Sh0 sh"): Unit = {
+      val ex = intercept[IllegalArgumentException](
+        PdfRaster.rasterize(shPdf(content, sd, fd), 72))
+      assert(ex.getMessage.contains(needle), s"got: ${ex.getMessage}")
+    }
+    rejectsSh(axial.replace("2 /Color", "3 /Color"), lin, "only axial") // radial
+    rejectsSh(axial, lin.replace("/FunctionType 2", "/FunctionType 0"), "only exponential")
+    rejectsSh(axial, lin.replace("/N 1", "/N 0.5"), "integer 0..8")
+    rejectsSh(axial.replace("[10 0 40 0]", "[10 0 10 0]"), lin, "degenerate shading axis")
+    rejectsSh(axial, lin.replace("[0 1]", "[0 0.5]"), "only [0 1]")
+    rejectsSh(axial, lin.replace("/C1 [1 1 1]", "/C1 [1 2 1]"), "outside [0,1]")
+    rejectsSh(axial.replace("/DeviceRGB", "/DeviceGray"), lin, "must be /DeviceRGB")
+    rejectsSh(axial, lin, "under a non-identity cm", "q 2 0 0 2 0 0 cm /Sh0 sh Q")
+    // sh with no /Shading resource at all
+    val ex = intercept[IllegalArgumentException](
+      PdfRaster.rasterize(tinyPdf("/Nope sh"), 72))
+    assert(ex.getMessage.contains("unknown shading"))
   }
 
   test("re W n clips every painter, intersects when nested, restores on Q") {

@@ -95,11 +95,13 @@ IGNORED = {'J', 'j', 'M', 'ri', 'i',
 BEZIER_CHORDS = 16
 
 
-def build_pdf(pages, cmap=None, images=None):
+def build_pdf(pages, cmap=None, images=None, shadings=None):
     """pages: list of (content, mbw, mbh, compress). Fonts: /F1 plain; /F2
     (Type0 + /ToUnicode) when cmap is given. images: {name: (w, h, rgb
     bytes)} — FlateDecode /DeviceRGB image XObjects shared by every page's
-    /Resources (the Do composition leg)."""
+    /Resources (the Do composition leg). shadings: {name: (x0, y0, x1, y1,
+    c0, c1, n, e0, e1)} — axial /ShadingType 2 dicts with a type-2
+    exponential /Function object each, for the sh leg."""
     objs = {}
     n = len(pages)
     page_nums = list(range(3, 3 + n))
@@ -109,6 +111,10 @@ def build_pdf(pages, cmap=None, images=None):
     img_names = sorted(images) if images else []
     img_base = (tounicode_num if cmap is not None else font_num) + 1
     img_nums = {nm: img_base + i for i, nm in enumerate(img_names)}
+    sh_names = sorted(shadings) if shadings else []
+    sh_base = img_base + len(img_names)
+    # each shading takes TWO objects: the dict and its /Function
+    sh_nums = {nm: sh_base + 2 * i for i, nm in enumerate(sh_names)}
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     kids = " ".join(f"{p} 0 R" for p in page_nums)
     objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()
@@ -119,10 +125,14 @@ def build_pdf(pages, cmap=None, images=None):
     if img_names:
         entries = " ".join(f"/{nm} {img_nums[nm]} 0 R" for nm in img_names)
         xobj_res = f"/XObject << {entries} >> "
+    sh_res = ""
+    if sh_names:
+        entries = " ".join(f"/{nm} {sh_nums[nm]} 0 R" for nm in sh_names)
+        sh_res = f"/Shading << {entries} >> "
     for i, (content, mbw, mbh, compress) in enumerate(pages):
         objs[page_nums[i]] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {mbw} {mbh}] "
-            f"/Resources << /Font << {font_res} >> {xobj_res}>> "
+            f"/Resources << /Font << {font_res} >> {xobj_res}{sh_res}>> "
             f"/Contents {content_nums[i]} 0 R >>").encode()
         data = content.encode('latin-1')
         if compress:
@@ -142,6 +152,18 @@ def build_pdf(pages, cmap=None, images=None):
             f"<< /Type /XObject /Subtype /Image /Width {iw} /Height {ih} "
             f"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode "
             f"/Length {len(idata)} >>\nstream\n".encode() + idata + b"\nendstream")
+    for nm in sh_names:
+        x0, y0, x1, y1, c0, c1, expn, e0, e1 = shadings[nm]
+        fnum = sh_nums[nm] + 1
+        ext = f"[{'true' if e0 else 'false'} {'true' if e1 else 'false'}]"
+        objs[sh_nums[nm]] = (
+            f"<< /ShadingType 2 /ColorSpace /DeviceRGB "
+            f"/Coords [{x0} {y0} {x1} {y1}] /Function {fnum} 0 R "
+            f"/Extend {ext} >>").encode()
+        objs[fnum] = (
+            f"<< /FunctionType 2 /Domain [0 1] "
+            f"/C0 [{c0[0]} {c0[1]} {c0[2]}] /C1 [{c1[0]} {c1[1]} {c1[2]}] "
+            f"/N {expn} >>").encode()
     if cmap is not None:
         objs[f2_num] = (
             f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID "
@@ -165,7 +187,8 @@ def build_pdf(pages, cmap=None, images=None):
     return bytes(out)
 
 
-def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None):
+def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
+           shadings=None):
     # gstates: name -> line-width override (None = no /LW); every
     # reachable ExtGState was pre-validated to carry only benign keys
     gstates = gstates or {}
@@ -357,6 +380,31 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None):
                 o = (y * W + x) * 3
                 rgb[o:o + 3] = irgb[so:so + 3]
 
+    def paint_shading(sh):
+        # axial gradient across the WHOLE clip region (box AND mask):
+        # pixel centers project onto the axis; t outside [0,1] paints only
+        # where /Extend allows (clamped); color = rint(255*(c0 + t^n*(c1-c0)))
+        # with t^n by repeated multiplication — formulas in the Scala order
+        x0, y0, x1, y1, c0, c1, expn, e0, e1 = sh
+        dx, dy = x1 - x0, y1 - y0
+        len2 = dx * dx + dy * dy
+        for y in range(clip[1], clip[3]):
+            uy = (HD - (y + 0.5)) / s - ty
+            for x in range(clip[0], clip[2]):
+                if clip_mask is not None and not clip_mask[y * W + x]:
+                    continue
+                ux = (x + 0.5) / s - tx
+                t_raw = ((ux - x0) * dx + (uy - y0) * dy) / len2
+                if (t_raw >= 0.0 or e0) and (t_raw <= 1.0 or e1):
+                    t = 0.0 if t_raw < 0.0 else (1.0 if t_raw > 1.0 else t_raw)
+                    tn = 1.0
+                    for _ in range(expn):
+                        tn *= t
+                    o = (y * W + x) * 3
+                    rgb[o] = int(round((c0[0] + tn * (c1[0] - c0[0])) * 255))
+                    rgb[o + 1] = int(round((c0[1] + tn * (c1[1] - c0[1])) * 255))
+                    rgb[o + 2] = int(round((c0[2] + tn * (c1[2] - c0[2])) * 255))
+
     fill = (0, 0, 0)
     stroke = (0, 0, 0)
     line_w = 1.0
@@ -449,6 +497,10 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None):
                 assert operands[-1][0] == 'name'
                 img = (images or {})[operands[-1][1]]
                 blit_image(img)
+            elif val == 'sh':
+                unit_scale('sh')
+                assert operands[-1][0] == 'name'
+                paint_shading((shadings or {})[operands[-1][1]])
             elif val == 'Tr':
                 trmode = int(operands[-1][1])
                 assert trmode in (0, 3), f'text render mode {trmode}'
@@ -1123,25 +1175,52 @@ def main():
            "0 0 0 rg BT /F1 8 Tf 150 274 Td (DESKEW SCANS) Tj ET")
     pages9 = [(p12, 400.0, 290.0, True)]
 
+    # raster_10.pdf: AXIAL SHADING — the gradient class born-digital covers
+    # and figures use. A full-width horizontal black→white ramp clipped to
+    # a band (extend both: the ramp clamps flat past the axis ends), a
+    # red→blue DIAGONAL axis through a triangle clip (clip ∩ gradient), a
+    # NON-extended narrow axis inside a wide clip (pixels past either end
+    # stay untouched — the white witness), a quadratic-falloff (N=2) gray
+    # ramp, and glyphs + a stroked frame on top proving paint order.
+    shadings10 = {
+        'Sh0': (20.0, 0.0, 180.0, 0.0, (0.0, 0.0, 0.0), (1.0, 1.0, 1.0),
+                1, True, True),
+        'Sh1': (60.0, 60.0, 140.0, 120.0, (0.9, 0.1, 0.1), (0.1, 0.1, 0.9),
+                1, True, True),
+        'Sh2': (80.0, 0.0, 120.0, 0.0, (0.0, 0.4, 0.0), (0.9, 0.9, 0.2),
+                1, False, False),
+        'Sh3': (0.0, 10.0, 0.0, 50.0, (1.0, 1.0, 1.0), (0.2, 0.2, 0.2),
+                2, True, True)}
+    p13 = (
+        "q 10 130 180 25 re W n /Sh0 sh Q "
+        "q 60 55 m 140 55 l 100 125 l h W n /Sh1 sh Q "
+        "q 20 15 160 30 re W n /Sh2 sh Q "
+        "q 5 165 40 40 re W n /Sh3 sh Q "
+        "0 0 0 RG 1 w 5 5 190 200 re S "
+        "0 0 0 rg BT /F1 7 Tf 60 182 Td (GRADIENT PAGE) Tj ET")
+    pages10 = [(p13, 200.0, 215.0, True)]
+
     fonts = {'F2': cmap_decoder(cmap)}
-    docs = [('raster_00.pdf', pages, cmap, None),
-            ('raster_01.pdf', pages1, None, None),
-            ('raster_02.pdf', pages2, None, None),
-            ('raster_03.pdf', pages3, None, images3),
-            ('raster_04.pdf', pages4, None, images4),
-            ('raster_05.pdf', pages5, None, images5),
-            ('raster_06.pdf', pages6, None, None),
-            ('raster_07.pdf', pages7, None, None),
-            ('raster_08.pdf', pages8, None, images8),
-            ('raster_09.pdf', pages9, None, images9)]
+    docs = [('raster_00.pdf', pages, cmap, None, None),
+            ('raster_01.pdf', pages1, None, None, None),
+            ('raster_02.pdf', pages2, None, None, None),
+            ('raster_03.pdf', pages3, None, images3, None),
+            ('raster_04.pdf', pages4, None, images4, None),
+            ('raster_05.pdf', pages5, None, images5, None),
+            ('raster_06.pdf', pages6, None, None, None),
+            ('raster_07.pdf', pages7, None, None, None),
+            ('raster_08.pdf', pages8, None, images8, None),
+            ('raster_09.pdf', pages9, None, images9, None),
+            ('raster_10.pdf', pages10, None, None, shadings10)]
     rows = []
     seg_rows = []
     ocr_out = []
-    for name, pgs, cm, imgs in docs:
+    for name, pgs, cm, imgs, shs in docs:
         with open(f'{OUTDIR}/{name}', 'wb') as f:
-            f.write(build_pdf(pgs, cmap=cm, images=imgs))
+            f.write(build_pdf(pgs, cmap=cm, images=imgs, shadings=shs))
         for pi, (content, mbw, mbh, _) in enumerate(pgs):
-            W, H, rgb = render(content, fonts, mbw, mbh, dpi, images=imgs)
+            W, H, rgb = render(content, fonts, mbw, mbh, dpi, images=imgs,
+                               shadings=shs)
             rows.append(dict(name=name, page_index=pi, width=W, height=H,
                              pixel_sha=hashlib.sha256(rgb).hexdigest()))
             for (bi, x0, y0, x1, y1, nl, nc, ink_n, st_n, script) in segment(W, H, rgb):
