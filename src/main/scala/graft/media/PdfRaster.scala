@@ -43,7 +43,15 @@ import scala.collection.mutable
   *    negative. Any OTHER invertible placement (arbitrary rotation, skew)
   *    inverse-maps each device pixel center in the transformed corners'
   *    ceil/floor bbox back to the half-open [0,1)² unit square and samples
-  *    texel (⌊u·iw⌋, ⌊(1−v)·ih⌋), min-clamped. Form XObjects throw;
+  *    texel (⌊u·iw⌋, ⌊(1−v)·ih⌋), min-clamped;
+  *  - form XObjects: `Do` of a /Subtype /Form executes the form's content
+  *    stream under an implicit q/Q with its /Matrix composed onto the CTM
+  *    and its /BBox clipped under the same device rule as `re W n`. The
+  *    subset places forms by TRANSLATION only (`q 1 0 0 1 tx ty cm /Fm
+  *    Do Q`); a composed scale/rotation throws. Forms resolve `Do`
+  *    against their OWN /XObject resources (nested forms allowed, cycles
+  *    and depth > 8 throw at page setup) and inherit fonts/ExtGStates/
+  *    shadings from the enclosing stream when their dict carries none;
   *  - text: the same BT/ET operator subset as [[PdfText]] (Td, TD, Tm,
   *    T-star, TL positioning; Tj/'/"/TJ shows; per-font /ToUnicode CMap or
   *    Latin-1/UTF-16BE-BOM string decoding), drawn with the built-in
@@ -133,6 +141,29 @@ object PdfRaster {
   private val C1Re = ("""/C1\s*""" + CompsRe).r
   private val ExpNRe = """/N\s+([0-9.]+)""".r
   private val DomainRe = """/Domain\s*\[\s*([0-9.]+)\s+([0-9.]+)\s*\]""".r
+
+  /** An /XObject resource: a decoded raster image, or a FORM — a nested
+    * content stream with its own /BBox, placement /Matrix and resource
+    * maps, validated and decompressed up front at page setup. A form's
+    * `Do` resolves only the form's OWN /XObject entries (PDF 2.0
+    * deprecated page-level resource inheritance for XObjects); fonts,
+    * ExtGStates and shadings fall back to the enclosing maps when the
+    * form dict carries none.
+    */
+  private sealed trait XObj
+  private final case class ImageX(img: ImageDecode.Decoded) extends XObj
+  private final case class FormX(content: String, matrix: Array[Double],
+                                 bbox: (Double, Double, Double, Double),
+                                 fonts: Map[String, PdfText.CMapFont],
+                                 xobjects: Map[String, XObj],
+                                 gstates: Map[String, Option[Double]],
+                                 shadings: Map[String, Axial]) extends XObj
+
+  private val BBoxRe =
+    """/BBox\s*\[\s*([0-9.+-]+)\s+([0-9.+-]+)\s+([0-9.+-]+)\s+([0-9.+-]+)\s*\]""".r
+  private val MatrixRe =
+    ("""/Matrix\s*\[\s*([0-9.+-]+)\s+([0-9.+-]+)\s+([0-9.+-]+)\s+([0-9.+-]+)""" +
+      """\s+([0-9.+-]+)\s+([0-9.+-]+)\s*\]""").r
 
   /** An axial (ShadingType 2) DeviceRGB shading with a type-2 exponential
     * function of INTEGER exponent: C(t) = C0 + t^N·(C1−C0). The integer-N
@@ -275,26 +306,11 @@ object PdfRaster {
         (mb.group(1).toDouble, mb.group(2).toDouble, mb.group(3).toDouble, mb.group(4).toDouble)
       require(x0 == 0.0 && y0 == 0.0, s"page $pageNum: non-origin MediaBox unsupported")
       val fonts = PdfText.pageFonts(pdfBytes, page, objs, pageNum)
-      // decode every /Resources /XObject up front: Do resolves by name, a
-      // dangling ref or a form XObject fails before any pixel is painted
-      val xobjects: Map[String, ImageDecode.Decoded] =
-        XObjectRefRe.findFirstMatchIn(page.dict)
-          .orElse(XObjectRefRe.findFirstMatchIn(pagesNode.dict))
-          .map(m => XObjEntryRe.findAllMatchIn(m.group(1)).map { mm =>
-            val ref = mm.group(2).toInt
-            val obj = objs.getOrElse(ref, throw new IllegalArgumentException(
-              s"page $pageNum: XObject /${mm.group(1)} ref $ref R is dangling"))
-            require(!obj.dict.contains("/Form"),
-              s"page $pageNum: form XObject /${mm.group(1)} is outside the raster subset")
-            mm.group(1) -> decodedCache.getOrElseUpdate(ref, decodeImageObject(pdfBytes, obj, objs))
-          }.toMap)
-          .getOrElse(Map.empty)
       // validate every /ExtGState up front (name → /LW override): a `gs`
       // naming a state with pixel-changing parameters fails before any
-      // pixel is painted, like a dangling/form XObject does
-      val gstates: Map[String, Option[Double]] =
-        ExtGStateRe.findFirstMatchIn(page.dict)
-          .orElse(ExtGStateRe.findFirstMatchIn(pagesNode.dict))
+      // pixel is painted, like a dangling XObject does
+      def gstatesOf(d: String): Map[String, Option[Double]] =
+        ExtGStateRe.findFirstMatchIn(d)
           .map(m => XObjEntryRe.findAllMatchIn(m.group(1)).map { mm =>
             val ref = mm.group(2).toInt
             val obj = objs.getOrElse(ref, throw new IllegalArgumentException(
@@ -305,9 +321,8 @@ object PdfRaster {
       // validate every /Shading resource up front too — `sh` naming a
       // radial/mesh shading or a non-exponential function fails before any
       // pixel is painted
-      val shadings: Map[String, Axial] =
-        ShadingResRe.findFirstMatchIn(page.dict)
-          .orElse(ShadingResRe.findFirstMatchIn(pagesNode.dict))
+      def shadingsOf(d: String): Map[String, Axial] =
+        ShadingResRe.findFirstMatchIn(d)
           .map(m => XObjEntryRe.findAllMatchIn(m.group(1)).map { mm =>
             val ref = mm.group(2).toInt
             val obj = objs.getOrElse(ref, throw new IllegalArgumentException(
@@ -315,6 +330,69 @@ object PdfRaster {
             mm.group(1) -> parseShading(obj.dict, objs, s"page $pageNum: /${mm.group(1)}")
           }.toMap)
           .getOrElse(Map.empty)
+      val gstates = gstatesOf(page.dict) match {
+        case m if m.nonEmpty => m
+        case _ => gstatesOf(pagesNode.dict)
+      }
+      val shadings = shadingsOf(page.dict) match {
+        case m if m.nonEmpty => m
+        case _ => shadingsOf(pagesNode.dict)
+      }
+      // decode every /Resources /XObject up front: Do resolves by name, a
+      // dangling ref fails before any pixel is painted. Image entries
+      // decode through the shared cache; FORM entries recursively build
+      // their content + resource closure (cycles and deep nesting throw).
+      def buildForm(name: String, ref: Int, obj: PdfObject,
+                    inhFonts: Map[String, PdfText.CMapFont],
+                    inhG: Map[String, Option[Double]],
+                    inhSh: Map[String, Axial], refPath: Set[Int]): FormX = {
+        require(!refPath.contains(ref),
+          s"page $pageNum: cyclic form XObject /$name ($ref R)")
+        require(refPath.size < 8, s"page $pageNum: form XObjects nested deeper than 8")
+        val bb = BBoxRe.findFirstMatchIn(obj.dict).getOrElse(
+          throw new IllegalArgumentException(s"page $pageNum: form /$name without /BBox"))
+        val (bx0, by0, bx1, by1) = (bb.group(1).toDouble, bb.group(2).toDouble,
+          bb.group(3).toDouble, bb.group(4).toDouble)
+        require(bx1 > bx0 && by1 > by0,
+          s"page $pageNum: form /$name degenerate /BBox [$bx0 $by0 $bx1 $by1]")
+        val mt = MatrixRe.findFirstMatchIn(obj.dict)
+          .map(m => Array.tabulate(6)(i => m.group(i + 1).toDouble))
+          .getOrElse(Array(1.0, 0.0, 0.0, 1.0, 0.0, 0.0))
+        require(mt(0) * mt(3) - mt(1) * mt(2) != 0.0,
+          s"page $pageNum: form /$name singular /Matrix")
+        val raw = streamData(pdfBytes, obj, objs)
+        val content = new String(
+          if (obj.dict.contains("/FlateDecode")) inflate(raw) else raw,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val fFonts =
+          if (obj.dict.contains("/Font")) PdfText.pageFonts(pdfBytes, obj, objs, pageNum)
+          else inhFonts
+        val fG = if (obj.dict.contains("/ExtGState")) gstatesOf(obj.dict) else inhG
+        val fSh = if (obj.dict.contains("/Shading")) shadingsOf(obj.dict) else inhSh
+        val fX = xobjectsOf(obj.dict, fFonts, fG, fSh, refPath + ref)
+        FormX(content, mt, (bx0, by0, bx1, by1), fFonts, fX, fG, fSh)
+      }
+      def xobjectsOf(d: String, inhFonts: Map[String, PdfText.CMapFont],
+                     inhG: Map[String, Option[Double]],
+                     inhSh: Map[String, Axial], refPath: Set[Int]): Map[String, XObj] =
+        XObjectRefRe.findFirstMatchIn(d)
+          .map(m => XObjEntryRe.findAllMatchIn(m.group(1)).map { mm =>
+            val ref = mm.group(2).toInt
+            val obj = objs.getOrElse(ref, throw new IllegalArgumentException(
+              s"page $pageNum: XObject /${mm.group(1)} ref $ref R is dangling"))
+            mm.group(1) -> (
+              if (obj.dict.contains("/Form"))
+                buildForm(mm.group(1), ref, obj, inhFonts, inhG, inhSh, refPath): XObj
+              else
+                ImageX(decodedCache.getOrElseUpdate(ref,
+                  decodeImageObject(pdfBytes, obj, objs))): XObj)
+          }.toMap)
+          .getOrElse(Map.empty)
+      val xobjects: Map[String, XObj] = {
+        val own = xobjectsOf(page.dict, fonts, gstates, shadings, Set.empty)
+        if (own.nonEmpty) own
+        else xobjectsOf(pagesNode.dict, fonts, gstates, shadings, Set.empty)
+      }
       RasterPage(pageIdx,
         render(contentText(pdfBytes, page, objs), fonts, xobjects, gstates,
           shadings, mbW, mbH, dpi, pageNum))
@@ -325,7 +403,7 @@ object PdfRaster {
   private def cellW(iscale: Int): Int = (GlyphFont.GlyphW + GlyphFont.Spacing) * iscale
 
   private def render(content: String, fonts: Map[String, PdfText.CMapFont],
-                     xobjects: Map[String, ImageDecode.Decoded],
+                     xobjects: Map[String, XObj],
                      gstates: Map[String, Option[Double]],
                      shadings: Map[String, Axial],
                      mbW: Double, mbH: Double, dpi: Int, pageNum: Int): ImageDecode.Decoded = {
@@ -676,393 +754,437 @@ object PdfRaster {
       }
     }
 
-    val toks = PdfText.tokenize(content)
-    val stack = mutable.Stack.empty[GState]
-    val rects = mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
-    val subs = mutable.ArrayBuffer.empty[Sub]
+    // ---- content-stream executor -----------------------------------------
+    // One call per stream: the PAGE content, and recursively each form
+    // XObject's content (its own parsing/text/path state, the SHARED
+    // graphics state + canvas — the form's implicit q/Q wraps the call).
+    var formDepth = 0
+    def exec(content: String, fonts: Map[String, PdfText.CMapFont],
+             xobjects: Map[String, XObj], gstates: Map[String, Option[Double]],
+             shadings: Map[String, Axial]): Unit = {
+      val toks = PdfText.tokenize(content)
+      val stack = mutable.Stack.empty[GState]
+      val rects = mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
+      val subs = mutable.ArrayBuffer.empty[Sub]
 
-    def requireUnitScale(op: String): Unit =
-      require(st.ma == 1.0 && st.mb == 0.0 && st.mc == 0.0 && st.md == 1.0,
-        s"page $pageNum: '$op' under a non-identity cm matrix " +
-          s"(a=${st.ma} b=${st.mb} c=${st.mc} d=${st.md}) is unsupported — " +
-          "scale/rotation is accepted only for image XObject placement (Do)")
+      def requireUnitScale(op: String): Unit =
+        require(st.ma == 1.0 && st.mb == 0.0 && st.mc == 0.0 && st.md == 1.0,
+          s"page $pageNum: '$op' under a non-identity cm matrix " +
+            s"(a=${st.ma} b=${st.mb} c=${st.mc} d=${st.md}) is unsupported — " +
+            "scale/rotation is accepted only for image XObject placement (Do)")
 
-    def curSub: Sub = {
-      require(subs.nonEmpty && !subs.last.closed,
-        s"page $pageNum: path op without a current point (m starts a subpath)")
-      subs.last
-    }
-    def appendCubic(sub: Sub, x1: Double, y1: Double, x2: Double, y2: Double,
-                    x3: Double, y3: Double): Unit = {
-      val (x0, y0) = sub.pts.last
-      var i = 1
-      while (i <= BezierChords) {
-        val t = i / BezierChords.toDouble
-        val mt = 1.0 - t
-        sub.pts += ((mt * mt * mt * x0 + 3.0 * mt * mt * t * x1 + 3.0 * mt * t * t * x2 + t * t * t * x3,
-          mt * mt * mt * y0 + 3.0 * mt * mt * t * y1 + 3.0 * mt * t * t * y2 + t * t * t * y3))
-        i += 1
+      def curSub: Sub = {
+        require(subs.nonEmpty && !subs.last.closed,
+          s"page $pageNum: path op without a current point (m starts a subpath)")
+        subs.last
       }
-    }
-    def rectSub(r: (Double, Double, Double, Double)): Sub = r match {
-      case (x, y, rw, rh) => new Sub(mutable.ArrayBuffer(
-        (x, y), (x + rw, y), (x + rw, y + rh), (x, y + rh)), closed = true)
-    }
-    def clearPath(): Unit = { rects.clear(); subs.clear() }
-    def strokeAll(): Unit = {
-      // the spec transforms the LINE WIDTH by the CTM at stroke time — a
-      // stroke under a scale cm must be wider, which the subset has no
-      // model for, so it rejects loudly like path/text construction does
-      requireUnitScale("stroke")
-      strokeSubs(rects.map(rectSub).toSeq ++ subs.toSeq, st.lineWidth * s, st.stroke)
-    }
-    var inText = false
-    var pendingClip = false
-    var pendingClipEO = false
-    var lineX = 0.0; var lineY = 0.0
-    var penPx = 0 // pixel-space pen offset within the current line position
-    val operands = mutable.ArrayBuffer.empty[Tok]
-    var arr: mutable.ArrayBuffer[Tok] = null
-    var arrDone: Vector[Tok] = null
-
-    def num(t: Tok): Double = t match {
-      case TNum(v) => v
-      case other => throw new IllegalArgumentException(s"expected number, got $other")
-    }
-    def colorByte(v: Double): Int = {
-      require(v >= 0.0 && v <= 1.0, s"color component $v outside [0,1]")
-      math.rint(v * 255).toInt
-    }
-    def decodeShow(raw: String): String = st.font match {
-      case Some(cm) => cm.decode(raw)
-      case None if raw.length >= 2 && raw.charAt(0) == 0xFE.toChar && raw.charAt(1) == 0xFF.toChar =>
-        PdfText.decodeBomUtf16(raw)
-      case None => raw
-    }
-    def iscale: Int = {
-      require(st.fontSize > 0, "show before Tf set a font size")
-      math.max(1, math.rint(st.fontSize * s / GlyphFont.GlyphH).toInt)
-    }
-    def show(text: String): Unit = {
-      require(inText, "text-show operator outside BT/ET")
-      if (text.nonEmpty) {
-        requireUnitScale("text show")
-        val isc = iscale
-        if (st.textRender == 3) {
-          // invisible (the OCR text layer of a scanned page): no pixels, no
-          // glyph-coverage requirement — arbitrary recognizer output rides
-          // along; the pen still advances one cell per CODE POINT (the twin
-          // counts code points; UTF-16 length double-counts astral chars)
-          penPx += text.codePointCount(0, text.length) * cellW(isc)
-        } else {
-          val topPx = h - px(lineY + st.ty) - GlyphFont.GlyphH * isc
-          penPx += drawCells(text, px(lineX + st.tx) + penPx, topPx, isc, st.fill)
+      def appendCubic(sub: Sub, x1: Double, y1: Double, x2: Double, y2: Double,
+                      x3: Double, y3: Double): Unit = {
+        val (x0, y0) = sub.pts.last
+        var i = 1
+        while (i <= BezierChords) {
+          val t = i / BezierChords.toDouble
+          val mt = 1.0 - t
+          sub.pts += ((mt * mt * mt * x0 + 3.0 * mt * mt * t * x1 + 3.0 * mt * t * t * x2 + t * t * t * x3,
+            mt * mt * mt * y0 + 3.0 * mt * mt * t * y1 + 3.0 * mt * t * t * y2 + t * t * t * y3))
+          i += 1
         }
       }
-    }
-    def nextLine(): Unit = { lineY -= st.leading; penPx = 0 }
+      def rectSub(r: (Double, Double, Double, Double)): Sub = r match {
+        case (x, y, rw, rh) => new Sub(mutable.ArrayBuffer(
+          (x, y), (x + rw, y), (x + rw, y + rh), (x, y + rh)), closed = true)
+      }
+      def clearPath(): Unit = { rects.clear(); subs.clear() }
+      def strokeAll(): Unit = {
+        // the spec transforms the LINE WIDTH by the CTM at stroke time — a
+        // stroke under a scale cm must be wider, which the subset has no
+        // model for, so it rejects loudly like path/text construction does
+        requireUnitScale("stroke")
+        strokeSubs(rects.map(rectSub).toSeq ++ subs.toSeq, st.lineWidth * s, st.stroke)
+      }
+      var inText = false
+      var pendingClip = false
+      var pendingClipEO = false
+      var lineX = 0.0; var lineY = 0.0
+      var penPx = 0 // pixel-space pen offset within the current line position
+      val operands = mutable.ArrayBuffer.empty[Tok]
+      var arr: mutable.ArrayBuffer[Tok] = null
+      var arrDone: Vector[Tok] = null
 
-    toks.foreach {
-      case TArrOpen =>
-        require(arr == null, "nested array in content stream")
-        // LOUD contract: a second array before the first is consumed (TJ/d)
-        // would silently drop the first's text — reject, never approximate
-        require(arrDone == null, "unconsumed content-stream array before '['")
-        arr = mutable.ArrayBuffer.empty[Tok]
-      case TArrClose =>
-        require(arr != null, "unbalanced ]")
-        operands += TArrOpen
-        arrDone = arr.toVector
-        arr = null
-      case t if arr != null => arr += t
-      case TOp(op) =>
-        // PDF allows only a path-painting op after W; the subset requires
-        // the no-paint `n` specifically (clip without painting — the idiom
-        // every generator emits)
-        require(!pendingClip || op == "n",
-          s"page $pageNum: W followed by '$op' is outside the raster subset (only W n)")
-        // a corrupt stream can hand any operator an empty/short operand
-        // stack; the per-op arity requires catch most shapes, this converts
-        // the rest (`operands.last` on empty) to the typed loud error
-        try op match {
-          case "q" => stack.push(st)
-          case "Q" =>
-            require(stack.nonEmpty, "Q with empty graphics-state stack")
-            st = stack.pop()
-          case "cm" =>
-            require(operands.length >= 6, "cm needs 6 operands")
-            val Seq(a, b, c, d, e, f) = operands.takeRight(6).map(num).toSeq
-            // any INVERTIBLE matrix composes; each painter decides what it
-            // can render under the cumulative CTM (paths/text/strokes
-            // require identity — requireUnitScale; image blits keep the
-            // digest-stable forward blit for the axis-preserving family
-            // and inverse-map everything else). A singular matrix has no
-            // inverse and therefore no pixel model: loud.
-            require(a * d - b * c != 0.0,
-              s"page $pageNum: singular cm (a=$a b=$b c=$c d=$d) has no pixel model")
-            // premultiplied row-vector composition: CTM' = cm × CTM
-            st = st.copy(
-              ma = a * st.ma + b * st.mc, mb = a * st.mb + b * st.md,
-              mc = c * st.ma + d * st.mc, md = c * st.mb + d * st.md,
-              tx = e * st.ma + f * st.mc + st.tx,
-              ty = e * st.mb + f * st.md + st.ty)
-          case "rg" =>
-            require(operands.length >= 3, "rg needs 3 operands")
-            val Seq(r, g, b) = operands.takeRight(3).map(num).toSeq
-            st = st.copy(fill = (colorByte(r), colorByte(g), colorByte(b)))
-          case "g" =>
-            val v = colorByte(num(operands.last))
-            st = st.copy(fill = (v, v, v))
-          case "RG" =>
-            require(operands.length >= 3, "RG needs 3 operands")
-            val Seq(r, g, b) = operands.takeRight(3).map(num).toSeq
-            st = st.copy(stroke = (colorByte(r), colorByte(g), colorByte(b)))
-          case "G" =>
-            val v = colorByte(num(operands.last))
-            st = st.copy(stroke = (v, v, v))
-          case "w" =>
-            // `0 w` is a legal hairline per spec; a fill-only page that sets
-            // it must still render. The subset has no hairline model, so the
-            // width is validated where it matters — at stroke time
-            st = st.copy(lineWidth = num(operands.last))
-          case "d" =>
-            // the stroke model has no dash phase math — only the solid
-            // pattern "[] 0 d" is accepted
-            require(arrDone != null && arrDone.isEmpty,
-              s"page $pageNum: non-empty dash pattern unsupported")
-            arrDone = null
-          case "gs" =>
-            val nm = operands.last match {
-              case TName(n) => n
-              case other => throw new IllegalArgumentException(s"gs on $other")
-            }
-            // pre-validated: only benign keys + an optional /LW, which
-            // applies exactly like inline `w` (q/Q-scoped via st)
-            val lw = gstates.getOrElse(nm, throw new IllegalArgumentException(
-              s"page $pageNum: gs of unknown ExtGState /$nm"))
-            lw.foreach(v => st = st.copy(lineWidth = v))
-          case "re" =>
-            requireUnitScale("re")
-            require(operands.length >= 4, "re needs 4 operands")
-            val Seq(x, y, rw, rh) = operands.takeRight(4).map(num).toSeq
-            require(rw > 0 && rh > 0, s"page $pageNum: non-positive re ${rw}x$rh")
-            rects += ((x + st.tx, y + st.ty, rw, rh))
-          case "m" =>
-            requireUnitScale("m")
-            require(operands.length >= 2, "m needs 2 operands")
-            subs += new Sub(mutable.ArrayBuffer(
-              (num(operands(operands.length - 2)) + st.tx, num(operands.last) + st.ty)),
-              closed = false)
-          case "l" =>
-            requireUnitScale("l")
-            require(operands.length >= 2, "l needs 2 operands")
-            curSub.pts += ((num(operands(operands.length - 2)) + st.tx,
-              num(operands.last) + st.ty))
-          case "c" =>
-            requireUnitScale("c")
-            require(operands.length >= 6, "c needs 6 operands")
-            val Seq(x1, y1, x2, y2, x3, y3) = operands.takeRight(6).map(num).toSeq
-            appendCubic(curSub, x1 + st.tx, y1 + st.ty, x2 + st.tx, y2 + st.ty,
-              x3 + st.tx, y3 + st.ty)
-          case "v" =>
-            requireUnitScale("v")
-            require(operands.length >= 4, "v needs 4 operands")
-            val Seq(x2, y2, x3, y3) = operands.takeRight(4).map(num).toSeq
-            val (x0, y0) = curSub.pts.last
-            appendCubic(curSub, x0, y0, x2 + st.tx, y2 + st.ty, x3 + st.tx, y3 + st.ty)
-          case "y" =>
-            requireUnitScale("y")
-            require(operands.length >= 4, "y needs 4 operands")
-            val Seq(x1, y1, x3, y3) = operands.takeRight(4).map(num).toSeq
-            appendCubic(curSub, x1 + st.tx, y1 + st.ty, x3 + st.tx, y3 + st.ty,
-              x3 + st.tx, y3 + st.ty)
-          case "h" =>
-            require(subs.nonEmpty, s"page $pageNum: h without a subpath")
-            subs.last.closed = true
-          case "f" | "F" =>
-            // rect-only paths keep the rint box rule; once polygon subpaths
-            // are present the rects must join the SAME nonzero winding sum
-            // (an opposite-wound rect inside a polygon is a hole, not a
-            // separately-painted box), so they convert to rings like f*
-            if (subs.isEmpty)
-              rects.foreach { case (x, y, rw, rh) => fillRect(x, y, rw, rh, st.fill) }
-            else
-              scanFill((rects.map(rectSub) ++ subs).map(deviceRing).toSeq,
-                evenOdd = false, st.fill)
-            clearPath()
-          case "f*" =>
-            // even-odd parity across ALL subpaths — rects convert to rings
-            // so the parity interplay with polygon subpaths is real
-            scanFill((rects.map(rectSub) ++ subs).map(deviceRing).toSeq,
-              evenOdd = true, st.fill)
-            clearPath()
-          case "S" =>
-            strokeAll()
-            clearPath()
-          case "s" =>
-            require(subs.nonEmpty, s"page $pageNum: s without a subpath")
-            subs.last.closed = true
-            strokeAll()
-            clearPath()
-          case "B" =>
-            if (subs.isEmpty)
-              rects.foreach { case (x, y, rw, rh) => fillRect(x, y, rw, rh, st.fill) }
-            else
-              scanFill((rects.map(rectSub) ++ subs).map(deviceRing).toSeq,
-                evenOdd = false, st.fill)
-            strokeAll()
-            clearPath()
-          case "W" | "W*" =>
-            require(rects.nonEmpty || subs.nonEmpty,
-              s"page $pageNum: $op with no current path to clip by")
-            pendingClip = true
-            pendingClipEO = op == "W*"
-          case "n" =>
-            if (pendingClip) {
-              if (!pendingClipEO && subs.isEmpty && rects.length == 1) {
-                // the digest-stable single-rect `re W n` idiom: integer box
-                // intersection under the same device rule as rect fills;
-                // may be empty — painters then no-op
-                val (x, y, rw, rh) = rects.head
-                st = st.copy(clip = (
-                  math.max(st.clip._1, px(x)), math.max(st.clip._2, h - px(y + rh)),
-                  math.min(st.clip._3, px(x + rw)), math.min(st.clip._4, h - px(y))))
-              } else {
-                // GENERAL clip path (polygon/curve/multi-rect, or even-odd
-                // via W*): rasterize the region into a per-pixel bit mask
-                // under the SAME scanline rules as fills — spans are already
-                // clamped to the clip box by scanSpans, and each pixel must
-                // pass the mask in force, so nested clips intersect. The
-                // clip box tightens to the set-bit bounding box (an
-                // off-canvas region leaves an empty box: painters no-op).
-                val rings = (rects.map(rectSub) ++ subs).map(deviceRing).toSeq
-                val bits = new Array[Long]((w * h + 63) >>> 6)
-                val prev = st.clipMask.orNull
-                var nx0 = w; var ny0 = h; var nx1 = 0; var ny1 = 0
-                scanSpans(rings, pendingClipEO) { (row, xa, xb) =>
-                  var x = xa
-                  while (x < xb) {
-                    if (prev == null || maskOk(prev, x, row)) {
-                      val idx = row * w + x
-                      bits(idx >>> 6) |= 1L << (idx & 63)
-                      if (x < nx0) nx0 = x
-                      if (x + 1 > nx1) nx1 = x + 1
-                      if (row < ny0) ny0 = row
-                      if (row + 1 > ny1) ny1 = row + 1
-                    }
-                    x += 1
-                  }
-                }
-                st =
-                  if (nx1 <= nx0) st.copy(clip = (0, 0, 0, 0), clipMask = Some(bits))
-                  else st.copy(clip = (nx0, ny0, nx1, ny1), clipMask = Some(bits))
+      def num(t: Tok): Double = t match {
+        case TNum(v) => v
+        case other => throw new IllegalArgumentException(s"expected number, got $other")
+      }
+      def colorByte(v: Double): Int = {
+        require(v >= 0.0 && v <= 1.0, s"color component $v outside [0,1]")
+        math.rint(v * 255).toInt
+      }
+      def decodeShow(raw: String): String = st.font match {
+        case Some(cm) => cm.decode(raw)
+        case None if raw.length >= 2 && raw.charAt(0) == 0xFE.toChar && raw.charAt(1) == 0xFF.toChar =>
+          PdfText.decodeBomUtf16(raw)
+        case None => raw
+      }
+      def iscale: Int = {
+        require(st.fontSize > 0, "show before Tf set a font size")
+        math.max(1, math.rint(st.fontSize * s / GlyphFont.GlyphH).toInt)
+      }
+      def show(text: String): Unit = {
+        require(inText, "text-show operator outside BT/ET")
+        if (text.nonEmpty) {
+          requireUnitScale("text show")
+          val isc = iscale
+          if (st.textRender == 3) {
+            // invisible (the OCR text layer of a scanned page): no pixels, no
+            // glyph-coverage requirement — arbitrary recognizer output rides
+            // along; the pen still advances one cell per CODE POINT (the twin
+            // counts code points; UTF-16 length double-counts astral chars)
+            penPx += text.codePointCount(0, text.length) * cellW(isc)
+          } else {
+            val topPx = h - px(lineY + st.ty) - GlyphFont.GlyphH * isc
+            penPx += drawCells(text, px(lineX + st.tx) + penPx, topPx, isc, st.fill)
+          }
+        }
+      }
+      def nextLine(): Unit = { lineY -= st.leading; penPx = 0 }
+
+      toks.foreach {
+        case TArrOpen =>
+          require(arr == null, "nested array in content stream")
+          // LOUD contract: a second array before the first is consumed (TJ/d)
+          // would silently drop the first's text — reject, never approximate
+          require(arrDone == null, "unconsumed content-stream array before '['")
+          arr = mutable.ArrayBuffer.empty[Tok]
+        case TArrClose =>
+          require(arr != null, "unbalanced ]")
+          operands += TArrOpen
+          arrDone = arr.toVector
+          arr = null
+        case t if arr != null => arr += t
+        case TOp(op) =>
+          // PDF allows only a path-painting op after W; the subset requires
+          // the no-paint `n` specifically (clip without painting — the idiom
+          // every generator emits)
+          require(!pendingClip || op == "n",
+            s"page $pageNum: W followed by '$op' is outside the raster subset (only W n)")
+          // a corrupt stream can hand any operator an empty/short operand
+          // stack; the per-op arity requires catch most shapes, this converts
+          // the rest (`operands.last` on empty) to the typed loud error
+          try op match {
+            case "q" => stack.push(st)
+            case "Q" =>
+              require(stack.nonEmpty, "Q with empty graphics-state stack")
+              st = stack.pop()
+            case "cm" =>
+              require(operands.length >= 6, "cm needs 6 operands")
+              val Seq(a, b, c, d, e, f) = operands.takeRight(6).map(num).toSeq
+              // any INVERTIBLE matrix composes; each painter decides what it
+              // can render under the cumulative CTM (paths/text/strokes
+              // require identity — requireUnitScale; image blits keep the
+              // digest-stable forward blit for the axis-preserving family
+              // and inverse-map everything else). A singular matrix has no
+              // inverse and therefore no pixel model: loud.
+              require(a * d - b * c != 0.0,
+                s"page $pageNum: singular cm (a=$a b=$b c=$c d=$d) has no pixel model")
+              // premultiplied row-vector composition: CTM' = cm × CTM
+              st = st.copy(
+                ma = a * st.ma + b * st.mc, mb = a * st.mb + b * st.md,
+                mc = c * st.ma + d * st.mc, md = c * st.mb + d * st.md,
+                tx = e * st.ma + f * st.mc + st.tx,
+                ty = e * st.mb + f * st.md + st.ty)
+            case "rg" =>
+              require(operands.length >= 3, "rg needs 3 operands")
+              val Seq(r, g, b) = operands.takeRight(3).map(num).toSeq
+              st = st.copy(fill = (colorByte(r), colorByte(g), colorByte(b)))
+            case "g" =>
+              val v = colorByte(num(operands.last))
+              st = st.copy(fill = (v, v, v))
+            case "RG" =>
+              require(operands.length >= 3, "RG needs 3 operands")
+              val Seq(r, g, b) = operands.takeRight(3).map(num).toSeq
+              st = st.copy(stroke = (colorByte(r), colorByte(g), colorByte(b)))
+            case "G" =>
+              val v = colorByte(num(operands.last))
+              st = st.copy(stroke = (v, v, v))
+            case "w" =>
+              // `0 w` is a legal hairline per spec; a fill-only page that sets
+              // it must still render. The subset has no hairline model, so the
+              // width is validated where it matters — at stroke time
+              st = st.copy(lineWidth = num(operands.last))
+            case "d" =>
+              // the stroke model has no dash phase math — only the solid
+              // pattern "[] 0 d" is accepted
+              require(arrDone != null && arrDone.isEmpty,
+                s"page $pageNum: non-empty dash pattern unsupported")
+              arrDone = null
+            case "gs" =>
+              val nm = operands.last match {
+                case TName(n) => n
+                case other => throw new IllegalArgumentException(s"gs on $other")
               }
-              pendingClip = false
-            }
-            clearPath()
-          case "Do" =>
-            operands.lastOption match {
-              case Some(TName(nm)) =>
-                val img = xobjects.getOrElse(nm, throw new IllegalArgumentException(
-                  s"page $pageNum: Do of unknown XObject /$nm"))
-                blitImage(img)
-              case other => throw new IllegalArgumentException(s"Do on $other")
-            }
-          case "sh" =>
-            // paints the axial gradient across the ENTIRE clip region in
-            // force (box ∩ mask) — the PDF-native way to shade a shaped
-            // area is a clip path followed by sh. Coords live in user
-            // space, so a translation cm shifts them; scale/rotation has
-            // no gradient-density model here and rejects like paths do.
-            requireUnitScale("sh")
-            operands.lastOption match {
-              case Some(TName(nm)) =>
-                val a = shadings.getOrElse(nm, throw new IllegalArgumentException(
-                  s"page $pageNum: sh of unknown shading /$nm"))
-                paintShading(a)
-              case other => throw new IllegalArgumentException(s"sh on $other")
-            }
-          case "Tr" =>
-            val mode = num(operands.last).toInt
-            require(mode == 0 || mode == 3,
-              s"page $pageNum: text render mode $mode unsupported (0 fill / 3 invisible)")
-            st = st.copy(textRender = mode)
-          case "BT" => inText = true; lineX = 0.0; lineY = 0.0; penPx = 0
-          case "ET" => inText = false
-          case "Tf" =>
-            require(operands.length >= 2, "Tf needs /Name size")
-            val fname = operands(operands.length - 2) match {
-              case TName(n) => n
-              case other => throw new IllegalArgumentException(s"Tf on $other")
-            }
-            val size = num(operands.last)
-            require(size > 0, s"page $pageNum: non-positive font size $size")
-            st = st.copy(fontSize = size, font = fonts.get(fname))
-          case "Td" =>
-            require(operands.length >= 2, "Td needs 2 operands")
-            lineX += num(operands(operands.length - 2)); lineY += num(operands.last)
-            penPx = 0
-          case "TD" =>
-            require(operands.length >= 2, "TD needs 2 operands")
-            val ty = num(operands.last)
-            st = st.copy(leading = -ty)
-            lineX += num(operands(operands.length - 2)); lineY += ty
-            penPx = 0
-          case "Tm" =>
-            require(operands.length >= 6, "Tm needs 6 operands")
-            val Seq(a, b, c, d, e, f) = operands.takeRight(6).map(num).toSeq
-            require(b == 0.0 && c == 0.0 && a == 1.0 && d == 1.0,
-              s"scaled/rotated/skewed text matrix unsupported (a=$a b=$b c=$c d=$d)")
-            lineX = e; lineY = f
-            penPx = 0
-          case "T*" => nextLine()
-          case "TL" => st = st.copy(leading = num(operands.last))
-          case "Tj" =>
-            operands.last match {
-              case TStr(raw) => show(decodeShow(raw))
-              case other => throw new IllegalArgumentException(s"Tj on $other")
-            }
-          case "'" =>
-            nextLine()
-            operands.last match {
-              case TStr(raw) => show(decodeShow(raw))
-              case other => throw new IllegalArgumentException(s"' on $other")
-            }
-          case "\"" =>
-            require(operands.length >= 3, "\" needs aw ac string")
-            nextLine()
-            operands.last match {
-              case TStr(raw) => show(decodeShow(raw))
-              case other => throw new IllegalArgumentException(s"\" on $other")
-            }
-          case "TJ" =>
-            require(operands.lastOption.contains(TArrOpen) && arrDone != null, "TJ without array")
-            val sb = new StringBuilder
-            arrDone.foreach {
-              case TStr(seg) => sb ++= decodeShow(seg)
-              case TNum(v) => if (v <= PdfText.KernSpaceThreshold) sb += ' '
-              case other => throw new IllegalArgumentException(s"TJ array element $other")
-            }
-            arrDone = null
-            show(sb.toString)
-          case known if IgnoredOps(known) => // caps/joins/spacing: no raster effect
-          case unknown =>
-            // LOUD contract: clipping, shading, XObjects, inline images —
-            // anything we cannot render bit-exactly is rejected, never
-            // approximated
-            throw new IllegalArgumentException(
-              s"page $pageNum: content-stream operator '$unknown' is outside the raster subset")
-        } catch {
-          case _: NoSuchElementException | _: IndexOutOfBoundsException =>
-            throw new IllegalArgumentException(
-              s"page $pageNum: operator '$op' with a malformed operand stack")
-        }
-        operands.clear()
-      case t => operands += t
+              // pre-validated: only benign keys + an optional /LW, which
+              // applies exactly like inline `w` (q/Q-scoped via st)
+              val lw = gstates.getOrElse(nm, throw new IllegalArgumentException(
+                s"page $pageNum: gs of unknown ExtGState /$nm"))
+              lw.foreach(v => st = st.copy(lineWidth = v))
+            case "re" =>
+              requireUnitScale("re")
+              require(operands.length >= 4, "re needs 4 operands")
+              val Seq(x, y, rw, rh) = operands.takeRight(4).map(num).toSeq
+              require(rw > 0 && rh > 0, s"page $pageNum: non-positive re ${rw}x$rh")
+              rects += ((x + st.tx, y + st.ty, rw, rh))
+            case "m" =>
+              requireUnitScale("m")
+              require(operands.length >= 2, "m needs 2 operands")
+              subs += new Sub(mutable.ArrayBuffer(
+                (num(operands(operands.length - 2)) + st.tx, num(operands.last) + st.ty)),
+                closed = false)
+            case "l" =>
+              requireUnitScale("l")
+              require(operands.length >= 2, "l needs 2 operands")
+              curSub.pts += ((num(operands(operands.length - 2)) + st.tx,
+                num(operands.last) + st.ty))
+            case "c" =>
+              requireUnitScale("c")
+              require(operands.length >= 6, "c needs 6 operands")
+              val Seq(x1, y1, x2, y2, x3, y3) = operands.takeRight(6).map(num).toSeq
+              appendCubic(curSub, x1 + st.tx, y1 + st.ty, x2 + st.tx, y2 + st.ty,
+                x3 + st.tx, y3 + st.ty)
+            case "v" =>
+              requireUnitScale("v")
+              require(operands.length >= 4, "v needs 4 operands")
+              val Seq(x2, y2, x3, y3) = operands.takeRight(4).map(num).toSeq
+              val (x0, y0) = curSub.pts.last
+              appendCubic(curSub, x0, y0, x2 + st.tx, y2 + st.ty, x3 + st.tx, y3 + st.ty)
+            case "y" =>
+              requireUnitScale("y")
+              require(operands.length >= 4, "y needs 4 operands")
+              val Seq(x1, y1, x3, y3) = operands.takeRight(4).map(num).toSeq
+              appendCubic(curSub, x1 + st.tx, y1 + st.ty, x3 + st.tx, y3 + st.ty,
+                x3 + st.tx, y3 + st.ty)
+            case "h" =>
+              require(subs.nonEmpty, s"page $pageNum: h without a subpath")
+              subs.last.closed = true
+            case "f" | "F" =>
+              // rect-only paths keep the rint box rule; once polygon subpaths
+              // are present the rects must join the SAME nonzero winding sum
+              // (an opposite-wound rect inside a polygon is a hole, not a
+              // separately-painted box), so they convert to rings like f*
+              if (subs.isEmpty)
+                rects.foreach { case (x, y, rw, rh) => fillRect(x, y, rw, rh, st.fill) }
+              else
+                scanFill((rects.map(rectSub) ++ subs).map(deviceRing).toSeq,
+                  evenOdd = false, st.fill)
+              clearPath()
+            case "f*" =>
+              // even-odd parity across ALL subpaths — rects convert to rings
+              // so the parity interplay with polygon subpaths is real
+              scanFill((rects.map(rectSub) ++ subs).map(deviceRing).toSeq,
+                evenOdd = true, st.fill)
+              clearPath()
+            case "S" =>
+              strokeAll()
+              clearPath()
+            case "s" =>
+              require(subs.nonEmpty, s"page $pageNum: s without a subpath")
+              subs.last.closed = true
+              strokeAll()
+              clearPath()
+            case "B" =>
+              if (subs.isEmpty)
+                rects.foreach { case (x, y, rw, rh) => fillRect(x, y, rw, rh, st.fill) }
+              else
+                scanFill((rects.map(rectSub) ++ subs).map(deviceRing).toSeq,
+                  evenOdd = false, st.fill)
+              strokeAll()
+              clearPath()
+            case "W" | "W*" =>
+              require(rects.nonEmpty || subs.nonEmpty,
+                s"page $pageNum: $op with no current path to clip by")
+              pendingClip = true
+              pendingClipEO = op == "W*"
+            case "n" =>
+              if (pendingClip) {
+                if (!pendingClipEO && subs.isEmpty && rects.length == 1) {
+                  // the digest-stable single-rect `re W n` idiom: integer box
+                  // intersection under the same device rule as rect fills;
+                  // may be empty — painters then no-op
+                  val (x, y, rw, rh) = rects.head
+                  st = st.copy(clip = (
+                    math.max(st.clip._1, px(x)), math.max(st.clip._2, h - px(y + rh)),
+                    math.min(st.clip._3, px(x + rw)), math.min(st.clip._4, h - px(y))))
+                } else {
+                  // GENERAL clip path (polygon/curve/multi-rect, or even-odd
+                  // via W*): rasterize the region into a per-pixel bit mask
+                  // under the SAME scanline rules as fills — spans are already
+                  // clamped to the clip box by scanSpans, and each pixel must
+                  // pass the mask in force, so nested clips intersect. The
+                  // clip box tightens to the set-bit bounding box (an
+                  // off-canvas region leaves an empty box: painters no-op).
+                  val rings = (rects.map(rectSub) ++ subs).map(deviceRing).toSeq
+                  val bits = new Array[Long]((w * h + 63) >>> 6)
+                  val prev = st.clipMask.orNull
+                  var nx0 = w; var ny0 = h; var nx1 = 0; var ny1 = 0
+                  scanSpans(rings, pendingClipEO) { (row, xa, xb) =>
+                    var x = xa
+                    while (x < xb) {
+                      if (prev == null || maskOk(prev, x, row)) {
+                        val idx = row * w + x
+                        bits(idx >>> 6) |= 1L << (idx & 63)
+                        if (x < nx0) nx0 = x
+                        if (x + 1 > nx1) nx1 = x + 1
+                        if (row < ny0) ny0 = row
+                        if (row + 1 > ny1) ny1 = row + 1
+                      }
+                      x += 1
+                    }
+                  }
+                  st =
+                    if (nx1 <= nx0) st.copy(clip = (0, 0, 0, 0), clipMask = Some(bits))
+                    else st.copy(clip = (nx0, ny0, nx1, ny1), clipMask = Some(bits))
+                }
+                pendingClip = false
+              }
+              clearPath()
+            case "Do" =>
+              operands.lastOption match {
+                case Some(TName(nm)) =>
+                  xobjects.getOrElse(nm, throw new IllegalArgumentException(
+                    s"page $pageNum: Do of unknown XObject /$nm")) match {
+                    case ImageX(img) => blitImage(img)
+                    case f: FormX =>
+                      // a FORM executes its own content stream under an
+                      // implicit q/Q, its /Matrix composed onto the CTM and
+                      // its /BBox clipped like `re W n`. The subset places
+                      // forms by TRANSLATION only (the `q 1 0 0 1 tx ty cm
+                      // /Fm Do Q` idiom) — a composed scale/rotation has no
+                      // pixel model for the form's INNER paths and throws.
+                      require(!inText, s"page $pageNum: form XObject /$nm Do inside BT/ET")
+                      require(formDepth < 8,
+                        s"page $pageNum: form XObjects nested deeper than 8 at run time")
+                      val saved = st
+                      val a = f.matrix(0); val b = f.matrix(1); val c = f.matrix(2)
+                      val d = f.matrix(3); val e = f.matrix(4); val f6 = f.matrix(5)
+                      st = st.copy(
+                        ma = a * st.ma + b * st.mc, mb = a * st.mb + b * st.md,
+                        mc = c * st.ma + d * st.mc, md = c * st.mb + d * st.md,
+                        tx = e * st.ma + f6 * st.mc + st.tx,
+                        ty = e * st.mb + f6 * st.md + st.ty)
+                      require(st.ma == 1.0 && st.mb == 0.0 && st.mc == 0.0 && st.md == 1.0,
+                        s"page $pageNum: form /$nm composes to a non-translation CTM " +
+                          s"(a=${st.ma} b=${st.mb} c=${st.mc} d=${st.md}) — " +
+                          "outside the raster subset")
+                      val (fx0, fy0, fx1, fy1) = f.bbox
+                      st = st.copy(clip = (
+                        math.max(st.clip._1, px(fx0 + st.tx)),
+                        math.max(st.clip._2, h - px(fy1 + st.ty)),
+                        math.min(st.clip._3, px(fx1 + st.tx)),
+                        math.min(st.clip._4, h - px(fy0 + st.ty))))
+                      formDepth += 1
+                      exec(f.content, f.fonts, f.xobjects, f.gstates, f.shadings)
+                      formDepth -= 1
+                      st = saved // implicit Q
+                  }
+                case other => throw new IllegalArgumentException(s"Do on $other")
+              }
+            case "sh" =>
+              // paints the axial gradient across the ENTIRE clip region in
+              // force (box ∩ mask) — the PDF-native way to shade a shaped
+              // area is a clip path followed by sh. Coords live in user
+              // space, so a translation cm shifts them; scale/rotation has
+              // no gradient-density model here and rejects like paths do.
+              requireUnitScale("sh")
+              operands.lastOption match {
+                case Some(TName(nm)) =>
+                  val a = shadings.getOrElse(nm, throw new IllegalArgumentException(
+                    s"page $pageNum: sh of unknown shading /$nm"))
+                  paintShading(a)
+                case other => throw new IllegalArgumentException(s"sh on $other")
+              }
+            case "Tr" =>
+              val mode = num(operands.last).toInt
+              require(mode == 0 || mode == 3,
+                s"page $pageNum: text render mode $mode unsupported (0 fill / 3 invisible)")
+              st = st.copy(textRender = mode)
+            case "BT" => inText = true; lineX = 0.0; lineY = 0.0; penPx = 0
+            case "ET" => inText = false
+            case "Tf" =>
+              require(operands.length >= 2, "Tf needs /Name size")
+              val fname = operands(operands.length - 2) match {
+                case TName(n) => n
+                case other => throw new IllegalArgumentException(s"Tf on $other")
+              }
+              val size = num(operands.last)
+              require(size > 0, s"page $pageNum: non-positive font size $size")
+              st = st.copy(fontSize = size, font = fonts.get(fname))
+            case "Td" =>
+              require(operands.length >= 2, "Td needs 2 operands")
+              lineX += num(operands(operands.length - 2)); lineY += num(operands.last)
+              penPx = 0
+            case "TD" =>
+              require(operands.length >= 2, "TD needs 2 operands")
+              val ty = num(operands.last)
+              st = st.copy(leading = -ty)
+              lineX += num(operands(operands.length - 2)); lineY += ty
+              penPx = 0
+            case "Tm" =>
+              require(operands.length >= 6, "Tm needs 6 operands")
+              val Seq(a, b, c, d, e, f) = operands.takeRight(6).map(num).toSeq
+              require(b == 0.0 && c == 0.0 && a == 1.0 && d == 1.0,
+                s"scaled/rotated/skewed text matrix unsupported (a=$a b=$b c=$c d=$d)")
+              lineX = e; lineY = f
+              penPx = 0
+            case "T*" => nextLine()
+            case "TL" => st = st.copy(leading = num(operands.last))
+            case "Tj" =>
+              operands.last match {
+                case TStr(raw) => show(decodeShow(raw))
+                case other => throw new IllegalArgumentException(s"Tj on $other")
+              }
+            case "'" =>
+              nextLine()
+              operands.last match {
+                case TStr(raw) => show(decodeShow(raw))
+                case other => throw new IllegalArgumentException(s"' on $other")
+              }
+            case "\"" =>
+              require(operands.length >= 3, "\" needs aw ac string")
+              nextLine()
+              operands.last match {
+                case TStr(raw) => show(decodeShow(raw))
+                case other => throw new IllegalArgumentException(s"\" on $other")
+              }
+            case "TJ" =>
+              require(operands.lastOption.contains(TArrOpen) && arrDone != null, "TJ without array")
+              val sb = new StringBuilder
+              arrDone.foreach {
+                case TStr(seg) => sb ++= decodeShow(seg)
+                case TNum(v) => if (v <= PdfText.KernSpaceThreshold) sb += ' '
+                case other => throw new IllegalArgumentException(s"TJ array element $other")
+              }
+              arrDone = null
+              show(sb.toString)
+            case known if IgnoredOps(known) => // caps/joins/spacing: no raster effect
+            case unknown =>
+              // LOUD contract: clipping, shading, XObjects, inline images —
+              // anything we cannot render bit-exactly is rejected, never
+              // approximated
+              throw new IllegalArgumentException(
+                s"page $pageNum: content-stream operator '$unknown' is outside the raster subset")
+          } catch {
+            case _: NoSuchElementException | _: IndexOutOfBoundsException =>
+              throw new IllegalArgumentException(
+                s"page $pageNum: operator '$op' with a malformed operand stack")
+          }
+          operands.clear()
+        case t => operands += t
+      }
+      require(arr == null, "unterminated [ array")
+      require(rects.isEmpty && subs.isEmpty,
+        s"page $pageNum: path constructed but never painted")
     }
-    require(arr == null, "unterminated [ array")
-    require(rects.isEmpty && subs.isEmpty,
-      s"page $pageNum: path constructed but never painted")
+
+    exec(content, fonts, xobjects, gstates, shadings)
     ImageDecode.Decoded(w, h, rgb)
   }
 }

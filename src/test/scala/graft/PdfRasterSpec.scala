@@ -28,7 +28,7 @@ class PdfRasterSpec extends AnyFunSuite {
     assert(byName.keySet ==
       Set("raster_00.pdf", "raster_01.pdf", "raster_02.pdf", "raster_03.pdf",
         "raster_04.pdf", "raster_05.pdf", "raster_06.pdf", "raster_07.pdf",
-        "raster_08.pdf", "raster_09.pdf", "raster_10.pdf"))
+        "raster_08.pdf", "raster_09.pdf", "raster_10.pdf", "raster_11.pdf"))
     byName.foreach { case (name, pageExp) =>
       val pages = PdfRaster.rasterize(fixture(name), dpi)
       assert(pages.length == pageExp.length, s"$name page count")
@@ -72,6 +72,38 @@ class PdfRasterSpec extends AnyFunSuite {
     out ++= s"xref\n0 ${maxNum + 1}\n0000000000 65535 f \n"
     (1 to maxNum).foreach(n => out ++= f"${offsets.getOrElse(n, 0)}%010d 00000 n \n")
     out ++= s"trailer\n<< /Size ${maxNum + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n"
+    out.toString.getBytes(ISO_8859_1)
+  }
+
+  /** One-form variant of [[tinyPdf]]: /Fm is a /Subtype /Form XObject with
+    * the given /BBox, optional /Matrix, and (when selfRef) its OWN
+    * /Resources dict naming ITSELF — the cycle case.
+    */
+  private def formPdf(pageContent: String, formContent: String,
+                      bbox: String = "0 0 20 20", matrix: Option[String] = None,
+                      selfRef: Boolean = false): Array[Byte] = {
+    val mtx = matrix.fold("")(m => s" /Matrix [$m]")
+    val res = if (selfRef) " /Resources << /XObject << /Fm 6 0 R >> >>" else ""
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 50 40] " +
+        "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> " +
+        "/XObject << /Fm 6 0 R >> >> >>"),
+      4 -> s"<< /Length ${pageContent.length} >>\nstream\n$pageContent\nendstream",
+      5 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+      6 -> (s"<< /Type /XObject /Subtype /Form /BBox [$bbox]$mtx$res " +
+        s"/Length ${formContent.length} >>\nstream\n$formContent\nendstream"))
+    val out = new StringBuilder("%PDF-1.4\n")
+    val offsets = objs.map { case (n, body) =>
+      val off = out.length
+      out ++= s"$n 0 obj\n$body\nendobj\n"
+      n -> off
+    }.toMap
+    val xrefAt = out.length
+    out ++= s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n"
+    (1 to objs.length).foreach(n => out ++= f"${offsets(n)}%010d 00000 n \n")
+    out ++= s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n"
     out.toString.getBytes(ISO_8859_1)
   }
 
@@ -254,6 +286,60 @@ class PdfRasterSpec extends AnyFunSuite {
     // a pixel inside the transformed-corner BBOX but outside the rotated
     // footprint maps to u ≈ 1.54 > 1 and must stay white
     assert(at(226, 256) == ((255, 255, 255)), "bbox corner outside the footprint")
+  }
+
+  test("form XObjects: translated reuse, BBox clip, implicit Q, loud rejects") {
+    def at(img: ImageDecode.Decoded, x: Int, y: Int): Byte =
+      img.rgb(((40 - y) * img.width + x) * 3)
+    // a black 3..18 square in form space, placed at (5,5) and (25,15):
+    // same stamp twice; the form's fill color must NOT leak to the page
+    val form = "0 0 0 rg 3 3 15 15 re f"
+    val two = PdfRaster.rasterize(formPdf(
+      "q 1 0 0 1 5 5 cm /Fm Do Q q 1 0 0 1 25 15 cm /Fm Do Q 45 2 4 4 re f",
+      form), 72).head.image
+    assert(at(two, 10, 10) == 0x00.toByte, "first placement paints")
+    assert(at(two, 32, 22) == 0x00.toByte, "second placement paints")
+    assert(at(two, 10, 25) == 0xFF.toByte, "outside both placements")
+    // the trailing page rect uses the PAGE's fill (default black) — but
+    // prove restore via a colored form fill not leaking: red form, then a
+    // page rect that must stay default-black
+    val leak = PdfRaster.rasterize(formPdf(
+      "q 1 0 0 1 5 5 cm /Fm Do Q 40 2 6 6 re f", "1 0 0 rg 3 3 15 15 re f"), 72).head.image
+    val redAt = {
+      val o = ((40 - 10) * leak.width + 10) * 3
+      (leak.rgb(o) & 0xFF, leak.rgb(o + 1) & 0xFF, leak.rgb(o + 2) & 0xFF)
+    }
+    assert(redAt == ((255, 0, 0)), "form's own fill color applies inside")
+    assert(at(leak, 43, 4) == 0x00.toByte, "page fill reverts after the form (implicit Q)")
+    // /BBox clips: a form rect running 0..40 wide under bbox 0..20 stops at 20
+    val clipped = PdfRaster.rasterize(formPdf(
+      "q 1 0 0 1 5 5 cm /Fm Do Q", "0 0 0 rg 0 5 40 10 re f"), 72).head.image
+    assert(at(clipped, 20, 12) == 0x00.toByte, "inside the bbox")
+    assert(at(clipped, 30, 12) == 0xFF.toByte, "past the bbox edge: clipped")
+    // /Matrix translation composes with the placement cm
+    val viaMatrix = PdfRaster.rasterize(formPdf(
+      "q 1 0 0 1 5 5 cm /Fm Do Q", "0 0 0 rg 3 3 15 15 re f",
+      matrix = Some("1 0 0 1 20 10")), 72).head.image
+    assert(at(viaMatrix, 30, 20) == 0x00.toByte, "matrix-shifted stamp paints")
+    assert(at(viaMatrix, 10, 10) == 0xFF.toByte, "unshifted position stays white")
+    def rejectsF(pageC: String, formC: String, needle: String,
+                 bbox: String = "0 0 20 20", matrix: Option[String] = None,
+                 selfRef: Boolean = false): Unit = {
+      val ex = intercept[IllegalArgumentException](PdfRaster.rasterize(
+        formPdf(pageC, formC, bbox, matrix, selfRef), 72))
+      assert(ex.getMessage.contains(needle), s"got: ${ex.getMessage}")
+    }
+    rejectsF("q 2 0 0 2 0 0 cm /Fm Do Q", form, "non-translation CTM") // scaled placement
+    rejectsF("q 0 1 -1 0 40 0 cm /Fm Do Q", form, "non-translation CTM") // rotated
+    rejectsF("/Fm Do", form, "non-translation CTM",
+      matrix = Some("2 0 0 2 0 0")) // scaling /Matrix
+    rejectsF("/Fm Do", form, "singular /Matrix", matrix = Some("1 2 2 4 0 0"))
+    rejectsF("/Fm Do", form, "degenerate /BBox", bbox = "0 0 0 20")
+    rejectsF("BT /F1 7 Tf /Fm Do ET", form, "inside BT/ET")
+    rejectsF("/Fm Do", form, "cyclic form XObject", selfRef = true)
+    // a form referencing an UNKNOWN inner XObject fails at run time with
+    // the form's OWN (empty) resource scope — page images don't leak in
+    rejectsF("/Fm Do", "q 10 0 0 10 0 0 cm /Px Do Q", "unknown XObject")
   }
 
   test("sh paints the axial gradient across the clip; subset violations throw") {

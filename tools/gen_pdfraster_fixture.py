@@ -95,13 +95,16 @@ IGNORED = {'J', 'j', 'M', 'ri', 'i',
 BEZIER_CHORDS = 16
 
 
-def build_pdf(pages, cmap=None, images=None, shadings=None):
+def build_pdf(pages, cmap=None, images=None, shadings=None, forms=None):
     """pages: list of (content, mbw, mbh, compress). Fonts: /F1 plain; /F2
     (Type0 + /ToUnicode) when cmap is given. images: {name: (w, h, rgb
     bytes)} — FlateDecode /DeviceRGB image XObjects shared by every page's
     /Resources (the Do composition leg). shadings: {name: (x0, y0, x1, y1,
     c0, c1, n, e0, e1)} — axial /ShadingType 2 dicts with a type-2
-    exponential /Function object each, for the sh leg."""
+    exponential /Function object each, for the sh leg. forms: {name:
+    (content, (bx0, by0, bx1, by1), matrix6_or_None, xobj_names)} —
+    /Subtype /Form streams whose own /Resources /XObject exposes the
+    listed image/form names (nested forms allowed)."""
     objs = {}
     n = len(pages)
     page_nums = list(range(3, 3 + n))
@@ -115,6 +118,10 @@ def build_pdf(pages, cmap=None, images=None, shadings=None):
     sh_base = img_base + len(img_names)
     # each shading takes TWO objects: the dict and its /Function
     sh_nums = {nm: sh_base + 2 * i for i, nm in enumerate(sh_names)}
+    form_names = sorted(forms) if forms else []
+    form_base = sh_base + 2 * len(sh_names)
+    form_nums = {nm: form_base + i for i, nm in enumerate(form_names)}
+    xobj_nums = {**img_nums, **form_nums}
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     kids = " ".join(f"{p} 0 R" for p in page_nums)
     objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()
@@ -122,8 +129,9 @@ def build_pdf(pages, cmap=None, images=None, shadings=None):
     if cmap is not None:
         font_res += f" /F2 {f2_num} 0 R"
     xobj_res = ""
-    if img_names:
-        entries = " ".join(f"/{nm} {img_nums[nm]} 0 R" for nm in img_names)
+    if img_names or form_names:
+        entries = " ".join(f"/{nm} {xobj_nums[nm]} 0 R"
+                           for nm in img_names + form_names)
         xobj_res = f"/XObject << {entries} >> "
     sh_res = ""
     if sh_names:
@@ -152,6 +160,20 @@ def build_pdf(pages, cmap=None, images=None, shadings=None):
             f"<< /Type /XObject /Subtype /Image /Width {iw} /Height {ih} "
             f"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode "
             f"/Length {len(idata)} >>\nstream\n".encode() + idata + b"\nendstream")
+    for nm in form_names:
+        fcontent, (bx0, by0, bx1, by1), mtx, xnames = forms[nm]
+        mtx_s = ""
+        if mtx is not None:
+            mtx_s = "/Matrix [" + " ".join(str(v) for v in mtx) + "] "
+        res_s = ""
+        if xnames:
+            entries = " ".join(f"/{xn} {xobj_nums[xn]} 0 R" for xn in xnames)
+            res_s = f"/Resources << /XObject << {entries} >> >> "
+        fdata = fcontent.encode('latin-1')
+        objs[form_nums[nm]] = (
+            f"<< /Type /XObject /Subtype /Form /BBox [{bx0} {by0} {bx1} {by1}] "
+            f"{mtx_s}{res_s}/Length {len(fdata)} >>\nstream\n".encode()
+            + fdata + b"\nendstream")
     for nm in sh_names:
         x0, y0, x1, y1, c0, c1, expn, e0, e1 = shadings[nm]
         fnum = sh_nums[nm] + 1
@@ -459,230 +481,286 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
         assert (ma, mb, mc, md) == (1.0, 0.0, 0.0, 1.0), \
             f"'{op}' under a non-identity cm"
 
-    for kind, val in _tokens(content):
-        if kind == 'arr_open':
-            assert arr is None
-            # mirror PdfRaster: a second array before TJ/d consumed the
-            # first would silently drop text — reject loudly
-            assert arr_done is None, "unconsumed content-stream array before '['"
-            arr = []
-        elif kind == 'arr_close':
-            arr_done, arr = arr, None
-            operands.append(('arr', None))
-        elif arr is not None:
-            arr.append((kind, val))
-        elif kind == 'op':
-            assert not pending_clip or val == 'n', f"W followed by '{val}'"
-            if val == 'q':
-                # text state (Tf size+font, TL leading) is PART of graphics
-                # state (PDF 8.4.2) — Q must restore it, mirroring PdfRaster
-                stack.append((fill, stroke, line_w, tx, ty, ma, mb, mc, md,
-                              trmode, clip, clip_mask, font_size, leading,
-                              cur_dec))
-            elif val == 'Q':
-                (fill, stroke, line_w, tx, ty, ma, mb, mc, md, trmode, clip,
-                 clip_mask, font_size, leading, cur_dec) = stack.pop()
-            elif val == 'cm':
-                a, b, c, d = (operands[-6][1], operands[-5][1],
-                              operands[-4][1], operands[-3][1])
-                assert a * d - b * c != 0.0, \
-                    f'singular cm (a={a} b={b} c={c} d={d}) has no pixel model'
-                e, f2 = operands[-2][1], operands[-1][1]
-                # premultiplied row-vector composition (Scala order)
-                ma, mb, mc, md, tx, ty = (
-                    a * ma + b * mc, a * mb + b * md,
-                    c * ma + d * mc, c * mb + d * md,
-                    e * ma + f2 * mc + tx, e * mb + f2 * md + ty)
-            elif val == 'Do':
-                assert operands[-1][0] == 'name'
-                img = (images or {})[operands[-1][1]]
-                blit_image(img)
-            elif val == 'sh':
-                unit_scale('sh')
-                assert operands[-1][0] == 'name'
-                paint_shading((shadings or {})[operands[-1][1]])
-            elif val == 'Tr':
-                trmode = int(operands[-1][1])
-                assert trmode in (0, 3), f'text render mode {trmode}'
-            elif val == 'rg':
-                fill = (color_byte(operands[-3][1]), color_byte(operands[-2][1]),
-                        color_byte(operands[-1][1]))
-            elif val == 'g':
-                v = color_byte(operands[-1][1])
-                fill = (v, v, v)
-            elif val == 'RG':
-                stroke = (color_byte(operands[-3][1]), color_byte(operands[-2][1]),
-                          color_byte(operands[-1][1]))
-            elif val == 'G':
-                v = color_byte(operands[-1][1])
-                stroke = (v, v, v)
-            elif val == 'w':
-                # 0 w is a legal hairline; validated at stroke time only
-                line_w = operands[-1][1]
-            elif val == 'd':
-                assert arr_done is not None and not arr_done, 'non-empty dash pattern'
-                arr_done = None
-            elif val == 're':
-                unit_scale('re')
-                x, y, w2, h2 = (operands[-4][1], operands[-3][1],
-                                operands[-2][1], operands[-1][1])
-                assert w2 > 0 and h2 > 0
-                rects.append((x + tx, y + ty, w2, h2))
-            elif val == 'm':
-                unit_scale('m')
-                subs.append(([(operands[-2][1] + tx, operands[-1][1] + ty)], False))
-            elif val == 'l':
-                unit_scale('l')
-                assert subs and not subs[-1][1], 'l without a current point'
-                subs[-1][0].append((operands[-2][1] + tx, operands[-1][1] + ty))
-            elif val == 'c':
-                unit_scale('c')
-                assert subs and not subs[-1][1], 'c without a current point'
-                append_cubic(subs[-1][0],
-                             operands[-6][1] + tx, operands[-5][1] + ty,
-                             operands[-4][1] + tx, operands[-3][1] + ty,
-                             operands[-2][1] + tx, operands[-1][1] + ty)
-            elif val == 'v':
-                unit_scale('v')
-                assert subs and not subs[-1][1], 'v without a current point'
-                x0c, y0c = subs[-1][0][-1]
-                append_cubic(subs[-1][0], x0c, y0c,
-                             operands[-4][1] + tx, operands[-3][1] + ty,
-                             operands[-2][1] + tx, operands[-1][1] + ty)
-            elif val == 'y':
-                unit_scale('y')
-                assert subs and not subs[-1][1], 'y without a current point'
-                append_cubic(subs[-1][0],
-                             operands[-4][1] + tx, operands[-3][1] + ty,
-                             operands[-2][1] + tx, operands[-1][1] + ty,
-                             operands[-2][1] + tx, operands[-1][1] + ty)
-            elif val == 'h':
-                assert subs, 'h without a subpath'
-                subs[-1] = (subs[-1][0], True)
-            elif val in ('f', 'F'):
-                # rect-only: rint box rule; mixed rect+polygon: one nonzero
-                # winding sum (opposite-wound rect in a polygon is a hole)
-                if not subs:
-                    for (x, y, w2, h2) in rects:
-                        fill_rect(x, y, w2, h2, fill)
-                else:
-                    scan_fill([device_ring(p) for (p, _) in
-                               [rect_sub(r) for r in rects] + subs], False, fill)
-                rects, subs = [], []
-            elif val == 'f*':
-                scan_fill([device_ring(p) for (p, _) in
-                           [rect_sub(r) for r in rects] + subs], True, fill)
-                rects, subs = [], []
-            elif val == 'S':
-                unit_scale('stroke')  # line width transforms by the CTM at stroke time
-                stroke_subs([rect_sub(r) for r in rects] + subs, line_w * s, stroke)
-                rects, subs = [], []
-            elif val == 's':
-                unit_scale('stroke')
-                assert subs, 's without a subpath'
-                subs[-1] = (subs[-1][0], True)
-                stroke_subs([rect_sub(r) for r in rects] + subs, line_w * s, stroke)
-                rects, subs = [], []
-            elif val == 'B':
-                unit_scale('stroke')
-                if not subs:
-                    for (x, y, w2, h2) in rects:
-                        fill_rect(x, y, w2, h2, fill)
-                else:
-                    scan_fill([device_ring(p) for (p, _) in
-                               [rect_sub(r) for r in rects] + subs], False, fill)
-                stroke_subs([rect_sub(r) for r in rects] + subs, line_w * s, stroke)
-                rects, subs = [], []
-            elif val in ('W', 'W*'):
-                assert rects or subs, f'{val} with no current path to clip by'
-                pending_clip = True
-                pending_clip_eo = val == 'W*'
-            elif val == 'n':
-                if pending_clip:
-                    if not pending_clip_eo and not subs and len(rects) == 1:
-                        # the digest-stable single-rect `re W n` idiom
-                        x, y, w2, h2 = rects[0]
-                        clip = (max(clip[0], px(x)), max(clip[1], H - px(y + h2)),
-                                min(clip[2], px(x + w2)), min(clip[3], H - px(y)))
+    # one call per content stream: the page's, and recursively each form
+    # XObject's (the Scala exec twin — shared graphics state + canvas,
+    # per-stream parse/text/path state)
+    form_depth = [0]
+
+    def run_stream(content_r, fonts_r, images_r, gstates_r, shadings_r):
+        nonlocal fill, stroke, line_w, tx, ty, ma, mb, mc, md, trmode, \
+            clip, clip_mask, pending_clip, pending_clip_eo, stack, rects, \
+            subs, in_text, lx, ly, leading, font_size, pen_px, cur_dec, \
+            operands, arr, arr_done
+        for kind, val in _tokens(content_r):
+            if kind == 'arr_open':
+                assert arr is None
+                # mirror PdfRaster: a second array before TJ/d consumed the
+                # first would silently drop text — reject loudly
+                assert arr_done is None, "unconsumed content-stream array before '['"
+                arr = []
+            elif kind == 'arr_close':
+                arr_done, arr = arr, None
+                operands.append(('arr', None))
+            elif arr is not None:
+                arr.append((kind, val))
+            elif kind == 'op':
+                assert not pending_clip or val == 'n', f"W followed by '{val}'"
+                if val == 'q':
+                    # text state (Tf size+font, TL leading) is PART of graphics
+                    # state (PDF 8.4.2) — Q must restore it, mirroring PdfRaster
+                    stack.append((fill, stroke, line_w, tx, ty, ma, mb, mc, md,
+                                  trmode, clip, clip_mask, font_size, leading,
+                                  cur_dec))
+                elif val == 'Q':
+                    (fill, stroke, line_w, tx, ty, ma, mb, mc, md, trmode, clip,
+                     clip_mask, font_size, leading, cur_dec) = stack.pop()
+                elif val == 'cm':
+                    a, b, c, d = (operands[-6][1], operands[-5][1],
+                                  operands[-4][1], operands[-3][1])
+                    assert a * d - b * c != 0.0, \
+                        f'singular cm (a={a} b={b} c={c} d={d}) has no pixel model'
+                    e, f2 = operands[-2][1], operands[-1][1]
+                    # premultiplied row-vector composition (Scala order)
+                    ma, mb, mc, md, tx, ty = (
+                        a * ma + b * mc, a * mb + b * md,
+                        c * ma + d * mc, c * mb + d * md,
+                        e * ma + f2 * mc + tx, e * mb + f2 * md + ty)
+                elif val == 'Do':
+                    assert operands[-1][0] == 'name'
+                    xo = (images_r or {})[operands[-1][1]]
+                    if isinstance(xo, dict):
+                        # FORM XObject: implicit q/Q around the nested stream,
+                        # /Matrix composed onto the CTM (translation-only after
+                        # composition), /BBox clipped like `re W n`; per-stream
+                        # parse/text/path state saved, reset, restored — mirrors
+                        # PdfRaster's recursive exec with exec-local state
+                        assert not in_text, 'form XObject Do inside BT/ET'
+                        assert form_depth[0] < 8
+                        saved_gs = (fill, stroke, line_w, tx, ty, ma, mb, mc, md,
+                                    trmode, clip, clip_mask, font_size, leading,
+                                    cur_dec)
+                        saved_ps = (pending_clip, pending_clip_eo, stack, rects,
+                                    subs, in_text, lx, ly, pen_px, operands, arr,
+                                    arr_done)
+                        a, b, c, d, e, f2 = xo['matrix']
+                        ma, mb, mc, md, tx, ty = (
+                            a * ma + b * mc, a * mb + b * md,
+                            c * ma + d * mc, c * mb + d * md,
+                            e * ma + f2 * mc + tx, e * mb + f2 * md + ty)
+                        assert (ma, mb, mc, md) == (1.0, 0.0, 0.0, 1.0), \
+                            'form composes to a non-translation CTM'
+                        fx0, fy0, fx1, fy1 = xo['bbox']
+                        clip = (max(clip[0], px(fx0 + tx)),
+                                max(clip[1], H - px(fy1 + ty)),
+                                min(clip[2], px(fx1 + tx)),
+                                min(clip[3], H - px(fy0 + ty)))
+                        pending_clip = pending_clip_eo = False
+                        stack, rects, subs = [], [], []
+                        in_text = False
+                        lx = ly = 0.0
+                        pen_px = 0
+                        operands, arr, arr_done = [], None, None
+                        form_depth[0] += 1
+                        run_stream(xo['content'], xo.get('fonts', fonts_r),
+                                   xo.get('xobjects', {}),
+                                   xo.get('gstates', gstates_r),
+                                   xo.get('shadings', shadings_r))
+                        form_depth[0] -= 1
+                        (fill, stroke, line_w, tx, ty, ma, mb, mc, md, trmode,
+                         clip, clip_mask, font_size, leading, cur_dec) = saved_gs
+                        (pending_clip, pending_clip_eo, stack, rects, subs,
+                         in_text, lx, ly, pen_px, operands, arr,
+                         arr_done) = saved_ps
                     else:
-                        # GENERAL clip path: rasterize the region into a
-                        # per-pixel mask under the SAME scanline rules as
-                        # fills (spans already box-clamped), AND'd with the
-                        # mask in force; the clip box tightens to the set
-                        # bounding box (empty region -> empty box)
-                        rings = [device_ring(p) for (p, _) in
-                                 [rect_sub(r) for r in rects] + subs]
-                        bits = bytearray(W * H)
-                        prev = clip_mask
-                        nx0, ny0, nx1, ny1 = W, H, 0, 0
-                        for row, xa, xb in scan_spans(rings, pending_clip_eo):
-                            for x in range(xa, xb):
-                                if prev is None or prev[row * W + x]:
-                                    bits[row * W + x] = 1
-                                    nx0 = min(nx0, x)
-                                    nx1 = max(nx1, x + 1)
-                                    ny0 = min(ny0, row)
-                                    ny1 = max(ny1, row + 1)
-                        clip_mask = bits
-                        clip = (0, 0, 0, 0) if nx1 <= nx0 else (nx0, ny0, nx1, ny1)
-                    pending_clip = False
-                rects, subs = [], []
-            elif val == 'BT':
-                in_text = True
-                lx = ly = 0.0
-                pen_px = 0
-            elif val == 'ET':
-                in_text = False
-            elif val == 'Tf':
-                assert operands[-2][0] == 'name'
-                cur_dec = (fonts or {}).get(operands[-2][1])
-                font_size = operands[-1][1]
-                assert font_size > 0
-            elif val == 'Td':
-                lx += operands[-2][1]; ly += operands[-1][1]
-                pen_px = 0
-            elif val == 'TD':
-                leading = -operands[-1][1]
-                lx += operands[-2][1]; ly += operands[-1][1]
-                pen_px = 0
-            elif val == 'Tm':
-                a, b, c, d = (operands[-6][1], operands[-5][1],
-                              operands[-4][1], operands[-3][1])
-                assert b == 0.0 and c == 0.0 and a == 1.0 and d == 1.0
-                lx, ly = operands[-2][1], operands[-1][1]
-                pen_px = 0
-            elif val == 'T*':
-                ly -= leading
-                pen_px = 0
-            elif val == 'TL':
-                leading = operands[-1][1]
-            elif val in ('Tj', "'", '"'):
-                if val in ("'", '"'):
+                        blit_image(xo)
+                elif val == 'sh':
+                    unit_scale('sh')
+                    assert operands[-1][0] == 'name'
+                    paint_shading((shadings_r or {})[operands[-1][1]])
+                elif val == 'Tr':
+                    trmode = int(operands[-1][1])
+                    assert trmode in (0, 3), f'text render mode {trmode}'
+                elif val == 'rg':
+                    fill = (color_byte(operands[-3][1]), color_byte(operands[-2][1]),
+                            color_byte(operands[-1][1]))
+                elif val == 'g':
+                    v = color_byte(operands[-1][1])
+                    fill = (v, v, v)
+                elif val == 'RG':
+                    stroke = (color_byte(operands[-3][1]), color_byte(operands[-2][1]),
+                              color_byte(operands[-1][1]))
+                elif val == 'G':
+                    v = color_byte(operands[-1][1])
+                    stroke = (v, v, v)
+                elif val == 'w':
+                    # 0 w is a legal hairline; validated at stroke time only
+                    line_w = operands[-1][1]
+                elif val == 'd':
+                    assert arr_done is not None and not arr_done, 'non-empty dash pattern'
+                    arr_done = None
+                elif val == 're':
+                    unit_scale('re')
+                    x, y, w2, h2 = (operands[-4][1], operands[-3][1],
+                                    operands[-2][1], operands[-1][1])
+                    assert w2 > 0 and h2 > 0
+                    rects.append((x + tx, y + ty, w2, h2))
+                elif val == 'm':
+                    unit_scale('m')
+                    subs.append(([(operands[-2][1] + tx, operands[-1][1] + ty)], False))
+                elif val == 'l':
+                    unit_scale('l')
+                    assert subs and not subs[-1][1], 'l without a current point'
+                    subs[-1][0].append((operands[-2][1] + tx, operands[-1][1] + ty))
+                elif val == 'c':
+                    unit_scale('c')
+                    assert subs and not subs[-1][1], 'c without a current point'
+                    append_cubic(subs[-1][0],
+                                 operands[-6][1] + tx, operands[-5][1] + ty,
+                                 operands[-4][1] + tx, operands[-3][1] + ty,
+                                 operands[-2][1] + tx, operands[-1][1] + ty)
+                elif val == 'v':
+                    unit_scale('v')
+                    assert subs and not subs[-1][1], 'v without a current point'
+                    x0c, y0c = subs[-1][0][-1]
+                    append_cubic(subs[-1][0], x0c, y0c,
+                                 operands[-4][1] + tx, operands[-3][1] + ty,
+                                 operands[-2][1] + tx, operands[-1][1] + ty)
+                elif val == 'y':
+                    unit_scale('y')
+                    assert subs and not subs[-1][1], 'y without a current point'
+                    append_cubic(subs[-1][0],
+                                 operands[-4][1] + tx, operands[-3][1] + ty,
+                                 operands[-2][1] + tx, operands[-1][1] + ty,
+                                 operands[-2][1] + tx, operands[-1][1] + ty)
+                elif val == 'h':
+                    assert subs, 'h without a subpath'
+                    subs[-1] = (subs[-1][0], True)
+                elif val in ('f', 'F'):
+                    # rect-only: rint box rule; mixed rect+polygon: one nonzero
+                    # winding sum (opposite-wound rect in a polygon is a hole)
+                    if not subs:
+                        for (x, y, w2, h2) in rects:
+                            fill_rect(x, y, w2, h2, fill)
+                    else:
+                        scan_fill([device_ring(p) for (p, _) in
+                                   [rect_sub(r) for r in rects] + subs], False, fill)
+                    rects, subs = [], []
+                elif val == 'f*':
+                    scan_fill([device_ring(p) for (p, _) in
+                               [rect_sub(r) for r in rects] + subs], True, fill)
+                    rects, subs = [], []
+                elif val == 'S':
+                    unit_scale('stroke')  # line width transforms by the CTM at stroke time
+                    stroke_subs([rect_sub(r) for r in rects] + subs, line_w * s, stroke)
+                    rects, subs = [], []
+                elif val == 's':
+                    unit_scale('stroke')
+                    assert subs, 's without a subpath'
+                    subs[-1] = (subs[-1][0], True)
+                    stroke_subs([rect_sub(r) for r in rects] + subs, line_w * s, stroke)
+                    rects, subs = [], []
+                elif val == 'B':
+                    unit_scale('stroke')
+                    if not subs:
+                        for (x, y, w2, h2) in rects:
+                            fill_rect(x, y, w2, h2, fill)
+                    else:
+                        scan_fill([device_ring(p) for (p, _) in
+                                   [rect_sub(r) for r in rects] + subs], False, fill)
+                    stroke_subs([rect_sub(r) for r in rects] + subs, line_w * s, stroke)
+                    rects, subs = [], []
+                elif val in ('W', 'W*'):
+                    assert rects or subs, f'{val} with no current path to clip by'
+                    pending_clip = True
+                    pending_clip_eo = val == 'W*'
+                elif val == 'n':
+                    if pending_clip:
+                        if not pending_clip_eo and not subs and len(rects) == 1:
+                            # the digest-stable single-rect `re W n` idiom
+                            x, y, w2, h2 = rects[0]
+                            clip = (max(clip[0], px(x)), max(clip[1], H - px(y + h2)),
+                                    min(clip[2], px(x + w2)), min(clip[3], H - px(y)))
+                        else:
+                            # GENERAL clip path: rasterize the region into a
+                            # per-pixel mask under the SAME scanline rules as
+                            # fills (spans already box-clamped), AND'd with the
+                            # mask in force; the clip box tightens to the set
+                            # bounding box (empty region -> empty box)
+                            rings = [device_ring(p) for (p, _) in
+                                     [rect_sub(r) for r in rects] + subs]
+                            bits = bytearray(W * H)
+                            prev = clip_mask
+                            nx0, ny0, nx1, ny1 = W, H, 0, 0
+                            for row, xa, xb in scan_spans(rings, pending_clip_eo):
+                                for x in range(xa, xb):
+                                    if prev is None or prev[row * W + x]:
+                                        bits[row * W + x] = 1
+                                        nx0 = min(nx0, x)
+                                        nx1 = max(nx1, x + 1)
+                                        ny0 = min(ny0, row)
+                                        ny1 = max(ny1, row + 1)
+                            clip_mask = bits
+                            clip = (0, 0, 0, 0) if nx1 <= nx0 else (nx0, ny0, nx1, ny1)
+                        pending_clip = False
+                    rects, subs = [], []
+                elif val == 'BT':
+                    in_text = True
+                    lx = ly = 0.0
+                    pen_px = 0
+                elif val == 'ET':
+                    in_text = False
+                elif val == 'Tf':
+                    assert operands[-2][0] == 'name'
+                    cur_dec = (fonts_r or {}).get(operands[-2][1])
+                    font_size = operands[-1][1]
+                    assert font_size > 0
+                elif val == 'Td':
+                    lx += operands[-2][1]; ly += operands[-1][1]
+                    pen_px = 0
+                elif val == 'TD':
+                    leading = -operands[-1][1]
+                    lx += operands[-2][1]; ly += operands[-1][1]
+                    pen_px = 0
+                elif val == 'Tm':
+                    a, b, c, d = (operands[-6][1], operands[-5][1],
+                                  operands[-4][1], operands[-3][1])
+                    assert b == 0.0 and c == 0.0 and a == 1.0 and d == 1.0
+                    lx, ly = operands[-2][1], operands[-1][1]
+                    pen_px = 0
+                elif val == 'T*':
                     ly -= leading
                     pen_px = 0
-                show(dec(operands[-1][1]))
-            elif val == 'TJ':
-                buf = []
-                for k, v in arr_done:
-                    if k == 'str':
-                        buf.append(dec(v))
-                    elif k == 'num' and v <= KERN_SPACE:
-                        buf.append(' ')
-                arr_done = None
-                show(''.join(buf))
-            elif val == 'gs':
-                name = operands[-1][1]
-                assert name in gstates, f'gs of unknown ExtGState /{name}'
-                if gstates[name] is not None:
-                    line_w = gstates[name]
-            elif val in IGNORED:
-                pass
+                elif val == 'TL':
+                    leading = operands[-1][1]
+                elif val in ('Tj', "'", '"'):
+                    if val in ("'", '"'):
+                        ly -= leading
+                        pen_px = 0
+                    show(dec(operands[-1][1]))
+                elif val == 'TJ':
+                    buf = []
+                    for k, v in arr_done:
+                        if k == 'str':
+                            buf.append(dec(v))
+                        elif k == 'num' and v <= KERN_SPACE:
+                            buf.append(' ')
+                    arr_done = None
+                    show(''.join(buf))
+                elif val == 'gs':
+                    name = operands[-1][1]
+                    assert name in gstates_r, f'gs of unknown ExtGState /{name}'
+                    if gstates_r[name] is not None:
+                        line_w = gstates_r[name]
+                elif val in IGNORED:
+                    pass
+                else:
+                    raise AssertionError(f"operator '{val}' outside the raster subset")
+                operands = []
             else:
-                raise AssertionError(f"operator '{val}' outside the raster subset")
-            operands = []
-        else:
-            operands.append((kind, val))
-    assert arr is None and not rects and not subs
+                operands.append((kind, val))
+        assert arr is None and not rects and not subs
+
+    run_stream(content, fonts, images, gstates, shadings)
     return W, H, bytes(rgb)
 
 
@@ -1200,26 +1278,61 @@ def main():
         "0 0 0 rg BT /F1 7 Tf 60 182 Td (GRADIENT PAGE) Tj ET")
     pages10 = [(p13, 200.0, 215.0, True)]
 
+    # raster_11.pdf: FORM XObjects — the reusable-stamp class (letterheads,
+    # headers, watermark boxes). Fm0 is a stamp (filled bar WIDER than its
+    # /BBox — the bbox must clip it — a stroked frame and glyph text)
+    # placed TWICE by translation cm; Fm1 nests an image Do AND an Fm0
+    # reference with a baked-in /Matrix translation (depth 2); page content
+    # after the placements proves the implicit Q restored the state.
+    fm0 = ("0 0 0.8 rg 5 5 70 12 re f 0 0 0 RG 2 w 2 2 56 36 re S "
+           "0 0 0 rg BT /F1 7 Tf 6 24 Td (STAMP) Tj ET")
+    fm1 = ("q 40 0 0 40 0 35 cm /Px Do Q "
+           "q 1 0 0 1 10 0 cm /Fm0 Do Q")
+    forms11 = {
+        'Fm0': (fm0, (0.0, 0.0, 60.0, 40.0), None, []),
+        'Fm1': (fm1, (0.0, 0.0, 80.0, 80.0), (1, 0, 0, 1, 5, 5), ['Px', 'Fm0'])}
+    images11 = {'Px': (16, 16, checker(16, 16))}
+    # render-side twins of the form dicts (matrix default identity)
+    rf0 = dict(content=fm0, bbox=(0.0, 0.0, 60.0, 40.0),
+               matrix=(1.0, 0.0, 0.0, 1.0, 0.0, 0.0), xobjects={})
+    rf1 = dict(content=fm1, bbox=(0.0, 0.0, 80.0, 80.0),
+               matrix=(1.0, 0.0, 0.0, 1.0, 5.0, 5.0),
+               xobjects={'Px': images11['Px'], 'Fm0': rf0})
+    xobjects11 = {'Px': images11['Px'], 'Fm0': rf0, 'Fm1': rf1}
+    p14 = (
+        "q 1 0 0 1 10 150 cm /Fm0 Do Q "
+        "q 1 0 0 1 150 150 cm /Fm0 Do Q "
+        "q 1 0 0 1 20 20 cm /Fm1 Do Q "
+        "0.5 0 0 rg 180 10 20 10 re f "
+        "0 0 0 rg BT /F1 7 Tf 120 100 Td (AFTER FORMS) Tj ET")
+    pages11 = [(p14, 220.0, 200.0, True)]
+
     fonts = {'F2': cmap_decoder(cmap)}
-    docs = [('raster_00.pdf', pages, cmap, None, None),
-            ('raster_01.pdf', pages1, None, None, None),
-            ('raster_02.pdf', pages2, None, None, None),
-            ('raster_03.pdf', pages3, None, images3, None),
-            ('raster_04.pdf', pages4, None, images4, None),
-            ('raster_05.pdf', pages5, None, images5, None),
-            ('raster_06.pdf', pages6, None, None, None),
-            ('raster_07.pdf', pages7, None, None, None),
-            ('raster_08.pdf', pages8, None, images8, None),
-            ('raster_09.pdf', pages9, None, images9, None),
-            ('raster_10.pdf', pages10, None, None, shadings10)]
+    # (name, pages, cmap, build-images, shadings, build-forms,
+    #  render-xobjects — form entries become dicts; None = build-images)
+    docs = [('raster_00.pdf', pages, cmap, None, None, None, None),
+            ('raster_01.pdf', pages1, None, None, None, None, None),
+            ('raster_02.pdf', pages2, None, None, None, None, None),
+            ('raster_03.pdf', pages3, None, images3, None, None, None),
+            ('raster_04.pdf', pages4, None, images4, None, None, None),
+            ('raster_05.pdf', pages5, None, images5, None, None, None),
+            ('raster_06.pdf', pages6, None, None, None, None, None),
+            ('raster_07.pdf', pages7, None, None, None, None, None),
+            ('raster_08.pdf', pages8, None, images8, None, None, None),
+            ('raster_09.pdf', pages9, None, images9, None, None, None),
+            ('raster_10.pdf', pages10, None, None, shadings10, None, None),
+            ('raster_11.pdf', pages11, None, images11, None, forms11,
+             xobjects11)]
     rows = []
     seg_rows = []
     ocr_out = []
-    for name, pgs, cm, imgs, shs in docs:
+    for name, pgs, cm, imgs, shs, frms, rxo in docs:
         with open(f'{OUTDIR}/{name}', 'wb') as f:
-            f.write(build_pdf(pgs, cmap=cm, images=imgs, shadings=shs))
+            f.write(build_pdf(pgs, cmap=cm, images=imgs, shadings=shs,
+                              forms=frms))
         for pi, (content, mbw, mbh, _) in enumerate(pgs):
-            W, H, rgb = render(content, fonts, mbw, mbh, dpi, images=imgs,
+            W, H, rgb = render(content, fonts, mbw, mbh, dpi,
+                               images=rxo if rxo is not None else imgs,
                                shadings=shs)
             rows.append(dict(name=name, page_index=pi, width=W, height=H,
                              pixel_sha=hashlib.sha256(rgb).hexdigest()))
