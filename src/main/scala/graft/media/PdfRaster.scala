@@ -157,7 +157,11 @@ object PdfRaster {
                                  fonts: Map[String, PdfText.CMapFont],
                                  xobjects: Map[String, XObj],
                                  gstates: Map[String, Option[Double]],
-                                 shadings: Map[String, Axial]) extends XObj
+                                 shadings: Map[String, Axial]) extends XObj {
+    // tokenized ONCE per built form — a stamp placed N times on a page
+    // re-executes the token vector, never re-lexes the stream text
+    lazy val toks: Vector[PdfText.Tok] = PdfText.tokenize(content)
+  }
 
   private val BBoxRe =
     """/BBox\s*\[\s*([0-9.+-]+)\s+([0-9.+-]+)\s+([0-9.+-]+)\s+([0-9.+-]+)\s*\]""".r
@@ -189,6 +193,11 @@ object PdfRaster {
       s"$ctx: /ShadingType $stype is outside the raster subset (only axial, type 2)")
     require(dict.contains("/DeviceRGB"),
       s"$ctx: shading /ColorSpace must be /DeviceRGB")
+    // a conforming renderer clips the gradient to a shading /BBox
+    // (PDF §8.7.4.3); this subset has no model for it — loud, never
+    // silently painted over the whole clip region
+    require(!dict.contains("/BBox"),
+      s"$ctx: shading /BBox is outside the raster subset")
     val co = CoordsRe.findFirstMatchIn(dict)
       .getOrElse(throw new IllegalArgumentException(s"$ctx: axial shading without /Coords"))
     val (x0, y0, x1, y1) = (co.group(1).toDouble, co.group(2).toDouble,
@@ -207,23 +216,37 @@ object PdfRaster {
       .getOrElse(throw new IllegalArgumentException(s"$ctx: function without /FunctionType"))
     require(ftype == 2,
       s"$ctx: /FunctionType $ftype is outside the raster subset (only exponential, type 2)")
-    DomainRe.findFirstMatchIn(fdict).foreach { m =>
+    // KEY-PRESENCE gating before value parsing: the value regexes accept
+    // only unsigned plain decimals, so a negative or scientific-notation
+    // value would fail to MATCH and silently fall back to the default —
+    // the silent-approximation failure mode this module rejects. A key
+    // that is present but unparsable throws instead.
+    if (fdict.contains("/Domain")) {
+      val m = DomainRe.findFirstMatchIn(fdict).getOrElse(
+        throw new IllegalArgumentException(
+          s"$ctx: function /Domain is present but not a plain [0 1]-style pair"))
       require(m.group(1).toDouble == 0.0 && m.group(2).toDouble == 1.0,
         s"$ctx: function /Domain [${m.group(1)} ${m.group(2)}] unsupported (only [0 1])")
     }
-    def comps(re: scala.util.matching.Regex, default: (Double, Double, Double)) =
-      re.findFirstMatchIn(fdict).map { m =>
+    def comps(key: String, re: scala.util.matching.Regex,
+              default: (Double, Double, Double)) =
+      if (!fdict.contains(key)) default // spec defaults: C0 black, C1 white
+      else {
+        val m = re.findFirstMatchIn(fdict).getOrElse(
+          throw new IllegalArgumentException(
+            s"$ctx: function $key is present but not a plain [r g b] triple in [0,1]"))
         val t = (m.group(1).toDouble, m.group(2).toDouble, m.group(3).toDouble)
         require(t._1 <= 1.0 && t._2 <= 1.0 && t._3 <= 1.0,
           s"$ctx: function color component outside [0,1]")
         t
-      }.getOrElse(default) // spec defaults: C0 black, C1 white
+      }
     val nRaw = ExpNRe.findFirstMatchIn(fdict).map(_.group(1).toDouble)
-      .getOrElse(throw new IllegalArgumentException(s"$ctx: function without /N"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$ctx: function without a plain nonnegative /N"))
     require(nRaw == math.rint(nRaw) && nRaw >= 0.0 && nRaw <= 8.0,
       s"$ctx: function exponent /N $nRaw unsupported (integer 0..8 keeps t^N exact)")
-    Axial(x0, y0, x1, y1, comps(C0Re, (0.0, 0.0, 0.0)), comps(C1Re, (1.0, 1.0, 1.0)),
-      nRaw.toInt, e0, e1)
+    Axial(x0, y0, x1, y1, comps("/C0", C0Re, (0.0, 0.0, 0.0)),
+      comps("/C1", C1Re, (1.0, 1.0, 1.0)), nRaw.toInt, e0, e1)
   }
 
   /** Validate one ExtGState dict against the raster subset and return its
@@ -330,18 +353,28 @@ object PdfRaster {
             mm.group(1) -> parseShading(obj.dict, objs, s"page $pageNum: /${mm.group(1)}")
           }.toMap)
           .getOrElse(Map.empty)
-      val gstates = gstatesOf(page.dict) match {
-        case m if m.nonEmpty => m
-        case _ => gstatesOf(pagesNode.dict)
-      }
-      val shadings = shadingsOf(page.dict) match {
-        case m if m.nonEmpty => m
-        case _ => shadingsOf(pagesNode.dict)
-      }
+      // KEY-PRESENCE fallback (the round-4 orElse semantics): a page whose
+      // dict carries the key — even an explicitly EMPTY inline dict —
+      // SHADOWS the /Pages-level resources; only an absent key inherits
+      val gstates =
+        if (ExtGStateRe.findFirstMatchIn(page.dict).isDefined) gstatesOf(page.dict)
+        else gstatesOf(pagesNode.dict)
+      val shadings =
+        if (ShadingResRe.findFirstMatchIn(page.dict).isDefined) shadingsOf(page.dict)
+        else shadingsOf(pagesNode.dict)
       // decode every /Resources /XObject up front: Do resolves by name, a
       // dangling ref fails before any pixel is painted. Image entries
       // decode through the shared cache; FORM entries recursively build
       // their content + resource closure (cycles and deep nesting throw).
+      // A form referenced from several sites with the SAME inherited
+      // resources (raster_11: Fm0 from the page AND from inside Fm1)
+      // builds once — keyed on the inherited maps because a form with no
+      // own /Font (etc.) closes over whatever the referencing site
+      // supplies. Cycle detection still fires: an in-progress build is
+      // not yet in the cache, so self-reference re-enters buildForm with
+      // the ref already in refPath.
+      val formCache = mutable.Map.empty[(Int, Map[String, PdfText.CMapFont],
+        Map[String, Option[Double]], Map[String, Axial]), FormX]
       def buildForm(name: String, ref: Int, obj: PdfObject,
                     inhFonts: Map[String, PdfText.CMapFont],
                     inhG: Map[String, Option[Double]],
@@ -382,17 +415,17 @@ object PdfRaster {
               s"page $pageNum: XObject /${mm.group(1)} ref $ref R is dangling"))
             mm.group(1) -> (
               if (obj.dict.contains("/Form"))
-                buildForm(mm.group(1), ref, obj, inhFonts, inhG, inhSh, refPath): XObj
+                formCache.getOrElseUpdate((ref, inhFonts, inhG, inhSh),
+                  buildForm(mm.group(1), ref, obj, inhFonts, inhG, inhSh, refPath)): XObj
               else
                 ImageX(decodedCache.getOrElseUpdate(ref,
                   decodeImageObject(pdfBytes, obj, objs))): XObj)
           }.toMap)
           .getOrElse(Map.empty)
-      val xobjects: Map[String, XObj] = {
-        val own = xobjectsOf(page.dict, fonts, gstates, shadings, Set.empty)
-        if (own.nonEmpty) own
+      val xobjects: Map[String, XObj] =
+        if (XObjectRefRe.findFirstMatchIn(page.dict).isDefined)
+          xobjectsOf(page.dict, fonts, gstates, shadings, Set.empty)
         else xobjectsOf(pagesNode.dict, fonts, gstates, shadings, Set.empty)
-      }
       RasterPage(pageIdx,
         render(contentText(pdfBytes, page, objs), fonts, xobjects, gstates,
           shadings, mbW, mbH, dpi, pageNum))
@@ -758,11 +791,12 @@ object PdfRaster {
     // One call per stream: the PAGE content, and recursively each form
     // XObject's content (its own parsing/text/path state, the SHARED
     // graphics state + canvas — the form's implicit q/Q wraps the call).
-    var formDepth = 0
-    def exec(content: String, fonts: Map[String, PdfText.CMapFont],
+    // Recursion depth is bounded at BUILD time: a form can only Do forms
+    // from its own xobjects map, whose construction rejected cycles and
+    // chains deeper than 8 (buildForm's refPath) — no runtime cap needed.
+    def exec(toks: Vector[PdfText.Tok], fonts: Map[String, PdfText.CMapFont],
              xobjects: Map[String, XObj], gstates: Map[String, Option[Double]],
              shadings: Map[String, Axial]): Unit = {
-      val toks = PdfText.tokenize(content)
       val stack = mutable.Stack.empty[GState]
       val rects = mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
       val subs = mutable.ArrayBuffer.empty[Sub]
@@ -1060,8 +1094,6 @@ object PdfRaster {
                       // /Fm Do Q` idiom) — a composed scale/rotation has no
                       // pixel model for the form's INNER paths and throws.
                       require(!inText, s"page $pageNum: form XObject /$nm Do inside BT/ET")
-                      require(formDepth < 8,
-                        s"page $pageNum: form XObjects nested deeper than 8 at run time")
                       val saved = st
                       val a = f.matrix(0); val b = f.matrix(1); val c = f.matrix(2)
                       val d = f.matrix(3); val e = f.matrix(4); val f6 = f.matrix(5)
@@ -1080,9 +1112,7 @@ object PdfRaster {
                         math.max(st.clip._2, h - px(fy1 + st.ty)),
                         math.min(st.clip._3, px(fx1 + st.tx)),
                         math.min(st.clip._4, h - px(fy0 + st.ty))))
-                      formDepth += 1
-                      exec(f.content, f.fonts, f.xobjects, f.gstates, f.shadings)
-                      formDepth -= 1
+                      exec(f.toks, f.fonts, f.xobjects, f.gstates, f.shadings)
                       st = saved // implicit Q
                   }
                 case other => throw new IllegalArgumentException(s"Do on $other")
@@ -1184,7 +1214,7 @@ object PdfRaster {
         s"page $pageNum: path constructed but never painted")
     }
 
-    exec(content, fonts, xobjects, gstates, shadings)
+    exec(PdfText.tokenize(content), fonts, xobjects, gstates, shadings)
     ImageDecode.Decoded(w, h, rgb)
   }
 }

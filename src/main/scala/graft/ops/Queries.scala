@@ -1942,13 +1942,15 @@ object Queries {
     * path construction with 16-chord Bézier flattening, nonzero f and
     * even-odd f* pixel-center scanline fills, butt-cap quad strokes S/s/B
     * with w width and RG/G stroke color, rg/g fill color, q/Q state,
-    * `re W n` rectangle clips, raster-XObject `Do` compositing under the
-    * axis-preserving CTM family (scales, quarter turns, mirrors), Tr 3
-    * invisible text, and visible text via the built-in GlyphFont bitmaps
-    * at dpi 144) → one row per page with the pixel digest. This narrows
+    * rectangle AND general polygon/even-odd clip paths, raster-XObject
+    * `Do` compositing under ANY invertible CTM (axis-preserving forward
+    * blit + inverse-mapped arbitrary-angle blit), axial `sh` shading,
+    * form XObjects (translation-placed nested streams), Tr 3 invisible
+    * text, and visible text via the built-in GlyphFont bitmaps at
+    * dpi 144) → one row per page with the pixel digest. This narrows
     * the one pdfium-blocked reference capability (`_internal/pdf.py:20-54`
-    * renders ANY page) to the deterministic subset, with polygon clips,
-    * shading, form XObjects and skewed matrices rejected loudly. Oracle:
+    * renders ANY page) to the deterministic subset, with radial/mesh
+    * shading and scaled/rotated form placement rejected loudly. Oracle:
     * pixel digests computed by the independent pure-Python renderer twin
     * (tools/gen_pdfraster_fixture.py) under the same documented pixel
     * rules — every scanline formula written in the identical order so

@@ -381,6 +381,15 @@ class PdfRasterSpec extends AnyFunSuite {
     rejectsSh(axial, lin.replace("[0 1]", "[0 0.5]"), "only [0 1]")
     rejectsSh(axial, lin.replace("/C1 [1 1 1]", "/C1 [1 2 1]"), "outside [0,1]")
     rejectsSh(axial.replace("/DeviceRGB", "/DeviceGray"), lin, "must be /DeviceRGB")
+    // KEY-PRESENCE gating: a negative/scientific value fails the unsigned
+    // value regex — that must THROW, not silently fall back to a default
+    rejectsSh(axial, lin.replace("[0 1]", "[-1 1]"), "present but not a plain")
+    rejectsSh(axial, lin.replace("/C0 [0 0 0]", "/C0 [-0.2 0 0]"), "present but not a plain")
+    rejectsSh(axial, lin.replace("/C1 [1 1 1]", "/C1 [1e-3 0 0]"), "present but not a plain")
+    // a shading /BBox would clip the gradient in a conforming renderer —
+    // no model here, loud
+    rejectsSh(axial.replace("/ShadingType 2", "/ShadingType 2 /BBox [0 0 10 10]"),
+      lin, "shading /BBox")
     rejectsSh(axial, lin, "under a non-identity cm", "q 2 0 0 2 0 0 cm /Sh0 sh Q")
     // sh with no /Shading resource at all
     val ex = intercept[IllegalArgumentException](
