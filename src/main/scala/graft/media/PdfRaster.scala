@@ -75,14 +75,17 @@ import scala.collection.mutable
   *    painter — rect/scanline fills, strokes, glyphs, image blits —
   *    clamps to the box and tests the mask per pixel. `W` followed by a
   *    painting op other than `n` throws;
-  *  - shading: `sh` paints an AXIAL (/ShadingType 2) DeviceRGB gradient
-  *    with a type-2 exponential function of INTEGER exponent across the
-  *    entire clip region in force (box ∩ mask): each pixel center projects
-  *    onto the axis, t clamps per /Extend (non-extended ends leave pixels
-  *    untouched), color = rint(255·(C0 + t^N·(C1−C0))) with t^N by
-  *    repeated multiplication so the twins agree bit-for-bit. Radial/mesh
+  *  - shading: `sh` paints AXIAL (/ShadingType 2) and RADIAL
+  *    (/ShadingType 3) DeviceRGB gradients with a type-2 exponential
+  *    function of INTEGER exponent across the entire clip region in force
+  *    (box ∩ mask). Axial: each pixel center projects onto the axis;
+  *    radial: each pixel takes the largest circle-family parameter whose
+  *    circle passes through it with nonnegative radius (quadratic solve,
+  *    PDF §8.7.4.5.4). t clamps per /Extend (non-extended ends leave
+  *    pixels untouched), color = rint(255·(C0 + t^N·(C1−C0))) with t^N by
+  *    repeated multiplication so the twins agree bit-for-bit. Mesh
   *    shading types, sampled/stitching/PostScript functions, non-[0 1]
-  *    domains and fractional exponents throw at page setup;
+  *    domains, shading /BBox and fractional exponents throw at page setup;
   *  - inline images (BI), even-odd fill+stroke (B*), and path ops without
   *    a current point all throw with a reason.
   *
@@ -133,6 +136,9 @@ object PdfRaster {
   private val ShTypeRe = """/ShadingType\s+(\d+)""".r
   private val CoordsRe =
     """/Coords\s*\[\s*([0-9.+-]+)\s+([0-9.+-]+)\s+([0-9.+-]+)\s+([0-9.+-]+)\s*\]""".r
+  private val Coords6Re =
+    ("""/Coords\s*\[\s*([0-9.+-]+)\s+([0-9.+-]+)\s+([0-9.+-]+)\s+([0-9.+-]+)""" +
+      """\s+([0-9.+-]+)\s+([0-9.+-]+)\s*\]""").r
   private val FuncRefRe = """/Function\s+(\d+)\s+0\s+R""".r
   private val ExtendRe = """/Extend\s*\[\s*(true|false)\s+(true|false)\s*\]""".r
   private val FuncTypeRe = """/FunctionType\s+(\d+)""".r
@@ -157,7 +163,7 @@ object PdfRaster {
                                  fonts: Map[String, PdfText.CMapFont],
                                  xobjects: Map[String, XObj],
                                  gstates: Map[String, Option[Double]],
-                                 shadings: Map[String, Axial]) extends XObj {
+                                 shadings: Map[String, Shad]) extends XObj {
     // tokenized ONCE per built form — a stamp placed N times on a page
     // re-executes the token vector, never re-lexes the stream text
     lazy val toks: Vector[PdfText.Tok] = PdfText.tokenize(content)
@@ -169,15 +175,27 @@ object PdfRaster {
     ("""/Matrix\s*\[\s*([0-9.+-]+)\s+([0-9.+-]+)\s+([0-9.+-]+)\s+([0-9.+-]+)""" +
       """\s+([0-9.+-]+)\s+([0-9.+-]+)\s*\]""").r
 
-  /** An axial (ShadingType 2) DeviceRGB shading with a type-2 exponential
-    * function of INTEGER exponent: C(t) = C0 + t^N·(C1−C0). The integer-N
-    * restriction keeps the pixel contract exact — t^N evaluates by repeated
-    * multiplication (IEEE-754-specified, unlike pow) so the Scala and
-    * Python twins agree bit-for-bit.
+  /** A DeviceRGB shading with a type-2 exponential function of INTEGER
+    * exponent: C(t) = C0 + t^N·(C1−C0). The integer-N restriction keeps
+    * the pixel contract exact — t^N evaluates by repeated multiplication
+    * (IEEE-754-specified, unlike pow) so the Scala and Python twins agree
+    * bit-for-bit. Axial = /ShadingType 2 (linear gradient along an axis);
+    * Radial = /ShadingType 3 (circle family c(s), r(s) interpolated from
+    * circle 0 to circle 1 — each pixel takes the LARGEST s whose circle
+    * passes through it with r(s) ≥ 0, per PDF §8.7.4.5.4; sqrt is
+    * correctly rounded in IEEE-754, so the quadratic solve is twin-exact).
     */
+  private sealed trait Shad {
+    def c0: (Double, Double, Double); def c1: (Double, Double, Double)
+    def n: Int; def e0: Boolean; def e1: Boolean
+  }
   private final case class Axial(x0: Double, y0: Double, x1: Double, y1: Double,
                                  c0: (Double, Double, Double), c1: (Double, Double, Double),
-                                 n: Int, e0: Boolean, e1: Boolean)
+                                 n: Int, e0: Boolean, e1: Boolean) extends Shad
+  private final case class Radial(x0: Double, y0: Double, r0: Double,
+                                  x1: Double, y1: Double, r1: Double,
+                                  c0: (Double, Double, Double), c1: (Double, Double, Double),
+                                  n: Int, e0: Boolean, e1: Boolean) extends Shad
 
   /** Validate one /Shading resource against the raster subset. Everything
     * outside — radial/function/mesh shading types, sampled/stitching/
@@ -186,11 +204,11 @@ object PdfRaster {
     * painted, same loud contract as ExtGState validation.
     */
   private def parseShading(dict: String, objs: Map[Int, PdfPages.PdfObject],
-                           ctx: String): Axial = {
+                           ctx: String): Shad = {
     val stype = ShTypeRe.findFirstMatchIn(dict).map(_.group(1).toInt)
       .getOrElse(throw new IllegalArgumentException(s"$ctx: shading without /ShadingType"))
-    require(stype == 2,
-      s"$ctx: /ShadingType $stype is outside the raster subset (only axial, type 2)")
+    require(stype == 2 || stype == 3,
+      s"$ctx: /ShadingType $stype is outside the raster subset (axial 2 / radial 3)")
     require(dict.contains("/DeviceRGB"),
       s"$ctx: shading /ColorSpace must be /DeviceRGB")
     // a conforming renderer clips the gradient to a shading /BBox
@@ -198,12 +216,8 @@ object PdfRaster {
     // silently painted over the whole clip region
     require(!dict.contains("/BBox"),
       s"$ctx: shading /BBox is outside the raster subset")
-    val co = CoordsRe.findFirstMatchIn(dict)
-      .getOrElse(throw new IllegalArgumentException(s"$ctx: axial shading without /Coords"))
-    val (x0, y0, x1, y1) = (co.group(1).toDouble, co.group(2).toDouble,
-      co.group(3).toDouble, co.group(4).toDouble)
-    require((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0) > 0.0,
-      s"$ctx: degenerate shading axis ($x0,$y0)->($x1,$y1)")
+    // coords parse deferred past the function parse — see the builder at
+    // the end, where the 4- or 6-number form is selected by /ShadingType
     val (e0, e1) = ExtendRe.findFirstMatchIn(dict)
       .map(m => (m.group(1) == "true", m.group(2) == "true"))
       .getOrElse((false, false))
@@ -245,8 +259,28 @@ object PdfRaster {
         s"$ctx: function without a plain nonnegative /N"))
     require(nRaw == math.rint(nRaw) && nRaw >= 0.0 && nRaw <= 8.0,
       s"$ctx: function exponent /N $nRaw unsupported (integer 0..8 keeps t^N exact)")
-    Axial(x0, y0, x1, y1, comps("/C0", C0Re, (0.0, 0.0, 0.0)),
-      comps("/C1", C1Re, (1.0, 1.0, 1.0)), nRaw.toInt, e0, e1)
+    val c0v = comps("/C0", C0Re, (0.0, 0.0, 0.0))
+    val c1v = comps("/C1", C1Re, (1.0, 1.0, 1.0))
+    if (stype == 2) {
+      val co = CoordsRe.findFirstMatchIn(dict)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$ctx: axial shading without a plain 4-number /Coords"))
+      val (x0, y0, x1, y1) = (co.group(1).toDouble, co.group(2).toDouble,
+        co.group(3).toDouble, co.group(4).toDouble)
+      require((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0) > 0.0,
+        s"$ctx: degenerate shading axis ($x0,$y0)->($x1,$y1)")
+      Axial(x0, y0, x1, y1, c0v, c1v, nRaw.toInt, e0, e1)
+    } else {
+      val co = Coords6Re.findFirstMatchIn(dict)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$ctx: radial shading without a plain 6-number /Coords"))
+      val (x0, y0, r0) = (co.group(1).toDouble, co.group(2).toDouble, co.group(3).toDouble)
+      val (x1, y1, r1) = (co.group(4).toDouble, co.group(5).toDouble, co.group(6).toDouble)
+      require(r0 >= 0.0 && r1 >= 0.0, s"$ctx: negative shading radius ($r0, $r1)")
+      require(x0 != x1 || y0 != y1 || r0 != r1,
+        s"$ctx: degenerate radial shading (identical circles)")
+      Radial(x0, y0, r0, x1, y1, r1, c0v, c1v, nRaw.toInt, e0, e1)
+    }
   }
 
   /** Validate one ExtGState dict against the raster subset and return its
@@ -344,7 +378,7 @@ object PdfRaster {
       // validate every /Shading resource up front too — `sh` naming a
       // radial/mesh shading or a non-exponential function fails before any
       // pixel is painted
-      def shadingsOf(d: String): Map[String, Axial] =
+      def shadingsOf(d: String): Map[String, Shad] =
         ShadingResRe.findFirstMatchIn(d)
           .map(m => XObjEntryRe.findAllMatchIn(m.group(1)).map { mm =>
             val ref = mm.group(2).toInt
@@ -374,11 +408,11 @@ object PdfRaster {
       // not yet in the cache, so self-reference re-enters buildForm with
       // the ref already in refPath.
       val formCache = mutable.Map.empty[(Int, Map[String, PdfText.CMapFont],
-        Map[String, Option[Double]], Map[String, Axial]), FormX]
+        Map[String, Option[Double]], Map[String, Shad]), FormX]
       def buildForm(name: String, ref: Int, obj: PdfObject,
                     inhFonts: Map[String, PdfText.CMapFont],
                     inhG: Map[String, Option[Double]],
-                    inhSh: Map[String, Axial], refPath: Set[Int]): FormX = {
+                    inhSh: Map[String, Shad], refPath: Set[Int]): FormX = {
         require(!refPath.contains(ref),
           s"page $pageNum: cyclic form XObject /$name ($ref R)")
         require(refPath.size < 8, s"page $pageNum: form XObjects nested deeper than 8")
@@ -407,7 +441,7 @@ object PdfRaster {
       }
       def xobjectsOf(d: String, inhFonts: Map[String, PdfText.CMapFont],
                      inhG: Map[String, Option[Double]],
-                     inhSh: Map[String, Axial], refPath: Set[Int]): Map[String, XObj] =
+                     inhSh: Map[String, Shad], refPath: Set[Int]): Map[String, XObj] =
         XObjectRefRe.findFirstMatchIn(d)
           .map(m => XObjEntryRe.findAllMatchIn(m.group(1)).map { mm =>
             val ref = mm.group(2).toInt
@@ -438,7 +472,7 @@ object PdfRaster {
   private def render(content: String, fonts: Map[String, PdfText.CMapFont],
                      xobjects: Map[String, XObj],
                      gstates: Map[String, Option[Double]],
-                     shadings: Map[String, Axial],
+                     shadings: Map[String, Shad],
                      mbW: Double, mbH: Double, dpi: Int, pageNum: Int): ImageDecode.Decoded = {
     import PdfText.{TArrClose, TArrOpen, TName, TNum, TOp, TStr, Tok}
     val s = dpi / 72.0
@@ -758,7 +792,17 @@ object PdfRaster {
     // rint(255·(c0 + t^N·(c1−c0))) per component with t^N by repeated
     // multiplication (exact in IEEE-754, so the Python twin agrees
     // bit-for-bit — the reason /N is restricted to integers).
-    def paintShading(a: Axial): Unit = {
+    def shadePixel(sh: Shad, x: Int, y: Int, t: Double): Unit = {
+      var tn = 1.0
+      var i = 0
+      while (i < sh.n) { tn *= t; i += 1 }
+      val o = (y * w + x) * 3
+      rgb(o) = math.rint((sh.c0._1 + tn * (sh.c1._1 - sh.c0._1)) * 255).toInt.toByte
+      rgb(o + 1) = math.rint((sh.c0._2 + tn * (sh.c1._2 - sh.c0._2)) * 255).toInt.toByte
+      rgb(o + 2) = math.rint((sh.c0._3 + tn * (sh.c1._3 - sh.c0._3)) * 255).toInt.toByte
+    }
+
+    def paintAxial(a: Axial): Unit = {
       val mk = st.clipMask.orNull
       val dx = a.x1 - a.x0; val dy = a.y1 - a.y0
       val len2 = dx * dx + dy * dy // parse validated > 0
@@ -772,19 +816,72 @@ object PdfRaster {
             val tRaw = ((ux - a.x0) * dx + (uy - a.y0) * dy) / len2
             if ((tRaw >= 0.0 || a.e0) && (tRaw <= 1.0 || a.e1)) {
               val t = if (tRaw < 0.0) 0.0 else if (tRaw > 1.0) 1.0 else tRaw
-              var tn = 1.0
-              var i = 0
-              while (i < a.n) { tn *= t; i += 1 }
-              val o = (y * w + x) * 3
-              rgb(o) = math.rint((a.c0._1 + tn * (a.c1._1 - a.c0._1)) * 255).toInt.toByte
-              rgb(o + 1) = math.rint((a.c0._2 + tn * (a.c1._2 - a.c0._2)) * 255).toInt.toByte
-              rgb(o + 2) = math.rint((a.c0._3 + tn * (a.c1._3 - a.c0._3)) * 255).toInt.toByte
+              shadePixel(a, x, y, t)
             }
           }
           x += 1
         }
         y += 1
       }
+    }
+
+    // radial painter (PDF §8.7.4.5.4): the circle family c(v) = c0+v·dc,
+    // r(v) = r0+v·dr; a pixel p takes the LARGEST v whose circle passes
+    // through it with r(v) ≥ 0 — |p−c(v)|² = r(v)² is the quadratic
+    // v²·(|dc|²−dr²) − 2v·(pc·dc + r0·dr) + (|pc|²−r0²) = 0, roots
+    // (b ± √(b²−ac))/a tried in DESCENDING v order (linear fallback when
+    // a = 0; pixel untouched when no admissible root). v outside [0,1]
+    // paints only where /Extend allows, clamped. Every formula below is
+    // in the identical order in the Python twin; sqrt is correctly
+    // rounded in IEEE-754, so the twins agree bit-for-bit.
+    def paintRadial(rd: Radial): Unit = {
+      val mk = st.clipMask.orNull
+      val dcx = rd.x1 - rd.x0; val dcy = rd.y1 - rd.y0
+      val dr = rd.r1 - rd.r0
+      val qa = dcx * dcx + dcy * dcy - dr * dr
+      var y = st.clip._2
+      while (y < st.clip._4) {
+        val uy = (hD - (y + 0.5)) / s - st.ty
+        var x = st.clip._1
+        while (x < st.clip._3) {
+          if (mk == null || maskOk(mk, x, y)) {
+            val ux = (x + 0.5) / s - st.tx
+            val pcx = ux - rd.x0; val pcy = uy - rd.y0
+            val qb = pcx * dcx + pcy * dcy + rd.r0 * dr
+            val qc = pcx * pcx + pcy * pcy - rd.r0 * rd.r0
+            var v0 = Double.NaN; var v1 = Double.NaN // descending candidates
+            if (qa != 0.0) {
+              val disc = qb * qb - qa * qc
+              if (disc >= 0.0) {
+                val sd = math.sqrt(disc)
+                val ra = (qb + sd) / qa; val rb = (qb - sd) / qa
+                if (ra >= rb) { v0 = ra; v1 = rb } else { v0 = rb; v1 = ra }
+              }
+            } else if (qb != 0.0) {
+              v0 = qc / (2.0 * qb)
+            }
+            var painted = false
+            var k = 0
+            while (!painted && k < 2) {
+              val v = if (k == 0) v0 else v1
+              if (!v.isNaN && rd.r0 + v * dr >= 0.0 &&
+                (v >= 0.0 || rd.e0) && (v <= 1.0 || rd.e1)) {
+                val t = if (v < 0.0) 0.0 else if (v > 1.0) 1.0 else v
+                shadePixel(rd, x, y, t)
+                painted = true
+              }
+              k += 1
+            }
+          }
+          x += 1
+        }
+        y += 1
+      }
+    }
+
+    def paintShading(sh: Shad): Unit = sh match {
+      case a: Axial => paintAxial(a)
+      case r: Radial => paintRadial(r)
     }
 
     // ---- content-stream executor -----------------------------------------
@@ -796,7 +893,7 @@ object PdfRaster {
     // chains deeper than 8 (buildForm's refPath) — no runtime cap needed.
     def exec(toks: Vector[PdfText.Tok], fonts: Map[String, PdfText.CMapFont],
              xobjects: Map[String, XObj], gstates: Map[String, Option[Double]],
-             shadings: Map[String, Axial]): Unit = {
+             shadings: Map[String, Shad]): Unit = {
       val stack = mutable.Stack.empty[GState]
       val rects = mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
       val subs = mutable.ArrayBuffer.empty[Sub]

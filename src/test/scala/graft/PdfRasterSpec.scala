@@ -28,7 +28,8 @@ class PdfRasterSpec extends AnyFunSuite {
     assert(byName.keySet ==
       Set("raster_00.pdf", "raster_01.pdf", "raster_02.pdf", "raster_03.pdf",
         "raster_04.pdf", "raster_05.pdf", "raster_06.pdf", "raster_07.pdf",
-        "raster_08.pdf", "raster_09.pdf", "raster_10.pdf", "raster_11.pdf"))
+        "raster_08.pdf", "raster_09.pdf", "raster_10.pdf", "raster_11.pdf",
+        "raster_12.pdf"))
     byName.foreach { case (name, pageExp) =>
       val pages = PdfRaster.rasterize(fixture(name), dpi)
       assert(pages.length == pageExp.length, s"$name page count")
@@ -374,7 +375,9 @@ class PdfRasterSpec extends AnyFunSuite {
         PdfRaster.rasterize(shPdf(content, sd, fd), 72))
       assert(ex.getMessage.contains(needle), s"got: ${ex.getMessage}")
     }
-    rejectsSh(axial.replace("2 /Color", "3 /Color"), lin, "only axial") // radial
+    // type 3 with axial 4-number coords: radial parse rejects the coords
+    rejectsSh(axial.replace("2 /Color", "3 /Color"), lin, "6-number /Coords")
+    rejectsSh(axial.replace("2 /Color", "5 /Color"), lin, "axial 2 / radial 3") // mesh
     rejectsSh(axial, lin.replace("/FunctionType 2", "/FunctionType 0"), "only exponential")
     rejectsSh(axial, lin.replace("/N 1", "/N 0.5"), "integer 0..8")
     rejectsSh(axial.replace("[10 0 40 0]", "[10 0 10 0]"), lin, "degenerate shading axis")
@@ -395,6 +398,47 @@ class PdfRasterSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException](
       PdfRaster.rasterize(tinyPdf("/Nope sh"), 72))
     assert(ex.getMessage.contains("unknown shading"))
+  }
+
+  test("radial sh: ball gradient, non-extended annulus witnesses, rejects") {
+    def shPdf(content: String, sd: String, fd: String): Array[Byte] =
+      tinyPdf(content, None, Some((sd, fd)))
+    val lin = "<< /FunctionType 2 /Domain [0 1] /C0 [0 0 0] /C1 [1 1 1] /N 1 >>"
+    def radial(coords: String, ext: String = "[true true]"): String =
+      "<< /ShadingType 3 /ColorSpace /DeviceRGB " +
+        s"/Coords [$coords] /Function FUNC /Extend $ext >>"
+    def gray(img: ImageDecode.Decoded, x: Int, y: Int): Int =
+      img.rgb((y * img.width + x) * 3) & 0xFF
+    // point-to-circle ball at (25,20) r1=10, extend both: t = dist/10
+    // clamped — center near-black, rim near-white, outside clamps white
+    val ball = PdfRaster.rasterize(
+      shPdf("/Sh0 sh", radial("25 20 0 25 20 10"), lin), 72).head.image
+    // device row for user y: row = 40 - 1 - ... pixel (25, row 20) has
+    // center (25.5, 20.5) → user (25.5, 19.5): dist √0.5 → t ≈ 0.0707
+    assert(gray(ball, 25, 20) == math.rint(math.sqrt(0.5) / 10.0 * 255).toInt)
+    assert(gray(ball, 45, 20) == 255, "outside r1 clamps to C1 under extend")
+    assert(gray(ball, 25, 2) == 255, "far outside still C1")
+    // same ball WITHOUT extend: outside r1 is untouched white too, but the
+    // distinction shows at the exact rim vs the e0-disabled CENTER — with
+    // r0=0 the center v=0.07 is in [0,1], so instead witness via annulus:
+    val ann = PdfRaster.rasterize(
+      shPdf("/Sh0 sh", radial("25 20 5 25 20 10", "[false false]"), lin), 72).head.image
+    assert(gray(ann, 25, 20) == 255, "inside the r0 circle: untouched")
+    // pixel (32,20): center (32.5,20.5) → user (32.5,19.5), dist from
+    // (25,20) = √(7.5²+0.5²); v = (dist−5)/5 ∈ (0,1) paints
+    val dist = math.sqrt(7.5 * 7.5 + 0.5 * 0.5)
+    assert(gray(ann, 32, 20) == math.rint((dist - 5.0) / 5.0 * 255).toInt)
+    assert(gray(ann, 45, 20) == 255, "outside the r1 circle: untouched")
+    def rejectsSh(sd: String, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException](
+        PdfRaster.rasterize(shPdf("/Sh0 sh", sd, lin), 72))
+      assert(ex.getMessage.contains(needle), s"got: ${ex.getMessage}")
+    }
+    rejectsSh(radial("25 20 0 25 20 10").replace("/ShadingType 3", "/ShadingType 4"),
+      "axial 2 / radial 3") // mesh
+    rejectsSh(radial("25 20 -1 25 20 10"), "negative shading radius")
+    rejectsSh(radial("25 20 10 25 20 10"), "identical circles")
+    rejectsSh(radial("25 20 10 25"), "6-number /Coords")
   }
 
   test("re W n clips every painter, intersects when nested, restores on Q") {

@@ -175,12 +175,18 @@ def build_pdf(pages, cmap=None, images=None, shadings=None, forms=None):
             f"{mtx_s}{res_s}/Length {len(fdata)} >>\nstream\n".encode()
             + fdata + b"\nendstream")
     for nm in sh_names:
-        x0, y0, x1, y1, c0, c1, expn, e0, e1 = shadings[nm]
+        sh = shadings[nm]
+        if len(sh) == 9:  # axial
+            x0, y0, x1, y1, c0, c1, expn, e0, e1 = sh
+            stype, coords = 2, f"[{x0} {y0} {x1} {y1}]"
+        else:  # radial
+            x0, y0, r0, x1, y1, r1, c0, c1, expn, e0, e1 = sh
+            stype, coords = 3, f"[{x0} {y0} {r0} {x1} {y1} {r1}]"
         fnum = sh_nums[nm] + 1
         ext = f"[{'true' if e0 else 'false'} {'true' if e1 else 'false'}]"
         objs[sh_nums[nm]] = (
-            f"<< /ShadingType 2 /ColorSpace /DeviceRGB "
-            f"/Coords [{x0} {y0} {x1} {y1}] /Function {fnum} 0 R "
+            f"<< /ShadingType {stype} /ColorSpace /DeviceRGB "
+            f"/Coords {coords} /Function {fnum} 0 R "
             f"/Extend {ext} >>").encode()
         objs[fnum] = (
             f"<< /FunctionType 2 /Domain [0 1] "
@@ -402,30 +408,65 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
                 o = (y * W + x) * 3
                 rgb[o:o + 3] = irgb[so:so + 3]
 
+    def _shade_pixel(x, y, t, c0, c1, expn):
+        tn = 1.0
+        for _ in range(expn):
+            tn *= t
+        o = (y * W + x) * 3
+        rgb[o] = int(round((c0[0] + tn * (c1[0] - c0[0])) * 255))
+        rgb[o + 1] = int(round((c0[1] + tn * (c1[1] - c0[1])) * 255))
+        rgb[o + 2] = int(round((c0[2] + tn * (c1[2] - c0[2])) * 255))
+
     def paint_shading(sh):
-        # axial gradient across the WHOLE clip region (box AND mask):
-        # pixel centers project onto the axis; t outside [0,1] paints only
-        # where /Extend allows (clamped); color = rint(255*(c0 + t^n*(c1-c0)))
-        # with t^n by repeated multiplication — formulas in the Scala order
-        x0, y0, x1, y1, c0, c1, expn, e0, e1 = sh
-        dx, dy = x1 - x0, y1 - y0
-        len2 = dx * dx + dy * dy
+        # gradient across the WHOLE clip region (box AND mask); t outside
+        # [0,1] paints only where /Extend allows (clamped); color =
+        # rint(255*(c0 + t^n*(c1-c0))) with t^n by repeated multiplication
+        # — formulas in the Scala order. 9-tuple = axial (pixel centers
+        # project onto the axis); 11-tuple = radial (largest circle-family
+        # parameter whose circle passes through the pixel, r(v) >= 0 —
+        # quadratic roots tried in descending order, linear fallback).
+        if len(sh) == 9:
+            x0, y0, x1, y1, c0, c1, expn, e0, e1 = sh
+            dx, dy = x1 - x0, y1 - y0
+            len2 = dx * dx + dy * dy
+            for y in range(clip[1], clip[3]):
+                uy = (HD - (y + 0.5)) / s - ty
+                for x in range(clip[0], clip[2]):
+                    if clip_mask is not None and not clip_mask[y * W + x]:
+                        continue
+                    ux = (x + 0.5) / s - tx
+                    t_raw = ((ux - x0) * dx + (uy - y0) * dy) / len2
+                    if (t_raw >= 0.0 or e0) and (t_raw <= 1.0 or e1):
+                        t = 0.0 if t_raw < 0.0 else (1.0 if t_raw > 1.0 else t_raw)
+                        _shade_pixel(x, y, t, c0, c1, expn)
+            return
+        x0, y0, r0, x1, y1, r1, c0, c1, expn, e0, e1 = sh
+        dcx, dcy, dr = x1 - x0, y1 - y0, r1 - r0
+        qa = dcx * dcx + dcy * dcy - dr * dr
         for y in range(clip[1], clip[3]):
             uy = (HD - (y + 0.5)) / s - ty
             for x in range(clip[0], clip[2]):
                 if clip_mask is not None and not clip_mask[y * W + x]:
                     continue
                 ux = (x + 0.5) / s - tx
-                t_raw = ((ux - x0) * dx + (uy - y0) * dy) / len2
-                if (t_raw >= 0.0 or e0) and (t_raw <= 1.0 or e1):
-                    t = 0.0 if t_raw < 0.0 else (1.0 if t_raw > 1.0 else t_raw)
-                    tn = 1.0
-                    for _ in range(expn):
-                        tn *= t
-                    o = (y * W + x) * 3
-                    rgb[o] = int(round((c0[0] + tn * (c1[0] - c0[0])) * 255))
-                    rgb[o + 1] = int(round((c0[1] + tn * (c1[1] - c0[1])) * 255))
-                    rgb[o + 2] = int(round((c0[2] + tn * (c1[2] - c0[2])) * 255))
+                pcx, pcy = ux - x0, uy - y0
+                qb = pcx * dcx + pcy * dcy + r0 * dr
+                qc = pcx * pcx + pcy * pcy - r0 * r0
+                cands = []
+                if qa != 0.0:
+                    disc = qb * qb - qa * qc
+                    if disc >= 0.0:
+                        sd = _math.sqrt(disc)
+                        ra, rb = (qb + sd) / qa, (qb - sd) / qa
+                        cands = [ra, rb] if ra >= rb else [rb, ra]
+                elif qb != 0.0:
+                    cands = [qc / (2.0 * qb)]
+                for v in cands:
+                    if (r0 + v * dr >= 0.0 and (v >= 0.0 or e0)
+                            and (v <= 1.0 or e1)):
+                        t = 0.0 if v < 0.0 else (1.0 if v > 1.0 else v)
+                        _shade_pixel(x, y, t, c0, c1, expn)
+                        break
 
     fill = (0, 0, 0)
     stroke = (0, 0, 0)
@@ -1278,6 +1319,30 @@ def main():
         "0 0 0 rg BT /F1 7 Tf 60 182 Td (GRADIENT PAGE) Tj ET")
     pages10 = [(p13, 200.0, 215.0, True)]
 
+    # raster_12.pdf: RADIAL shading — the vignette/sphere class. A point-
+    # to-circle "ball" (r0=0, extend both: inside stays C0, outside the
+    # outer circle clamps C1), a NON-extended annulus (r0>0 ring — pixels
+    # inside circle 0 and outside circle 1 stay untouched: white
+    # witnesses), an offset-center "cone" through a rect clip, and an N=2
+    # falloff ball; frame + caption on top.
+    shadings12 = {
+        'Rb': (50.0, 150.0, 0.0, 50.0, 150.0, 40.0,
+               (0.1, 0.1, 0.1), (0.95, 0.95, 0.95), 1, True, True),
+        'Ra': (140.0, 150.0, 12.0, 140.0, 150.0, 40.0,
+               (0.9, 0.2, 0.1), (0.1, 0.2, 0.9), 1, False, False),
+        'Rc': (60.0, 50.0, 5.0, 90.0, 50.0, 35.0,
+               (0.0, 0.5, 0.0), (0.9, 0.9, 0.2), 1, True, True),
+        'Rq': (160.0, 50.0, 0.0, 160.0, 50.0, 30.0,
+               (1.0, 1.0, 1.0), (0.1, 0.1, 0.4), 2, True, True)}
+    p15 = (
+        "q 5 105 90 90 re W n /Rb sh Q "
+        "q 95 105 95 90 re W n /Ra sh Q "
+        "q 20 15 100 70 re W n /Rc sh Q "
+        "q 125 15 70 70 re W n /Rq sh Q "
+        "0 0 0 RG 1 w 2 2 196 206 re S "
+        "0 0 0 rg BT /F1 6 Tf 70 3 Td (RADIAL PAGE) Tj ET")
+    pages12 = [(p15, 200.0, 215.0, True)]
+
     # raster_11.pdf: FORM XObjects — the reusable-stamp class (letterheads,
     # headers, watermark boxes). Fm0 is a stamp (filled bar WIDER than its
     # /BBox — the bbox must clip it — a stroked frame and glyph text)
@@ -1322,7 +1387,8 @@ def main():
             ('raster_09.pdf', pages9, None, images9, None, None, None),
             ('raster_10.pdf', pages10, None, None, shadings10, None, None),
             ('raster_11.pdf', pages11, None, images11, None, forms11,
-             xobjects11)]
+             xobjects11),
+            ('raster_12.pdf', pages12, None, None, shadings12, None, None)]
     rows = []
     seg_rows = []
     ocr_out = []
