@@ -21,8 +21,11 @@ import scala.collection.mutable
   *    ymin ≤ Y < ymax). Strokes are per-segment butt-capped quads of the
   *    current `w` line width — NO joins or caps, so `J`/`j`/`M` are
   *    consumed-ignored; non-empty dash patterns (`d`) throw;
-  *  - color: `rg`/`g` fill, `RG`/`G` stroke (RGB 0..1 / gray); CMYK/ICC
-  *    (`k`/`K`/`cs`/`sc`/`scn`) is rejected (no profile math offline);
+  *  - color: `rg`/`g` fill, `RG`/`G` stroke (RGB 0..1 / gray); `k`/`K`
+  *    DeviceCMYK via the PDF-specified additive conversion (§8.6.4.4:
+  *    R = 1 − min(1, C+K), likewise G/B with M/Y — pure min/+/−
+  *    arithmetic, twin-bit-exact); ICC/named spaces (`cs`/`sc`/`scn`)
+  *    are rejected (no profile math offline);
   *  - graphics state: `q`/`Q` save/restore (fill+stroke color, line
   *    width, CTM, text render mode), `cm` accepts ANY invertible matrix
   *    (singular throws — no inverse, no pixel model). A non-identity CTM
@@ -1037,6 +1040,19 @@ object PdfRaster {
             case "G" =>
               val v = colorByte(num(operands.last))
               st = st.copy(stroke = (v, v, v))
+            case "k" | "K" =>
+              // DeviceCMYK via the PDF-specified additive conversion
+              // (§8.6.4.4: R = 1 − min(1, C + K), likewise G/B with M/Y)
+              // — pure min/+/− arithmetic, so twin-bit-exact with no
+              // profile math; components validated like rg/RG
+              require(operands.length >= 4, s"$op needs 4 operands")
+              val Seq(cc, mm, yy, kk) = operands.takeRight(4).map(num).toSeq
+              Seq(cc, mm, yy, kk).foreach(v0 => require(v0 >= 0.0 && v0 <= 1.0,
+                s"color component $v0 outside [0,1]"))
+              val rgbv = (colorByte(1.0 - math.min(1.0, cc + kk)),
+                colorByte(1.0 - math.min(1.0, mm + kk)),
+                colorByte(1.0 - math.min(1.0, yy + kk)))
+              st = if (op == "k") st.copy(fill = rgbv) else st.copy(stroke = rgbv)
             case "w" =>
               // `0 w` is a legal hairline per spec; a fill-only page that sets
               // it must still render. The subset has no hairline model, so the

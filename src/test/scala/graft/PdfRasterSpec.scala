@@ -122,8 +122,17 @@ class PdfRasterSpec extends AnyFunSuite {
     rejects("W* n", "no current path to clip by")
     rejects("5 5 10 10 re W f", "W followed by 'f'") // clip+paint combo
     rejects("10 10 m 30 10 l 30 30 l h B*", "outside the raster subset") // even-odd fill+stroke
-    rejects("0 0 0.5 0 k 5 5 10 10 re f", "outside the raster subset") // CMYK fill
-    rejects("0 0 0.5 0 K 10 10 m 30 30 l S", "outside the raster subset") // CMYK stroke
+    // CMYK is now converted, not rejected — but ICC/named spaces still throw
+    rejects("/DeviceCMYK cs 0 0 0.5 0 sc 5 5 10 10 re f", "outside the raster subset")
+    rejects("1.5 0 0 0 k 5 5 10 10 re f", "outside [0,1]") // bad CMYK component
+    // spec conversion: (0,0,0.5,0) k → RGB (255, 255, rint(0.5·255)=128)
+    val cy = PdfRaster.rasterize(tinyPdf("0 0 0.5 0 k 5 5 10 10 re f"), 72).head.image
+    val co = ((40 - 10) * cy.width + 10) * 3
+    assert((cy.rgb(co) & 0xFF, cy.rgb(co + 1) & 0xFF, cy.rgb(co + 2) & 0xFF)
+      == ((255, 255, 128)), "CMYK additive conversion")
+    // rich black: any components + K=1 clamp to (0,0,0)
+    val rb = PdfRaster.rasterize(tinyPdf("0.6 0.4 0.4 1 k 5 5 10 10 re f"), 72).head.image
+    assert(rb.rgb(co) == 0x00.toByte, "K=1 clamps to black")
     rejects("q 2 0 0 2 0 0 cm 5 5 10 10 re f Q", "under a non-identity cm") // scaled path
     rejects("q 2 0 0 2 0 0 cm BT /F1 7 Tf 2 5 Td (A) Tj ET Q", "under a non-identity cm")
     rejects("q 0 1 -1 0 0 0 cm 5 5 10 10 re f Q", "under a non-identity cm") // rotated path

@@ -633,6 +633,19 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
                 elif val == 'G':
                     v = color_byte(operands[-1][1])
                     stroke = (v, v, v)
+                elif val in ('k', 'K'):
+                    # DeviceCMYK via the PDF additive conversion (Scala order)
+                    cc, mm, yy, kk = (operands[-4][1], operands[-3][1],
+                                      operands[-2][1], operands[-1][1])
+                    for v0 in (cc, mm, yy, kk):
+                        assert 0.0 <= v0 <= 1.0
+                    rgbv = (color_byte(1.0 - min(1.0, cc + kk)),
+                            color_byte(1.0 - min(1.0, mm + kk)),
+                            color_byte(1.0 - min(1.0, yy + kk)))
+                    if val == 'k':
+                        fill = rgbv
+                    else:
+                        stroke = rgbv
                 elif val == 'w':
                     # 0 w is a legal hairline; validated at stroke time only
                     line_w = operands[-1][1]
@@ -1339,6 +1352,13 @@ def main():
         "q 95 105 95 90 re W n /Ra sh Q "
         "q 20 15 100 70 re W n /Rc sh Q "
         "q 125 15 70 70 re W n /Rq sh Q "
+        # DeviceCMYK swatch strip (k fills) + a K stroke: additive-
+        # conversion leg — process cyan-tinted, pure magenta+yellow (red),
+        # rich black, and a half-black cyan stroke
+        "0.6 0 0.3 0.1 k 10 88 30 14 re f "
+        "0 1 1 0 k 50 88 30 14 re f "
+        "0 0 0 1 k 90 88 30 14 re f "
+        "1 0 0 0.5 K 3 w 130 90 m 190 100 l S "
         "0 0 0 RG 1 w 2 2 196 206 re S "
         "0 0 0 rg BT /F1 6 Tf 70 3 Td (RADIAL PAGE) Tj ET")
     pages12 = [(p15, 200.0, 215.0, True)]
