@@ -18,9 +18,12 @@ import scala.collection.mutable
   *    paths keep the exact half-even box rule below; every other paint is
   *    a pixel-center scanline (a pixel is painted iff its center point
   *    (x+0.5, y+0.5) is inside, with the half-open edge rule
-  *    ymin ≤ Y < ymax). Strokes are per-segment butt-capped quads of the
-  *    current `w` line width — NO joins or caps, so `J`/`j`/`M` are
-  *    consumed-ignored; non-empty dash patterns (`d`) throw;
+  *    ymin ≤ Y < ymax). Strokes are butt-capped quads of the current `w`
+  *    line width — NO joins or caps, so `J`/`j`/`M` are consumed-ignored.
+  *    Dash patterns (`d`) walk the cyclic on/off array along each subpath
+  *    (continuing across its segments, phase-resolved at subpath start,
+  *    §8.4.3.6), one quad per ON span; elements must be nonnegative with
+  *    a positive sum (an ExtGState /D still accepts only the solid form);
   *  - color: `rg`/`g` fill, `RG`/`G` stroke (RGB 0..1 / gray); `k`/`K`
   *    DeviceCMYK via the PDF-specified additive conversion (§8.6.4.4:
   *    R = 1 − min(1, C+K), likewise G/B with M/Y — pure min/+/−
@@ -333,6 +336,9 @@ object PdfRaster {
                                   ma: Double, mb: Double, mc: Double, md: Double,
                                   textRender: Int, clip: (Int, Int, Int, Int),
                                   clipMask: Option[Array[Long]],
+                                  // dash pattern (user-space lengths, phase)
+                                  // — part of graphics state like line width
+                                  dash: (Vector[Double], Double),
                                   // text state is PART of graphics state
                                   // (PDF §8.4.2): Tf's size+font and TL's
                                   // leading must revert at Q exactly like Tr
@@ -495,7 +501,7 @@ object PdfRaster {
     // current graphics state — declared before the painters so they read
     // the live clip box at paint time
     var st = GState((0, 0, 0), (0, 0, 0), 1.0, 0.0, 0.0, 1.0, 0.0, 0.0, 1.0, 0, (0, 0, w, h),
-      None, 0.0, 0.0, None)
+      None, (Vector.empty, 0.0), 0.0, 0.0, None)
 
     // per-pixel test against a general clip mask (row-major bit-packed);
     // painters hoist st.clipMask.orNull so the rect-only path (mask null)
@@ -653,13 +659,29 @@ object PdfRaster {
     def deviceRing(sub: Sub): IndexedSeq[(Double, Double)] =
       sub.pts.map { case (ux, uy) => (ux * s, hD - uy * s) }.toIndexedSeq
 
-    def strokeSubs(subs: Seq[Sub], lwDev: Double, c: (Int, Int, Int)): Unit = {
+    def strokeSubs(subs: Seq[Sub], lwDev: Double, c: (Int, Int, Int),
+                   dashDev: IndexedSeq[Double], phaseDev: Double): Unit = {
       require(lwDev > 0, s"page $pageNum: non-positive stroke width $lwDev")
       val hw = lwDev / 2.0
       subs.foreach { sub =>
         val ring = deviceRing(sub)
         val n = ring.length
         if (n >= 2) {
+          // dash walker state — continues ACROSS segments within a subpath
+          // (PDF §8.4.3.6), resets at each subpath start. Init resolves the
+          // phase into (element index, remaining length); `d` validated the
+          // array nonnegative with a positive sum, so this terminates.
+          var dIdx = 0; var dOn = true; var dRem = 0.0
+          if (dashDev.nonEmpty) {
+            val totalD = dashDev.sum
+            var pos = phaseDev % totalD
+            while (pos >= dashDev(dIdx)) {
+              pos -= dashDev(dIdx)
+              dIdx = (dIdx + 1) % dashDev.length
+              dOn = !dOn
+            }
+            dRem = dashDev(dIdx) - pos
+          }
           val segs = if (sub.closed) n else n - 1
           var i = 0
           while (i < segs) {
@@ -669,11 +691,36 @@ object PdfRaster {
               val dx = x1 - x0; val dy = y1 - y0
               val len = math.sqrt(dx * dx + dy * dy)
               val nx = -dy / len * hw; val ny = dx / len * hw
-              // per-segment butt-capped quad; overlap at shared vertices is
-              // idempotent (same color), so the no-join model needs no seams
-              scanFill(Seq(IndexedSeq(
-                (x0 + nx, y0 + ny), (x1 + nx, y1 + ny),
-                (x1 - nx, y1 - ny), (x0 - nx, y0 - ny))), evenOdd = false, c)
+              if (dashDev.isEmpty) {
+                // solid: per-segment butt-capped quad; overlap at shared
+                // vertices is idempotent (same color) — no joins needed
+                scanFill(Seq(IndexedSeq(
+                  (x0 + nx, y0 + ny), (x1 + nx, y1 + ny),
+                  (x1 - nx, y1 - ny), (x0 - nx, y0 - ny))), evenOdd = false, c)
+              } else {
+                // dashed: walk the cyclic on/off pattern along the segment,
+                // one butt-capped quad per ON span — formulas in the exact
+                // Python-twin order
+                var t = 0.0
+                while (t < len) {
+                  val step = if (dRem < len - t) dRem else len - t
+                  if (dOn && step > 0.0) {
+                    val s0 = t / len; val s1 = (t + step) / len
+                    val ax = x0 + s0 * dx; val ay = y0 + s0 * dy
+                    val bx = x0 + s1 * dx; val by = y0 + s1 * dy
+                    scanFill(Seq(IndexedSeq(
+                      (ax + nx, ay + ny), (bx + nx, by + ny),
+                      (bx - nx, by - ny), (ax - nx, ay - ny))), evenOdd = false, c)
+                  }
+                  t += step
+                  dRem -= step
+                  if (dRem <= 0.0) {
+                    dIdx = (dIdx + 1) % dashDev.length
+                    dOn = !dOn
+                    dRem = dashDev(dIdx)
+                  }
+                }
+              }
             }
             i += 1
           }
@@ -934,7 +981,10 @@ object PdfRaster {
         // stroke under a scale cm must be wider, which the subset has no
         // model for, so it rejects loudly like path/text construction does
         requireUnitScale("stroke")
-        strokeSubs(rects.map(rectSub).toSeq ++ subs.toSeq, st.lineWidth * s, st.stroke)
+        // dash lengths/phase transform by the CTM like the line width —
+        // unit scale is already required, so device = user × s
+        strokeSubs(rects.map(rectSub).toSeq ++ subs.toSeq, st.lineWidth * s, st.stroke,
+          st.dash._1.map(_ * s), st.dash._2 * s)
       }
       var inText = false
       var pendingClip = false
@@ -1059,11 +1109,21 @@ object PdfRaster {
               // width is validated where it matters — at stroke time
               st = st.copy(lineWidth = num(operands.last))
             case "d" =>
-              // the stroke model has no dash phase math — only the solid
-              // pattern "[] 0 d" is accepted
-              require(arrDone != null && arrDone.isEmpty,
-                s"page $pageNum: non-empty dash pattern unsupported")
+              require(arrDone != null, s"page $pageNum: d without a dash array")
+              val dashArr = arrDone.map {
+                case TNum(v) => v
+                case other => throw new IllegalArgumentException(
+                  s"page $pageNum: dash array element $other")
+              }
               arrDone = null
+              val phase = num(operands.last)
+              // spec: elements nonnegative, not all zero; phase nonnegative
+              require(dashArr.forall(_ >= 0.0),
+                s"page $pageNum: negative dash element in [${dashArr.mkString(" ")}]")
+              require(dashArr.isEmpty || dashArr.sum > 0.0,
+                s"page $pageNum: all-zero dash array")
+              require(phase >= 0.0, s"page $pageNum: negative dash phase $phase")
+              st = st.copy(dash = (dashArr, phase))
             case "gs" =>
               val nm = operands.last match {
                 case TName(n) => n

@@ -29,7 +29,7 @@ class PdfRasterSpec extends AnyFunSuite {
       Set("raster_00.pdf", "raster_01.pdf", "raster_02.pdf", "raster_03.pdf",
         "raster_04.pdf", "raster_05.pdf", "raster_06.pdf", "raster_07.pdf",
         "raster_08.pdf", "raster_09.pdf", "raster_10.pdf", "raster_11.pdf",
-        "raster_12.pdf"))
+        "raster_12.pdf", "raster_13.pdf"))
     byName.foreach { case (name, pageExp) =>
       val pages = PdfRaster.rasterize(fixture(name), dpi)
       assert(pages.length == pageExp.length, s"$name page count")
@@ -155,7 +155,8 @@ class PdfRasterSpec extends AnyFunSuite {
     // spec transforms line width by the CTM at stroke time — a stroke under
     // a scale cm (path built at identity) has no width model here: loud
     rejects("10 10 m 40 10 l q 4 0 0 4 0 0 cm S", "under a non-identity cm")
-    rejects("[2 1] 0 d 10 10 m 20 20 l S", "non-empty dash pattern")
+    rejects("[-2 1] 0 d 10 10 m 20 20 l S", "negative dash element")
+    rejects("[0 0] 0 d 10 10 m 20 20 l S", "all-zero dash array")
     // `0 w` is a legal hairline state — a FILL-only page that sets it must
     // render, not throw (only an actual stroke has no width-0 model here)
     val hairline = PdfRaster.rasterize(tinyPdf("0 w 0 0 0 rg 5 5 10 10 re f"), 72)
@@ -407,6 +408,35 @@ class PdfRasterSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException](
       PdfRaster.rasterize(tinyPdf("/Nope sh"), 72))
     assert(ex.getMessage.contains("unknown shading"))
+  }
+
+  test("dash patterns walk on/off spans along the path; phase shifts them") {
+    def at(img: ImageDecode.Decoded, x: Int, y: Int): Byte =
+      img.rgb(((40 - y) * img.width + x) * 3)
+    // [6 4] 0 d on a horizontal 2w line y=20 from x=10: ON device columns
+    // [10,16), OFF [16,20), ON [20,26) …
+    val dashed = PdfRaster.rasterize(tinyPdf(
+      "0 0 0 RG 2 w [6 4] 0 d 10 20 m 45 20 l S"), 72).head.image
+    assert(at(dashed, 12, 20) == 0x00.toByte, "inside the first dash")
+    assert(at(dashed, 18, 20) == 0xFF.toByte, "inside the first gap")
+    assert(at(dashed, 22, 20) == 0x00.toByte, "inside the second dash")
+    // phase 5 consumes most of the first dash: ON [10,11), OFF [11,15),
+    // ON [15,21)
+    val shifted = PdfRaster.rasterize(tinyPdf(
+      "0 0 0 RG 2 w [6 4] 5 d 10 20 m 45 20 l S"), 72).head.image
+    assert(at(shifted, 12, 20) == 0xFF.toByte, "phase moved the gap here")
+    assert(at(shifted, 17, 20) == 0x00.toByte, "phase moved a dash here")
+    // the dash continues ACROSS a polyline vertex: [30 4] on an L of two
+    // 20-long segments — the first 30 units of ink span the corner, so the
+    // second segment's start is still ON
+    val corner = PdfRaster.rasterize(tinyPdf(
+      "0 0 0 RG 2 w [30 4] 0 d 5 5 m 25 5 l 25 25 l S"), 72).head.image
+    assert(at(corner, 25, 10) == 0x00.toByte, "still ON just after the corner")
+    assert(at(corner, 25, 18) == 0xFF.toByte, "the gap lands mid-second-segment")
+    // `[] 0 d` stays solid
+    val solid = PdfRaster.rasterize(tinyPdf(
+      "0 0 0 RG 2 w [] 0 d 10 20 m 45 20 l S"), 72).head.image
+    assert(at(solid, 18, 20) == 0x00.toByte, "empty dash = solid")
   }
 
   test("radial sh: ball gradient, non-extended annulus witnesses, rejects") {

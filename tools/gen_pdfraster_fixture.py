@@ -294,7 +294,7 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
                     o = (row * W + x) * 3
                     rgb[o:o + 3] = bytes(c)
 
-    def stroke_subs(sub_list, lw_dev, c):
+    def stroke_subs(sub_list, lw_dev, c, dash_dev, phase_dev):
         assert lw_dev > 0, f'non-positive stroke width {lw_dev}'
         hw = lw_dev / 2.0
         for (pts, closed) in sub_list:
@@ -302,6 +302,16 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
             n = len(ring)
             if n < 2:
                 continue
+            # dash walker continues across the subpath's segments (Scala
+            # order); phase resolved at subpath start
+            d_idx, d_on, d_rem = 0, True, 0.0
+            if dash_dev:
+                pos = phase_dev % sum(dash_dev)
+                while pos >= dash_dev[d_idx]:
+                    pos -= dash_dev[d_idx]
+                    d_idx = (d_idx + 1) % len(dash_dev)
+                    d_on = not d_on
+                d_rem = dash_dev[d_idx] - pos
             segs = n if closed else n - 1
             for i in range(segs):
                 x0, y0 = ring[i]
@@ -313,8 +323,25 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
                 ln = _math.sqrt(dx * dx + dy * dy)
                 nx = -dy / ln * hw
                 ny = dx / ln * hw
-                scan_fill([[(x0 + nx, y0 + ny), (x1 + nx, y1 + ny),
-                            (x1 - nx, y1 - ny), (x0 - nx, y0 - ny)]], False, c)
+                if not dash_dev:
+                    scan_fill([[(x0 + nx, y0 + ny), (x1 + nx, y1 + ny),
+                                (x1 - nx, y1 - ny), (x0 - nx, y0 - ny)]], False, c)
+                    continue
+                t = 0.0
+                while t < ln:
+                    step = d_rem if d_rem < ln - t else ln - t
+                    if d_on and step > 0.0:
+                        s0, s1 = t / ln, (t + step) / ln
+                        ax, ay = x0 + s0 * dx, y0 + s0 * dy
+                        bx, by = x0 + s1 * dx, y0 + s1 * dy
+                        scan_fill([[(ax + nx, ay + ny), (bx + nx, by + ny),
+                                    (bx - nx, by - ny), (ax - nx, ay - ny)]], False, c)
+                    t += step
+                    d_rem -= step
+                    if d_rem <= 0.0:
+                        d_idx = (d_idx + 1) % len(dash_dev)
+                        d_on = not d_on
+                        d_rem = dash_dev[d_idx]
 
     def append_cubic(pts, x1, y1, x2, y2, x3, y3):
         x0, y0 = pts[-1]
@@ -476,6 +503,7 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
     trmode = 0
     clip = (0, 0, W, H)
     clip_mask = None  # bytearray(W*H) once a GENERAL clip path is active
+    dash = ([], 0.0)  # user-space dash (array, phase) — graphics state
     pending_clip = False
     pending_clip_eo = False
     stack = []
@@ -529,9 +557,9 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
 
     def run_stream(content_r, fonts_r, images_r, gstates_r, shadings_r):
         nonlocal fill, stroke, line_w, tx, ty, ma, mb, mc, md, trmode, \
-            clip, clip_mask, pending_clip, pending_clip_eo, stack, rects, \
-            subs, in_text, lx, ly, leading, font_size, pen_px, cur_dec, \
-            operands, arr, arr_done
+            clip, clip_mask, dash, pending_clip, pending_clip_eo, stack, \
+            rects, subs, in_text, lx, ly, leading, font_size, pen_px, \
+            cur_dec, operands, arr, arr_done
         for kind, val in _tokens(content_r):
             if kind == 'arr_open':
                 assert arr is None
@@ -550,11 +578,11 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
                     # text state (Tf size+font, TL leading) is PART of graphics
                     # state (PDF 8.4.2) — Q must restore it, mirroring PdfRaster
                     stack.append((fill, stroke, line_w, tx, ty, ma, mb, mc, md,
-                                  trmode, clip, clip_mask, font_size, leading,
-                                  cur_dec))
+                                  trmode, clip, clip_mask, dash, font_size,
+                                  leading, cur_dec))
                 elif val == 'Q':
                     (fill, stroke, line_w, tx, ty, ma, mb, mc, md, trmode, clip,
-                     clip_mask, font_size, leading, cur_dec) = stack.pop()
+                     clip_mask, dash, font_size, leading, cur_dec) = stack.pop()
                 elif val == 'cm':
                     a, b, c, d = (operands[-6][1], operands[-5][1],
                                   operands[-4][1], operands[-3][1])
@@ -650,8 +678,15 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
                     # 0 w is a legal hairline; validated at stroke time only
                     line_w = operands[-1][1]
                 elif val == 'd':
-                    assert arr_done is not None and not arr_done, 'non-empty dash pattern'
+                    assert arr_done is not None, 'd without a dash array'
+                    dash_arr = [v for (k2, v) in arr_done]
+                    assert all(k2 == 'num' for (k2, _) in arr_done)
                     arr_done = None
+                    phase = operands[-1][1]
+                    assert all(v >= 0.0 for v in dash_arr)
+                    assert not dash_arr or sum(dash_arr) > 0.0
+                    assert phase >= 0.0
+                    dash = (dash_arr, phase)
                 elif val == 're':
                     unit_scale('re')
                     x, y, w2, h2 = (operands[-4][1], operands[-3][1],
@@ -705,13 +740,15 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
                     rects, subs = [], []
                 elif val == 'S':
                     unit_scale('stroke')  # line width transforms by the CTM at stroke time
-                    stroke_subs([rect_sub(r) for r in rects] + subs, line_w * s, stroke)
+                    stroke_subs([rect_sub(r) for r in rects] + subs, line_w * s, stroke,
+                                [v * s for v in dash[0]], dash[1] * s)
                     rects, subs = [], []
                 elif val == 's':
                     unit_scale('stroke')
                     assert subs, 's without a subpath'
                     subs[-1] = (subs[-1][0], True)
-                    stroke_subs([rect_sub(r) for r in rects] + subs, line_w * s, stroke)
+                    stroke_subs([rect_sub(r) for r in rects] + subs, line_w * s, stroke,
+                                [v * s for v in dash[0]], dash[1] * s)
                     rects, subs = [], []
                 elif val == 'B':
                     unit_scale('stroke')
@@ -721,7 +758,8 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
                     else:
                         scan_fill([device_ring(p) for (p, _) in
                                    [rect_sub(r) for r in rects] + subs], False, fill)
-                    stroke_subs([rect_sub(r) for r in rects] + subs, line_w * s, stroke)
+                    stroke_subs([rect_sub(r) for r in rects] + subs, line_w * s, stroke,
+                                [v * s for v in dash[0]], dash[1] * s)
                     rects, subs = [], []
                 elif val in ('W', 'W*'):
                     assert rects or subs, f'{val} with no current path to clip by'
@@ -1363,6 +1401,25 @@ def main():
         "0 0 0 rg BT /F1 6 Tf 70 3 Td (RADIAL PAGE) Tj ET")
     pages12 = [(p15, 200.0, 215.0, True)]
 
+    # raster_13.pdf: DASH PATTERNS — table rules and borders. A horizontal
+    # [6 4] dashed rule, the same rule phase-shifted by 5 (gaps and dashes
+    # swap position), a [2 2] dotted diagonal, a dashed RECTANGLE via
+    # `re S` (the walker crosses 4 segment boundaries), a dash crossing a
+    # polyline vertex mid-element (continuity across segments), a closed
+    # dashed triangle via `s`, a [4] single-element pattern (equal on/off),
+    # and a solid control line under `[] 0 d`.
+    p16 = (
+        "0 0 0 RG 2 w [6 4] 0 d 10 150 m 190 150 l S "
+        "1 0 0 RG 2 w [6 4] 5 d 10 140 m 190 140 l S "
+        "0 0 1 RG 2 w [2 2] 0 d 10 10 m 120 120 l S "
+        "0 0.5 0 RG 2 w [5 3] 0 d 130 60 60 60 re S "
+        "0.5 0 0.5 RG 3 w [9 3] 0 d 10 60 m 60 60 l 60 110 l S "
+        "0 0 0 RG 2 w [7 4] 2 d 140 10 m 180 10 l 160 45 l s "
+        "0.9 0.5 0 RG 2 w [4] 0 d 10 170 m 190 170 l S "
+        "0 0 0 RG 2 w [] 0 d 10 180 m 190 180 l S "
+        "0 0 0 rg BT /F1 6 Tf 70 185 Td (DASH PAGE) Tj ET")
+    pages13 = [(p16, 200.0, 200.0, True)]
+
     # raster_11.pdf: FORM XObjects — the reusable-stamp class (letterheads,
     # headers, watermark boxes). Fm0 is a stamp (filled bar WIDER than its
     # /BBox — the bbox must clip it — a stroked frame and glyph text)
@@ -1408,7 +1465,8 @@ def main():
             ('raster_10.pdf', pages10, None, None, shadings10, None, None),
             ('raster_11.pdf', pages11, None, images11, None, forms11,
              xobjects11),
-            ('raster_12.pdf', pages12, None, None, shadings12, None, None)]
+            ('raster_12.pdf', pages12, None, None, shadings12, None, None),
+            ('raster_13.pdf', pages13, None, None, None, None, None)]
     rows = []
     seg_rows = []
     ocr_out = []
