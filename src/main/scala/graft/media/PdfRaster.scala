@@ -92,8 +92,10 @@ import scala.collection.mutable
   *    repeated multiplication so the twins agree bit-for-bit. Mesh
   *    shading types, sampled/stitching/PostScript functions, non-[0 1]
   *    domains, shading /BBox and fractional exponents throw at page setup;
-  *  - inline images (BI), even-odd fill+stroke (B*), and path ops without
-  *    a current point all throw with a reason.
+  *  - painting also covers the fill+stroke family `B`/`B*`/`b`/`b*`
+  *    (nonzero / even-odd, with the b variants closing the subpath
+  *    first); inline images (BI) and path ops without a current point
+  *    throw with a reason.
   *
   * Pixel rules (the differential contract with the pure-Python twin,
   * tools/gen_pdfraster_fixture.py): scale s = dpi/72; canvas
@@ -1197,12 +1199,19 @@ object PdfRaster {
               subs.last.closed = true
               strokeAll()
               clearPath()
-            case "B" =>
-              if (subs.isEmpty)
+            case "B" | "B*" | "b" | "b*" =>
+              // fill-then-stroke family: B nonzero, B* even-odd; the b
+              // variants close the current subpath first (spec: b ≡ h B)
+              if (op == "b" || op == "b*") {
+                require(subs.nonEmpty, s"page $pageNum: $op without a subpath")
+                subs.last.closed = true
+              }
+              val eo = op == "B*" || op == "b*"
+              if (subs.isEmpty && !eo)
                 rects.foreach { case (x, y, rw, rh) => fillRect(x, y, rw, rh, st.fill) }
               else
                 scanFill((rects.map(rectSub) ++ subs).map(deviceRing).toSeq,
-                  evenOdd = false, st.fill)
+                  evenOdd = eo, st.fill)
               strokeAll()
               clearPath()
             case "W" | "W*" =>

@@ -121,7 +121,7 @@ class PdfRasterSpec extends AnyFunSuite {
     rejects("W n", "no current path to clip by") // clip with nothing to clip
     rejects("W* n", "no current path to clip by")
     rejects("5 5 10 10 re W f", "W followed by 'f'") // clip+paint combo
-    rejects("10 10 m 30 10 l 30 30 l h B*", "outside the raster subset") // even-odd fill+stroke
+    rejects("b", "b without a subpath") // close+fill+stroke with no path
     // CMYK is now converted, not rejected — but ICC/named spaces still throw
     rejects("/DeviceCMYK cs 0 0 0.5 0 sc 5 5 10 10 re f", "outside the raster subset")
     rejects("1.5 0 0 0 k 5 5 10 10 re f", "outside [0,1]") // bad CMYK component
@@ -174,6 +174,12 @@ class PdfRasterSpec extends AnyFunSuite {
     }
     assert(centerBlack("f"), "nonzero winding must fill the star's center")
     assert(!centerBlack("f*"), "even-odd parity must leave the star's center white")
+    // the fill+stroke family inherits the same winding split: B paints the
+    // center, B* leaves the hole (stroke color ≠ fill so the hole witness
+    // is unambiguous), and `b` closes the subpath before painting
+    assert(centerBlack("h B"), "B fills nonzero")
+    assert(!centerBlack("0.5 G h B*"), "B* leaves the even-odd hole")
+    assert(centerBlack("b"), "b closes implicitly and fills nonzero")
   }
 
   test("opposite-wound inner subpath cuts a hole under nonzero winding") {

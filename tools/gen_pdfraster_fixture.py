@@ -750,14 +750,20 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
                     stroke_subs([rect_sub(r) for r in rects] + subs, line_w * s, stroke,
                                 [v * s for v in dash[0]], dash[1] * s)
                     rects, subs = [], []
-                elif val == 'B':
+                elif val in ('B', 'B*', 'b', 'b*'):
+                    # fill-then-stroke family (Scala order): B nonzero,
+                    # B* even-odd; b variants close the subpath first
                     unit_scale('stroke')
-                    if not subs:
+                    if val in ('b', 'b*'):
+                        assert subs, f'{val} without a subpath'
+                        subs[-1] = (subs[-1][0], True)
+                    eo = val in ('B*', 'b*')
+                    if not subs and not eo:
                         for (x, y, w2, h2) in rects:
                             fill_rect(x, y, w2, h2, fill)
                     else:
                         scan_fill([device_ring(p) for (p, _) in
-                                   [rect_sub(r) for r in rects] + subs], False, fill)
+                                   [rect_sub(r) for r in rects] + subs], eo, fill)
                     stroke_subs([rect_sub(r) for r in rects] + subs, line_w * s, stroke,
                                 [v * s for v in dash[0]], dash[1] * s)
                     rects, subs = [], []
@@ -1417,7 +1423,12 @@ def main():
         "0 0 0 RG 2 w [7 4] 2 d 140 10 m 180 10 l 160 45 l s "
         "0.9 0.5 0 RG 2 w [4] 0 d 10 170 m 190 170 l S "
         "0 0 0 RG 2 w [] 0 d 10 180 m 190 180 l S "
-        "0 0 0 rg BT /F1 6 Tf 70 185 Td (DASH PAGE) Tj ET")
+        # fill+stroke family: the self-intersecting star via B* (even-odd
+        # fill leaves the pentagon hole + stroked outline), and a b-closed
+        # triangle (implicit h, nonzero fill + closing-segment stroke)
+        f"0.8 0.8 0.2 rg 0.4 0 0 RG 1 w q 1 0 0 1 100 90 cm {star} B* Q "
+        "0.2 0.6 0.9 rg 0 0 0 RG 2 w 148 148 m 186 148 l 167 186 l b "
+        "0 0 0 rg BT /F1 6 Tf 70 188 Td (DASH PAGE) Tj ET")
     pages13 = [(p16, 200.0, 200.0, True)]
 
     # raster_11.pdf: FORM XObjects — the reusable-stamp class (letterheads,
