@@ -170,7 +170,7 @@ object PdfRaster {
                                  bbox: (Double, Double, Double, Double),
                                  fonts: Map[String, PdfText.CMapFont],
                                  xobjects: Map[String, XObj],
-                                 gstates: Map[String, Option[Double]],
+                                 gstates: Map[String, (Option[Double], Boolean)],
                                  shadings: Map[String, Shad]) extends XObj {
     // tokenized ONCE per built form — a stamp placed N times on a page
     // re-executes the token vector, never re-lexes the stream text
@@ -299,8 +299,13 @@ object PdfRaster {
     * /BM, a soft mask, /Font — throws, same LOUD contract as the op loop
     * (ignoring `gs` wholesale would render those silently wrong).
     */
-  private def parseExtGState(dict: String, ctx: String): Option[Double] = {
+  /** Returns (optional /LW line width, whether a solid /D was present —
+    * the only /D form the validation admits, which `gs` must APPLY by
+    * resetting any active inline dash, exactly as `[] 0 d` would).
+    */
+  private def parseExtGState(dict: String, ctx: String): (Option[Double], Boolean) = {
     val lw = LwRe.findFirstMatchIn(dict).map(_.group(1).toDouble)
+    val solidD = dict.matches("""(?s).*?/D\s*\[\s*\[\s*\]\s*[0-9.]+\s*\].*""")
     val benign = Seq(
       """/Type\s*/ExtGState""",
       """/LW\s+[0-9.]+""",
@@ -318,7 +323,7 @@ object PdfRaster {
     require(!residue.contains('/'),
       s"$ctx: ExtGState parameters '${residue.replaceAll("[<>\\s]+", " ").trim}' " +
         "are outside the raster subset")
-    lw
+    (lw, solidD)
   }
 
   /** textRender: PDF Tr mode — 0 fill, 3 invisible (the OCR text layer of
@@ -377,7 +382,7 @@ object PdfRaster {
       // validate every /ExtGState up front (name → /LW override): a `gs`
       // naming a state with pixel-changing parameters fails before any
       // pixel is painted, like a dangling XObject does
-      def gstatesOf(d: String): Map[String, Option[Double]] =
+      def gstatesOf(d: String): Map[String, (Option[Double], Boolean)] =
         ExtGStateRe.findFirstMatchIn(d)
           .map(m => XObjEntryRe.findAllMatchIn(m.group(1)).map { mm =>
             val ref = mm.group(2).toInt
@@ -419,10 +424,10 @@ object PdfRaster {
       // not yet in the cache, so self-reference re-enters buildForm with
       // the ref already in refPath.
       val formCache = mutable.Map.empty[(Int, Map[String, PdfText.CMapFont],
-        Map[String, Option[Double]], Map[String, Shad]), FormX]
+        Map[String, (Option[Double], Boolean)], Map[String, Shad]), FormX]
       def buildForm(name: String, ref: Int, obj: PdfObject,
                     inhFonts: Map[String, PdfText.CMapFont],
-                    inhG: Map[String, Option[Double]],
+                    inhG: Map[String, (Option[Double], Boolean)],
                     inhSh: Map[String, Shad], refPath: Set[Int]): FormX = {
         require(!refPath.contains(ref),
           s"page $pageNum: cyclic form XObject /$name ($ref R)")
@@ -451,7 +456,7 @@ object PdfRaster {
         FormX(content, mt, (bx0, by0, bx1, by1), fFonts, fX, fG, fSh)
       }
       def xobjectsOf(d: String, inhFonts: Map[String, PdfText.CMapFont],
-                     inhG: Map[String, Option[Double]],
+                     inhG: Map[String, (Option[Double], Boolean)],
                      inhSh: Map[String, Shad], refPath: Set[Int]): Map[String, XObj] =
         XObjectRefRe.findFirstMatchIn(d)
           .map(m => XObjEntryRe.findAllMatchIn(m.group(1)).map { mm =>
@@ -482,7 +487,7 @@ object PdfRaster {
 
   private def render(content: String, fonts: Map[String, PdfText.CMapFont],
                      xobjects: Map[String, XObj],
-                     gstates: Map[String, Option[Double]],
+                     gstates: Map[String, (Option[Double], Boolean)],
                      shadings: Map[String, Shad],
                      mbW: Double, mbH: Double, dpi: Int, pageNum: Int): ImageDecode.Decoded = {
     import PdfText.{TArrClose, TArrOpen, TName, TNum, TOp, TStr, Tok}
@@ -675,8 +680,13 @@ object PdfRaster {
           // array nonnegative with a positive sum, so this terminates.
           var dIdx = 0; var dOn = true; var dRem = 0.0
           if (dashDev.nonEmpty) {
+            // the on/off CYCLE is one pass of an even-length array but TWO
+            // passes of an odd-length one ([4] means on4/off4, period 8):
+            // reducing the phase mod the plain sum would lose the parity
+            // flip and invert every dash and gap
             val totalD = dashDev.sum
-            var pos = phaseDev % totalD
+            val cycle = if (dashDev.length % 2 == 0) totalD else totalD * 2.0
+            var pos = phaseDev % cycle
             while (pos >= dashDev(dIdx)) {
               pos -= dashDev(dIdx)
               dIdx = (dIdx + 1) % dashDev.length
@@ -944,7 +954,7 @@ object PdfRaster {
     // from its own xobjects map, whose construction rejected cycles and
     // chains deeper than 8 (buildForm's refPath) — no runtime cap needed.
     def exec(toks: Vector[PdfText.Tok], fonts: Map[String, PdfText.CMapFont],
-             xobjects: Map[String, XObj], gstates: Map[String, Option[Double]],
+             xobjects: Map[String, XObj], gstates: Map[String, (Option[Double], Boolean)],
              shadings: Map[String, Shad]): Unit = {
       val stack = mutable.Stack.empty[GState]
       val rects = mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
@@ -1131,11 +1141,14 @@ object PdfRaster {
                 case TName(n) => n
                 case other => throw new IllegalArgumentException(s"gs on $other")
               }
-              // pre-validated: only benign keys + an optional /LW, which
-              // applies exactly like inline `w` (q/Q-scoped via st)
-              val lw = gstates.getOrElse(nm, throw new IllegalArgumentException(
+              // pre-validated: only benign keys + an optional /LW (applies
+              // exactly like inline `w`) and an optional solid /D (applies
+              // exactly like `[] 0 d`, RESETTING an active inline dash) —
+              // both q/Q-scoped via st
+              val (lw, solidD) = gstates.getOrElse(nm, throw new IllegalArgumentException(
                 s"page $pageNum: gs of unknown ExtGState /$nm"))
               lw.foreach(v => st = st.copy(lineWidth = v))
+              if (solidD) st = st.copy(dash = (Vector.empty, 0.0))
             case "re" =>
               requireUnitScale("re")
               require(operands.length >= 4, "re needs 4 operands")
@@ -1203,8 +1216,11 @@ object PdfRaster {
               // fill-then-stroke family: B nonzero, B* even-odd; the b
               // variants close the current subpath first (spec: b ≡ h B)
               if (op == "b" || op == "b*") {
-                require(subs.nonEmpty, s"page $pageNum: $op without a subpath")
-                subs.last.closed = true
+                // a rect-only path is legal for b — `re` defines a complete
+                // closed subpath, so the implicit h has nothing to do
+                require(rects.nonEmpty || subs.nonEmpty,
+                  s"page $pageNum: $op without a current path")
+                if (subs.nonEmpty) subs.last.closed = true
               }
               val eo = op == "B*" || op == "b*"
               if (subs.isEmpty && !eo)

@@ -121,7 +121,7 @@ class PdfRasterSpec extends AnyFunSuite {
     rejects("W n", "no current path to clip by") // clip with nothing to clip
     rejects("W* n", "no current path to clip by")
     rejects("5 5 10 10 re W f", "W followed by 'f'") // clip+paint combo
-    rejects("b", "b without a subpath") // close+fill+stroke with no path
+    rejects("b", "b without a current path") // close+fill+stroke with no path
     // CMYK is now converted, not rejected — but ICC/named spaces still throw
     rejects("/DeviceCMYK cs 0 0 0.5 0 sc 5 5 10 10 re f", "outside the raster subset")
     rejects("1.5 0 0 0 k 5 5 10 10 re f", "outside [0,1]") // bad CMYK component
@@ -443,6 +443,24 @@ class PdfRasterSpec extends AnyFunSuite {
     val solid = PdfRaster.rasterize(tinyPdf(
       "0 0 0 RG 2 w [] 0 d 10 20 m 45 20 l S"), 72).head.image
     assert(at(solid, 18, 20) == 0x00.toByte, "empty dash = solid")
+    // odd-length array parity: [4] cycles on4/off4 (period 8), so phase 6
+    // starts 2 units into the OFF leg — OFF [10,12), ON [12,16), OFF
+    // [16,20). Reducing the phase mod the plain sum would start ON here.
+    val odd = PdfRaster.rasterize(tinyPdf(
+      "0 0 0 RG 2 w [4] 6 d 10 20 m 45 20 l S"), 72).head.image
+    assert(at(odd, 11, 20) == 0xFF.toByte, "phase 6 of [4] starts OFF")
+    assert(at(odd, 13, 20) == 0x00.toByte, "ON after the 2-unit tail gap")
+    assert(at(odd, 17, 20) == 0xFF.toByte, "OFF again at period position")
+    assert(at(odd, 21, 20) == 0x00.toByte, "second ON leg")
+    // a solid ExtGState /D RESETS an active inline dash (it is `[] 0 d`)
+    val gsReset = PdfRaster.rasterize(tinyPdf(
+      "0 0 0 RG 2 w [6 4] 0 d /GS0 gs 10 20 m 45 20 l S",
+      Some("<< /Type /ExtGState /D [ [ ] 0 ] >>")), 72).head.image
+    assert(at(gsReset, 18, 20) == 0x00.toByte, "gs /D [[] 0] must reset the dash")
+    // rect-only `b` is legal: `re` is already a closed subpath
+    val rb = PdfRaster.rasterize(tinyPdf(
+      "0 0 0 rg 0 0 0 RG 1 w 10 10 20 15 re b"), 72).head.image
+    assert(at(rb, 20, 17) == 0x00.toByte, "re b fills and strokes")
   }
 
   test("radial sh: ball gradient, non-extended annulus witnesses, rejects") {

@@ -306,7 +306,11 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
             # order); phase resolved at subpath start
             d_idx, d_on, d_rem = 0, True, 0.0
             if dash_dev:
-                pos = phase_dev % sum(dash_dev)
+                # odd-length arrays have a TWO-pass on/off cycle ([4] =
+                # on4/off4, period 8) — mod by the parity-true cycle
+                total_d = sum(dash_dev)
+                cycle = total_d if len(dash_dev) % 2 == 0 else total_d * 2.0
+                pos = phase_dev % cycle
                 while pos >= dash_dev[d_idx]:
                     pos -= dash_dev[d_idx]
                     d_idx = (d_idx + 1) % len(dash_dev)
@@ -755,8 +759,9 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
                     # B* even-odd; b variants close the subpath first
                     unit_scale('stroke')
                     if val in ('b', 'b*'):
-                        assert subs, f'{val} without a subpath'
-                        subs[-1] = (subs[-1][0], True)
+                        assert rects or subs, f'{val} without a current path'
+                        if subs:
+                            subs[-1] = (subs[-1][0], True)
                     eo = val in ('B*', 'b*')
                     if not subs and not eo:
                         for (x, y, w2, h2) in rects:
@@ -845,10 +850,15 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
                     arr_done = None
                     show(''.join(buf))
                 elif val == 'gs':
+                    # value: (lw_or_None, solid_d) — solid /D resets any
+                    # active inline dash, mirroring PdfRaster
                     name = operands[-1][1]
                     assert name in gstates_r, f'gs of unknown ExtGState /{name}'
-                    if gstates_r[name] is not None:
-                        line_w = gstates_r[name]
+                    lw_v, solid_d = gstates_r[name]
+                    if lw_v is not None:
+                        line_w = lw_v
+                    if solid_d:
+                        dash = ([], 0.0)
                 elif val in IGNORED:
                     pass
                 else:
@@ -1422,6 +1432,9 @@ def main():
         "0.5 0 0.5 RG 3 w [9 3] 0 d 10 60 m 60 60 l 60 110 l S "
         "0 0 0 RG 2 w [7 4] 2 d 140 10 m 180 10 l 160 45 l s "
         "0.9 0.5 0 RG 2 w [4] 0 d 10 170 m 190 170 l S "
+        # odd-length array with phase > sum: the on/off cycle is TWO passes
+        # (on4/off4, period 8), so phase 6 starts 2 units into the OFF leg
+        "0.3 0.3 0.9 RG 2 w [4] 6 d 10 163 m 190 163 l S "
         "0 0 0 RG 2 w [] 0 d 10 180 m 190 180 l S "
         # fill+stroke family: the self-intersecting star via B* (even-odd
         # fill leaves the pentagon hole + stroked outline), and a b-closed
