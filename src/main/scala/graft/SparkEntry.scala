@@ -141,6 +141,7 @@ object SparkEntry {
     "q_image_phash" -> (Queries.imagePhash(_, _)),
     "q_audio_features" -> (Queries.audioFeatures(_, _)),
     "q_audio_windows" -> (Queries.audioWindows(_, _)),
+    "q_audio_vad" -> (Queries.audioVad(_, _)),
     "q_shuffle_shard" -> (Queries.shuffleShard(_, _)),
     "q_video_frames" -> (Queries.videoFrames(_, _)),
     "q_video_decode" -> (Queries.videoDecode(_, _)),
@@ -1040,6 +1041,30 @@ object SparkEntry {
       """SELECT name, win_idx, n_frames, energy, zero_crossings
         |FROM read_parquet('/root/repo/src/test/resources/expected/audio_windows.parquet')
         |ORDER BY name, win_idx""".stripMargin,
+    // VAD segments RECOMPUTED in DuckDB as a gaps-and-islands query over
+    // the same per-window fixture q_audio_windows is hash-checked against:
+    // voiced = energy > n_frames*250000; a new island starts when the
+    // previous voiced window is more than 3 back (gap > 2 bridged windows)
+    "q_audio_vad" ->
+      """WITH v AS (
+        |  SELECT name, win_idx, energy
+        |  FROM read_parquet('/root/repo/src/test/resources/expected/audio_windows.parquet')
+        |  WHERE energy > n_frames * 250000),
+        |s AS (
+        |  SELECT name, win_idx, energy,
+        |    CASE WHEN lag(win_idx) OVER (PARTITION BY name ORDER BY win_idx) IS NULL
+        |      OR win_idx - lag(win_idx) OVER (PARTITION BY name ORDER BY win_idx) > 3
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM v),
+        |g AS (
+        |  SELECT name, win_idx, energy,
+        |    SUM(brk) OVER (PARTITION BY name ORDER BY win_idx) AS seg
+        |  FROM s)
+        |SELECT name, CAST(seg - 1 AS INT) AS seg_idx,
+        |  MIN(win_idx) AS start_win, MAX(win_idx) AS end_win,
+        |  COUNT(*) AS n_voiced, CAST(SUM(energy) AS BIGINT) AS sum_energy
+        |FROM g GROUP BY name, seg
+        |ORDER BY name, seg_idx""".stripMargin,
     // per-image hashes pinned by the Python twin; the nearest neighbour is
     // RECOMPUTED in DuckDB with its own hex cast + xor + bit_count
     "q_image_phash" ->

@@ -2117,6 +2117,64 @@ object Queries {
       .orderBy("name", "win_idx")
   }
 
+  /** Energy-threshold voice-activity detection over the 20 ms windows —
+    * the silence-filtering stage an audio training pipeline runs before
+    * transcription (ship only voiced spans to the expensive ASR model).
+    * A window is VOICED iff its channel-0 energy exceeds 250 000 per
+    * frame (RMS 500 of int16 full scale — integer-exact, no floats);
+    * consecutive voiced windows merge into one segment, bridging gaps of
+    * up to 2 unvoiced windows (the classic hangover), and longer gaps
+    * split. Segmentation runs INSIDE each file's generator task — the
+    * windows of one file never leave their task, so the whole operator is
+    * a zero-Exchange binary scan at any corpus size (a
+    * `Window.partitionBy(name)` would shuffle every row to get the same
+    * answer). Oracle: a DuckDB gaps-and-islands query over the SAME
+    * per-window fixture that q_audio_windows is hash-checked against.
+    */
+  def audioVad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .load(s"$mediaDir/audio/*.wav")
+      .withColumn("name", element_at(split(col("path"), "/"), -1))
+      .select(col("name"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (n, bytes) =>
+        val a = graft.media.Wav.decode(bytes)
+        val win = a.sampleRate / 50 // 20 ms, same rule as audioWindows
+        require(win > 0, s"$n: sample rate ${a.sampleRate} Hz below the " +
+          "50 Hz minimum for 20 ms windows")
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Int, Int, Int, Long, Long)]
+        var segStart = -1; var segEnd = -1
+        var nVoiced = 0L; var sumE = 0L; var segIdx = 0
+        def flush(): Unit = if (segStart >= 0) {
+          out += ((n, segIdx, segStart, segEnd, nVoiced, sumE))
+          segIdx += 1; segStart = -1; nVoiced = 0L; sumE = 0L
+        }
+        var wi = 0
+        val nWins = a.frames / win
+        while (wi < nWins) {
+          var energy = 0L
+          var f = wi * win
+          while (f < (wi + 1) * win) {
+            val s = a.samples(f * a.channels).toInt
+            energy += s.toLong * s
+            f += 1
+          }
+          if (energy > win.toLong * 250000L) {
+            // voiced: start, extend, or split on a gap > 2 windows
+            if (segStart >= 0 && wi - segEnd > 3) flush()
+            if (segStart < 0) segStart = wi
+            segEnd = wi; nVoiced += 1; sumE += energy
+          }
+          wi += 1
+        }
+        flush()
+        out
+      }
+      .toDF("name", "seg_idx", "start_win", "end_win", "n_voiced", "sum_energy")
+      .orderBy("name", "seg_idx")
+  }
+
   /** Perceptual-hash image near-dup — the MULTIMODAL member of the dedup
     * family ([[graft.media.PHash]]: Pillow-bit-exact 32×32 resize →
     * integer-cosine-table DCT → median-split 63-bit hash). The hash is a

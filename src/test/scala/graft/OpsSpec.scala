@@ -416,13 +416,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expF = spark.read
       .parquet("src/test/resources/expected/audio_features.parquet")
       .orderBy("name").collect().map(_.toSeq).toVector
-    assert(gotF.size == 3 && gotF == expF)
+    assert(gotF.size == 4 && gotF == expF)
     val gotW = SparkEntry.queries("q_audio_windows")(spark, dir)
       .collect().map(_.toSeq).toVector
     val expW = spark.read
       .parquet("src/test/resources/expected/audio_windows.parquet")
       .orderBy("name", "win_idx").collect().map(_.toSeq).toVector
-    assert(gotW.size == 52 && gotW == expW)
+    assert(gotW.size == 92 && gotW == expW)
+    // VAD: aud_04's 2-window quiet gap BRIDGES into segment 0 (hangover)
+    // while its 6-window gap SPLITS; the continuous tones are one segment
+    val vad = SparkEntry.queries("q_audio_vad")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toVector
+    assert(vad.filter(_._1 == "aud_04.wav") ==
+      Vector(("aud_04.wav", 0, 5, 19), ("aud_04.wav", 1, 26, 35)))
+    assert(vad.count(_._1 == "aud_00.wav") == 1, "continuous tone = one segment")
     // the aud_02 LIST chunk (odd length → word-alignment pad) was skipped,
     // proven by its row being present and exact above; 8-bit PCM rejects
     val b8 = java.nio.file.Files.readAllBytes(

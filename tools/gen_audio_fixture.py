@@ -87,18 +87,33 @@ def windows(name, channels, rate, samples):
     return rows
 
 
+def quiet(rate, secs):
+    # deterministic low-amplitude noise floor (|s| <= 80: far below the
+    # VAD threshold's 500-RMS line)
+    n = int(rate * secs)
+    return [((i * 2654435761) % 161) - 80 for i in range(n)]
+
+
 def main():
     os.makedirs(OUTDIR, exist_ok=True)
     mono = sine(16000, 0.5, 440, 12000)
     left = sine(44100, 0.25, 440, 9000)
     right = saw(44100, 0.25, 220, 9000)
     noisy = pseudo(8000, 0.3)
+    # speech-like VAD fixture: bursts separated by a SHORT gap (2 quiet
+    # windows — bridged into one segment by the <=2-window hangover) and a
+    # LONG gap (6 windows — splits segments), with leading/trailing floor
+    speech = (quiet(16000, 0.10) + sine(16000, 0.16, 350, 8000) +
+              quiet(16000, 0.04) + sine(16000, 0.10, 500, 6000) +
+              quiet(16000, 0.12) + sine(16000, 0.20, 280, 5000) +
+              quiet(16000, 0.08))
 
     files = [
         ('aud_00.wav', 1, 16000, mono, ()),
         ('aud_01.wav', 2, 44100, interleave(left, right), ()),
         ('aud_02.wav', 1, 8000, noisy,
          ((b'LIST', b'INFOISFTgraft synth'),)),  # odd-length chunk: pad rule
+        ('aud_04.wav', 1, 16000, speech, ()),
     ]
     feat_rows, win_rows = [], []
     for name, ch, rate, samples, extra in files:
