@@ -142,6 +142,7 @@ object SparkEntry {
     "q_audio_features" -> (Queries.audioFeatures(_, _)),
     "q_audio_windows" -> (Queries.audioWindows(_, _)),
     "q_audio_vad" -> (Queries.audioVad(_, _)),
+    "q_audio_resample" -> (Queries.audioResample(_, _)),
     "q_shuffle_shard" -> (Queries.shuffleShard(_, _)),
     "q_video_frames" -> (Queries.videoFrames(_, _)),
     "q_video_decode" -> (Queries.videoDecode(_, _)),
@@ -1041,6 +1042,14 @@ object SparkEntry {
       """SELECT name, win_idx, n_frames, energy, zero_crossings
         |FROM read_parquet('/root/repo/src/test/resources/expected/audio_windows.parquet')
         |ORDER BY name, win_idx""".stripMargin,
+    // 16k-mono resample pinned by the twin, which downmixed + interpolated
+    // the SAME integer sample arrays before they were framed as WAV — the
+    // 16 kHz sources double as identity checks (out_sha == pcm_sha)
+    "q_audio_resample" ->
+      """SELECT name, src_rate, src_channels, out_frames, out_peak,
+        |  out_energy, out_sha
+        |FROM read_parquet('/root/repo/src/test/resources/expected/audio_resample.parquet')
+        |ORDER BY name""".stripMargin,
     // VAD segments RECOMPUTED in DuckDB as a gaps-and-islands query over
     // the same per-window fixture q_audio_windows is hash-checked against:
     // voiced = energy > n_frames*250000; a new island starts when the

@@ -2117,6 +2117,64 @@ object Queries {
       .orderBy("name", "win_idx")
   }
 
+  /** 16 kHz-mono resampling — the normalization every ASR-prep pipeline
+    * runs (Whisper-class models consume 16 kHz mono): stereo downmixes by
+    * floor-averaged channels, then linear interpolation to 16 kHz in
+    * INTEGER arithmetic only — the source position j·srcRate/16000 stays
+    * a rational (quotient, remainder) pair, the lerp rounds half-up via
+    * +8000, and every division is `Math.floorDiv` so the Python twin's
+    * floor-division `//` matches exactly on negative samples. A 16 kHz
+    * source reduces to the identity (frac = 0 everywhere). Per-file
+    * narrow map — scales as a binary scan. Products bounded:
+    * |s|·16000 < 2^30, so the lerp stays in Int.
+    */
+  def audioResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .load(s"$mediaDir/audio/*.wav")
+      .withColumn("name", element_at(split(col("path"), "/"), -1))
+      .select(col("name"), col("content")).as[(String, Array[Byte])]
+      .map { case (n, bytes) =>
+        val a = graft.media.Wav.decode(bytes)
+        require(a.channels == 1 || a.channels == 2,
+          s"$n: ${a.channels}-channel downmix unsupported (mono/stereo only)")
+        val ch: Array[Short] =
+          if (a.channels == 1) a.samples
+          else Array.tabulate(a.samples.length / 2)(i =>
+            Math.floorDiv(a.samples(2 * i) + a.samples(2 * i + 1) + 1, 2).toShort)
+        val r2 = 16000
+        val nOut = (ch.length.toLong * r2 / a.sampleRate).toInt
+        val out = new Array[Short](nOut)
+        var j = 0
+        while (j < nOut) {
+          val num = j.toLong * a.sampleRate
+          val i0 = (num / r2).toInt
+          val frac = (num % r2).toInt
+          val s0 = ch(i0).toInt
+          val s1 = (if (i0 + 1 < ch.length) ch(i0 + 1) else ch(ch.length - 1)).toInt
+          out(j) = Math.floorDiv(s0 * (r2 - frac) + s1 * frac + r2 / 2, r2).toShort
+          j += 1
+        }
+        var peak = 0
+        var energy = 0L
+        var i = 0
+        while (i < out.length) {
+          val s = out(i).toInt
+          if (math.abs(s) > peak) peak = math.abs(s)
+          energy += s.toLong * s
+          i += 1
+        }
+        val pcm = java.nio.ByteBuffer.allocate(out.length * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        out.foreach(pcm.putShort)
+        (n, a.sampleRate, a.channels, out.length.toLong, peak, energy,
+          graft.media.ImageDecode.sha256Hex(pcm.array()))
+      }
+      .toDF("name", "src_rate", "src_channels", "out_frames", "out_peak",
+        "out_energy", "out_sha")
+      .orderBy("name")
+  }
+
   /** Energy-threshold voice-activity detection over the 20 ms windows —
     * the silence-filtering stage an audio training pipeline runs before
     * transcription (ship only voiced spans to the expensive ASR model).

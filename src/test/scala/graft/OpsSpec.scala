@@ -431,6 +431,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vad.filter(_._1 == "aud_04.wav") ==
       Vector(("aud_04.wav", 0, 5, 19), ("aud_04.wav", 1, 26, 35)))
     assert(vad.count(_._1 == "aud_00.wav") == 1, "continuous tone = one segment")
+    // resample: a 16 kHz mono source is the IDENTITY — its out_sha must
+    // equal the features query's pcm_sha; the 44.1 kHz stereo file must
+    // change both frame count and digest
+    val rs = SparkEntry.queries("q_audio_resample")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getString(6))).toMap
+    val featSha = gotF.map(r => r.head.toString -> r.last.toString).toMap
+    assert(rs("aud_00.wav")._2 == featSha("aud_00.wav"), "16 kHz mono = identity")
+    assert(rs("aud_04.wav")._2 == featSha("aud_04.wav"), "16 kHz mono = identity")
+    assert(rs("aud_01.wav")._1 == 11025L * 16000 / 44100, "44.1k frame count")
+    assert(rs("aud_01.wav")._2 != featSha("aud_01.wav"), "44.1k stereo is transformed")
     // the aud_02 LIST chunk (odd length → word-alignment pad) was skipped,
     // proven by its row being present and exact above; 8-bit PCM rejects
     val b8 = java.nio.file.Files.readAllBytes(

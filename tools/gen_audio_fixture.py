@@ -24,6 +24,7 @@ import struct
 OUTDIR = 'src/test/resources/media/audio'
 EXP_FEAT = 'src/test/resources/expected/audio_features.parquet'
 EXP_WIN = 'src/test/resources/expected/audio_windows.parquet'
+EXP_RS = 'src/test/resources/expected/audio_resample.parquet'
 
 
 def riff(channels, rate, samples, extra_chunks=(), bits=16):
@@ -94,6 +95,40 @@ def quiet(rate, secs):
     return [((i * 2654435761) % 161) - 80 for i in range(n)]
 
 
+def resample16k(channels, rate, samples):
+    """ASR-prep: downmix to mono (floor-averaged) then linear-interpolate
+    to 16 kHz with INTEGER arithmetic only — source position num/16000
+    stays rational, the lerp rounds half-up via +R2//2, and every
+    division floors (Python // ≡ Java Math.floorDiv, exact on negatives).
+    rate == 16000 reduces to the identity (frac = 0)."""
+    if channels == 2:
+        ch = [(samples[2 * i] + samples[2 * i + 1] + 1) // 2
+              for i in range(len(samples) // 2)]
+    else:
+        assert channels == 1
+        ch = samples
+    r2 = 16000
+    n_out = len(ch) * r2 // rate
+    out = []
+    for j in range(n_out):
+        num = j * rate
+        i0 = num // r2
+        frac = num % r2
+        s0 = ch[i0]
+        s1 = ch[i0 + 1] if i0 + 1 < len(ch) else ch[-1]
+        out.append((s0 * (r2 - frac) + s1 * frac + r2 // 2) // r2)
+    return out
+
+
+def resample_row(name, channels, rate, samples):
+    out = resample16k(channels, rate, samples)
+    pcm = b''.join(struct.pack('<h', s) for s in out)
+    return dict(name=name, src_rate=rate, src_channels=channels,
+                out_frames=len(out), out_peak=max(abs(s) for s in out),
+                out_energy=sum(s * s for s in out),
+                out_sha=hashlib.sha256(pcm).hexdigest())
+
+
 def main():
     os.makedirs(OUTDIR, exist_ok=True)
     mono = sine(16000, 0.5, 440, 12000)
@@ -115,12 +150,13 @@ def main():
          ((b'LIST', b'INFOISFTgraft synth'),)),  # odd-length chunk: pad rule
         ('aud_04.wav', 1, 16000, speech, ()),
     ]
-    feat_rows, win_rows = [], []
+    feat_rows, win_rows, rs_rows = [], [], []
     for name, ch, rate, samples, extra in files:
         with open(f'{OUTDIR}/{name}', 'wb') as f:
             f.write(riff(ch, rate, samples, extra))
         feat_rows.append(features(name, ch, rate, samples))
         win_rows.extend(windows(name, ch, rate, samples))
+        rs_rows.append(resample_row(name, ch, rate, samples))
     # 8-bit PCM: the decoder must REJECT it (spec-only, .wav8 dodges the glob)
     with open(f'{OUTDIR}/aud_03.wav8', 'wb') as f:
         f.write(riff(1, 8000, [0, 10, -10, 100], bits=8))
@@ -142,6 +178,13 @@ def main():
         "CAST(n_frames AS INT) n_frames, CAST(energy AS BIGINT) energy, "
         "CAST(zero_crossings AS BIGINT) zero_crossings FROM wdf")
     con.execute(f"COPY w TO '{EXP_WIN}' (FORMAT PARQUET)")
+    rdf = pd.DataFrame(rs_rows)
+    con.execute(
+        "CREATE TABLE r AS SELECT name, CAST(src_rate AS INT) src_rate, "
+        "CAST(src_channels AS INT) src_channels, CAST(out_frames AS BIGINT) out_frames, "
+        "CAST(out_peak AS INT) out_peak, CAST(out_energy AS BIGINT) out_energy, "
+        "out_sha FROM rdf")
+    con.execute(f"COPY r TO '{EXP_RS}' (FORMAT PARQUET)")
     for r in feat_rows:
         print(r)
     print(f'{len(win_rows)} window rows')
