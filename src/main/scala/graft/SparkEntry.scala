@@ -80,6 +80,8 @@ object SparkEntry {
     "q_ann_recall" -> ((s, _) => graft.ops.AnnKMeans.annRecall(s)),
     // text analysis
     "q_token_rarity" -> (Queries.tokenRarity(_, _)),
+    "q_token_quantiles" -> (Queries.tokenQuantiles(_, _)),
+    "q_tfidf_rank" -> (Queries.tfidfRank(_, _)),
     "q_heavy_hitters" -> (Queries.heavyHitters(_, _)),
     "q_boilerplate_strip" -> (Queries.boilerplateStrip(_, _)),
     "q_decontaminate" -> (Queries.decontaminate(_, _)),
@@ -388,6 +390,36 @@ object SparkEntry {
         |  CAST(SUM(wc) AS DOUBLE) / COUNT(*) AS mean_token_freq
         |FROM toks JOIN freq USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the decile at rank ceil(d·total/10) as a cross-multiplied integer
+    // comparison — identical arithmetic to the Spark side's histogram scan
+    "q_token_quantiles" ->
+      """WITH lens AS (SELECT len(string_split(text, ' ')) AS n FROM documents),
+        |hist AS (SELECT n, count(*) AS c FROM lens GROUP BY n),
+        |cum AS (SELECT n, sum(c) OVER (ORDER BY n) AS cle FROM hist),
+        |tot AS (SELECT count(*) AS t FROM lens),
+        |d AS (SELECT unnest(range(1, 10)) AS decile)
+        |SELECT d.decile, min(cum.n) AS value
+        |FROM d, cum, tot WHERE cum.cle * 10 >= d.decile * tot.t
+        |GROUP BY d.decile ORDER BY decile""".stripMargin,
+    // integer micro-unit scoring (see Queries.tfidfRank scaladoc): BM25
+    // saturation per-mille DIV, idf as the rational surrogate N // df
+    "q_tfidf_rank" ->
+      s"""WITH qt(q_id, term) AS (VALUES ${Queries.TfidfQueries
+        .map { case (q, t) => s"($q, '$t')" }.mkString(", ")}),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT w AS term, doc_id, count(*) AS tf FROM toks
+        |  WHERE w IN (SELECT DISTINCT term FROM qt) GROUP BY w, doc_id),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT CAST(qt.q_id AS BIGINT) AS q_id, tf.doc_id,
+        |    CAST(sum(((1000 * tf.tf) // (tf.tf + 2)) * ((SELECT n FROM n) // dfr.df)) AS BIGINT) AS score,
+        |    count(*) AS n_terms_hit
+        |  FROM tf JOIN dfr USING (term) JOIN qt USING (term)
+        |  GROUP BY qt.q_id, tf.doc_id)
+        |SELECT q_id, doc_id, score, n_terms_hit, CAST(rn AS INT) AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn
+        |  FROM scored) t
+        |WHERE rn <= ${Queries.TfidfTopK} ORDER BY q_id, rn""".stripMargin,
     // DuckDB zips parallel unnests in one SELECT → (pos, sent) pairs;
     // string_agg(... ORDER BY pos) is the order-preserving reassembly
     "q_boilerplate_strip" ->

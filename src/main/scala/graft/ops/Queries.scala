@@ -968,6 +968,103 @@ object Queries {
       .select(col("h.token").as("token"), col("h.cnt").as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
 
+  /** Exact corpus deciles (d = 1..9) of the per-document token count, via a
+    * value-domain histogram — the counting-sort quantile shape. A corpus
+    * quantile is the standard length-cutoff / truncation-budget statistic a
+    * training-data pipeline computes before filtering, and the naive plan
+    * (global sort + row_number, or a single `percentile` buffer) either
+    * sorts the corpus or funnels it through one task. Here the ONLY
+    * corpus-scale pass is the partial-aggregated `groupBy(n).count`: its
+    * Exchange carries at most |value domain| rows per map task, and the
+    * domain is bounded by construction (a document's token count is capped
+    * by ingest limits / the model context budget — it does NOT grow with
+    * corpus row count). The cumulative scan over that bounded histogram
+    * runs on the driver — the IVF-centroid / LM-denominator bounded-collect
+    * pattern; a global `Window.orderBy(n)` over it would be the same single
+    * task with a plan-audit-hostile shape. All arithmetic is exact
+    * integers: decile d = min { n : cumCount(n)·10 ≥ d·total }, i.e. the
+    * value at rank ceil(d·total/10), with the ceil-division expressed as a
+    * cross-multiplied comparison (overflow-safe to 9·10^17 rows).
+    */
+  def tokenQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val hist = t(spark, dir, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("c"))
+      .collect()
+    require(hist.nonEmpty, "token-quantile input is empty")
+    val sorted = hist.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = sorted.iterator.map(_._2).sum
+    var cum = 0L
+    val cumRows = sorted.map { case (n, c) => cum += c; (n, cum) }
+    val deciles = (1L to 9L).map { d =>
+      (d, cumRows.find { case (_, cle) => cle * 10 >= d * total }.get._1)
+    }
+    import spark.implicits._
+    deciles.toDF("decile", "value").orderBy("decile")
+  }
+
+  /** Results per retrieval query in [[tfidfRank]]. */
+  val TfidfTopK = 5
+
+  /** The retrieval workload for [[tfidfRank]]: (q_id, term) pairs. Fixed
+    * literals (benchmark-sized at any corpus scale — the production shape
+    * is a query BATCH, always tiny next to the corpus); terms drawn from
+    * the fixture vocabulary including one rare term ("dup") so idf
+    * discrimination is actually exercised.
+    */
+  val TfidfQueries: Seq[(Long, String)] = Seq(
+    (1L, "scan"), (1L, "merge"),
+    (2L, "dup"), (2L, "customer"),
+    (3L, "window"), (3L, "filter"), (3L, "slow"))
+
+  /** Inverted-index ranked retrieval (TF-IDF with BM25-style saturation)
+    * over the document corpus — the "find training examples matching a
+    * probe set" primitive (targeted decontamination, topical slicing,
+    * quality probes). Plan shape, corpus-side first:
+    *
+    *  1. the query-term list broadcast-joins the exploded tokens — a
+    *     map-side filter, so the term-frequency Exchange carries only
+    *     postings of query terms, never the corpus;
+    *  2. document frequencies come from the (tiny) tf table itself, and the
+    *     corpus size N is one number collected into a literal (the
+    *     IVF-centroid pattern — no join stage to attach a constant);
+    *  3. per-(query, doc) scores aggregate partial-wise, and the final
+    *     top-k per query goes through [[TopM]] — never a per-query Window
+    *     sort over all matching documents.
+    *
+    * Scoring is deliberately integer-exact for cross-engine hash equality
+    * (the [[lmQualityFrom]] micro-unit convention): BM25's tf saturation
+    * tf/(tf+k1) becomes (1000·tf) DIV (tf+2) per-mille, and the idf becomes
+    * the rational surrogate N DIV df (monotone in 1/df; the float
+    * log-formula would differ from DuckDB's libm in final ulps). Overflow:
+    * saturation ≤ 10^3, N DIV df ≤ N ≤ 10^12 docs, terms per query bounded
+    * small → each contribution ≤ 10^15 and sums stay far under 2^63.
+    */
+  def tfidfRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val terms = TfidfQueries.map(_._2).distinct.toDF("term")
+    val qt = TfidfQueries.toDF("q_id", "term")
+    val nRow = docs.agg(count(lit(1))).collect()(0)
+    require(nRow.getLong(0) > 0, "retrieval corpus is empty")
+    val n = nRow.getLong(0)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    // tracked: tf feeds both the df derivation and the scoring join; the
+    // cache keeps the corpus-scale token scan to ONE pass
+    val tf = tracked(toks.join(broadcast(terms), "term")
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf")))
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfTab), "term")
+      .join(broadcast(qt), "term")
+      .withColumn("contrib", expr(s"((1000L * tf) DIV (tf + 2L)) * (${n}L DIV df)"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms_hit"))
+    TopM.topM(scored, "q_id", Seq(("score", false), ("doc_id", true)), TfidfTopK, "rn")
+      .select(col("q_id"), col("doc_id"), col("score"), col("n_terms_hit"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
   /** A sentence is boilerplate when it appears in at least this many
     * DISTINCT documents (CCNet-style line-level dedup threshold).
     */

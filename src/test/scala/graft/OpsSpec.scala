@@ -278,6 +278,57 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getInt(3)).forall(rn => rn >= 1 && rn <= 3))
   }
 
+  test("token quantiles equal a driver-side brute-force rank selection") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.Queries.tokenQuantiles(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (1L to 9L).toSet)
+    // independent expectation: materialize every per-doc token count, sort,
+    // index at rank ceil(d·total/10) (1-based) — the quantile_disc definition
+    // the histogram scan implements without the global sort
+    val lens = spark.read.parquet(s"$dir/documents.parquet")
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(_.getLong(0)).sorted
+    (1 to 9).foreach { d =>
+      val rank = (d.toLong * lens.length + 9) / 10
+      assert(got(d.toLong) == lens((rank - 1).toInt),
+        s"decile $d: got ${got(d.toLong)}, brute-force ${lens((rank - 1).toInt)}")
+    }
+    assert((1L to 8L).forall(d => got(d) <= got(d + 1)), "deciles must be non-decreasing")
+  }
+
+  test("tfidf rank matches a driver-side brute-force of the integer scoring") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.Queries.tfidfRank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    graft.ops.Queries.releaseCaches()
+    // independent expectation: per-doc term counts on the driver, the same
+    // per-mille saturation × N DIV df arithmetic, full sort, take 5
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val n = docs.length.toLong
+    val terms = graft.ops.Queries.TfidfQueries.map(_._2).distinct
+    val tf = docs.map { case (id, ws) =>
+      id -> terms.map(t => t -> ws.count(_ == t).toLong).filter(_._2 > 0).toMap
+    }.toMap
+    val dfc = terms.map(t => t -> tf.valuesIterator.count(_.contains(t)).toLong).toMap
+    val expected = graft.ops.Queries.TfidfQueries.groupBy(_._1).toSeq.flatMap {
+      case (qid, qts) =>
+        val scored = docs.flatMap { case (id, _) =>
+          val hits = qts.map(_._2).filter(t => tf(id).contains(t))
+          if (hits.isEmpty) None
+          else Some((id,
+            hits.map(t => ((1000L * tf(id)(t)) / (tf(id)(t) + 2L)) * (n / dfc(t))).sum,
+            hits.length.toLong))
+        }
+        scored.sortBy { case (id, s, _) => (-s, id) }.take(graft.ops.Queries.TfidfTopK)
+          .zipWithIndex.map { case ((id, s, h), i) => (qid, id, s, h, i + 1) }
+    }.sortBy(t => (t._1, t._5))
+    assert(got.toSeq == expected,
+      s"tfidf mismatch:\n got      ${got.toSeq}\n expected $expected")
+  }
+
   test("dedup components: every planted copy lands in its base doc's cluster") {
     val rows = graft.ops.Queries.dedupComponents(spark, dir).collect()
     graft.ops.Queries.releaseCaches()
