@@ -2191,27 +2191,50 @@ object Queries {
       .select(col("name"), col("content")).as[(String, Array[Byte])]
       .flatMap { case (n, bytes) =>
         val a = graft.media.Wav.decode(bytes)
-        val win = a.sampleRate / 50 // 20 ms
-        // reject-loudly contract: a <50 Hz rate truncates win to 0 and the
-        // frame division below would throw a bare ArithmeticException
-        require(win > 0, s"$n: sample rate ${a.sampleRate} Hz below the " +
-          "50 Hz minimum for 20 ms windows")
+        val win = audioWin20ms(n, a)
         (0 until a.frames / win).map { wi =>
-          var energy = 0L
           var zc = 0L
-          var f = wi * win
+          var f = wi * win + 1
           while (f < (wi + 1) * win) {
-            val s = a.samples(f * a.channels).toInt
-            energy += s.toLong * s
-            if (f > wi * win &&
-                a.samples((f - 1) * a.channels).toInt * s < 0) zc += 1
+            if (a.samples((f - 1) * a.channels).toInt *
+                a.samples(f * a.channels).toInt < 0) zc += 1
             f += 1
           }
-          (n, wi, win, energy, zc)
+          (n, wi, win, winEnergy0(a, win, wi), zc)
         }
       }
       .toDF("name", "win_idx", "n_frames", "energy", "zero_crossings")
       .orderBy("name", "win_idx")
+  }
+
+  /** 20 ms window size for `a` — the ONE windowing rule [[audioWindows]]
+    * and [[audioVad]] share (the VAD oracle recomputes its islands from
+    * the audio_windows fixture, so the two operators MUST window
+    * identically — a shared rule makes divergence impossible).
+    * Reject-loudly contract: a <50 Hz rate truncates the window to 0 and
+    * the frame division at the callers would throw a bare
+    * ArithmeticException.
+    */
+  private def audioWin20ms(name: String, a: graft.media.Wav.WavAudio): Int = {
+    val win = a.sampleRate / 50
+    require(win > 0, s"$name: sample rate ${a.sampleRate} Hz below the " +
+      "50 Hz minimum for 20 ms windows")
+    win
+  }
+
+  /** Channel-0 Σs² energy of full window `wi` (frames [wi·win, (wi+1)·win))
+    * — shared by [[audioWindows]] (the fixture the VAD oracle reads) and
+    * [[audioVad]]'s voiced-window test.
+    */
+  private def winEnergy0(a: graft.media.Wav.WavAudio, win: Int, wi: Int): Long = {
+    var energy = 0L
+    var f = wi * win
+    while (f < (wi + 1) * win) {
+      val s = a.samples(f * a.channels).toInt
+      energy += s.toLong * s
+      f += 1
+    }
+    energy
   }
 
   /** 16 kHz-mono resampling — the normalization every ASR-prep pipeline
@@ -2294,9 +2317,7 @@ object Queries {
       .select(col("name"), col("content")).as[(String, Array[Byte])]
       .flatMap { case (n, bytes) =>
         val a = graft.media.Wav.decode(bytes)
-        val win = a.sampleRate / 50 // 20 ms, same rule as audioWindows
-        require(win > 0, s"$n: sample rate ${a.sampleRate} Hz below the " +
-          "50 Hz minimum for 20 ms windows")
+        val win = audioWin20ms(n, a) // same rule + energy as audioWindows
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(String, Int, Int, Int, Long, Long)]
         var segStart = -1; var segEnd = -1
@@ -2308,13 +2329,7 @@ object Queries {
         var wi = 0
         val nWins = a.frames / win
         while (wi < nWins) {
-          var energy = 0L
-          var f = wi * win
-          while (f < (wi + 1) * win) {
-            val s = a.samples(f * a.channels).toInt
-            energy += s.toLong * s
-            f += 1
-          }
+          val energy = winEnergy0(a, win, wi)
           if (energy > win.toLong * 250000L) {
             // voiced: start, extend, or split on a gap > 2 windows
             if (segStart >= 0 && wi - segEnd > 3) flush()

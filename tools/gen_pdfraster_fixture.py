@@ -217,7 +217,8 @@ def build_pdf(pages, cmap=None, images=None, shadings=None, forms=None):
 
 def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
            shadings=None):
-    # gstates: name -> line-width override (None = no /LW); every
+    # gstates: name -> (line-width override or None if no /LW,
+    # solid-dash flag: True when the dict carries /D [[] 0]); every
     # reachable ExtGState was pre-validated to carry only benign keys
     gstates = gstates or {}
     s = dpi / 72.0
