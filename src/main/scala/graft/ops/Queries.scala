@@ -1040,9 +1040,16 @@ object Queries {
     * saturation ≤ 10^3, N DIV df ≤ N ≤ 10^12 docs, terms per query bounded
     * small → each contribution ≤ 10^15 and sums stay far under 2^63.
     */
-  def tfidfRank(spark: SparkSession, dir: String): DataFrame = {
+  def tfidfRank(spark: SparkSession, dir: String): DataFrame =
+    tfidfRankFrom(spark, t(spark, dir, "documents").select(col("doc_id"), col("text")))
+
+  /** The scoring core over any (doc_id, text) frame — shared by the catalog
+    * query and [[graft.jobs.TfidfScaleBench]], which A/Bs this
+    * filter-before-aggregate shape against the naive full-corpus tf
+    * aggregation at the 500k-doc tier.
+    */
+  private[graft] def tfidfRankFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
     val terms = TfidfQueries.map(_._2).distinct.toDF("term")
     val qt = TfidfQueries.toDF("q_id", "term")
     val nRow = docs.agg(count(lit(1))).collect()(0)
