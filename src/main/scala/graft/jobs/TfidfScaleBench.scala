@@ -65,11 +65,15 @@ object TfidfScaleBench {
       sum(when(col("term").isin(qterms: _*), 1L).otherwise(0L))).collect()(0)
     val (nTok, nHit) = (stats.getLong(0), stats.getLong(1))
 
-    // catalog plan: broadcast terms filter the postings before the tf Exchange
+    // catalog plan: broadcast terms filter the postings before the tf Exchange.
+    // NO release between the timed runs: releaseAll() drains the whole
+    // thread-local registry, including the shared `docs` cache — the naive
+    // leg would then re-synthesize and re-shuffle the corpus the filtered
+    // leg read from cache, biasing the A/B (both legs must read the same
+    // materialized input; everything is released once after both timings)
     val t0 = System.nanoTime()
     val filtered = Queries.tfidfRankFrom(spark, docs).collect()
     val filteredSec = (System.nanoTime() - t0) / 1e9
-    CacheTracker.releaseAll()
 
     // naive plan: full-corpus inverted index first (tf over EVERY (term,
     // doc) pair — the whole token stream rides the Exchange), query terms

@@ -2200,14 +2200,8 @@ object Queries {
         val a = graft.media.Wav.decode(bytes)
         val win = audioWin20ms(n, a)
         (0 until a.frames / win).map { wi =>
-          var zc = 0L
-          var f = wi * win + 1
-          while (f < (wi + 1) * win) {
-            if (a.samples((f - 1) * a.channels).toInt *
-                a.samples(f * a.channels).toInt < 0) zc += 1
-            f += 1
-          }
-          (n, wi, win, winEnergy0(a, win, wi), zc)
+          val (energy, zc) = winEnergyZc0(a, win, wi)
+          (n, wi, win, energy, zc)
         }
       }
       .toDF("name", "win_idx", "n_frames", "energy", "zero_crossings")
@@ -2229,19 +2223,25 @@ object Queries {
     win
   }
 
-  /** Channel-0 Σs² energy of full window `wi` (frames [wi·win, (wi+1)·win))
-    * — shared by [[audioWindows]] (the fixture the VAD oracle reads) and
-    * [[audioVad]]'s voiced-window test.
+  /** Channel-0 (Σs² energy, zero-crossing count) of full window `wi`
+    * (frames [wi·win, (wi+1)·win)) in ONE fused pass — shared by
+    * [[audioWindows]] (the fixture the VAD oracle reads) and
+    * [[audioVad]]'s voiced-window test (which ignores the zc component);
+    * one traversal of every audio frame, one sample read per frame.
     */
-  private def winEnergy0(a: graft.media.Wav.WavAudio, win: Int, wi: Int): Long = {
+  private def winEnergyZc0(a: graft.media.Wav.WavAudio, win: Int, wi: Int): (Long, Long) = {
     var energy = 0L
+    var zc = 0L
+    var prev = 0
     var f = wi * win
     while (f < (wi + 1) * win) {
       val s = a.samples(f * a.channels).toInt
       energy += s.toLong * s
+      if (f > wi * win && prev * s < 0) zc += 1
+      prev = s
       f += 1
     }
-    energy
+    (energy, zc)
   }
 
   /** 16 kHz-mono resampling — the normalization every ASR-prep pipeline
@@ -2336,7 +2336,7 @@ object Queries {
         var wi = 0
         val nWins = a.frames / win
         while (wi < nWins) {
-          val energy = winEnergy0(a, win, wi)
+          val energy = winEnergyZc0(a, win, wi)._1
           if (energy > win.toLong * 250000L) {
             // voiced: start, extend, or split on a gap > 2 windows
             if (segStart >= 0 && wi - segEnd > 3) flush()
