@@ -81,6 +81,7 @@ object SparkEntry {
     // text analysis
     "q_token_rarity" -> (Queries.tokenRarity(_, _)),
     "q_token_quantiles" -> (Queries.tokenQuantiles(_, _)),
+    "q_quantile_sketch" -> (Queries.quantileSketch(_, _)),
     "q_tfidf_rank" -> (Queries.tfidfRank(_, _)),
     "q_heavy_hitters" -> (Queries.heavyHitters(_, _)),
     "q_boilerplate_strip" -> (Queries.boilerplateStrip(_, _)),
@@ -401,6 +402,14 @@ object SparkEntry {
         |SELECT d.decile, min(cum.n) AS value
         |FROM d, cum, tot WHERE cum.cle * 10 >= d.decile * tot.t
         |GROUP BY d.decile ORDER BY decile""".stripMargin,
+    // exact-regime oracle (the heavy-hitters pattern): at fixture N the GK
+    // summary never compresses, so the sketch deciles equal quantile_disc
+    "q_quantile_sketch" ->
+      """WITH arr AS (SELECT quantile_disc(len(string_split(text, ' ')),
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q FROM documents),
+        |d AS (SELECT unnest(range(1, 10)) AS decile)
+        |SELECT d.decile, CAST(arr.q[d.decile] AS BIGINT) AS value
+        |FROM d, arr ORDER BY decile""".stripMargin,
     // integer micro-unit scoring (see Queries.tfidfRank scaladoc): BM25
     // saturation per-mille DIV, idf as the rational surrogate N // df
     "q_tfidf_rank" ->

@@ -1003,6 +1003,39 @@ object Queries {
     deciles.toDF("decile", "value").orderBy("decile")
   }
 
+  /** 1/ε for [[quantileSketch]]'s summary: rank error ≤ N/accuracy. At the
+    * fixture tiers (N ≤ 5,000 documents) the summary's compress threshold
+    * (= accuracy) is never reached, so the sketch holds every sample and
+    * the answer is EXACT — the regime the DuckDB `quantile_disc` oracle can
+    * pin (the same exact-regime-oracle pattern as the Misra-Gries
+    * heavy-hitters query). The approximate regime's deterministic error
+    * bound is spec-asserted on a 1M-value stream instead.
+    */
+  val QuantileSketchAccuracy = 10000
+
+  /** Approximate corpus deciles via Spark's BUILT-IN mergeable
+    * Greenwald-Khanna summary (`percentile_approx`) — the UNBOUNDED-domain
+    * companion to [[tokenQuantiles]]. The regime split mirrors
+    * heavy-hitters vs token-rarity: when the value domain is bounded
+    * (token counts, capped by ingest limits), the counting-sort histogram
+    * is exact and cheap; when it is not (byte sizes, scores, latencies —
+    * domains that grow with the corpus), the histogram Exchange itself
+    * becomes corpus-sized and the right shape is a bounded mergeable
+    * summary — each map task folds its partition into an ε-summary, ONE
+    * Exchange carries partitions×O(1/ε·log εN) tuples regardless of corpus
+    * size, and the merge preserves the deterministic rank-error bound
+    * ≤ N/[[QuantileSketchAccuracy]]. Built-in, codegen-planned as a
+    * two-phase ObjectHashAggregate — nothing custom to maintain.
+    */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .agg(expr(s"percentile_approx(size(split(text, ' ')), " +
+        s"array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), $QuantileSketchAccuracy)").as("qs"))
+      .select(posexplode(col("qs")).as(Seq("pos", "value")))
+      .select((col("pos") + 1).cast("long").as("decile"),
+        col("value").cast("long").as("value"))
+      .orderBy("decile")
+
   /** Results per retrieval query in [[tfidfRank]]. */
   val TfidfTopK = 5
 

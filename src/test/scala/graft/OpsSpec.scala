@@ -297,6 +297,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((1L to 8L).forall(d => got(d) <= got(d + 1)), "deciles must be non-decreasing")
   }
 
+  test("quantile sketch: exact at fixture scale, rank-error-bounded in the approximate regime") {
+    import org.apache.spark.sql.functions._
+    // exact regime: the GK summary never compresses below its accuracy
+    // threshold, so the sketch deciles equal the counting-sort exact answer
+    val exact = graft.ops.Queries.tokenQuantiles(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sk = graft.ops.Queries.quantileSketch(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sk == exact, s"sketch deciles $sk != exact $exact")
+    // approximate regime: 1M deterministic values, accuracy 100 → the GK
+    // bound is DETERMINISTIC: each returned value's rank interval must
+    // come within N/accuracy of the target rank
+    val n = 1000000
+    val vals = spark.range(n)
+      .selectExpr("CAST(pmod(hash(id), 100000) AS INT) AS v")
+    val got = vals.agg(expr("percentile_approx(v, array(0.1, 0.5, 0.9), 100)"))
+      .collect()(0).getSeq[Int](0)
+    val sorted = vals.collect().map(_.getInt(0)).sorted
+    got.zip(Seq(0.1, 0.5, 0.9)).foreach { case (v, p) =>
+      val lo = sorted.indexWhere(_ == v) + 1   // 1-based first rank of v
+      val hi = sorted.lastIndexWhere(_ == v) + 1
+      assert(lo >= 1, s"sketch returned $v which is not in the input")
+      val target = math.ceil(p * n).toLong
+      val eps = n / 100
+      assert(lo <= target + eps && hi >= target - eps,
+        s"p=$p: returned $v spans ranks [$lo,$hi], target $target ± $eps")
+    }
+  }
+
   test("tfidf rank matches a driver-side brute-force of the integer scoring") {
     import org.apache.spark.sql.functions._
     val got = graft.ops.Queries.tfidfRank(spark, dir).collect()
