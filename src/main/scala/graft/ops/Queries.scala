@@ -1003,13 +1003,16 @@ object Queries {
     deciles.toDF("decile", "value").orderBy("decile")
   }
 
-  /** 1/ε for [[quantileSketch]]'s summary: rank error ≤ N/accuracy. At the
-    * fixture tiers (N ≤ 5,000 documents) the summary's compress threshold
-    * (= accuracy) is never reached, so the sketch holds every sample and
-    * the answer is EXACT — the regime the DuckDB `quantile_disc` oracle can
-    * pin (the same exact-regime-oracle pattern as the Misra-Gries
-    * heavy-hitters query). The approximate regime's deterministic error
-    * bound is spec-asserted on a 1M-value stream instead.
+  /** 1/ε for [[quantileSketch]]'s summary: the GK guarantee is rank error
+    * ≤ N/accuracy. At every fixture tier (documents N ≤ 5,000 — sf0.1 is
+    * the largest) that bound is ≤ 0.5 < 1 rank, which PINS the discrete
+    * answer to the element at the target rank whether or not the summary's
+    * internal compression runs — the exact regime the DuckDB
+    * `quantile_disc` oracle can check (the same exact-regime-oracle
+    * pattern as the Misra-Gries heavy-hitters query; exactness comes from
+    * εN < 1, not from an assumption that compression never fires). The
+    * approximate regime's deterministic error bound is spec-asserted on a
+    * 1M-value stream instead.
     */
   val QuantileSketchAccuracy = 10000
 
@@ -1025,16 +1028,24 @@ object Queries {
     * Exchange carries partitions×O(1/ε·log εN) tuples regardless of corpus
     * size, and the merge preserves the deterministic rank-error bound
     * ≤ N/[[QuantileSketchAccuracy]]. Built-in, codegen-planned as a
-    * two-phase ObjectHashAggregate — nothing custom to maintain.
+    * two-phase ObjectHashAggregate — nothing custom to maintain. The
+    * 9-value result is collected at build (the bounded-collect pattern
+    * [[tokenQuantiles]] uses) so an EMPTY corpus fails fast with a clear
+    * error instead of silently emitting zero rows while the SQL oracle
+    * emits nine NULLs.
     */
-  def quantileSketch(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .agg(expr(s"percentile_approx(size(split(text, ' ')), " +
-        s"array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), $QuantileSketchAccuracy)").as("qs"))
-      .select(posexplode(col("qs")).as(Seq("pos", "value")))
-      .select((col("pos") + 1).cast("long").as("decile"),
-        col("value").cast("long").as("value"))
-      .orderBy("decile")
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val row = t(spark, dir, "documents")
+      .agg(percentile_approx(size(split(col("text"), " ")),
+        array((1 to 9).map(d => lit(d / 10.0)): _*),
+        lit(QuantileSketchAccuracy)).as("qs"))
+      .collect()(0)
+    require(!row.isNullAt(0), "quantile-sketch input is empty")
+    val vs = row.getSeq[Int](0)
+    (1 to 9).map(d => (d.toLong, vs(d - 1).toLong))
+      .toDF("decile", "value").orderBy("decile")
+  }
 
   /** Results per retrieval query in [[tfidfRank]]. */
   val TfidfTopK = 5
