@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
   * itself is row-local so skew only manifests at the shuffle for the
   * partitioned write; `repartition(salt)` inside each bucket plus AQE
   * (adaptive coalescing + skew splitting, enabled in [[session]]) keeps the
-  * long tail from serializing a task.
+  * long tail from serializing a task. The north_rule's range-partitioned
+  * write was measured against this salt on the production group shape
+  * (BENCH.md §17, [[spanRows]]): range wins only on a materialized input —
+  * fused behind the extraction it re-executes the upstream via its
+  * sampling pass — so the salt ships here and range ships where tables are
+  * rewritten from disk.
   */
 object ExtractJob {
 
@@ -64,6 +69,18 @@ object ExtractJob {
     * single 10k-span folio across 16 tasks; a per-doc salt would
     * re-serialize it (round-1 defect). Whole plan stays in codegen: the
     * bucket is a native expression, no ScalaUDF node (asserted in JobSpec).
+    *
+    * Adjudicated against `repartitionByRange(bucket, doc_id, order)` — the
+    * north_rule's named mechanism — by measurement (WriteScaleBench,
+    * BENCH.md §17): on a MATERIALIZED input the range write is ~1.6×
+    * faster and doc-clusters the files, but its RangePartitioner SAMPLES
+    * its child, which here is the un-cached generate→extract pipeline —
+    * the sampling pass re-executes the whole extraction (HeartbeatSpec's
+    * exactly-once-per-group docs counter read 2× when a range write was
+    * tried), and doubling the narrow CPU stage costs far more than the
+    * write saves. So the FUSED pipeline ships the salt; range is the
+    * right shape when the written table already exists (CompactJob's
+    * partition-aligned rewrite regime).
     */
   def spanRows(extracted: Dataset[DocOut], buckets: Int): DataFrame =
     extracted

@@ -152,7 +152,10 @@ class JobSpec extends AnyFunSuite with BeforeAndAfterAll {
     // one 5k-span folio lands in >1 task after the order-based salt (AQE
     // coalescing disabled for the assert: at test scale the whole shuffle is
     // a few KB, so AQE would rightly merge it — the salt's job is to split
-    // when a folio is NOT tiny, which is what the partitioning must allow)
+    // when a folio is NOT tiny, which is what the partitioning must allow).
+    // A repartitionByRange write also passes this assert but fails
+    // HeartbeatSpec's exactly-once-extraction contract: its sampler
+    // re-executes the un-cached upstream (BENCH.md §17)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try {
       val folioParts = salted
