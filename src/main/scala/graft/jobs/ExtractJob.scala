@@ -29,11 +29,22 @@ import org.apache.spark.sql.functions._
   */
 object ExtractJob {
 
+  /** Span-write salt modulus: spreads one bucket — and one folio — across
+    * this many tasks. Shared with [[WriteScaleBench]] so the published
+    * BENCH.md §17 adjudication cannot silently drift from the shipped plan.
+    */
+  val WriteSaltFactor = 16
+
+  /** Default bucket count (resume granularity); shared with
+    * [[WriteScaleBench]] for the same no-drift reason.
+    */
+  val DefaultBuckets = 64
+
   final case class Args(
       nDocs: Long = 20000L,
       seed: Long = 42L,
       out: String = "/tmp/graft_extract",
-      buckets: Int = 64,
+      buckets: Int = DefaultBuckets,
       groupSize: Int = 16,
       cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       failAfterGroups: Int = -1, // test hook: crash BEFORE a group's write
@@ -88,7 +99,7 @@ object ExtractJob {
       .select(col("doc_id"), col("s.order").as("order"), col("s.kind").as("kind"),
         col("s.media_ref").as("media_ref"), col("s.text").as("text"))
       .withColumn("bucket", bucketCol(buckets))
-      .withColumn("salt", pmod(col("order"), lit(16)))
+      .withColumn("salt", pmod(col("order"), lit(WriteSaltFactor)))
       .repartition(col("bucket"), col("salt"))
       .drop("salt")
 

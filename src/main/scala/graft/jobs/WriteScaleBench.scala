@@ -49,7 +49,10 @@ import org.apache.spark.sql.functions._
   */
 object WriteScaleBench {
 
-  val Buckets = 64
+  /** The production bucket count — shared constant so the adjudication
+    * cannot drift from the shipped plan.
+    */
+  val Buckets: Int = ExtractJob.DefaultBuckets
 
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toLong).getOrElse(1000000L)
@@ -95,7 +98,7 @@ object WriteScaleBench {
     val par = spark.sparkContext.defaultParallelism
     def shapes: Seq[(String, DataFrame)] = Seq(
       "bucket" -> spans.repartition(col("bucket")),
-      "salt" -> spans.withColumn("salt", pmod(col("order"), lit(16)))
+      "salt" -> spans.withColumn("salt", pmod(col("order"), lit(ExtractJob.WriteSaltFactor)))
         .repartition(col("bucket"), col("salt")).drop("salt"),
       "range" -> spans.repartitionByRange(par,
         col("bucket"), col("doc_id"), col("order")))

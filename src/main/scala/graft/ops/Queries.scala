@@ -1029,23 +1029,22 @@ object Queries {
     * size, and the merge preserves the deterministic rank-error bound
     * ≤ N/[[QuantileSketchAccuracy]]. Built-in, codegen-planned as a
     * two-phase ObjectHashAggregate — nothing custom to maintain. The
-    * 9-value result is collected at build (the bounded-collect pattern
-    * [[tokenQuantiles]] uses) so an EMPTY corpus fails fast with a clear
-    * error instead of silently emitting zero rows while the SQL oracle
-    * emits nine NULLs.
+    * decile rows come from exploding a LITERAL 1..9 sequence over the
+    * single aggregate row (no collect — the aggregation plan stays
+    * visible to the catalog plan gates — and no join stage to attach a
+    * constant): on an EMPTY corpus the aggregate still yields its one
+    * row with a NULL sketch, so the query emits nine (decile, NULL) rows
+    * — exactly what the SQL oracle's `quantile_disc` produces there.
     */
-  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val row = t(spark, dir, "documents")
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
       .agg(percentile_approx(size(split(col("text"), " ")),
         array((1 to 9).map(d => lit(d / 10.0)): _*),
         lit(QuantileSketchAccuracy)).as("qs"))
-      .collect()(0)
-    require(!row.isNullAt(0), "quantile-sketch input is empty")
-    val vs = row.getSeq[Int](0)
-    (1 to 9).map(d => (d.toLong, vs(d - 1).toLong))
-      .toDF("decile", "value").orderBy("decile")
-  }
+      .select(explode(expr("sequence(1L, 9L)")).as("decile"), col("qs"))
+      .select(col("decile"),
+        element_at(col("qs"), col("decile").cast("int")).cast("long").as("value"))
+      .orderBy("decile")
 
   /** Results per retrieval query in [[tfidfRank]]. */
   val TfidfTopK = 5
