@@ -966,6 +966,20 @@ object PdfRaster {
             s"(a=${st.ma} b=${st.mb} c=${st.mc} d=${st.md}) is unsupported — " +
             "scale/rotation is accepted only for image XObject placement (Do)")
 
+      def unitScale: Boolean =
+        st.ma == 1.0 && st.mb == 0.0 && st.mc == 0.0 && st.md == 1.0
+
+      /** Full-CTM point map (user → translated-user space; [[deviceRing]]
+        * then applies the dpi scale and y-flip). Path GEOMETRY is exact
+        * under any affine: flattening a Bézier from transformed control
+        * points equals transforming the flattened points (affine commutes
+        * with convex combinations), and the scanline winding rules are
+        * orientation-insensitive (a mirroring flips every crossing sign
+        * uniformly, leaving both the nonzero and even-odd tests unchanged).
+        */
+      def tp(x: Double, y: Double): (Double, Double) =
+        (st.ma * x + st.mc * y + st.tx, st.mb * x + st.md * y + st.ty)
+
       def curSub: Sub = {
         require(subs.nonEmpty && !subs.last.closed,
           s"page $pageNum: path op without a current point (m starts a subpath)")
@@ -989,15 +1003,55 @@ object PdfRaster {
       }
       def clearPath(): Unit = { rects.clear(); subs.clear() }
       def strokeAll(): Unit = {
-        // the spec transforms the LINE WIDTH by the CTM at stroke time — a
-        // stroke under a scale cm must be wider, which the subset has no
-        // model for, so it rejects loudly like path/text construction does
-        requireUnitScale("stroke")
-        // dash lengths/phase transform by the CTM like the line width —
-        // unit scale is already required, so device = user × s
-        strokeSubs(rects.map(rectSub).toSeq ++ subs.toSeq, st.lineWidth * s, st.stroke,
-          st.dash._1.map(_ * s), st.dash._2 * s)
+        // the spec transforms the PEN by the CTM at stroke time. Under a
+        // SIMILARITY — uniform scale ± rotation, mirrored or not; exactly
+        // the matrices with a·c + b·d = 0 and a² + b² = c² + d² — a round
+        // pen stays round with radius scaled by √(a²+b²), so the
+        // quad-stroker is exact: the path points are already
+        // CTM-transformed and the device width and dash lengths/phase
+        // scale by that same factor (rotation values written as decimal
+        // text parse to identical doubles in both twins, so the equality
+        // gates hold bit-exactly). A shear or non-uniform scale turns the
+        // pen elliptical — no model here, reject loudly.
+        require(st.ma * st.mc + st.mb * st.md == 0.0 &&
+          st.ma * st.ma + st.mb * st.mb == st.mc * st.mc + st.md * st.md,
+          s"page $pageNum: stroke under a non-similarity cm matrix " +
+            s"(a=${st.ma} b=${st.mb} c=${st.mc} d=${st.md}) is unsupported — " +
+            "the pen would be elliptical")
+        val k = math.sqrt(st.ma * st.ma + st.mb * st.mb)
+        strokeSubs(rects.map(rectSub).toSeq ++ subs.toSeq, st.lineWidth * k * s, st.stroke,
+          st.dash._1.map(_ * k * s), st.dash._2 * k * s)
       }
+      /** Intersect the live clip with `rings` as a per-pixel bit mask (the
+        * `W`/`W*` machinery, shared with the form-BBox clip under a
+        * non-unit CTM): bits set only where the PREVIOUS mask admits the
+        * pixel, spans clamped to the clip box inside scanSpans, clip box
+        * tightened to the set-bit bounding box (empty → painters no-op).
+        */
+      def applyClipMask(rings: Seq[IndexedSeq[(Double, Double)]],
+                        evenOdd: Boolean): Unit = {
+        val bits = new Array[Long]((w * h + 63) >>> 6)
+        val prev = st.clipMask.orNull
+        var nx0 = w; var ny0 = h; var nx1 = 0; var ny1 = 0
+        scanSpans(rings, evenOdd) { (row, xa, xb) =>
+          var x = xa
+          while (x < xb) {
+            if (prev == null || maskOk(prev, x, row)) {
+              val idx = row * w + x
+              bits(idx >>> 6) |= 1L << (idx & 63)
+              if (x < nx0) nx0 = x
+              if (x + 1 > nx1) nx1 = x + 1
+              if (row < ny0) ny0 = row
+              if (row + 1 > ny1) ny1 = row + 1
+            }
+            x += 1
+          }
+        }
+        st =
+          if (nx1 <= nx0) st.copy(clip = (0, 0, 0, 0), clipMask = Some(bits))
+          else st.copy(clip = (nx0, ny0, nx1, ny1), clipMask = Some(bits))
+      }
+
       var inText = false
       var pendingClip = false
       var pendingClipEO = false
@@ -1021,15 +1075,26 @@ object PdfRaster {
           PdfText.decodeBomUtf16(raw)
         case None => raw
       }
+      // text accepts the POSITIVE-UNIFORM-DIAGONAL CTM family (a = d > 0,
+      // b = c = 0 — the scaled-letterhead/stamp class): the scale folds
+      // into the effective font size (glyph bitmaps scale by integer
+      // replication) and the pen origin maps through tp. Rotation/shear/
+      // mirror would need resampled glyph rasters — no model, loud.
+      def textScale: Double = {
+        require(st.mb == 0.0 && st.mc == 0.0 && st.ma == st.md && st.ma > 0.0,
+          s"page $pageNum: text under a non-uniform-diagonal cm matrix " +
+            s"(a=${st.ma} b=${st.mb} c=${st.mc} d=${st.md}) is unsupported — " +
+            "glyph bitmaps scale but do not rotate, shear or mirror")
+        st.ma
+      }
       def iscale: Int = {
         require(st.fontSize > 0, "show before Tf set a font size")
-        math.max(1, math.rint(st.fontSize * s / GlyphFont.GlyphH).toInt)
+        math.max(1, math.rint(st.fontSize * textScale * s / GlyphFont.GlyphH).toInt)
       }
       def show(text: String): Unit = {
         require(inText, "text-show operator outside BT/ET")
         if (text.nonEmpty) {
-          requireUnitScale("text show")
-          val isc = iscale
+          val isc = iscale // also enforces the diagonal-CTM text gate
           if (st.textRender == 3) {
             // invisible (the OCR text layer of a scanned page): no pixels, no
             // glyph-coverage requirement — arbitrary recognizer output rides
@@ -1037,8 +1102,9 @@ object PdfRaster {
             // counts code points; UTF-16 length double-counts astral chars)
             penPx += text.codePointCount(0, text.length) * cellW(isc)
           } else {
-            val topPx = h - px(lineY + st.ty) - GlyphFont.GlyphH * isc
-            penPx += drawCells(text, px(lineX + st.tx) + penPx, topPx, isc, st.fill)
+            val (dx, dy) = tp(lineX, lineY)
+            val topPx = h - px(dy) - GlyphFont.GlyphH * isc
+            penPx += drawCells(text, px(dx) + penPx, topPx, isc, st.fill)
           }
         }
       }
@@ -1150,40 +1216,42 @@ object PdfRaster {
               lw.foreach(v => st = st.copy(lineWidth = v))
               if (solidD) st = st.copy(dash = (Vector.empty, 0.0))
             case "re" =>
-              requireUnitScale("re")
               require(operands.length >= 4, "re needs 4 operands")
               val Seq(x, y, rw, rh) = operands.takeRight(4).map(num).toSeq
               require(rw > 0 && rh > 0, s"page $pageNum: non-positive re ${rw}x$rh")
-              rects += ((x + st.tx, y + st.ty, rw, rh))
+              if (unitScale) rects += ((x + st.tx, y + st.ty, rw, rh))
+              else
+                // under a non-unit CTM the rectangle is a parallelogram: it
+                // joins the polygon subpaths (same winding rules); the
+                // rint-box fast paths stay reserved for the unit-scale idioms
+                subs += new Sub(mutable.ArrayBuffer(
+                  tp(x, y), tp(x + rw, y), tp(x + rw, y + rh), tp(x, y + rh)),
+                  closed = true)
             case "m" =>
-              requireUnitScale("m")
               require(operands.length >= 2, "m needs 2 operands")
               subs += new Sub(mutable.ArrayBuffer(
-                (num(operands(operands.length - 2)) + st.tx, num(operands.last) + st.ty)),
+                tp(num(operands(operands.length - 2)), num(operands.last))),
                 closed = false)
             case "l" =>
-              requireUnitScale("l")
               require(operands.length >= 2, "l needs 2 operands")
-              curSub.pts += ((num(operands(operands.length - 2)) + st.tx,
-                num(operands.last) + st.ty))
+              curSub.pts += tp(num(operands(operands.length - 2)), num(operands.last))
             case "c" =>
-              requireUnitScale("c")
               require(operands.length >= 6, "c needs 6 operands")
               val Seq(x1, y1, x2, y2, x3, y3) = operands.takeRight(6).map(num).toSeq
-              appendCubic(curSub, x1 + st.tx, y1 + st.ty, x2 + st.tx, y2 + st.ty,
-                x3 + st.tx, y3 + st.ty)
+              val (tx1, ty1) = tp(x1, y1); val (tx2, ty2) = tp(x2, y2)
+              val (tx3, ty3) = tp(x3, y3)
+              appendCubic(curSub, tx1, ty1, tx2, ty2, tx3, ty3)
             case "v" =>
-              requireUnitScale("v")
               require(operands.length >= 4, "v needs 4 operands")
               val Seq(x2, y2, x3, y3) = operands.takeRight(4).map(num).toSeq
               val (x0, y0) = curSub.pts.last
-              appendCubic(curSub, x0, y0, x2 + st.tx, y2 + st.ty, x3 + st.tx, y3 + st.ty)
+              val (tx2, ty2) = tp(x2, y2); val (tx3, ty3) = tp(x3, y3)
+              appendCubic(curSub, x0, y0, tx2, ty2, tx3, ty3)
             case "y" =>
-              requireUnitScale("y")
               require(operands.length >= 4, "y needs 4 operands")
               val Seq(x1, y1, x3, y3) = operands.takeRight(4).map(num).toSeq
-              appendCubic(curSub, x1 + st.tx, y1 + st.ty, x3 + st.tx, y3 + st.ty,
-                x3 + st.tx, y3 + st.ty)
+              val (tx1, ty1) = tp(x1, y1); val (tx3, ty3) = tp(x3, y3)
+              appendCubic(curSub, tx1, ty1, tx3, ty3, tx3, ty3)
             case "h" =>
               require(subs.nonEmpty, s"page $pageNum: h without a subpath")
               subs.last.closed = true
@@ -1253,27 +1321,8 @@ object PdfRaster {
                   // pass the mask in force, so nested clips intersect. The
                   // clip box tightens to the set-bit bounding box (an
                   // off-canvas region leaves an empty box: painters no-op).
-                  val rings = (rects.map(rectSub) ++ subs).map(deviceRing).toSeq
-                  val bits = new Array[Long]((w * h + 63) >>> 6)
-                  val prev = st.clipMask.orNull
-                  var nx0 = w; var ny0 = h; var nx1 = 0; var ny1 = 0
-                  scanSpans(rings, pendingClipEO) { (row, xa, xb) =>
-                    var x = xa
-                    while (x < xb) {
-                      if (prev == null || maskOk(prev, x, row)) {
-                        val idx = row * w + x
-                        bits(idx >>> 6) |= 1L << (idx & 63)
-                        if (x < nx0) nx0 = x
-                        if (x + 1 > nx1) nx1 = x + 1
-                        if (row < ny0) ny0 = row
-                        if (row + 1 > ny1) ny1 = row + 1
-                      }
-                      x += 1
-                    }
-                  }
-                  st =
-                    if (nx1 <= nx0) st.copy(clip = (0, 0, 0, 0), clipMask = Some(bits))
-                    else st.copy(clip = (nx0, ny0, nx1, ny1), clipMask = Some(bits))
+                  applyClipMask((rects.map(rectSub) ++ subs).map(deviceRing).toSeq,
+                    pendingClipEO)
                 }
                 pendingClip = false
               }
@@ -1287,10 +1336,13 @@ object PdfRaster {
                     case f: FormX =>
                       // a FORM executes its own content stream under an
                       // implicit q/Q, its /Matrix composed onto the CTM and
-                      // its /BBox clipped like `re W n`. The subset places
-                      // forms by TRANSLATION only (the `q 1 0 0 1 tx ty cm
-                      // /Fm Do Q` idiom) — a composed scale/rotation has no
-                      // pixel model for the form's INNER paths and throws.
+                      // its /BBox clipped like `re W n`. ANY invertible
+                      // composed CTM is accepted here — each inner painter
+                      // enforces its own gate (fills/clips: any affine;
+                      // strokes: similarity; text: positive uniform
+                      // diagonal; sh: identity), so a rotated vector stamp
+                      // or a scaled text letterhead renders while a sheared
+                      // text form still throws from the text gate.
                       require(!inText, s"page $pageNum: form XObject /$nm Do inside BT/ET")
                       val saved = st
                       val a = f.matrix(0); val b = f.matrix(1); val c = f.matrix(2)
@@ -1300,16 +1352,25 @@ object PdfRaster {
                         mc = c * st.ma + d * st.mc, md = c * st.mb + d * st.md,
                         tx = e * st.ma + f6 * st.mc + st.tx,
                         ty = e * st.mb + f6 * st.md + st.ty)
-                      require(st.ma == 1.0 && st.mb == 0.0 && st.mc == 0.0 && st.md == 1.0,
-                        s"page $pageNum: form /$nm composes to a non-translation CTM " +
-                          s"(a=${st.ma} b=${st.mb} c=${st.mc} d=${st.md}) — " +
-                          "outside the raster subset")
+                      require(st.ma * st.md - st.mb * st.mc != 0.0,
+                        s"page $pageNum: form /$nm composes to a singular CTM " +
+                          s"(a=${st.ma} b=${st.mb} c=${st.mc} d=${st.md})")
                       val (fx0, fy0, fx1, fy1) = f.bbox
-                      st = st.copy(clip = (
-                        math.max(st.clip._1, px(fx0 + st.tx)),
-                        math.max(st.clip._2, h - px(fy1 + st.ty)),
-                        math.min(st.clip._3, px(fx1 + st.tx)),
-                        math.min(st.clip._4, h - px(fy0 + st.ty))))
+                      if (unitScale)
+                        // translation placement keeps the exact rint-box
+                        // intersection (digest-stable for every pre-existing
+                        // fixture)
+                        st = st.copy(clip = (
+                          math.max(st.clip._1, px(fx0 + st.tx)),
+                          math.max(st.clip._2, h - px(fy1 + st.ty)),
+                          math.min(st.clip._3, px(fx1 + st.tx)),
+                          math.min(st.clip._4, h - px(fy0 + st.ty))))
+                      else
+                        // a transformed /BBox is a parallelogram: clip by
+                        // the same per-pixel mask machinery as W n
+                        applyClipMask(Seq(deviceRing(new Sub(mutable.ArrayBuffer(
+                          tp(fx0, fy0), tp(fx1, fy0), tp(fx1, fy1), tp(fx0, fy1)),
+                          closed = true))), evenOdd = false)
                       exec(f.toks, f.fonts, f.xobjects, f.gstates, f.shadings)
                       st = saved // implicit Q
                   }

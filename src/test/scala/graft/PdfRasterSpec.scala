@@ -29,7 +29,7 @@ class PdfRasterSpec extends AnyFunSuite {
       Set("raster_00.pdf", "raster_01.pdf", "raster_02.pdf", "raster_03.pdf",
         "raster_04.pdf", "raster_05.pdf", "raster_06.pdf", "raster_07.pdf",
         "raster_08.pdf", "raster_09.pdf", "raster_10.pdf", "raster_11.pdf",
-        "raster_12.pdf", "raster_13.pdf"))
+        "raster_12.pdf", "raster_13.pdf", "raster_14.pdf"))
     byName.foreach { case (name, pageExp) =>
       val pages = PdfRaster.rasterize(fixture(name), dpi)
       assert(pages.length == pageExp.length, s"$name page count")
@@ -133,12 +133,25 @@ class PdfRasterSpec extends AnyFunSuite {
     // rich black: any components + K=1 clamp to (0,0,0)
     val rb = PdfRaster.rasterize(tinyPdf("0.6 0.4 0.4 1 k 5 5 10 10 re f"), 72).head.image
     assert(rb.rgb(co) == 0x00.toByte, "K=1 clamps to black")
-    rejects("q 2 0 0 2 0 0 cm 5 5 10 10 re f Q", "under a non-identity cm") // scaled path
-    rejects("q 2 0 0 2 0 0 cm BT /F1 7 Tf 2 5 Td (A) Tj ET Q", "under a non-identity cm")
-    rejects("q 0 1 -1 0 0 0 cm 5 5 10 10 re f Q", "under a non-identity cm") // rotated path
-    rejects("q 1 0 0 -1 0 40 cm 5 5 10 10 re f Q", "under a non-identity cm") // mirrored path
-    rejects("q 1 0.5 0 1 0 0 cm 5 5 10 10 re f Q", "under a non-identity cm") // sheared path
-    rejects("q 0.7 0.7 -0.7 0.7 0 0 cm 5 5 10 10 re f Q", "under a non-identity cm") // rotated path
+    // path FILLS accept any invertible CTM (round-5 widening): scaled,
+    // rotated, mirrored and sheared rects all paint as parallelograms
+    def paintsBlackAt(content: String, x: Int, y: Int): Unit = {
+      val img = PdfRaster.rasterize(tinyPdf(content), 72).head.image
+      assert(img.rgb(((40 - y) * img.width + x) * 3) == 0x00.toByte,
+        s"[$content] expected black at ($x,$y)")
+    }
+    paintsBlackAt("q 2 0 0 2 0 0 cm 0 0 0 rg 5 5 10 10 re f Q", 20, 20) // scaled → 10..30
+    paintsBlackAt("q 0 1 -1 0 40 0 cm 0 0 0 rg 5 5 10 10 re f Q", 28, 10) // rotated: (x,y)→(40−y,x)
+    paintsBlackAt("q 1 0 0 -1 0 40 cm 0 0 0 rg 5 5 10 10 re f Q", 10, 28) // mirrored: y→40−y
+    paintsBlackAt("q 1 0.5 0 1 0 0 cm 0 0 0 rg 5 5 10 10 re f Q", 12, 12) // sheared parallelogram
+    // text accepts ONLY the positive-uniform-diagonal family: 2× scale
+    // folds into the glyph size (iscale 2, glyph box x∈[4,14) rows 16..30);
+    // rotation/mirror/shear reject loudly
+    val scaledText = PdfRaster.rasterize(tinyPdf(
+      "q 2 0 0 2 0 0 cm 0 0 0 rg BT /F1 7 Tf 2 5 Td (A) Tj ET Q"), 72).head.image
+    assert(scaledText.rgb.exists(_ == 0x00.toByte), "2x-scaled glyph paints")
+    rejects("q 0 1 -1 0 40 0 cm BT /F1 7 Tf 2 5 Td (A) Tj ET Q", "non-uniform-diagonal")
+    rejects("q 1 0 0 -1 0 40 cm BT /F1 7 Tf 2 5 Td (A) Tj ET Q", "non-uniform-diagonal")
     rejects("q 2 0 0 0 0 0 cm /Nope Do Q", "singular cm") // rank-1 matrix
     rejects("q 1 2 2 4 0 0 cm /Nope Do Q", "singular cm") // det = 0
     rejects("q 10 0 0 10 5 5 cm /Nope Do Q", "unknown XObject") // dangling Do name
@@ -152,9 +165,14 @@ class PdfRasterSpec extends AnyFunSuite {
     rejects("10 10 20 20 30 30 c S", "without a current point") // c before m
     rejects("h S", "h without a subpath")
     rejects("0 w 10 10 m 20 20 l S", "non-positive stroke width") // validated at stroke time
-    // spec transforms line width by the CTM at stroke time — a stroke under
-    // a scale cm (path built at identity) has no width model here: loud
-    rejects("10 10 m 40 10 l q 4 0 0 4 0 0 cm S", "under a non-identity cm")
+    // spec transforms the PEN by the CTM at stroke time: a SIMILARITY
+    // (uniform scale ± rotation) scales the round pen and is accepted; a
+    // non-uniform scale or shear turns it elliptical and rejects loudly
+    rejects("q 2 0 0 1 0 0 cm 10 10 m 30 10 l 1 w S Q", "non-similarity")
+    rejects("q 1 0.5 0 1 0 0 cm 10 10 m 30 10 l 1 w S Q", "non-similarity")
+    val rotStroke = PdfRaster.rasterize(tinyPdf(
+      "q 0.6 0.8 -0.8 0.6 10 5 cm 0 0 0 RG 2 w 0 0 m 30 0 l S Q"), 72).head.image
+    assert(rotStroke.rgb.exists(_ == 0x00.toByte), "rotated similarity stroke paints")
     rejects("[-2 1] 0 d 10 10 m 20 20 l S", "negative dash element")
     rejects("[0 0] 0 d 10 10 m 20 20 l S", "all-zero dash array")
     // `0 w` is a legal hairline state — a FILL-only page that sets it must
@@ -346,10 +364,24 @@ class PdfRasterSpec extends AnyFunSuite {
         formPdf(pageC, formC, bbox, matrix, selfRef), 72))
       assert(ex.getMessage.contains(needle), s"got: ${ex.getMessage}")
     }
-    rejectsF("q 2 0 0 2 0 0 cm /Fm Do Q", form, "non-translation CTM") // scaled placement
-    rejectsF("q 0 1 -1 0 40 0 cm /Fm Do Q", form, "non-translation CTM") // rotated
-    rejectsF("/Fm Do", form, "non-translation CTM",
-      matrix = Some("2 0 0 2 0 0")) // scaling /Matrix
+    // round-5 widening: scaled/rotated placements render (each inner
+    // painter enforces its own CTM gate) — the 3..18 form rect lands at
+    // 6..36 under 2× and at x∈[22,37] y∈[3,18] under the quarter turn
+    val scaledForm = PdfRaster.rasterize(formPdf(
+      "q 2 0 0 2 0 0 cm /Fm Do Q", form), 72).head.image
+    assert(at(scaledForm, 20, 20) == 0x00.toByte, "2x form stamp paints")
+    assert(at(scaledForm, 45, 38) == 0xFF.toByte, "outside the scaled stamp")
+    val rotForm = PdfRaster.rasterize(formPdf(
+      "q 0 1 -1 0 40 0 cm /Fm Do Q", form), 72).head.image
+    assert(at(rotForm, 30, 10) == 0x00.toByte, "rotated form stamp paints")
+    assert(at(rotForm, 10, 30) == 0xFF.toByte, "outside the rotated stamp")
+    val scaledMatrix = PdfRaster.rasterize(formPdf(
+      "/Fm Do", form, matrix = Some("2 0 0 2 0 0")), 72).head.image
+    assert(at(scaledMatrix, 20, 20) == 0x00.toByte, "scaling /Matrix paints")
+    // a rotated placement still rejects when the form CONTAINS text (the
+    // text painter's diagonal gate fires inside the composed CTM)
+    rejectsF("q 0 1 -1 0 40 0 cm /Fm Do Q",
+      "BT /F1 7 Tf 2 5 Td (A) Tj ET", "non-uniform-diagonal")
     rejectsF("/Fm Do", form, "singular /Matrix", matrix = Some("1 2 2 4 0 0"))
     rejectsF("/Fm Do", form, "degenerate /BBox", bbox = "0 0 0 20")
     rejectsF("BT /F1 7 Tf /Fm Do ET", form, "inside BT/ET")

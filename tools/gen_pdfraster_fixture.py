@@ -534,26 +534,69 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
 
     def iscale():
         assert font_size > 0
-        return max(1, int(round(font_size * s / GLYPH_H)))
+        return max(1, int(round(font_size * text_scale() * s / GLYPH_H)))
 
     def show(text):
         nonlocal pen_px
         assert in_text, 'text-show operator outside BT/ET'
         if text:
-            assert (ma, mb, mc, md) == (1.0, 0.0, 0.0, 1.0), \
-                'text show under a non-identity cm'
-            isc = iscale()
+            isc = iscale()  # also enforces the diagonal-CTM text gate
             if trmode == 3:
                 # invisible OCR-overlay text: no pixels, no glyph-coverage
                 # requirement, pen still advances one cell per character
                 pen_px += len(text) * (GLYPH_W + SPACING) * isc
             else:
-                top_px = H - px(ly + ty) - GLYPH_H * isc
-                pen_px += draw_cells(text, px(lx + tx) + pen_px, top_px, isc, fill)
+                dx, dy = tp(lx, ly)
+                top_px = H - px(dy) - GLYPH_H * isc
+                pen_px += draw_cells(text, px(dx) + pen_px, top_px, isc, fill)
 
     def unit_scale(op):
         assert (ma, mb, mc, md) == (1.0, 0.0, 0.0, 1.0), \
             f"'{op}' under a non-identity cm"
+
+    def unit_ctm():
+        return (ma, mb, mc, md) == (1.0, 0.0, 0.0, 1.0)
+
+    def tp(x, y):
+        # full-CTM point map (user -> translated-user; device_ring applies
+        # the dpi scale + y-flip) -- mirrors PdfRaster.tp; path geometry is
+        # exact under any affine (flattening commutes, winding rules are
+        # orientation-insensitive)
+        return (ma * x + mc * y + tx, mb * x + md * y + ty)
+
+    def stroke_scale():
+        # similarity gate (a*c + b*d = 0, a^2+b^2 = c^2+d^2): a round pen
+        # stays round, radius scaled by sqrt(a^2+b^2); shear/non-uniform
+        # scale rejects -- mirrors PdfRaster.strokeAll
+        assert ma * mc + mb * md == 0.0 and \
+            ma * ma + mb * mb == mc * mc + md * md, \
+            'stroke under a non-similarity cm'
+        return _m.sqrt(ma * ma + mb * mb)
+
+    def text_scale():
+        # text accepts the positive-uniform-diagonal family only: the scale
+        # folds into the effective font size -- mirrors PdfRaster.textScale
+        assert mb == 0.0 and mc == 0.0 and ma == md and ma > 0.0, \
+            'text under a non-uniform-diagonal cm'
+        return ma
+
+    def apply_clip_mask(rings, even_odd):
+        # the W/W* per-pixel mask machinery, shared with the form-BBox clip
+        # under a non-unit CTM -- mirrors PdfRaster.applyClipMask
+        nonlocal clip, clip_mask
+        bits = bytearray(W * H)
+        prev = clip_mask
+        nx0, ny0, nx1, ny1 = W, H, 0, 0
+        for row, xa, xb in scan_spans(rings, even_odd):
+            for x in range(xa, xb):
+                if prev is None or prev[row * W + x]:
+                    bits[row * W + x] = 1
+                    nx0 = min(nx0, x)
+                    nx1 = max(nx1, x + 1)
+                    ny0 = min(ny0, row)
+                    ny1 = max(ny1, row + 1)
+        clip_mask = bits
+        clip = (0, 0, 0, 0) if nx1 <= nx0 else (nx0, ny0, nx1, ny1)
 
     # one call per content stream: the page's, and recursively each form
     # XObject's (the Scala exec twin — shared graphics state + canvas,
@@ -621,13 +664,20 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
                             a * ma + b * mc, a * mb + b * md,
                             c * ma + d * mc, c * mb + d * md,
                             e * ma + f2 * mc + tx, e * mb + f2 * md + ty)
-                        assert (ma, mb, mc, md) == (1.0, 0.0, 0.0, 1.0), \
-                            'form composes to a non-translation CTM'
+                        assert ma * md - mb * mc != 0.0, \
+                            'form composes to a singular CTM'
                         fx0, fy0, fx1, fy1 = xo['bbox']
-                        clip = (max(clip[0], px(fx0 + tx)),
-                                max(clip[1], H - px(fy1 + ty)),
-                                min(clip[2], px(fx1 + tx)),
-                                min(clip[3], H - px(fy0 + ty)))
+                        if unit_ctm():
+                            clip = (max(clip[0], px(fx0 + tx)),
+                                    max(clip[1], H - px(fy1 + ty)),
+                                    min(clip[2], px(fx1 + tx)),
+                                    min(clip[3], H - px(fy0 + ty)))
+                        else:
+                            # transformed /BBox is a parallelogram: clip by
+                            # the same per-pixel mask machinery as W n
+                            apply_clip_mask([device_ring(
+                                [tp(fx0, fy0), tp(fx1, fy0),
+                                 tp(fx1, fy1), tp(fx0, fy1)])], False)
                         pending_clip = pending_clip_eo = False
                         stack, rects, subs = [], [], []
                         in_text = False
@@ -693,39 +743,39 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
                     assert phase >= 0.0
                     dash = (dash_arr, phase)
                 elif val == 're':
-                    unit_scale('re')
                     x, y, w2, h2 = (operands[-4][1], operands[-3][1],
                                     operands[-2][1], operands[-1][1])
                     assert w2 > 0 and h2 > 0
-                    rects.append((x + tx, y + ty, w2, h2))
+                    if unit_ctm():
+                        rects.append((x + tx, y + ty, w2, h2))
+                    else:
+                        # a parallelogram under the CTM: joins the polygon
+                        # subpaths (rint-box fast paths stay unit-scale-only)
+                        subs.append(([tp(x, y), tp(x + w2, y),
+                                      tp(x + w2, y + h2), tp(x, y + h2)], True))
                 elif val == 'm':
-                    unit_scale('m')
-                    subs.append(([(operands[-2][1] + tx, operands[-1][1] + ty)], False))
+                    subs.append(([tp(operands[-2][1], operands[-1][1])], False))
                 elif val == 'l':
-                    unit_scale('l')
                     assert subs and not subs[-1][1], 'l without a current point'
-                    subs[-1][0].append((operands[-2][1] + tx, operands[-1][1] + ty))
+                    subs[-1][0].append(tp(operands[-2][1], operands[-1][1]))
                 elif val == 'c':
-                    unit_scale('c')
                     assert subs and not subs[-1][1], 'c without a current point'
                     append_cubic(subs[-1][0],
-                                 operands[-6][1] + tx, operands[-5][1] + ty,
-                                 operands[-4][1] + tx, operands[-3][1] + ty,
-                                 operands[-2][1] + tx, operands[-1][1] + ty)
+                                 *tp(operands[-6][1], operands[-5][1]),
+                                 *tp(operands[-4][1], operands[-3][1]),
+                                 *tp(operands[-2][1], operands[-1][1]))
                 elif val == 'v':
-                    unit_scale('v')
                     assert subs and not subs[-1][1], 'v without a current point'
                     x0c, y0c = subs[-1][0][-1]
                     append_cubic(subs[-1][0], x0c, y0c,
-                                 operands[-4][1] + tx, operands[-3][1] + ty,
-                                 operands[-2][1] + tx, operands[-1][1] + ty)
+                                 *tp(operands[-4][1], operands[-3][1]),
+                                 *tp(operands[-2][1], operands[-1][1]))
                 elif val == 'y':
-                    unit_scale('y')
                     assert subs and not subs[-1][1], 'y without a current point'
                     append_cubic(subs[-1][0],
-                                 operands[-4][1] + tx, operands[-3][1] + ty,
-                                 operands[-2][1] + tx, operands[-1][1] + ty,
-                                 operands[-2][1] + tx, operands[-1][1] + ty)
+                                 *tp(operands[-4][1], operands[-3][1]),
+                                 *tp(operands[-2][1], operands[-1][1]),
+                                 *tp(operands[-2][1], operands[-1][1]))
                 elif val == 'h':
                     assert subs, 'h without a subpath'
                     subs[-1] = (subs[-1][0], True)
@@ -744,21 +794,21 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
                                [rect_sub(r) for r in rects] + subs], True, fill)
                     rects, subs = [], []
                 elif val == 'S':
-                    unit_scale('stroke')  # line width transforms by the CTM at stroke time
-                    stroke_subs([rect_sub(r) for r in rects] + subs, line_w * s, stroke,
-                                [v * s for v in dash[0]], dash[1] * s)
+                    k2 = stroke_scale() * s  # pen + dash scale by sqrt(a^2+b^2)
+                    stroke_subs([rect_sub(r) for r in rects] + subs, line_w * k2, stroke,
+                                [v * k2 for v in dash[0]], dash[1] * k2)
                     rects, subs = [], []
                 elif val == 's':
-                    unit_scale('stroke')
+                    k2 = stroke_scale() * s
                     assert subs, 's without a subpath'
                     subs[-1] = (subs[-1][0], True)
-                    stroke_subs([rect_sub(r) for r in rects] + subs, line_w * s, stroke,
-                                [v * s for v in dash[0]], dash[1] * s)
+                    stroke_subs([rect_sub(r) for r in rects] + subs, line_w * k2, stroke,
+                                [v * k2 for v in dash[0]], dash[1] * k2)
                     rects, subs = [], []
                 elif val in ('B', 'B*', 'b', 'b*'):
                     # fill-then-stroke family (Scala order): B nonzero,
                     # B* even-odd; b variants close the subpath first
-                    unit_scale('stroke')
+                    k2 = stroke_scale() * s
                     if val in ('b', 'b*'):
                         assert rects or subs, f'{val} without a current path'
                         if subs:
@@ -770,8 +820,8 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
                     else:
                         scan_fill([device_ring(p) for (p, _) in
                                    [rect_sub(r) for r in rects] + subs], eo, fill)
-                    stroke_subs([rect_sub(r) for r in rects] + subs, line_w * s, stroke,
-                                [v * s for v in dash[0]], dash[1] * s)
+                    stroke_subs([rect_sub(r) for r in rects] + subs, line_w * k2, stroke,
+                                [v * k2 for v in dash[0]], dash[1] * k2)
                     rects, subs = [], []
                 elif val in ('W', 'W*'):
                     assert rects or subs, f'{val} with no current path to clip by'
@@ -790,21 +840,9 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
                             # fills (spans already box-clamped), AND'd with the
                             # mask in force; the clip box tightens to the set
                             # bounding box (empty region -> empty box)
-                            rings = [device_ring(p) for (p, _) in
-                                     [rect_sub(r) for r in rects] + subs]
-                            bits = bytearray(W * H)
-                            prev = clip_mask
-                            nx0, ny0, nx1, ny1 = W, H, 0, 0
-                            for row, xa, xb in scan_spans(rings, pending_clip_eo):
-                                for x in range(xa, xb):
-                                    if prev is None or prev[row * W + x]:
-                                        bits[row * W + x] = 1
-                                        nx0 = min(nx0, x)
-                                        nx1 = max(nx1, x + 1)
-                                        ny0 = min(ny0, row)
-                                        ny1 = max(ny1, row + 1)
-                            clip_mask = bits
-                            clip = (0, 0, 0, 0) if nx1 <= nx0 else (nx0, ny0, nx1, ny1)
+                            apply_clip_mask([device_ring(p) for (p, _) in
+                                             [rect_sub(r) for r in rects] + subs],
+                                            pending_clip_eo)
                         pending_clip = False
                     rects, subs = [], []
                 elif val == 'BT':
@@ -1474,6 +1512,41 @@ def main():
         "0 0 0 rg BT /F1 7 Tf 120 100 Td (AFTER FORMS) Tj ET")
     pages11 = [(p14, 220.0, 200.0, True)]
 
+    # raster_14.pdf: TRANSFORMED GEOMETRY — the widened-CTM subset. A
+    # vector stamp form placed ROTATED 30 degrees (fills + similarity
+    # strokes under the rotation; the /BBox clips as a rotated
+    # parallelogram through the general mask), a text letterhead form at
+    # 2x (the scale folds into the glyph size; the underline stroke
+    # scales by the same factor), a SHEARED parallelogram fill (fills
+    # accept any affine), a 45-degree dashed stroke (pen + dash lengths
+    # scale by sqrt(a^2+b^2)), and a ROTATED `re W n` clip that must go
+    # through the per-pixel mask path (the rint-box fast path is
+    # unit-scale-only); identity caption on top. Rotation entries are
+    # written as decimal text so both renderers parse identical doubles.
+    fm2 = ("0 0 0.8 rg 5 5 40 18 re f "
+           "0.9 0.6 0.1 rg 10 28 m 40 28 l 25 48 l h f "
+           "0 0 0 RG 2 w 2 2 56 50 re S")
+    fm3 = ("0 0 0 rg BT /F1 7 Tf 4 10 Td (SCALED LETTERHEAD) Tj ET "
+           "0.8 0 0 RG 1 w 4 6 m 96 6 l S")
+    forms14 = {
+        'Fm2': (fm2, (0.0, 0.0, 60.0, 55.0), None, []),
+        'Fm3': (fm3, (0.0, 0.0, 100.0, 20.0), None, [])}
+    rf2 = dict(content=fm2, bbox=(0.0, 0.0, 60.0, 55.0),
+               matrix=(1.0, 0.0, 0.0, 1.0, 0.0, 0.0), xobjects={})
+    rf3 = dict(content=fm3, bbox=(0.0, 0.0, 100.0, 20.0),
+               matrix=(1.0, 0.0, 0.0, 1.0, 0.0, 0.0), xobjects={})
+    xobjects14 = {'Fm2': rf2, 'Fm3': rf3}
+    p17 = (
+        "q 0.866 0.5 -0.5 0.866 40 20 cm /Fm2 Do Q "
+        "q 2 0 0 2 6 170 cm /Fm3 Do Q "
+        "q 1 0.4 0 1 140 20 cm 0.9 0.2 0.2 rg 0 0 50 28 re f Q "
+        "q 0.7071 0.7071 -0.7071 0.7071 120 90 cm "
+        "0 0.5 0 RG 2 w [5 3] 0 d 0 0 m 70 0 l S Q "
+        "q 0.866 0.5 -0.5 0.866 150 95 cm 0 0 36 36 re W n "
+        "0.2 0.2 0.9 rg -20 -20 90 90 re f Q "
+        "0 0 0 rg BT /F1 6 Tf 60 208 Td (TRANSFORM PAGE) Tj ET")
+    pages14 = [(p17, 220.0, 220.0, True)]
+
     fonts = {'F2': cmap_decoder(cmap)}
     # (name, pages, cmap, build-images, shadings, build-forms,
     #  render-xobjects — form entries become dicts; None = build-images)
@@ -1491,7 +1564,9 @@ def main():
             ('raster_11.pdf', pages11, None, images11, None, forms11,
              xobjects11),
             ('raster_12.pdf', pages12, None, None, shadings12, None, None),
-            ('raster_13.pdf', pages13, None, None, None, None, None)]
+            ('raster_13.pdf', pages13, None, None, None, None, None),
+            ('raster_14.pdf', pages14, None, None, None, forms14,
+             xobjects14)]
     rows = []
     seg_rows = []
     ocr_out = []
