@@ -960,12 +960,6 @@ object PdfRaster {
       val rects = mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
       val subs = mutable.ArrayBuffer.empty[Sub]
 
-      def requireUnitScale(op: String): Unit =
-        require(st.ma == 1.0 && st.mb == 0.0 && st.mc == 0.0 && st.md == 1.0,
-          s"page $pageNum: '$op' under a non-identity cm matrix " +
-            s"(a=${st.ma} b=${st.mb} c=${st.mc} d=${st.md}) is unsupported — " +
-            "scale/rotation is accepted only for image XObject placement (Do)")
-
       def unitScale: Boolean =
         st.ma == 1.0 && st.mb == 0.0 && st.mc == 0.0 && st.md == 1.0
 
@@ -1018,9 +1012,13 @@ object PdfRaster {
           s"page $pageNum: stroke under a non-similarity cm matrix " +
             s"(a=${st.ma} b=${st.mb} c=${st.mc} d=${st.md}) is unsupported — " +
             "the pen would be elliptical")
-        val k = math.sqrt(st.ma * st.ma + st.mb * st.mb)
-        strokeSubs(rects.map(rectSub).toSeq ++ subs.toSeq, st.lineWidth * k * s, st.stroke,
-          st.dash._1.map(_ * k * s), st.dash._2 * k * s)
+        // k2 precomputed as (k · s) FIRST: the Python twin multiplies
+        // line_w * (stroke_scale() * s), and double multiplication is not
+        // associative — (lw·k)·s diverges by 1 ulp at non-power-of-two dpi,
+        // enough to flip a ceil(x−0.5) span boundary
+        val k2 = math.sqrt(st.ma * st.ma + st.mb * st.mb) * s
+        strokeSubs(rects.map(rectSub).toSeq ++ subs.toSeq, st.lineWidth * k2, st.stroke,
+          st.dash._1.map(_ * k2), st.dash._2 * k2)
       }
       /** Intersect the live clip with `rings` as a per-pixel bit mask (the
         * `W`/`W*` machinery, shared with the form-BBox clip under a
@@ -1141,11 +1139,13 @@ object PdfRaster {
               require(operands.length >= 6, "cm needs 6 operands")
               val Seq(a, b, c, d, e, f) = operands.takeRight(6).map(num).toSeq
               // any INVERTIBLE matrix composes; each painter decides what it
-              // can render under the cumulative CTM (paths/text/strokes
-              // require identity — requireUnitScale; image blits keep the
-              // digest-stable forward blit for the axis-preserving family
-              // and inverse-map everything else). A singular matrix has no
-              // inverse and therefore no pixel model: loud.
+              // can render under the cumulative CTM (fills/clips: any affine
+              // via tp; strokes: the similarity family — strokeAll; text:
+              // positive uniform diagonal — textScale; sh: identity only;
+              // image blits keep the digest-stable forward blit for the
+              // axis-preserving family and inverse-map everything else). A
+              // singular matrix has no inverse and therefore no pixel
+              // model: loud.
               require(a * d - b * c != 0.0,
                 s"page $pageNum: singular cm (a=$a b=$b c=$c d=$d) has no pixel model")
               // premultiplied row-vector composition: CTM' = cm × CTM
@@ -1381,8 +1381,12 @@ object PdfRaster {
               // force (box ∩ mask) — the PDF-native way to shade a shaped
               // area is a clip path followed by sh. Coords live in user
               // space, so a translation cm shifts them; scale/rotation has
-              // no gradient-density model here and rejects like paths do.
-              requireUnitScale("sh")
+              // no gradient-density model here and rejects loudly (the one
+              // painter still gated to the identity 2×2).
+              require(unitScale,
+                s"page $pageNum: 'sh' under a non-identity cm matrix " +
+                  s"(a=${st.ma} b=${st.mb} c=${st.mc} d=${st.md}) is unsupported — " +
+                  "gradients have no density model under scale/rotation here")
               operands.lastOption match {
                 case Some(TName(nm)) =>
                   val a = shadings.getOrElse(nm, throw new IllegalArgumentException(
