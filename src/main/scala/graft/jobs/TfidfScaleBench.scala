@@ -1,6 +1,6 @@
 package graft.jobs
 
-import graft.ops.{CacheTracker, Queries, TopM}
+import graft.ops.{CacheTracker, Queries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -77,24 +77,14 @@ object TfidfScaleBench {
 
     // naive plan: full-corpus inverted index first (tf over EVERY (term,
     // doc) pair — the whole token stream rides the Exchange), query terms
-    // joined after; scoring arithmetic identical
-    val n = nDocs
+    // joined after; the scoring tail is the SHARED Queries.tfidfScoreAndRank
+    // core, so "identical arithmetic" holds by construction — only the tf
+    // construction differs between the legs
     val t1 = System.nanoTime()
-    val qt = Queries.TfidfQueries.toDF("q_id", "term")
     val tfAll = CacheTracker.track(
       toks.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-        .join(broadcast(qt.select(col("term")).distinct()), "term"))
-    val dfTab = tfAll.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tfAll
-      .join(broadcast(dfTab), "term")
-      .join(broadcast(qt), "term")
-      .withColumn("contrib", expr(s"((1000L * tf) DIV (tf + 2L)) * (${n}L DIV df)"))
-      .groupBy(col("q_id"), col("doc_id"))
-      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms_hit"))
-    val naive = TopM.topM(scored, "q_id",
-        Seq(("score", false), ("doc_id", true)), Queries.TfidfTopK, "rn")
-      .select(col("q_id"), col("doc_id"), col("score"), col("n_terms_hit"), col("rn"))
-      .orderBy("q_id", "rn").collect()
+        .join(broadcast(qterms.toDF("term")), "term"))
+    val naive = Queries.tfidfScoreAndRank(tfAll, nDocs).collect()
     val naiveSec = (System.nanoTime() - t1) / 1e9
     CacheTracker.releaseAll()
 

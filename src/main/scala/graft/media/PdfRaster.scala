@@ -1055,6 +1055,7 @@ object PdfRaster {
       var pendingClipEO = false
       var lineX = 0.0; var lineY = 0.0
       var penPx = 0 // pixel-space pen offset within the current line position
+      var penIsc = 0 // glyph scale penPx was accumulated at (0 = no run yet)
       val operands = mutable.ArrayBuffer.empty[Tok]
       var arr: mutable.ArrayBuffer[Tok] = null
       var arrDone: Vector[Tok] = null
@@ -1093,6 +1094,15 @@ object PdfRaster {
         require(inText, "text-show operator outside BT/ET")
         if (text.nonEmpty) {
           val isc = iscale // also enforces the diagonal-CTM text gate
+          // a glyph-scale change MID-RUN (Tf or a cm scale between shows
+          // that share an accumulated pen) has no placement model — the
+          // pixel pen offset was accumulated at the old cell size; PDF
+          // transforms the text-space pen per show, which this subset does
+          // not track. Reject loudly, never misplace.
+          require(penPx == 0 || penIsc == isc,
+            s"page $pageNum: glyph scale changed mid-run ($penIsc → $isc) " +
+              "between shows sharing a pen position — outside the raster subset")
+          penIsc = isc
           if (st.textRender == 3) {
             // invisible (the OCR text layer of a scanned page): no pixels, no
             // glyph-coverage requirement — arbitrary recognizer output rides

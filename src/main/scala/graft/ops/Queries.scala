@@ -987,10 +987,7 @@ object Queries {
     * cross-multiplied comparison (overflow-safe to 9·10^17 rows).
     */
   def tokenQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    val hist = t(spark, dir, "documents")
-      .select(size(split(col("text"), " ")).cast("long").as("n"))
-      .groupBy(col("n")).agg(count(lit(1)).as("c"))
-      .collect()
+    val hist = tokenHistogram(spark, dir).collect()
     require(hist.nonEmpty, "token-quantile input is empty")
     val sorted = hist.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val total = sorted.iterator.map(_._2).sum
@@ -1002,6 +999,18 @@ object Queries {
     import spark.implicits._
     deciles.toDF("decile", "value").orderBy("decile")
   }
+
+  /** The corpus-scale pass of [[tokenQuantiles]], exposed so OpsSpec can
+    * audit its PHYSICAL plan directly: the builder collects this frame (the
+    * bounded-histogram pattern), which means the catalog-wide plan gates
+    * only ever see the post-collect LocalRelation — a dedicated assert on
+    * THIS plan (partial aggregation, no ScalaUDF) compensates for that
+    * blindness.
+    */
+  private[graft] def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("c"))
 
   /** 1/ε for [[quantileSketch]]'s summary: the GK guarantee is rank error
     * ≤ N/accuracy. At every fixture tier (documents N ≤ 5,000 — sf0.1 is
@@ -1094,15 +1103,25 @@ object Queries {
   private[graft] def tfidfRankFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val terms = TfidfQueries.map(_._2).distinct.toDF("term")
-    val qt = TfidfQueries.toDF("q_id", "term")
     val nRow = docs.agg(count(lit(1))).collect()(0)
     require(nRow.getLong(0) > 0, "retrieval corpus is empty")
-    val n = nRow.getLong(0)
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     // tracked: tf feeds both the df derivation and the scoring join; the
     // cache keeps the corpus-scale token scan to ONE pass
     val tf = tracked(toks.join(broadcast(terms), "term")
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf")))
+    tfidfScoreAndRank(tf, nRow.getLong(0))
+  }
+
+  /** Score + rank a prebuilt (term, doc_id, tf) postings frame — the ONE
+    * scoring core shared by [[tfidfRankFrom]] and
+    * [[graft.jobs.TfidfScaleBench]]'s naive leg, so the bench's
+    * "identical arithmetic" equality gate is true by construction rather
+    * than by hand-copy.
+    */
+  private[graft] def tfidfScoreAndRank(tf: DataFrame, n: Long): DataFrame = {
+    import tf.sparkSession.implicits._
+    val qt = TfidfQueries.toDF("q_id", "term")
     val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(dfTab), "term")
@@ -2243,7 +2262,7 @@ object Queries {
         val a = graft.media.Wav.decode(bytes)
         val win = audioWin20ms(n, a)
         (0 until a.frames / win).map { wi =>
-          val (energy, zc) = winEnergyZc0(a, win, wi)
+          val (energy, zc) = winEnergyZc0(a, win, wi, needZc = true)
           (n, wi, win, energy, zc)
         }
       }
@@ -2267,22 +2286,33 @@ object Queries {
   }
 
   /** Channel-0 (Σs² energy, zero-crossing count) of full window `wi`
-    * (frames [wi·win, (wi+1)·win)) in ONE fused pass — shared by
-    * [[audioWindows]] (the fixture the VAD oracle reads) and
-    * [[audioVad]]'s voiced-window test (which ignores the zc component);
-    * one traversal of every audio frame, one sample read per frame.
+    * (frames [wi·win, (wi+1)·win)) in ONE pass — the single source of
+    * truth for the window accumulation [[audioWindows]] (the fixture the
+    * VAD oracle reads) and [[audioVad]] share. `needZc = false` skips the
+    * sign-compare work entirely (the VAD test only consumes energy; the
+    * branch is hoisted OUT of the per-sample loop so the corpus-scale VAD
+    * pass pays nothing for the unused component).
     */
-  private def winEnergyZc0(a: graft.media.Wav.WavAudio, win: Int, wi: Int): (Long, Long) = {
+  private def winEnergyZc0(a: graft.media.Wav.WavAudio, win: Int, wi: Int,
+                           needZc: Boolean): (Long, Long) = {
     var energy = 0L
     var zc = 0L
-    var prev = 0
     var f = wi * win
-    while (f < (wi + 1) * win) {
-      val s = a.samples(f * a.channels).toInt
-      energy += s.toLong * s
-      if (f > wi * win && prev * s < 0) zc += 1
-      prev = s
-      f += 1
+    if (needZc) {
+      var prev = 0
+      while (f < (wi + 1) * win) {
+        val s = a.samples(f * a.channels).toInt
+        energy += s.toLong * s
+        if (f > wi * win && prev * s < 0) zc += 1
+        prev = s
+        f += 1
+      }
+    } else {
+      while (f < (wi + 1) * win) {
+        val s = a.samples(f * a.channels).toInt
+        energy += s.toLong * s
+        f += 1
+      }
     }
     (energy, zc)
   }
@@ -2379,7 +2409,7 @@ object Queries {
         var wi = 0
         val nWins = a.frames / win
         while (wi < nWins) {
-          val energy = winEnergyZc0(a, win, wi)._1
+          val energy = winEnergyZc0(a, win, wi, needZc = false)._1
           if (energy > win.toLong * 250000L) {
             // voiced: start, extend, or split on a gap > 2 windows
             if (segStart >= 0 && wi - segEnd > 3) flush()

@@ -297,6 +297,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((1L to 8L).forall(d => got(d) <= got(d + 1)), "deciles must be non-decreasing")
   }
 
+  test("token histogram plan (collected by the quantile builder) is a partial aggregation") {
+    // tokenQuantiles collects this frame at build time, so the catalog-wide
+    // plan gates only ever see the post-collect LocalRelation — this assert
+    // audits the corpus-scale pass those gates are blind to
+    val plan = graft.ops.Queries.tokenHistogram(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial"), s"histogram aggregation not partial:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("quantile sketch: exact at fixture scale, rank-error-bounded in the approximate regime") {
     import org.apache.spark.sql.functions._
     // exact regime: the GK summary never compresses below its accuracy

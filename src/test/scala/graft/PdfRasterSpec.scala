@@ -152,6 +152,16 @@ class PdfRasterSpec extends AnyFunSuite {
     assert(scaledText.rgb.exists(_ == 0x00.toByte), "2x-scaled glyph paints")
     rejects("q 0 1 -1 0 40 0 cm BT /F1 7 Tf 2 5 Td (A) Tj ET Q", "non-uniform-diagonal")
     rejects("q 1 0 0 -1 0 40 cm BT /F1 7 Tf 2 5 Td (A) Tj ET Q", "non-uniform-diagonal")
+    // a glyph-scale change MID-RUN (between shows sharing a pen position)
+    // would misplace the second show — reject loudly, via cm OR Tf
+    rejects("BT /F1 7 Tf 2 5 Td (A) Tj q 2 0 0 2 0 0 cm (B) Tj Q ET",
+      "glyph scale changed mid-run")
+    rejects("BT /F1 7 Tf 2 5 Td (A) Tj /F1 14 Tf (B) Tj ET",
+      "glyph scale changed mid-run")
+    // a Td between them starts a fresh run: the same scale change renders
+    val freshRun = PdfRaster.rasterize(tinyPdf(
+      "BT /F1 7 Tf 2 25 Td (A) Tj /F1 14 Tf 0 -18 Td (B) Tj ET"), 72).head.image
+    assert(freshRun.rgb.exists(_ == 0x00.toByte), "scale change across runs paints")
     rejects("q 2 0 0 0 0 0 cm /Nope Do Q", "singular cm") // rank-1 matrix
     rejects("q 1 2 2 4 0 0 cm /Nope Do Q", "singular cm") // det = 0
     rejects("q 10 0 0 10 5 5 cm /Nope Do Q", "unknown XObject") // dangling Do name

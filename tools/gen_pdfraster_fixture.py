@@ -518,6 +518,7 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
     lx = ly = leading = 0.0
     font_size = 0.0
     pen_px = 0
+    pen_isc = 0  # glyph scale pen_px was accumulated at (0 = no run)
     cur_dec = None
     operands, arr, arr_done = [], None, None
 
@@ -537,10 +538,15 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
         return max(1, int(round(font_size * text_scale() * s / GLYPH_H)))
 
     def show(text):
-        nonlocal pen_px
+        nonlocal pen_px, pen_isc
         assert in_text, 'text-show operator outside BT/ET'
         if text:
             isc = iscale()  # also enforces the diagonal-CTM text gate
+            # a glyph-scale change mid-run has no placement model here --
+            # mirrors PdfRaster's loud reject, never misplaces
+            assert pen_px == 0 or pen_isc == isc, \
+                'glyph scale changed mid-run between shows sharing a pen position'
+            pen_isc = isc
             if trmode == 3:
                 # invisible OCR-overlay text: no pixels, no glyph-coverage
                 # requirement, pen still advances one cell per character
