@@ -52,6 +52,17 @@ object Queries {
     */
   def releaseCaches(): Unit = CacheTracker.releaseAll()
 
+  /** Partition count for a frame whose row count has been MEASURED (an
+    * iterative loop's cached working set): ~64 MB per partition (guide
+    * §2.2/§6), floor 1. Scale-adaptive by construction — 6k label rows
+    * coalesce to one partition (a toy-scale stage stops paying per-task
+    * shuffle-file setup 32×), 10^9 rows keep hundreds of partitions.
+    * Callers pass a conservative serialized-row-width estimate; coalesce
+    * only ever lowers a partition count, so an over-estimate is harmless.
+    */
+  private[graft] def sizeParts(rows: Long, bytesPerRow: Long): Int =
+    math.max(1L, (rows * bytesPerRow) >> 26).min(1 << 20).toInt
+
   private val dec: DataType = DecimalType(18, 2)
 
   // ---- scans / filters / projections ---------------------------------------
@@ -329,11 +340,18 @@ object Queries {
     * fixpoint, so a hash-exact row proves the loop actually converged.
     */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =
-    // pairsCore, not minhashPairs: the propagation loop consumes pairs
-    // unordered, so the catalog query's presentation sort would be a wasted
-    // global exchange here (results are identical — output sorts by doc_id)
-    dedupComponentsFrom(spark,
-      minhashPairsCore(minhashSigCore(spark, dir)).select(col("a"), col("b")))
+    // STAR edges, not the full pair set (round 6): the LSH candidate graph
+    // is a union of per-(band, bucket) cliques — every pair minhashPairsCore
+    // emits connects two members of one bucket. For CONNECTED COMPONENTS a
+    // bucket's clique and its star (bucket-minimum → each member) have the
+    // same transitive closure, and even the per-round label states match
+    // (round 1: min over co-members = min over bucket hubs, since each hub
+    // is itself a co-member and every co-member ≥ its bucket's hub;
+    // inductively the fixpoint is the same partition). The star graph
+    // carries Σk edges instead of Σk(k−1)/2 and skips the pair explode +
+    // DISTINCT exchange outright (guide §2.4) — same components, same
+    // oracle row set, measured 48,026 pairs → ~14k star edges at sf0.1.
+    dedupComponentsFrom(spark, minhashStarEdges(minhashSigCore(spark, dir)))
 
   /** The propagation loop from any (a, b) pair frame; `onRound` observes
     * (round, changedLabels, wallMillis) — the DedupScaleBench instrument.
@@ -342,46 +360,68 @@ object Queries {
       spark: SparkSession, pairsIn: DataFrame,
       onRound: (Int, Long, Long) => Unit = (_, _, _) => ()): DataFrame = {
     val pairs = tracked(pairsIn)
+    // SIZE-derived partitioning for every frame the loop iterates over
+    // (guide §2.2: fewer, larger map tasks). The loop's per-round stages are
+    // scans of these caches feeding exchanges, so their partition count IS
+    // the map-task count of every round; inheriting the upstream 32-64
+    // partitions made each round write hundreds of KB-sized shuffle files
+    // (thread profile: tasks parked in DiskBlockObjectWriter.initialize /
+    // FileOutputStream.open0 — per-task shuffle-file setup dominated).
+    // The explicit pairs.count() doubles as the cache materializer the
+    // first round paid anyway and as the size probe.
+    val nPairs = pairs.count()
+    val parts = sizeParts(2L * nPairs, 24)
     val edges = tracked(
-      pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b"))))
+      pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+        .coalesce(parts))
     var labels = tracked(
-      edges.select(col("a").as("id")).distinct().withColumn("label", col("id")))
+      edges.select(col("a").as("id")).distinct().withColumn("label", col("id"))
+        .coalesce(parts))
     var iter = 0
     var converged = false
     componentsMaxLiveCaches = CacheTracker.liveCount
+    val labelType = labels.schema("label").dataType
     while (!converged && iter < DedupComponentsMaxRounds) {
       val roundStart = System.nanoTime()
+      // the round CARRIES each id's previous label (`prev`) through the
+      // aggregation instead of joining `next` back against `labels` for the
+      // convergence count — the self branch of the union contributes exactly
+      // one non-null prev per id (edge rows carry null, max() ignores them),
+      // so the per-round changed-labels equi-join (round 5: one extra
+      // exchange-pair + join stage per round) is GONE; `changed` becomes a
+      // filter-count over the freshly cached round output.
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("label")), "b")
-        .select(col("a").as("id"), col("label"))
-        .unionAll(labels)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .select(col("a").as("id"), col("label"),
+          lit(null).cast(labelType).as("prev"))
+        .unionAll(labels.select(col("id"), col("label"), col("label").as("prev")))
+        .groupBy(col("id")).agg(min(col("label")).as("label"), max(col("prev")).as("prev"))
       // pointer jumping: label ← label-of-my-label. A label is always a
       // member node's id, so the self-join is total, and the parent's label
       // is ≤ mine by construction. This halves chain depth every round →
       // convergence in O(log diameter) rounds instead of O(diameter) —
       // decisive on near-boilerplate corpora where banding links most docs
       // into one giant component (sf0.1: 5,885 of ~6k nodes in one blob).
-      val nbrMinP = tracked(nbrMin) // self-joined below: compute once per round
+      val nbrMinP = tracked(nbrMin.coalesce(parts)) // self-joined below: compute once per round
       val jumped = nbrMinP
         .join(nbrMinP.select(col("id").as("label"), col("label").as("jlabel")), "label")
-        .select(col("id"), col("jlabel").as("label"))
+        .select(col("id"), col("jlabel").as("label"), col("prev"))
       // LINEAGE CUT: `labels` appears twice per round, so without a cut the
       // logical plan nests exponentially (~2^rounds nodes — measured OOM in
-      // plan stringification at round ~20). The RDD boundary flattens each
-      // round to a LogicalRDD over the previous round's cached blocks; at
-      // 10^9-node scale the same cut is a reliableCheckpoint to storage.
-      val next = tracked(spark.createDataFrame(jumped.rdd, jumped.schema))
-      // convergence = zero changed labels, counted via an id equi-join of
-      // consecutive rounds. Overflow-safe at any id scale — the round-3
-      // sum(label)-equality probe wraps Long once 10^9+ labels drawn from
-      // 10^12-scale ids sum past 2^63 and a wraparound collision could
-      // falsely signal convergence. The count action doubles as the
-      // materializer of `next`'s cache blocks.
-      val changed = next
-        .join(labels.select(col("id"), col("label").as("prev")), "id")
-        .filter(col("label") =!= col("prev"))
-        .count()
+      // plan stringification at round ~20). The InternalRow boundary
+      // ([[org.apache.spark.sql.graftshim.InternalRows.cutLineage]])
+      // flattens each round to a LogicalRDD over the previous round's cached
+      // blocks with no external-Row round trip (the round-3 `.rdd` cut
+      // deserialized + re-encoded every row every round); at 10^9-node scale
+      // the same cut is a reliableCheckpoint to storage.
+      val next = tracked(org.apache.spark.sql.graftshim.InternalRows.cutLineage(
+        jumped.coalesce(parts)))
+      // convergence = zero changed labels, compared against the carried prev.
+      // Overflow-safe at any id scale — the round-3 sum(label)-equality probe
+      // wraps Long once 10^9+ labels drawn from 10^12-scale ids sum past 2^63
+      // and a wraparound collision could falsely signal convergence. The
+      // count action doubles as the materializer of `next`'s cache blocks.
+      val changed = next.filter(col("label") =!= col("prev")).count()
       converged = changed == 0L
       // eager release: round r−1's label table and this round's propagation
       // intermediate die NOW that `next` is materialized — the round-3 loop
@@ -484,12 +524,42 @@ object Queries {
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     minhashPairsCore(minhashSigCore(spark, dir)).orderBy("a", "b")
 
+  /** Candidate-graph STAR edges (a, b) = (bucket minimum, member) per
+    * (band, bucket) — connectivity-equivalent to [[minhashPairsCore]]'s full
+    * pair set (see [[dedupComponents]]) at Σk instead of Σk²/2 rows, with
+    * the SAME bucket membership and [[MinhashBucketCap]] skew guard. Edge
+    * multiplicity across bands is irrelevant to min-label propagation, so
+    * no distinct. Consumed by the CC loop only; the catalog pair queries
+    * keep the full verified pair set.
+    */
+  private[graft] def minhashStarEdges(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until MinhashBands).map { b =>
+      struct((0 until MinhashBandRows)
+        .map(r => col(s"sig${b * MinhashBandRows + r}").as(s"v$r")): _*)
+    }
+    sigs
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_id", "bv")))
+      .groupBy(col("band_id"), col("bv"))
+      .agg(graft.functions.ChurroFunctions
+        .collect_list_capped(col("doc_id"), MinhashBucketCap + 1).as("ids"))
+      .filter(size(col("ids")).between(2, MinhashBucketCap))
+      .select(array_min(col("ids")).as("a"), explode(col("ids")).as("b"))
+      .filter(col("a") =!= col("b"))
+  }
+
   /** The pair stage without the presentation sort (CC and the scale bench
     * consume pairs unordered — a global sort there is wasted work).
     */
   private[graft] def minhashPairsCore(sigs: DataFrame): DataFrame = {
+    // band key as a STRUCT of the r raw signature longs, not a concat_ws
+    // string (round 5): componentwise struct equality is exactly the
+    // delimited-string equality ("|" made decimal digits unambiguous), but
+    // the exchange row carries 2 longs instead of a ~40-byte string, the
+    // grouping hashes fixed-width words, and the 32-strings-per-row build
+    // disappears from the projection (guide §2.3: narrower shuffle keys).
     val bandCols = (0 until MinhashBands).map { b =>
-      concat_ws("|", (0 until MinhashBandRows).map(r => col(s"sig${b * MinhashBandRows + r}")): _*)
+      struct((0 until MinhashBandRows)
+        .map(r => col(s"sig${b * MinhashBandRows + r}").as(s"v$r")): _*)
     }
     val bands = sigs // unsorted: no mid-pipeline global sort
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_id", "bv")))
@@ -1654,17 +1724,33 @@ object Queries {
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .as[(String, Long)]
-    var curDf = tracked(words.map { case (w, c) => (bpeWordSyms(w), c) }
+    val base = tracked(words.map { case (w, c) => (bpeWordSyms(w), c) }
       .toDF("syms", "cnt"))
-    val vocab = curDf.count() // materialize: the ONLY corpus-scale action
+    val vocab = base.count() // materialize: the ONLY corpus-scale action
     onRound(0, vocab, (System.nanoTime() - phase0) / 1000000L)
+    // size-derived scan parallelism for the merge rounds (the vocab count
+    // above is the probe): each round's map-task count is this coalesce, so
+    // a tiny vocabulary stops paying 32 shuffle-file setups per round while
+    // a 10^8-word vocabulary still fans out
+    val baseScan = base.coalesce(sizeParts(vocab, 64))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    // Round r re-applies merges 1..r−1 to the CACHED base vocabulary inside
+    // the round's single job instead of materializing a fresh cached table
+    // per round (round 5: flatMap-agg action + map-cache-count action = 2
+    // jobs/round). One flatMap fuses replay + pair emission, so a round is
+    // ONE job — scan base, replay ≤K merges, partial-agg pairs,
+    // TakeOrdered(1) — and because the merge table rides in the CLOSURE
+    // rather than the plan, every round compiles to the same generated code
+    // (no per-round Janino recompile). Replay cost is O(K²·vocab) symbol
+    // ops total — vocabulary-bounded (Zipf), never corpus-scale, and K=10.
     var step = 1
     var exhausted = false
     while (step <= BpeMergeRounds && !exhausted) {
       val roundStart = System.nanoTime()
-      val best = curDf.as[(Seq[String], Long)]
-        .flatMap { case (syms, c) =>
+      val table = merges.toList.map(t => (t._2, t._3, t._4)) // stable closure capture
+      val best = baseScan.as[(Seq[String], Long)]
+        .flatMap { case (syms0, c) =>
+          val syms = table.foldLeft(syms0) { case (s, (l, r, m)) => bpeApplyMerge(s, l, r, m) }
           if (syms.length < 2) Iterator.empty
           else syms.iterator.zip(syms.iterator.drop(1)).map { case (l, r) => (l, r, c) }
         }
@@ -1675,19 +1761,12 @@ object Queries {
       if (best.isEmpty) exhausted = true
       else {
         val (l, r, c) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
-        val m = l + r
-        merges += ((step, l, r, m, c))
-        val next = tracked(curDf.as[(Seq[String], Long)]
-          .map { case (syms, cnt2) => (bpeApplyMerge(syms, l, r, m), cnt2) }
-          .toDF("syms", "cnt"))
-        next.count() // materialize before releasing the previous round
-        CacheTracker.release(curDf)
-        curDf = next
+        merges += ((step, l, r, l + r, c))
         onRound(step, c, (System.nanoTime() - roundStart) / 1000000L)
         step += 1
       }
     }
-    CacheTracker.release(curDf)
+    CacheTracker.release(base)
     merges.toSeq.toDF("step", "left", "right", "merged", "pair_count")
       .orderBy("step")
   }
