@@ -154,6 +154,11 @@ object BenchExtra {
           graft.ops.Queries.releaseCaches()
         }
       case "noop" => // handled below via trailing query names
+      case s if s.startsWith("conf:") =>
+        // conf:key=value — session-conf experiment knob for A/Bs
+        val kv = s.stripPrefix("conf:").split("=", 2)
+        spark.conf.set(kv(0), kv(1))
+        println(s"""{"conf_set":"${kv(0)}","value":"${kv(1)}"}""")
       case s if s.startsWith("explain:") =>
         // explain:<suffix>:<query> → plans/r06/<query>_<suffix>.txt
         val parts = s.split(":", 3)

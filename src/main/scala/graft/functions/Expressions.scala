@@ -266,6 +266,58 @@ object ExprImpl {
     else new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
   }
 
+  /** Fused shingle + MinHash: all `hashes` signature minima straight from
+    * the WORD array, digesting each word-`gramLen`-gram's UTF-8 bytes
+    * (words joined by a single 0x20, null words skipped — exactly
+    * `concat_ws(' ', slice(words, i+1, gramLen))`) without materializing
+    * gram strings. Bit-identical to `minhash_sigs` over
+    * `array_distinct(transform(sequence(0, greatest(n-gramLen, 0)), i ->
+    * concat_ws(' ', slice(words, i+1, gramLen))))`: the gram windows and
+    * their md5 input bytes are the same, duplicate grams cannot move a
+    * minimum, and an empty/short word array yields the same single clipped
+    * gram (n = 0 digests the empty string, as concat_ws over an empty
+    * slice does). Replaces a 4-deep interpreted higher-order-function
+    * chain (transform + slice + concat_ws + array_distinct) and its
+    * per-gram string/array allocations with one native pass.
+    */
+  def minhashSigsText(words: org.apache.spark.sql.catalyst.util.ArrayData,
+                      gramLen: Int, hashes: Int, mod: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val sigs = new Array[Long](hashes)
+    java.util.Arrays.fill(sigs, Long.MaxValue)
+    val md = md5Local.get()
+    val n = words.numElements()
+    val last = math.max(n - gramLen, 0)
+    val space = Array[Byte](' ')
+    var i = 0
+    while (i <= last) {
+      md.reset()
+      var k = 0
+      var wrote = false
+      while (k < gramLen && i + k < n) {
+        if (!words.isNullAt(i + k)) {
+          if (wrote) md.update(space)
+          md.update(words.getUTF8String(i + k).getBytes)
+          wrote = true
+        }
+        k += 1
+      }
+      val d = md.digest()
+      var h1 = 0L
+      var j = 0
+      while (j < 7) { h1 = (h1 << 8) | (d(j) & 0xffL); j += 1 }
+      var h2 = 0L
+      while (j < 14) { h2 = (h2 << 8) | (d(j) & 0xffL); j += 1 }
+      j = 0
+      while (j < hashes) {
+        val v = (h1 + j * h2) % mod
+        if (v < sigs(j)) sigs(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
+
   /** The full 64-bit SimHash of a word array as 16 lowercase hex chars in
     * ONE row-local pass: per word the [[md5NibbleBits]] packed bits, each
     * bit contributing ±1 to its position sum (duplicates kept — integer
@@ -528,6 +580,26 @@ case class MinhashSigsExpr(child: Expression, hashes: Int, mod: Long) extends Un
     copy(child = newChild)
 }
 
+/** `minhash_sigs_text(words, gramLen, hashes, mod)` — the fused
+  * shingle+MinHash projection (see [[ExprImpl.minhashSigsText]]): signature
+  * minima straight from the word array with no gram-array materialization.
+  * NULL only for a NULL word array (a non-null array always yields at
+  * least the clipped first gram, exactly like the concat_ws twin).
+  */
+case class MinhashSigsTextExpr(child: Expression, gramLen: Int, hashes: Int, mod: Long)
+    extends UnaryExpression {
+  require(gramLen > 0 && hashes > 0, s"gramLen/hashes must be positive: $gramLen/$hashes")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    ExprImpl.minhashSigsText(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], gramLen, hashes, mod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExprImpl.minhashSigsText($c, $gramLen, $hashes, ${mod}L)")
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigsTextExpr =
+    copy(child = newChild)
+}
+
 /** `simhash_hex(words)` — the 64-bit SimHash of a word array as 16 hex
   * chars in one row-local pass (see [[ExprImpl.simhashHex]]): the
   * signature stage becomes a pure projection, replacing the per-word
@@ -680,6 +752,8 @@ object ChurroFunctions {
     col(HeavyHitters(e(tokens), m, k).toAggregateExpression())
   def minhash_sigs(grams: Column, hashes: Int, mod: Long): Column =
     col(MinhashSigsExpr(e(grams), hashes, mod))
+  def minhash_sigs_text(words: Column, gramLen: Int, hashes: Int, mod: Long): Column =
+    col(MinhashSigsTextExpr(e(words), gramLen, hashes, mod))
   def simhash_hex(words: Column): Column = col(SimhashHex(e(words)))
   def bloom_might_contain(sketch: Column, s: Column): Column =
     col(BloomMightContain(e(sketch), e(s)))

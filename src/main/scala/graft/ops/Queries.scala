@@ -403,6 +403,10 @@ object Queries {
       // decisive on near-boilerplate corpora where banding links most docs
       // into one giant component (sf0.1: 5,885 of ~6k nodes in one blob).
       val nbrMinP = tracked(nbrMin.coalesce(parts)) // self-joined below: compute once per round
+      // (round-6 A/B note: a SECOND jump per round — label ← label⁴ — was
+      // measured and reverted: it saved one round on the fixture (7 → 6)
+      // but nearly doubled the per-round stage count (8 → 14 jobs), a net
+      // wash locally and two extra exchanges per round at scale.)
       val jumped = nbrMinP
         .join(nbrMinP.select(col("id").as("label"), col("label").as("jlabel")), "label")
         .select(col("id"), col("jlabel").as("label"), col("prev"))
@@ -487,7 +491,26 @@ object Queries {
     * signature is 64 BIGINTs, not hex strings.
     */
   private def minhashSigCore(spark: SparkSession, dir: String): DataFrame =
-    minhashSigCoreFrom(shingled(spark, dir))
+    // fused shingle+hash (round 6): when no other consumer shares the gram
+    // arrays (the standalone sig/pairs/CC queries), the signatures come
+    // straight from the word split via the native one-pass
+    // `minhash_sigs_text` — bit-identical minima (same gram windows, same
+    // md5 bytes; duplicates cannot move a min), but the 4-deep interpreted
+    // HOF chain (transform+slice+concat_ws+array_distinct) and its per-gram
+    // allocations disappear. Gram-sharing callers (nearDupKeep,
+    // ngramJaccard's verify side) keep [[minhashSigCoreFrom]] over the one
+    // cached gram table.
+    minhashSigsFromText(docsWithDups(spark, dir))
+
+  private[graft] def minhashSigsFromText(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("sigs", graft.functions.ChurroFunctions.minhash_sigs_text(
+        split(col("text"), " "), 3, MinhashHashes, MinhashMod))
+      // NULL sigs only for NULL text — the gram twin's filter dropped
+      // exactly those rows (split(NULL) → NULL grams)
+      .filter(col("sigs").isNotNull)
+      .select(col("doc_id") +:
+        (0 until MinhashHashes).map(j => element_at(col("sigs"), j + 1).as(s"sig$j")): _*)
 
   private[graft] def minhashSigCoreFrom(sh: DataFrame): DataFrame = {
     // ONE row-local pass computes all 64 minima (native minhash_sigs, same
@@ -603,6 +626,12 @@ object Queries {
     */
   private def jaccardVerify(
       grams: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
+    // round-6 A/B note: a row-local rewrite (attach both gram ARRAYS to the
+    // pair row, size(array_intersect)) was measured and REVERTED — it drags
+    // the first side's full array through the second join's exchange
+    // (~600 MB at sf0.1 for 48k pairs × ~300-gram docs) and read flat-to-
+    // worse (3.2 s → 3.5 s); the exploded join below only ever exchanges
+    // matched gram rows.
     val gramRows = grams.select(col("doc_id"), explode(col("grams")).as("g"))
     val gramCounts = grams.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
     pairs

@@ -13,11 +13,43 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Session clone whose shuffle partitioning is sized to the stream's
+    * batch input instead of inherited from the driver session (round 6,
+    * guide §2.2). A stateful streaming query PINS its state-store partition
+    * count at first start (it lives in the checkpoint), so "just let AQE
+    * coalesce" never applies: every micro-batch writes one delta file per
+    * state partition, and 32 partitions of KB-scale state made the bounded
+    * fixtures pay 32 file creates per stateful operator per batch (measured
+    * 3.9 s → 2.4 s on the near-dup stream at 4 partitions). Scale-adaptive:
+    * ~1 MB of input per partition, CAPPED at the session's configured
+    * `spark.sql.shuffle.partitions` — production volumes hit the cap and
+    * keep the operator's configured parallelism.
+    */
+  private def streamSession(spark: SparkSession, path: String,
+                            fanout: Int = 1): SparkSession = {
+    val bytes = try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+    val cap = spark.conf.get("spark.sql.shuffle.partitions",
+      spark.sparkContext.defaultParallelism.toString).toInt
+    // `fanout` = the operator's row multiplication between source and its
+    // stateful shuffle (the near-dup stream keys 32 band rows per doc), so
+    // the state partitioning is sized to what actually enters the store;
+    // ~4 MB of (fanned-out) input per state partition
+    val n = math.max(1L, (bytes * fanout) >> 22).min(cap.toLong).toInt
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", n)
+    ss
+  }
+
   def streamWindow(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val spark2 = streamSession(spark, path)
+    val schema = spark2.read.parquet(path).schema
     // the file stream source wants a directory; glob-filter to the one table
-    val events = spark.readStream.schema(schema)
+    val events = spark2.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     val agg = events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -29,7 +61,7 @@ object StreamOps {
       .outputMode("complete")
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(queryName)
+    spark2.table(queryName)
       .select(col("window.start").as("hour"), col("event_type"), col("n"),
         col("min_v"), col("max_v"))
       .orderBy("hour", "event_type")
@@ -51,8 +83,9 @@ object StreamOps {
   def streamHeavyHittersQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Queries
     val path = s"$dir/documents.parquet"
-    val schema = spark.read.parquet(path).schema
-    val docs = spark.readStream.schema(schema)
+    val spark2 = streamSession(spark, path)
+    val schema = spark2.read.parquet(path).schema
+    val docs = spark2.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
     val agg = docs.agg(graft.functions.ChurroFunctions.heavy_hitters(
       split(col("text"), " "), Queries.HeavyHittersM, Queries.HeavyHittersK).as("hh"))
@@ -63,7 +96,7 @@ object StreamOps {
       .outputMode("complete")
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(queryName)
+    spark2.table(queryName)
       .select(explode(col("hh")).as("h"))
       .select(col("h.token").as("token"), col("h.cnt").as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
@@ -93,8 +126,9 @@ object StreamOps {
     */
   def streamWindowAppendQuery(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    val events = spark.readStream.schema(schema)
+    val spark2 = streamSession(spark, path)
+    val schema = spark2.read.parquet(path).schema
+    val events = spark2.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       // watermarks require TIMESTAMP (the table stores NTZ; session TZ is
       // UTC so the cast is value-preserving) — cast back on output so the
@@ -107,7 +141,7 @@ object StreamOps {
       .outputMode("append")
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(queryName)
+    spark2.table(queryName)
       .withColumn("hour", col("hour").cast("timestamp_ntz"))
       .orderBy("hour", "event_type")
   }
@@ -124,8 +158,9 @@ object StreamOps {
     */
   def streamDedupQuery(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    val events = spark.readStream.schema(schema)
+    val spark2 = streamSession(spark, path)
+    val schema = spark2.read.parquet(path).schema
+    val events = spark2.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", col("ts").cast("timestamp"))
     val dupped = events
@@ -143,7 +178,7 @@ object StreamOps {
       .outputMode("append")
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(queryName)
+    spark2.table(queryName)
       .withColumn("ts", col("ts").cast("timestamp_ntz"))
       .orderBy("event_id")
   }
@@ -218,8 +253,9 @@ object StreamOps {
     import graft.ops.Queries
     import spark.implicits._
     val path = s"$dir/documents.parquet"
-    val schema = spark.read.parquet(path).schema
-    val docs = spark.readStream.schema(schema)
+    val spark2 = streamSession(spark, path, fanout = Queries.MinhashBands)
+    val schema = spark2.read.parquet(path).schema
+    val docs = spark2.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
       .select(col("doc_id"), col("text"))
     // in-stream planted near-copies; event time keys arrival order and the
@@ -239,11 +275,11 @@ object StreamOps {
     // arithmetic — same grams, same Kirsch–Mitzenmacher family, same band
     // keys — so the oracle's bucket view is identical)
     val sigs = dupped
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("grams", expr(
-        "array_distinct(transform(sequence(0, greatest(size(words) - 3, 0)), i -> concat_ws(' ', slice(words, i + 1, 3))))"))
-      .withColumn("sigs", graft.functions.ChurroFunctions.minhash_sigs(
-        col("grams"), Queries.MinhashHashes, Queries.MinhashMod))
+      // fused shingle+hash (round 6, same as the batch chain's
+      // minhashSigsFromText): identical signature bits, no interpreted
+      // gram-array materialization per row in the micro-batch hot path
+      .withColumn("sigs", graft.functions.ChurroFunctions.minhash_sigs_text(
+        split(col("text"), " "), 3, Queries.MinhashHashes, Queries.MinhashMod))
     val bandCols = (0 until Queries.MinhashBands).map { b =>
       concat_ws("|", (0 until Queries.MinhashBandRows)
         .map(r => element_at(col("sigs"), b * Queries.MinhashBandRows + r + 1)): _*)
@@ -263,7 +299,7 @@ object StreamOps {
       .outputMode("append")
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(queryName)
+    spark2.table(queryName)
       .select(col("doc_id").as("dup_id")).distinct()
       .orderBy("dup_id")
   }

@@ -222,6 +222,44 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(empty.isNullAt(0))
   }
 
+  test("minhash_sigs_text equals minhash_sigs over the HOF-shingled gram array") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val mod = graft.ops.Queries.MinhashMod
+    val hashes = graft.ops.Queries.MinhashHashes
+    // edge shapes the fused pass must reproduce: < gramLen words (clipped
+    // gram), exactly gramLen, long text, repeated words (duplicate grams),
+    // empty string (split -> [""]), and multi-space runs (empty words)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two"),
+      (3L, "x"),
+      (4L, ""),
+      (5L, "a  b   c"),
+      (6L, (0 until 500).map(i => s"w${i % 37}").mkString(" ")),
+      (7L, "dup dup dup dup")).toDF("doc_id", "text")
+    val fused = docs
+      .withColumn("sigs",
+        ChurroFunctions.minhash_sigs_text(split($"text", " "), 3, hashes, mod))
+      .select(col("doc_id") +: (0 until hashes).map(j =>
+        element_at($"sigs", j + 1).as(s"s$j")): _*)
+    val viaGrams = docs
+      .withColumn("words", split($"text", " "))
+      .withColumn("grams", expr(
+        "array_distinct(transform(sequence(0, greatest(size(words) - 3, 0)), i -> concat_ws(' ', slice(words, i + 1, 3))))"))
+      .withColumn("sigs", ChurroFunctions.minhash_sigs($"grams", hashes, mod))
+      .select(col("doc_id") +: (0 until hashes).map(j =>
+        element_at($"sigs", j + 1).as(s"s$j")): _*)
+    val a = fused.orderBy("doc_id").collect().map(_.toSeq)
+    val b = viaGrams.orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y })
+    // NULL words array (null text) -> NULL sigs, like the gram twin
+    val nul = Seq((9L, null: String)).toDF("doc_id", "text")
+      .select(ChurroFunctions.minhash_sigs_text(split($"text", " "), 3, hashes, mod))
+      .collect()(0)
+    assert(nul.isNullAt(0))
+  }
+
   test("collect_list_capped: complete under the cap, bounded above it") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
