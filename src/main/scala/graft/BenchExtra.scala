@@ -129,6 +129,53 @@ object BenchExtra {
           graft.ops.CacheTracker.release(nbrMinP)
         }
         graft.ops.Queries.releaseCaches()
+      case "dataprep" =>
+        (1 to 2).foreach { pass =>
+          import graft.ops.Queries
+          time(s"dp.full.$pass") { noop(Queries.dataprepPipeline(spark, sfDir)) }
+          Queries.releaseCaches()
+          val clean = Queries.boilerplateCleaned(
+            Queries.docsWithDups(spark, sfDir).select(col("doc_id"), col("text")))
+            .select(col("doc_id"), col("text"))
+          time(s"dp.clean.$pass") { noop(clean) }
+          var exactKept: DataFrame = null
+          time(s"dp.exact.$pass") {
+            exactKept = graft.ops.CacheTracker.track(Queries.exactDedupKeep(clean))
+            exactKept.count(); ()
+          }
+          var nearKept: DataFrame = null
+          time(s"dp.near.$pass") {
+            nearKept = graft.ops.CacheTracker.track(Queries.nearDupKeep(spark, exactKept))
+            nearKept.count(); ()
+          }
+          time(s"dp.decon.$pass") { noop(Queries.decontaminateKeep(spark, sfDir, nearKept)) }
+          Queries.releaseCaches()
+        }
+      case "neardup" =>
+        (1 to 2).foreach { pass =>
+          import graft.ops.Queries
+          val clean = Queries.boilerplateCleaned(
+            Queries.docsWithDups(spark, sfDir).select(col("doc_id"), col("text")))
+            .select(col("doc_id"), col("text"))
+          val exactKept = graft.ops.CacheTracker.track(Queries.exactDedupKeep(clean))
+          exactKept.count()
+          val grams = graft.ops.CacheTracker.track(Queries.shingledFrom(exactKept))
+          time(s"nd.grams.$pass") { grams.count(); () }
+          val pairs = Queries.minhashPairsCore(Queries.minhashSigCoreFrom(grams))
+          var verified: DataFrame = null
+          time(s"nd.pairs_verify.$pass") {
+            verified = graft.ops.CacheTracker.track(
+              Queries.jaccardVerifyProbe(grams, pairs).select(col("a"), col("b")))
+            verified.count(); ()
+          }
+          time(s"nd.cc.$pass") {
+            val comp = Queries.dedupComponentsFrom(spark, verified,
+              (r, changed, ms) => println(
+                s"""{"nd_cc_round":$r,"changed":$changed,"ms":$ms}"""))
+            noop(comp)
+          }
+          graft.ops.Queries.releaseCaches()
+        }
       case "bpe" =>
         (1 to 2).foreach { pass =>
           spark.sparkContext.setJobDescription(s"bpe pass $pass")

@@ -232,14 +232,21 @@ object Queries {
     * (both engines construct the same union).
     */
   private[graft] def docsWithDups(spark: SparkSession, dir: String): DataFrame = {
-    val docs = resplitForCpu(spark,
-      t(spark, dir, "documents").select(col("doc_id"), col("text"), col("lang")))
+    // resplit AFTER the union, not before (round 6): repartitioning the base
+    // scan first made each of the three union legs its own 32-partition
+    // subtree — 96 map tasks for every downstream exchange (the legs do not
+    // share the exchange; Spark plans the repartition subtree once per leg).
+    // One round-robin exchange over the united rows gives the same
+    // downstream CPU parallelism with a third of the map tasks, and the
+    // rows are identical (consumers aggregate or sort — row order is not
+    // part of any contract).
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
     val exact = docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 100000).as("doc_id"), col("text"), col("lang"))
     val near = docs.filter(col("doc_id") % 10 === 1)
       .select((col("doc_id") + 200000).as("doc_id"),
         regexp_replace(col("text"), "the", "teh").as("text"), col("lang"))
-    docs.unionAll(exact).unionAll(near)
+    resplitForCpu(spark, docs.unionAll(exact).unionAll(near))
   }
 
   /** Exact dedup: hash-groupBy on content, keep the smallest id. */
@@ -371,6 +378,16 @@ object Queries {
     // first round paid anyway and as the size probe.
     val nPairs = pairs.count()
     val parts = sizeParts(2L * nPairs, 24)
+    // the loop's per-round frames are LogicalRDD cuts with NO statistics,
+    // so the planner can never prove the label map broadcastable and plans
+    // every round as exchange+sort-merge (AQE recovers broadcast only
+    // after materializing the shuffle — still one stage-job per exchange).
+    // We HOLD the measurement the optimizer lacks (guide §8): below ~1M
+    // nodes (≈ tens of MB, well inside broadcast range) hint the label map
+    // onto the build side and the round loses its exchanges; above it the
+    // planner's shuffle join stands.
+    val bcastLabels = 2L * nPairs < 1000000L
+    def maybeBcast(df: DataFrame): DataFrame = if (bcastLabels) broadcast(df) else df
     val edges = tracked(
       pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
         .coalesce(parts))
@@ -391,7 +408,7 @@ object Queries {
       // exchange-pair + join stage per round) is GONE; `changed` becomes a
       // filter-count over the freshly cached round output.
       val nbrMin = edges
-        .join(labels.select(col("id").as("b"), col("label")), "b")
+        .join(maybeBcast(labels.select(col("id").as("b"), col("label"))), "b")
         .select(col("a").as("id"), col("label"),
           lit(null).cast(labelType).as("prev"))
         .unionAll(labels.select(col("id"), col("label"), col("label").as("prev")))
@@ -408,7 +425,7 @@ object Queries {
       // but nearly doubled the per-round stage count (8 → 14 jobs), a net
       // wash locally and two extra exchanges per round at scale.)
       val jumped = nbrMinP
-        .join(nbrMinP.select(col("id").as("label"), col("label").as("jlabel")), "label")
+        .join(maybeBcast(nbrMinP.select(col("id").as("label"), col("label").as("jlabel"))), "label")
         .select(col("id"), col("jlabel").as("label"), col("prev"))
       // LINEAGE CUT: `labels` appears twice per round, so without a cut the
       // logical plan nests exponentially (~2^rounds nodes — measured OOM in
@@ -443,7 +460,7 @@ object Queries {
           "pointer-jumped min-label propagation covers diameter ~2^rounds, so this " +
           "indicates a logic or data error, not a graph that merely needs patience")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
-    labels.join(sizes, "label")
+    labels.join(maybeBcast(sizes), "label")
       .select(col("id").as("doc_id"), col("label").as("component"), col("n_members"))
       .orderBy("doc_id")
   }
@@ -1578,6 +1595,12 @@ object Queries {
     * pipeline (same bar as [[ngramJaccard]]'s catalog query).
     */
   val NearDupJaccard = 0.7
+
+  /** BenchExtra-only window into the private verify core (same args as the
+    * [[nearDupKeep]] call site) — diagnostics, not a query surface.
+    */
+  private[graft] def jaccardVerifyProbe(grams: DataFrame, pairs: DataFrame): DataFrame =
+    jaccardVerify(grams, pairs, NearDupJaccard)
 
   /** Stage 3: near-dup canonical selection — MinHash+LSH candidate pairs →
     * exact 3-gram Jaccard VERIFICATION → connected components
@@ -3595,17 +3618,25 @@ object Queries {
   def warcRedirectChains(spark: SparkSession, dir: String): DataFrame = {
     val m = tracked(
       warcRedirectsCore(spark).select("from_url", "to_url").distinct())
+    // measured-broadcast (round 6, the CC-loop pattern): the redirect map is
+    // node-sized, and the count that materializes its cache tells us whether
+    // the 8 bounded-unroll joins can all run broadcast — the planner cannot
+    // (the WARC-parse lineage has no usable stats, so every hop planned as
+    // exchange+sort-merge). Above the threshold the planner's shuffle joins
+    // stand, so archive-scale behavior is unchanged.
+    val nM = m.count()
+    def mb(df: DataFrame): DataFrame = if (nM < 1000000L) broadcast(df) else df
     var step = m.select(col("from_url").as("src"), col("to_url").as("cur"),
       lit(1).as("hops"))
     var all = step
     for (i <- 2 to RedirectMaxHops) {
       val mi = m.select(col("from_url").as(s"f_$i"), col("to_url").as(s"t_$i"))
-      step = step.join(mi, col("cur") === col(s"f_$i"))
+      step = step.join(mb(mi), col("cur") === col(s"f_$i"))
         .select(col("src"), col(s"t_$i").as("cur"), lit(i).as("hops"))
       all = all.unionAll(step)
     }
     val terminal = all
-      .join(m.select(col("from_url").as("cur")), Seq("cur"), "left_anti")
+      .join(mb(m.select(col("from_url").as("cur"))), Seq("cur"), "left_anti")
       .select(col("src").as("url"), col("cur").as("final_url"), col("hops"))
     m.select(col("from_url").as("url")).distinct()
       .join(terminal, Seq("url"), "left")
