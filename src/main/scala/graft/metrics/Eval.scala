@@ -108,7 +108,11 @@ object Eval {
     // cannot move oracle-visible values.
     graft.ops.Queries.resplitForCpu(spark,
         spark.read.parquet(s"$dir/documents.parquet")
-          .select(col("doc_id"), col("text"), col("lang")))
+          .select(col("doc_id"), col("text"), col("lang")),
+        // minBytes 0: the per-row metric cost dwarfs the byte volume, so the
+        // round-6 size gate (tuned for cheap row work) must not disable this
+        // measured-load-bearing resplit
+        minBytes = 0L)
       .as[(Long, String, String)]
       .map { case (id, text, lang) =>
         val gold = s"<output>\n$text\n</output>"

@@ -37,14 +37,35 @@ object Queries {
     * scale. Partition assignment is not oracle-visible: every downstream
     * aggregate is order-independent (min / count / integer-unit sums).
     */
-  private[graft] def resplitForCpu(spark: SparkSession, df: DataFrame): DataFrame = {
+  private[graft] def resplitForCpu(spark: SparkSession, df: DataFrame,
+                                   minBytes: Long = 4L << 20): DataFrame = {
+    // A/B escape hatch for adjacent-window measurements (BenchExtra only;
+    // the driver never sets it)
+    if (sys.env.contains("GRAFT_NO_RESPLIT")) return df
     val target = spark.sparkContext.defaultParallelism
     // probe the split count via this df's own QueryExecution (`toRdd` is the
     // already-planned physical scan, no action) — the round-3 `df.rdd` probe
     // instantiated a SECOND physical plan (extra DeserializeToObject tree)
     // per query just to read a partition count
     val splits = df.queryExecution.toRdd.getNumPartitions
-    if (splits < math.max(2, target / 2)) df.repartition(target) else df
+    // SIZE gate (round 6): an under-split input is only worth repartitioning
+    // when there are enough bytes for the fan-out to beat the exchange it
+    // costs. Adjacent-window A/B at sf0.1 (~0.6-2 MB tables): the
+    // unconditional round-3 resplit LOST on every consumer measured —
+    // boilerplate 0.48 s → 1.0 s, exact dedup 0.68 → 1.24, simhash pairs
+    // 1.0 → 1.6 — because one map task writing 32 shuffle partitions plus a
+    // 32-task reduce costs more than single-task row work at KB scale. The
+    // catalyst size estimate is file-backed for scans (the only under-split
+    // case that matters) and Long.Max for RDD-backed frames, which keeps
+    // the synthesized-corpus paths (DocsGen) on the old behavior. Callers
+    // whose per-row work is heavy regardless of byte volume (Eval's
+    // BLEU/Levenshtein map: measured 3.6-4.3 s single-task vs 2.0-2.9 s
+    // re-split at the SAME sf0.1 bytes) pass minBytes = 0 to keep the
+    // unconditional round-3 behavior — bytes are a proxy for row work only
+    // when the per-row cost is cheap.
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (splits < math.max(2, target / 2) && bytes > minBytes) df.repartition(target)
+    else df
   }
 
   /** Release every cache registered since the last call — invoke after each
@@ -1268,7 +1289,8 @@ object Queries {
     * per-doc collect buffer is bounded by the document's own length.
     */
   def boilerplateStrip(spark: SparkSession, dir: String): DataFrame =
-    boilerplateCleaned(t(spark, dir, "documents").select(col("doc_id"), col("text")))
+    boilerplateCleaned(resplitForCpu(spark, t(spark, dir, "documents"))
+      .select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("n_kept"), md5(col("text")).as("clean_sha"))
       .orderBy("doc_id")
 
@@ -1366,7 +1388,10 @@ object Queries {
       .as("g"))
 
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // resplit (round 6): the 8-gram explode below is row-local CPU over a
+    // single-split scan
+    val docs = resplitForCpu(spark, t(spark, dir, "documents"))
+      .select(col("doc_id"), col("text"))
     val evalSet = docs.filter(col("doc_id") % 97 === 0)
     // the natural corpus shares no long shingles across documents, so the
     // contamination to catch is PLANTED (the dedup family's pattern):
@@ -3104,7 +3129,9 @@ object Queries {
     * explode, so a dropped doc costs one row, not its line fan-out.
     */
   def c4Filter(spark: SparkSession, dir: String): DataFrame = {
-    val lined = t(spark, dir, "documents")
+    // resplit (round 6): single-split scan feeding interpreted per-row
+    // line construction — spread it across cores first
+    val lined = resplitForCpu(spark, t(spark, dir, "documents"))
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"),
         expr(
@@ -3164,7 +3191,10 @@ object Queries {
     * Ratios are exact integer character sums over one double division.
     */
   def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val base = tracked(t(spark, dir, "documents")
+    // resplit (round 6): the documents table is a single parquet split, so
+    // the interpreted line/gram construction below otherwise runs on ONE
+    // task; the row-local work dwarfs the one tiny exchange
+    val base = tracked(resplitForCpu(spark, t(spark, dir, "documents"))
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), expr(
         s"""transform(sequence(0, (size(words) - 1) DIV $C4SentLen),
@@ -3273,7 +3303,10 @@ object Queries {
     * join — the measured [[tokenRarityFrom]] adjudication.
     */
   def lmQuality(spark: SparkSession, dir: String): DataFrame = {
-    val base = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // resplit (round 6): single-split scan; both the planted-noise leg's
+    // per-word md5 rewrite and the scoring explode are row-local CPU
+    val base = resplitForCpu(spark, t(spark, dir, "documents"))
+      .select(col("doc_id"), col("text"))
     val scoredSide = base.unionAll(base.filter(col("doc_id") % 29 === 0)
       .select((col("doc_id") + 600000).as("doc_id"),
         expr("array_join(transform(split(text, ' '), w -> substring(md5(w), 1, 6)), ' ')")
@@ -3359,7 +3392,10 @@ object Queries {
     * all-boilerplate doc in [[boilerplateStrip]].
     */
   def substringDedup(spark: SparkSession, dir: String): DataFrame = {
-    val base = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // resplit (round 6): the md5-per-gram explosion in the core ran on the
+    // TWO tasks of the base∪mirror single-split scans
+    val base = resplitForCpu(spark, t(spark, dir, "documents"))
+      .select(col("doc_id"), col("text"))
     substringDedupFrom(base
       .unionAll(base.filter(col("doc_id") % 17 === 0)
         .select((col("doc_id") + 400000).as("doc_id"),
