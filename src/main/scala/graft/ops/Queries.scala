@@ -3654,25 +3654,23 @@ object Queries {
   def warcRedirectChains(spark: SparkSession, dir: String): DataFrame = {
     val m = tracked(
       warcRedirectsCore(spark).select("from_url", "to_url").distinct())
-    // measured-broadcast (round 6, the CC-loop pattern): the redirect map is
-    // node-sized, and the count that materializes its cache tells us whether
-    // the 8 bounded-unroll joins can all run broadcast — the planner cannot
-    // (the WARC-parse lineage has no usable stats, so every hop planned as
-    // exchange+sort-merge). Above the threshold the planner's shuffle joins
-    // stand, so archive-scale behavior is unchanged.
-    val nM = m.count()
-    def mb(df: DataFrame): DataFrame = if (nM < 1000000L) broadcast(df) else df
+    // (round-6 A/B note: a measured-broadcast probe — m.count() + explicit
+    // broadcast() hints on the 8 hop joins, the CC-loop pattern — was
+    // tried and REVERTED: the before-plan already carries 36
+    // BroadcastExchange nodes because the binaryFile lineage DOES expose
+    // size stats, so the planner had broadcast every hop all along and the
+    // probe only added a driver sync.)
     var step = m.select(col("from_url").as("src"), col("to_url").as("cur"),
       lit(1).as("hops"))
     var all = step
     for (i <- 2 to RedirectMaxHops) {
       val mi = m.select(col("from_url").as(s"f_$i"), col("to_url").as(s"t_$i"))
-      step = step.join(mb(mi), col("cur") === col(s"f_$i"))
+      step = step.join(mi, col("cur") === col(s"f_$i"))
         .select(col("src"), col(s"t_$i").as("cur"), lit(i).as("hops"))
       all = all.unionAll(step)
     }
     val terminal = all
-      .join(mb(m.select(col("from_url").as("cur"))), Seq("cur"), "left_anti")
+      .join(m.select(col("from_url").as("cur")), Seq("cur"), "left_anti")
       .select(col("src").as("url"), col("cur").as("final_url"), col("hops"))
     m.select(col("from_url").as("url")).distinct()
       .join(terminal, Seq("url"), "left")
