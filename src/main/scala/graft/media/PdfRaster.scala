@@ -1205,9 +1205,17 @@ object PdfRaster {
               }
               arrDone = null
               val phase = num(operands.last)
-              // spec: elements nonnegative, not all zero; phase nonnegative
+              // spec: elements nonnegative, not all zero; phase nonnegative.
+              // Nonzero elements must additionally clear a sane epsilon
+              // (round-6 ADVICE fix): a denormal like 1e-300 passes the
+              // nonnegative checks but makes no floating-point progress in
+              // the phase/segment walkers (pos -= 1e-300 leaves pos
+              // unchanged) — an infinite loop in an executor task instead
+              // of this module's loud reject.
               require(dashArr.forall(_ >= 0.0),
                 s"page $pageNum: negative dash element in [${dashArr.mkString(" ")}]")
+              require(dashArr.forall(v => v == 0.0 || v >= 1e-6),
+                s"page $pageNum: sub-epsilon dash element in [${dashArr.mkString(" ")}]")
               require(dashArr.isEmpty || dashArr.sum > 0.0,
                 s"page $pageNum: all-zero dash array")
               require(phase >= 0.0, s"page $pageNum: negative dash phase $phase")
@@ -1485,6 +1493,10 @@ object PdfRaster {
       require(arr == null, "unterminated [ array")
       require(rects.isEmpty && subs.isEmpty,
         s"page $pageNum: path constructed but never painted")
+      // round-6 ADVICE fix: a stream that pushes `q` without a matching `Q`
+      // was silently accepted, against the module's reject-loudly contract
+      // (harmless pixel-wise — forms restore st explicitly — but malformed)
+      require(stack.isEmpty, s"page $pageNum: q without matching Q")
     }
 
     exec(PdfText.tokenize(content), fonts, xobjects, gstates, shadings)

@@ -1122,6 +1122,11 @@ object Queries {
     * integers: decile d = min { n : cumCount(n)·10 ≥ d·total }, i.e. the
     * value at rank ceil(d·total/10), with the ceil-division expressed as a
     * cross-multiplied comparison (overflow-safe to 9·10^17 rows).
+    * INTENTIONAL empty-input divergence (ADVICE r5 note): an EMPTY corpus
+    * throws here ("token-quantile input is empty") where the DuckDB oracle
+    * yields zero rows — the same documented divergence discipline as
+    * [[quantileSketch]] (which instead emits nine NULL rows to match ITS
+    * oracle); no fixture exercises an empty documents table.
     */
   def tokenQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val hist = tokenHistogram(spark, dir).collect()
@@ -2475,7 +2480,9 @@ object Queries {
 
   /** 16 kHz-mono resampling — the normalization every ASR-prep pipeline
     * runs (Whisper-class models consume 16 kHz mono): stereo downmixes by
-    * floor-averaged channels, then linear interpolation to 16 kHz in
+    * round-half-up averaged channels ((l+r+1) floor-div 2 — NOT a plain
+    * floor average; the +1 biases ties upward, ADVICE r5), then linear
+    * interpolation to 16 kHz in
     * INTEGER arithmetic only — the source position j·srcRate/16000 stays
     * a rational (quotient, remainder) pair, the lerp rounds half-up via
     * +8000, and every division is `Math.floorDiv` so the Python twin's

@@ -185,6 +185,15 @@ class PdfRasterSpec extends AnyFunSuite {
     assert(rotStroke.rgb.exists(_ == 0x00.toByte), "rotated similarity stroke paints")
     rejects("[-2 1] 0 d 10 10 m 20 20 l S", "negative dash element")
     rejects("[0 0] 0 d 10 10 m 20 20 l S", "all-zero dash array")
+    // round-6 ADVICE fix: a denormal dash element passes the nonnegative
+    // checks but makes no float progress in the phase walker
+    // (5.0 - 1e-300 == 5.0) — must reject loudly, not hang an executor
+    rejects("[0.0000000001 10] 5 d 10 10 m 20 20 l S", "sub-epsilon dash element")
+    // a ZERO element stays legal (PDF allows zero spans when not all zero)
+    val zeroSpan = PdfRaster.rasterize(tinyPdf("[0 6] 0 d 0 0 0 RG 2 w 10 20 m 40 20 l S"), 72)
+    assert(zeroSpan.nonEmpty)
+    // round-6 ADVICE fix: unbalanced q must reject at stream end
+    rejects("q 0 0 0 rg 5 5 10 10 re f", "q without matching Q")
     // `0 w` is a legal hairline state — a FILL-only page that sets it must
     // render, not throw (only an actual stroke has no width-0 model here)
     val hairline = PdfRaster.rasterize(tinyPdf("0 w 0 0 0 rg 5 5 10 10 re f"), 72)

@@ -96,7 +96,8 @@ def quiet(rate, secs):
 
 
 def resample16k(channels, rate, samples):
-    """ASR-prep: downmix to mono (floor-averaged) then linear-interpolate
+    """ASR-prep: downmix to mono (round-half-up average: (l+r+1)//2,
+    not a plain floor average — ADVICE r5 doc fix) then linear-interpolate
     to 16 kHz with INTEGER arithmetic only — source position num/16000
     stays rational, the lerp rounds half-up via +R2//2, and every
     division floors (Python // ≡ Java Math.floorDiv, exact on negatives).

@@ -745,6 +745,10 @@ def render(content, fonts, mbw, mbh, dpi, images=None, gstates=None,
                     arr_done = None
                     phase = operands[-1][1]
                     assert all(v >= 0.0 for v in dash_arr)
+                    # round-6 ADVICE fix (mirrors PdfRaster): nonzero dash
+                    # elements below a sane epsilon make no float progress
+                    # in the phase/segment walkers -> reject loudly
+                    assert all(v == 0.0 or v >= 1e-6 for v in dash_arr)
                     assert not dash_arr or sum(dash_arr) > 0.0
                     assert phase >= 0.0
                     dash = (dash_arr, phase)
